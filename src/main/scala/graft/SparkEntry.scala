@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.ReferenceParity
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates the per-category query modules under
+  * graft.queries; every entry is paired (where SQL-expressible) with
+  * DuckDB oracle SQL in `oracleSql`, the driver's correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the v2 incremental-load pipeline shape (SURVEY.md §3.2) on
+    * the events fact table — watermark, filter, project, lineage, dedup.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val src = Tables.load(spark, dir, "events")
+    val empty = src.filter(lit(false)) // cold-start: empty target
+    val wm = operators.Relational.watermark(empty, "ts")
+    val inc = operators.Relational.newerThan(src, "ts", wm.toString)
+    operators.Relational.dedupLatest(
+      operators.Relational.withLineage(inc, "superset"),
+      keys = Seq("event_id"), versionCol = "ts")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ReferenceParity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    ReferenceParity.oracle
 }

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Relational
+
+/** Oracle-checked queries covering the reference-parity operator
+  * inventory (SURVEY.md §2.1–§2.9). Each entry is a pure
+  * (SparkSession, sfDir) => DataFrame paired with equivalent DuckDB SQL
+  * in `oracle`.
+  *
+  * Conventions for byte-exact oracle parity:
+  *   - every row-level query orders by a unique key; aggregates order by
+  *     their group keys (deterministic content either way);
+  *   - double aggregates go through DECIMAL(18,2) so the sum is exact in
+  *     both engines, then round+cast back to double;
+  *   - date_trunc returns TIMESTAMP in Spark but DATE in DuckDB → oracle
+  *     SQL casts to TIMESTAMP;
+  *   - counts are BIGINT in both engines.
+  */
+object ReferenceParity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** sum(CAST(c AS DECIMAL(18,2))) rounded back to double — exact in both engines. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2+P1: columnar scan with explicit projection (column pruning
+    // reaches the parquet scan — ReadSchema shows only the named cols).
+    "s2_scan_projection" -> ((s, dir) =>
+      t(s, dir, "events").select("event_id", "event_type", "user_id")
+        .orderBy("event_id")),
+
+    // P1: projection with reorder (dashboards load starts with timestamps,
+    // f_superset_dashboards_upload_data.sql:3-5).
+    "p1_projection_reorder" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // P2: lineage literal column (f_superset_logs_upload_data.sql:12).
+    "p2_lineage_literal" -> ((s, dir) =>
+      Relational.withLineage(
+        t(s, dir, "events").select("event_id", "ts", "user_id"), "superset")
+        .orderBy("event_id")),
+
+    // F1(+F3): strict watermark filter with string-literal cast.
+    "f1_watermark_strict" -> ((s, dir) =>
+      Relational.newerThan(t(s, dir, "events"), "ts", "2024-01-15 00:00:00")
+        .select("event_id", "ts", "event_type").orderBy("event_id")),
+
+    // F2: inclusive month-scoped filter (v1 semantics).
+    "f2_watermark_inclusive" -> ((s, dir) =>
+      Relational.onOrAfter(t(s, dir, "events"), "ts", "2024-01-10 00:00:00")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id").orderBy("event_id")),
+
+    // F3: cold-start epoch fallback — the 2000-01-01 filter must be a
+    // full load (equivalence checked via grouped counts).
+    "f3_cold_start_epoch" -> ((s, dir) =>
+      Relational.newerThan(t(s, dir, "events"), "ts", Relational.ColdStartEpoch)
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // F4: modulo shard split predicate (v1/dag:119,124).
+    "f4_modulo_shard" -> ((s, dir) =>
+      Relational.moduloShard(t(s, dir, "events"), "event_id", 2, 0)
+        .select("event_id", "user_id").orderBy("event_id")),
+
+    // F5: equality predicates.
+    "f5_equality_predicates" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A1: scalar MAX watermark.
+    "a1_max_watermark" -> ((s, dir) =>
+      t(s, dir, "events").agg(max(col("ts")).as("wm"))),
+
+    // A2: month-truncated watermark (v1/dag:65).
+    "a2_month_trunc_watermark" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(date_trunc("month", max(col("ts"))).as("wm"))),
+
+    // A3: distinct partition list (system.parts scan, v1/dag:88-93).
+    "a3_distinct_partitions" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(date_trunc("month", col("ts")).as("month")).distinct()
+        .orderBy("month")),
+
+    // A4/§2.5: ReplacingMergeTree dedup — keep latest row per key.
+    "a4_dedup_latest" -> ((s, dir) =>
+      Relational.dedupLatest(
+        t(s, dir, "events").select("user_id", "event_id", "ts", "event_type"),
+        keys = Seq("user_id"), versionCol = "ts", tieBreak = Seq("event_id"))
+        .orderBy("user_id")),
+
+    // L1: deterministic batch cap (v1 limit 1000, made ordered).
+    "l1_batch_cap" -> ((s, dir) =>
+      Relational.batchCap(
+        t(s, dir, "events").select("event_id", "ts", "user_id"),
+        "event_id", 1000)),
+
+    // L2: first-row probe (hook:53-59).
+    "l2_first_row" -> ((s, dir) =>
+      t(s, dir, "events").select("event_id", "ts", "user_id")
+        .orderBy("ts", "event_id").limit(1)),
+
+    // J1: dictionary-style broadcast enrichment + §1.4 null repair.
+    "j1_enrich_users" -> ((s, dir) => {
+      val e = Relational.enrich(
+        t(s, dir, "events").select("event_id", "user_id"),
+        t(s, dir, "customer"), "user_id", "c_custkey",
+        Seq("c_name", "c_mktsegment"))
+      e.select(col("event_id"), col("user_id"),
+        coalesce(col("c_name"), lit("undefined")).as("user_name"),
+        coalesce(col("c_mktsegment"), lit("undefined")).as("segment"))
+        .orderBy("event_id")
+    }),
+
+    // J1 (two dictionaries): facts enriched by two broadcast dims at once.
+    "j1_enrich_two_dims" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val withPart = Relational.enrich(li, t(s, dir, "part"),
+        "l_partkey", "p_partkey", Seq("p_brand"))
+      val withSupp = Relational.enrich(withPart, t(s, dir, "supplier"),
+        "l_suppkey", "s_suppkey", Seq("s_name"))
+      withSupp.groupBy("p_brand", "s_name")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand", "s_name")
+    }),
+
+    // J2: anti-join — keys absent from the other side (customers with no
+    // high-value order, so the result is non-trivial at every sf).
+    "j2_anti_missing" -> ((s, dir) =>
+      Relational.notInTarget(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+          .withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey").orderBy("c_custkey")),
+
+    // J2 (semi form): keys present in the other side.
+    "j2_semi_present" -> ((s, dir) =>
+      Relational.inTarget(
+        t(s, dir, "customer").select("c_custkey", "c_name"),
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey").orderBy("c_custkey")),
+
+    // §2.7: union of source generations with lineage column
+    // (v2/README:11-41 old/new Superset coexistence).
+    "union_generations" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "ts", "user_id")
+      val cut = "2024-01-15 00:00:00"
+      val old = Relational.withLineage(
+        e.filter(col("ts") < lit(cut).cast("timestamp")), "superset_old")
+      val neu = Relational.withLineage(
+        e.filter(col("ts") >= lit(cut).cast("timestamp")), "superset")
+      Relational.unionGenerations(Seq(old, neu)).orderBy("event_id")
+    }),
+
+    // X1: date_trunc month projection (partition expression).
+    "x1_date_trunc_month" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), date_trunc("month", col("ts")).as("month"))
+        .orderBy("event_id")),
+
+    // X2+X3: interval arithmetic (retention horizon, v2/dag:134) — fixed
+    // anchor so the oracle is deterministic; NOW() is the production value.
+    "x3_interval_arith" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (col("ts") - expr("INTERVAL 30 MONTHS")).as("ts_minus_30m"))
+        .orderBy("event_id")),
+
+    // X4: modulo scalar.
+    "x4_modulo" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), (col("event_id") % 4).as("shard"))
+        .orderBy("event_id")),
+
+    // X7: JSON payload access (json/position_json/json_metadata columns).
+    "x7_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // §1.4: null-repair defaults after an enrichment join.
+    "null_repair_defaults" -> ((s, dir) => {
+      val e = Relational.enrich(
+        t(s, dir, "events").select("event_id", "user_id"),
+        t(s, dir, "customer"), "user_id", "c_custkey",
+        Seq("c_name", "c_acctbal"))
+      e.select(col("event_id"),
+        coalesce(col("c_name"), lit("undefined")).as("c_name"),
+        round(coalesce(col("c_acctbal"), lit(-1.0)), 2).as("c_acctbal"))
+        .orderBy("event_id")
+    }),
+
+    // M2: retention — keep rows at/after DATE_TRUNC(month, anchor - 30 mo).
+    "m2_retention_filter" -> ((s, dir) =>
+      Relational.applyRetention(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate"),
+        "l_shipdate", lit("1998-06-15 00:00:00").cast("timestamp"), 30)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Headline agg: pricing-summary style full-table aggregation.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(disc).cast("double"), 2).as("sum_disc_price"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Headline join+agg+topk: shipping-priority style (3-way join).
+    "q3_revenue_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(li("l_orderkey"), o("o_orderdate"))
+        .agg(round(sum(disc).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Headline 6-way join: local-supplier-volume style.
+    "q5_region_volume" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(round(sum(disc).cast("double"), 2).as("revenue"))
+        .orderBy("n_name")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "s2_scan_projection" ->
+      "SELECT event_id, event_type, user_id FROM events ORDER BY event_id",
+    "p1_projection_reorder" ->
+      "SELECT o_orderdate, o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "p2_lineage_literal" ->
+      "SELECT event_id, ts, user_id, 'superset' AS source FROM events ORDER BY event_id",
+    "f1_watermark_strict" ->
+      "SELECT event_id, ts, event_type FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id",
+    "f2_watermark_inclusive" ->
+      "SELECT event_id, ts, user_id FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_type = 'purchase' ORDER BY event_id",
+    "f3_cold_start_epoch" ->
+      "SELECT event_type, count(*) AS n_events FROM events WHERE ts > TIMESTAMP '2000-01-01 00:00:00' GROUP BY event_type ORDER BY event_type",
+    "f4_modulo_shard" ->
+      "SELECT event_id, user_id FROM events WHERE event_id % 2 = 0 ORDER BY event_id",
+    "f5_equality_predicates" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F' ORDER BY l_orderkey, l_linenumber",
+    "a1_max_watermark" ->
+      "SELECT max(ts) AS wm FROM events",
+    "a2_month_trunc_watermark" ->
+      "SELECT CAST(date_trunc('month', max(ts)) AS TIMESTAMP) AS wm FROM events",
+    "a3_distinct_partitions" ->
+      "SELECT DISTINCT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month FROM events ORDER BY month",
+    "a4_dedup_latest" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "l1_batch_cap" ->
+      "SELECT event_id, ts, user_id FROM events ORDER BY event_id LIMIT 1000",
+    "l2_first_row" ->
+      "SELECT event_id, ts, user_id FROM events ORDER BY ts, event_id LIMIT 1",
+    "j1_enrich_users" ->
+      """SELECT e.event_id, e.user_id,
+        |       coalesce(c.c_name, 'undefined') AS user_name,
+        |       coalesce(c.c_mktsegment, 'undefined') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "j1_enrich_two_dims" ->
+      """SELECT p.p_brand, s.s_name,
+        |       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       count(*) AS n_lines
+        |FROM lineitem l
+        |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY p.p_brand, s.s_name ORDER BY p.p_brand, s.s_name""".stripMargin,
+    "j2_anti_missing" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_semi_present" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "union_generations" ->
+      """SELECT event_id, ts, user_id, 'superset_old' AS source FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |UNION ALL
+        |SELECT event_id, ts, user_id, 'superset' AS source FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "x1_date_trunc_month" ->
+      "SELECT event_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month FROM events ORDER BY event_id",
+    "x3_interval_arith" ->
+      "SELECT event_id, ts - INTERVAL 30 MONTH AS ts_minus_30m FROM events ORDER BY event_id",
+    "x4_modulo" ->
+      "SELECT event_id, event_id % 4 AS shard FROM events ORDER BY event_id",
+    "x7_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
+    "null_repair_defaults" ->
+      """SELECT e.event_id, coalesce(c.c_name, 'undefined') AS c_name,
+        |       round(coalesce(c.c_acctbal, -1.0), 2) AS c_acctbal
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "m2_retention_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_revenue_topk" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+        |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n.n_name,
+        |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+}
