@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Rounding
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Vector math uses higher-order functions (`zip_with` + `aggregate`)
+  * with explicit float→double casts: a sequential left-to-right fold,
+  * bit-identical to the oracle's per-element SQL sum, and fully inside
+  * whole-stage codegen (no UDF, no boxing of the array elements beyond
+  * the codegen'd ArrayData access).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the full corpus — a map-only scan that parallelizes over
+  * corpus partitions. The bucketed path is the IVF/LSH shape: a
+  * deterministic sign-bucket over leading dimensions becomes the join
+  * key, so each query only scans its bucket (candidate set shrinks
+  * ~2^bits) — the 100 TB path, at the cost of approximate recall.
+  */
+object Similarity {
+
+  /** dot(a, b) in double, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity, rounded for cross-engine determinism. */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    Rounding.pround(dot(a, b) / (l2Norm(a) * l2Norm(b)), scale)
+
+  /** Sign-pattern bucket over the first `bits` dimensions — a
+    * deterministic LSH family (hyperplanes = coordinate axes). Vectors in
+    * the same orthant of the leading subspace share a bucket.
+    */
+  def signBucket(v: Column, bits: Int): Column =
+    (1 to bits).map(i =>
+      when(element_at(v, i) >= 0f, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. Query set is broadcast; the corpus scan
+    * is embarrassingly parallel. Deterministic ordering: (score desc,
+    * candidate id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Approximate top-k via sign-bucket LSH: candidates limited to the
+    * query's bucket. Same output shape as bruteForceTopK; recall trades
+    * against the 2^bits candidate reduction.
+    */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, bits: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
+    * candidates only — one equi-join shuffle) then exact cosine
+    * threshold. The embedding analogue of MinHash-LSH + verify.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   bits: Int, minCosine: Double): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", cosine(col("va"), col("vb")))
+      .filter(col("score") >= minCosine)
+      .select("id_a", "id_b", "score")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+/** Oracle-checked queries for the training-data-pipeline tier
+  * (BASELINE.json north star): text analysis, document dedup, and
+  * embedding similarity search. The DuckDB SQL is generated from the
+  * same constants (marker word lists, shingle size, band layout) as the
+  * Spark code so the two can never drift apart.
+  *
+  * simhash_pairs has no oracle entry (xxhash64 is Spark-specific) — the
+  * driver records a rows-only check for it, per the contract.
+  */
+object Extensions {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val ShingleN = 5
+  private val Bands = 4
+  private val RowsPerBand = 3
+  private val AnnK = 5
+  private val LshBits = 8
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis ------------------------------------------------
+    "text_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")),
+
+    "text_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // --- deduplication ------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, 0.5).orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, Bands, RowsPerBand).orderBy("id_a", "id_b")),
+
+    // rows-only check: xxhash64 has no DuckDB equivalent.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("id_a", "id_b")),
+
+    // --- similarity search --------------------------------------------
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, LshBits)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // threshold 0.4: the fixture corpus has no planted vector near-dups
+    // (max pairwise cosine ≈0.51), so a production-style 0.9 threshold
+    // would make the check vacuous.
+    "emb_near_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", LshBits, 0.4).orderBy("id_a", "id_b")))
+
+  // --- DuckDB oracle SQL, generated from the same constants -----------
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val markerScores = TextFunctions.LangMarkers.map { case (l, ws) =>
+    s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS s_$l"
+  }.mkString(",\n    ")
+
+  private val allMarkers = inList(TextFunctions.LangMarkers.flatMap(_._2))
+
+  /** Shared shingle CTE (word 5-grams, short-doc guard identical to
+    * TextFunctions.wordShingles).
+    */
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1,
+       |    CASE WHEN len(ws) >= $ShingleN THEN len(ws) - ${ShingleN - 1} ELSE 1 END)) AS i
+       |  FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    CASE WHEN len(ws) >= $ShingleN
+       |         THEN array_to_string(ws[i:i+${ShingleN - 1}], ' ')
+       |         ELSE array_to_string(ws, ' ') END AS shingle
+       |  FROM idx)""".stripMargin
+
+  private val cosineExpr =
+    """floor((
+      |  (SELECT sum(qv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
+      |  (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
+      |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
+
+  private def bucketExpr(v: String): String =
+    (1 to LshBits).map(i =>
+      s"(CASE WHEN $v[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+      .mkString(" + ")
+
+  private val minhashCols = (0 until Bands * RowsPerBand).map(j =>
+    s"min(md5('$j' || '|' || shingle)) AS h$j").mkString(",\n    ")
+
+  private val bandRows = (0 until Bands).map { b =>
+    val sig = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
+      .mkString(" || ")
+    s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    $markerScores
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN s_en + s_de + s_es + s_fr > 0 THEN
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS lang_id
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      s"""SELECT doc_id, floor((
+         |  0.4 * (CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
+         |              WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+         |  + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+         |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+         |      ELSE 0.0 END))
+         |  + 0.3 * least(1.0, (CASE WHEN len(string_split(text, ' ')) > 0
+         |      THEN len(list_filter(string_split(text, ' '), w -> w IN $allMarkers))::DOUBLE / len(string_split(text, ' '))
+         |      ELSE 0.0 END) * 5)) * 10000 + 0.5) / 10000 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       floor((n_common::DOUBLE / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE floor((n_common::DOUBLE / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows)
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.cand_id, $cosineExpr AS score
+         |  FROM c, q WHERE c.cand_id != q.query_id)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |           ${bucketExpr("embedding")} AS bucket
+         |    FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv,
+         |           ${bucketExpr("embedding")} AS bucket
+         |    FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.cand_id, $cosineExpr AS score
+         |  FROM c JOIN q ON c.bucket = q.bucket AND c.cand_id != q.query_id)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "emb_near_dup" ->
+      s"""WITH v AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM v),
+         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM v)
+         |SELECT id_a, id_b, score FROM (
+         |  SELECT id_a, id_b, $cosineExpr AS score
+         |  FROM a JOIN b ON a.bucket = b.bucket AND a.id_a < b.id_b)
+         |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Rounding
 import graft.operators.Relational
 
 /** Oracle-checked queries covering the reference-parity operator
@@ -27,7 +28,7 @@ object ReferenceParity {
 
   /** sum(CAST(c AS DECIMAL(18,2))) rounded back to double — exact in both engines. */
   private def dsum(c: org.apache.spark.sql.Column) =
-    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+    Rounding.pround(sum(c.cast("decimal(18,2)")).cast("double"), 2)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2+P1: columnar scan with explicit projection (column pruning
@@ -199,7 +200,7 @@ object ReferenceParity {
         Seq("c_name", "c_acctbal"))
       e.select(col("event_id"),
         coalesce(col("c_name"), lit("undefined")).as("c_name"),
-        round(coalesce(col("c_acctbal"), lit(-1.0)), 2).as("c_acctbal"))
+        Rounding.pround(coalesce(col("c_acctbal"), lit(-1.0)), 2).as("c_acctbal"))
         .orderBy("event_id")
     }),
 
@@ -220,8 +221,8 @@ object ReferenceParity {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          round(sum(disc).cast("double"), 2).as("sum_disc_price"),
-          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          Rounding.pround(sum(disc).cast("double"), 2).as("sum_disc_price"),
+          Rounding.pround(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
             count(lit(1)), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -239,7 +240,7 @@ object ReferenceParity {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(li("l_orderkey"), o("o_orderdate"))
-        .agg(round(sum(disc).cast("double"), 2).as("revenue"))
+        .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -263,7 +264,7 @@ object ReferenceParity {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(n("n_name"))
-        .agg(round(sum(disc).cast("double"), 2).as("revenue"))
+        .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
         .orderBy("n_name")
     }))
 
@@ -307,7 +308,7 @@ object ReferenceParity {
         |ORDER BY e.event_id""".stripMargin,
     "j1_enrich_two_dims" ->
       """SELECT p.p_brand, s.s_name,
-        |       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |       floor((CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,
         |       count(*) AS n_lines
         |FROM lineitem l
         |LEFT JOIN part p ON l.l_partkey = p.p_partkey
@@ -336,7 +337,7 @@ object ReferenceParity {
       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events ORDER BY event_id",
     "null_repair_defaults" ->
       """SELECT e.event_id, coalesce(c.c_name, 'undefined') AS c_name,
-        |       round(coalesce(c.c_acctbal, -1.0), 2) AS c_acctbal
+        |       floor((coalesce(c.c_acctbal, -1.0)) * 100 + 0.5) / 100 AS c_acctbal
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin,
     "m2_retention_filter" ->
@@ -345,16 +346,16 @@ object ReferenceParity {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS sum_disc_price,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_base_price,
+        |       floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_disc_price,
+        |       floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_revenue_topk" ->
       """SELECT l.l_orderkey, o.o_orderdate,
-        |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |       floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -365,7 +366,7 @@ object ReferenceParity {
         |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin,
     "q5_region_volume" ->
       """SELECT n.n_name,
-        |       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+        |       floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
