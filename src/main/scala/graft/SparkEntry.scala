@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Extensions, ReferenceParity}
+import graft.queries.{Extensions, Pipelines, ReferenceParity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,11 +29,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceParity.queries ++ Extensions.queries
+    ReferenceParity.queries ++ Extensions.queries ++ Pipelines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ReferenceParity.oracle ++ Extensions.oracle
+    ReferenceParity.oracle ++ Extensions.oracle ++ Pipelines.oracle
 }

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a partition-parallel feature
+  * extraction stage.
+  *
+  * The Spark-side plumbing is real and tested — schema, batch iteration,
+  * partition sizing — while the actual media decode is STUBBED
+  * (`decodeStub`): codec libraries are not available in this
+  * environment, and the decode is the only per-element black box. In
+  * production the stub body is replaced by the real decoder (JNI/
+  * javacpp) with the identical signature; nothing else changes.
+  *
+  * Scale notes: media bytes travel inside the row (parquet binary), so
+  * `spark.sql.files.maxPartitionBytes` bounds executor memory per task;
+  * feature extraction is `mapPartitions` so any per-partition init
+  * (model load, decoder context) is amortized across the partition —
+  * the Scala twin of `mapInPandas` batching.
+  */
+object Multimodal {
+
+  /** Typed media row: id + opaque payload + metadata. */
+  final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String,
+                            width: Int, height: Int)
+
+  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                                 checksum: String, features: Array[Float])
+
+  /** Attach a binary media column derived from text (the fixture corpus
+    * has no real media; UTF-8 bytes stand in as the opaque payload).
+    */
+  def attachBinary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("media"),
+      lit("application/x-fake").as("kind"),
+      lit(64).as("width"), lit(64).as("height"))
+
+  /** STUB decode: a deterministic fake "pixel histogram" from the raw
+    * bytes. Replace with the real decoder in production; the signature —
+    * bytes in, fixed-length float features out — is the contract.
+    */
+  def decodeStub(media: Array[Byte], bins: Int = 16): Array[Float] = {
+    val hist = new Array[Float](bins)
+    var i = 0
+    while (i < media.length) {
+      hist((media(i) & 0xFF) % bins) += 1f
+      i += 1
+    }
+    if (media.length > 0) {
+      var j = 0
+      while (j < bins) { hist(j) /= media.length; j += 1 }
+    }
+    hist
+  }
+
+  /** Partition-parallel feature extraction over the typed Dataset; the
+    * place where per-partition decoder init would live.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init happens here (decoder context, model weights)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        digest.reset()
+        val sum = digest.digest(r.media).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, sum,
+          decodeStub(r.media))
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary media → features, as a DataFrame. */
+  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(attachBinary(docs, "doc_id", "text").as[MediaRow]).toDF()
+  }
+}

@@ -43,7 +43,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n)
+    // the shingle set feeds three consumers (both join sides + sizes);
+    // persist so the explode+hash stage runs once, not three times
+    val sh = shingled(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -83,7 +85,7 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minHashSignatures(docs, idCol, textCol, shingleN,
-      bands * rowsPerBand)
+      bands * rowsPerBand).persist() // reused by both sides of the self-join
     val bandRows = (0 until bands).map { b =>
       val sigCols = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}"))
@@ -121,7 +123,7 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sh = simHash(docs, idCol, textCol)
+    val sh = simHash(docs, idCol, textCol).persist()
     val banded = (0 until 4).map(b =>
       sh.select(col(idCol), lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16)

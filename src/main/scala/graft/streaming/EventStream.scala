@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.Row
+
+/** Streaming tier (SURVEY.md §2.10): the reference's daily watermark
+  * batch is Structured Streaming's native model, so the incremental-load
+  * pattern gets a streaming twin:
+  *
+  *   readStream(events) → withWatermark → windowed aggregation, and a
+  *   foreachBatch sink that reuses the exact batch write path
+  *   (IO.writeFact) — one code path for batch and streaming, the
+  *   kappa-architecture shape.
+  *
+  * At scale the parquet directory source becomes Kafka/queue; everything
+  * downstream of readStream is unchanged.
+  */
+object EventStream {
+
+  /** Fixture `events` schema; ts declared µs-timestamp (the streaming
+    * reader is pointed at re-written parquet, not the TIMESTAMP(NANOS)
+    * originals — see graft.Tables.load).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregate: events per (window, type)
+    * with value sum — the streaming form of the monthly partition
+    * aggregation. Late data beyond `lateness` is dropped by the
+    * watermark, which also bounds state size (the 100 TB knob).
+    */
+  def windowedCounts(events: DataFrame, window_ : String,
+                     lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+
+  /** Streaming sink reusing the batch fact-write (foreachBatch = the
+    * INSERT-SELECT of the reference, per micro-batch, idempotent by
+    * dynamic partition overwrite at month granularity).
+    */
+  def factSink(events: DataFrame, targetPath: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.IO.writeFact(batch, targetPath, "ts", "event_id",
+            overwritePartitions = false)
+      }
+
+  /** Run a memory-sink query to completion (local smoke path). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q
+  }
+}

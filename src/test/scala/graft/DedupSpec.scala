@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat yesterday"), // near dup of 1
+    (4L, "completely different words about spark shuffles and joins here"),
+    (5L, "short doc")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dupGroup = out.filter($"n_copies" === 2).select("doc_id").as[Long].head()
+    assert(dupGroup == 1L)
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard of an exact duplicate is 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("minhash LSH surfaces exact duplicates as candidates") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 4, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash of identical docs is identical; pairs found at hamming 0") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .filter($"doc_id".isin(1L, 2L)).select("simhash").as[Long].collect()
+    assert(sh.toSet.size == 1)
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+    assert(pairs.filter($"id_a" === 1 && $"id_b" === 2)
+      .select("hamming").as[Int].head() == 0)
+  }
+
+  test("dedup by key is idempotent on fixture data (property)") {
+    val d = Tables.load(spark, sf, "documents")
+    val once = Dedup.exact(d, "doc_id", "text")
+    val again = Dedup.exact(
+      once.join(d, "doc_id").select("doc_id", "text"), "doc_id", "text")
+    assert(once.count() == again.count())
+  }
+}

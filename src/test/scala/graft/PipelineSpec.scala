@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DictionaryRefresh, IncrementalLoad, PartitionSwapLoad, Retention}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.load(spark, sf, "events")
+  private val cfg = IncrementalLoad.Config(
+    keyCol = "event_id", tsCol = "ts", versionCol = "ts",
+    projection = Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    sourceName = "superset")
+
+  test("incremental load: full load == union of incremental batches (§5 invariant)") {
+    val path = tempDir("inc")
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    IncrementalLoad.run(spark, events.filter($"ts" < cut), path, cfg)
+    IncrementalLoad.run(spark, events, path, cfg)
+    val target = IncrementalLoad.readDeduped(spark, path, "event_id", "ts")
+    assert(target.count() == events.count())
+    // second incremental run with no new data writes nothing new
+    IncrementalLoad.run(spark, events, path, cfg)
+    assert(IncrementalLoad.readDeduped(spark, path, "event_id", "ts").count()
+      == events.count())
+  }
+
+  test("incremental load stamps lineage and months") {
+    val path = tempDir("inc2")
+    IncrementalLoad.run(spark, events, path, cfg)
+    val t = spark.read.parquet(path)
+    assert(t.columns.contains("month"))
+    assert(t.select("source").distinct().as[String].collect().toSeq == Seq("superset"))
+  }
+
+  test("partition swap load is idempotent (M1 REPLACE PARTITION semantics)") {
+    val path = tempDir("swap")
+    PartitionSwapLoad.run(spark, events, path, "ts", "event_id")
+    val c1 = spark.read.parquet(path).count()
+    PartitionSwapLoad.run(spark, events, path, "ts", "event_id")
+    val c2 = spark.read.parquet(path).count()
+    assert(c1 == events.count() && c2 == c1)
+  }
+
+  test("retention rewrite drops rows older than the horizon") {
+    val path = tempDir("ret")
+    // lineitem spans 1995-2001 → a 30-month horizon at 1998-06 bites
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_shipdate", "ts")
+    graft.sources.IO.writeFact(li, path, "ts", "l_orderkey",
+      overwritePartitions = false)
+    val kept = Retention.rewrite(spark, path, "ts", "l_orderkey", 30,
+      java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+    val expected = li.filter($"ts" >= lit("1995-12-01 00:00:00").cast("timestamp")).count()
+    assert(kept.count() == expected)
+    assert(kept.count() < li.count())
+  }
+
+  test("dictionary refresh caches within TTL and reloads after") {
+    var loads = 0
+    var now = 0L
+    val dict = new DictionaryRefresh(
+      () => { loads += 1; Seq((1, "a")).toDF("id", "v") },
+      ttlMillis = 1000, clock = () => now)
+    dict.get(); dict.get()
+    assert(loads == 1)
+    now = 1500
+    dict.get()
+    assert(loads == 2)
+  }
+
+  test("script runner substitutes params and executes statements in order (S10/S11)") {
+    val out = graft.sources.IO.runScript(spark,
+      """CREATE OR REPLACE TEMP VIEW sr_test AS SELECT {{ params.n }} AS x;
+        |SELECT x + 1 AS y FROM sr_test;
+        |""".stripMargin,
+      Map("n" -> "41"))
+    assert(out.get.as[Long].head() == 42L)
+  }
+
+  test("reference CSV dialect round-trips with NULL literals (S7)") {
+    val path = tempDir("csv")
+    val df = Seq((1, "a"), (2, null)).toDF("id", "name")
+    graft.sources.IO.writeReferenceCsv(df, path)
+    val back = graft.sources.IO.readReferenceCsv(spark, path, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("listMonthPartitions reflects written months (S3)") {
+    val path = tempDir("parts")
+    graft.sources.IO.writeFact(events, path, "ts", "event_id",
+      overwritePartitions = false)
+    val months = graft.sources.IO.listMonthPartitions(spark, path)
+    assert(months.nonEmpty)
+    assert(months.forall(_.startsWith("2024-01")))
+  }
+}

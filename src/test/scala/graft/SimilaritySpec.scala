@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f)),
+    (2L, Array(2f, 0f, 0f, 0f)),    // same direction as 1 → cosine 1
+    (3L, Array(0f, 1f, 0f, 0f)),    // orthogonal to 1 → cosine 0
+    (4L, Array(-1f, 0f, 0f, 0f)))   // opposite → cosine -1
+    .toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val a = vecs.as("a").filter($"vec_id" === 1)
+      .select($"embedding".as("va"))
+    val pairs = vecs.crossJoin(a)
+      .select($"vec_id", Similarity.cosine($"embedding", $"va").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(pairs(1L) == 1.0 && pairs(2L) == 1.0)
+    assert(pairs(3L) == 0.0 && pairs(4L) == -1.0)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", 3)
+      .select("cand_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((2L, 1), (3L, 2), (4L, 3)))
+  }
+
+  test("sign bucket groups by orthant of leading dims") {
+    val b = vecs.select($"vec_id",
+      Similarity.signBucket($"embedding", 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))   // same signs on dims 1..2
+    assert(b(1L) == b(3L))   // 0 counts as non-negative in both
+    assert(b(1L) != b(4L))   // negative first dim → different bucket
+  }
+
+  test("bucketed top-k only returns same-bucket candidates") {
+    val out = Similarity.bucketedTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", 4, 2)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!out.contains(4L))
+  }
+
+  test("near-dup pairs finds the parallel pair above threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 2, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute force on fixture embeddings returns k rows per query") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", 5)
+    assert(out.count() == 15)
+  }
+}

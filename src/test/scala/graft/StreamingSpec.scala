@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the fixture events as µs-timestamp parquet the streaming
+    * reader can consume (the originals are TIMESTAMP(NANOS)).
+    */
+  private lazy val stagedDir: String = {
+    val d = tempDir("stream_src")
+    Tables.load(spark, sf, "events").write.parquet(d)
+    d
+  }
+
+  test("streaming windowed counts equal the batch equivalent") {
+    val stream = EventStream.readEvents(spark, stagedDir)
+    val agg = EventStream.windowedCounts(stream, "1 day", "1 hour")
+    val q = EventStream.runToMemory(agg, "win_counts")
+    try {
+      val streamed = spark.table("win_counts")
+        .select($"window.start".as("w"), $"event_type", $"n_events")
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy(window($"ts", "1 day").getField("start").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("foreachBatch fact sink lands month-partitioned parquet") {
+    val target = tempDir("stream_tgt")
+    val stream = EventStream.readEvents(spark, stagedDir)
+    val q = EventStream.factSink(stream, target).start()
+    q.awaitTermination(120000)
+    val written = spark.read.parquet(target)
+    assert(written.count() == Tables.load(spark, sf, "events").count())
+    assert(written.columns.contains("month"))
+  }
+}

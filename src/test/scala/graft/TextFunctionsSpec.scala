@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("hello world 42 ok!").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text").as("ws"),
+      TextFunctions.bpeTokenCount($"text").as("bpe"))
+      .as[(Long, Long)].head()
+    assert(r._1 == 4)
+    assert(r._2 == 5) // hello, world, 42, ok, !
+  }
+
+  test("langId picks the language with most marker stopwords") {
+    val df = Seq(
+      ("en", "the cat is in the house and it is warm"),
+      ("de", "der hund und die katze ist nicht da"),
+      ("es", "el perro es de la casa que es grande"),
+      ("fr", "le chien est une merveille pour les enfants"),
+      ("unknown", "zzz qqq www")).toDF("expected", "text")
+    val out = df.select($"expected",
+      TextFunctions.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("quality score is within [0,1] on the fixture corpus") {
+    val d = Tables.load(spark, sf, "documents")
+    val bounds = d.select(TextFunctions.qualityScore($"text").as("q"))
+      .agg(min("q"), max("q")).as[(Double, Double)].head()
+    assert(bounds._1 >= 0.0 && bounds._2 <= 1.0)
+  }
+
+  test("fingerprint is order-insensitive over tokens") {
+    val df = Seq(("a b c", "c b a b")).toDF("t1", "t2")
+    val r = df.select(
+      TextFunctions.fingerprint($"t1").as("f1"),
+      TextFunctions.fingerprint($"t2").as("f2"))
+      .as[(String, String)].head()
+    assert(r._1 == r._2)
+  }
+
+  test("wordShingles guards short documents") {
+    val df = Seq("one two").toDF("text")
+    val sh = df.select(TextFunctions.wordShingles($"text", 5).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("one two"))
+  }
+
+  test("wordShingles produces len-n+1 shingles") {
+    val df = Seq("a b c d e f").toDF("text")
+    val sh = df.select(TextFunctions.wordShingles($"text", 5).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c d e", "b c d e f"))
+  }
+}
