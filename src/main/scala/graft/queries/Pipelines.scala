@@ -68,7 +68,49 @@ object Pipelines {
         length(col("media")).cast("long").as("n_bytes"),
         sha2(col("media"), 256).as("checksum"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // §2.10 streaming tier: watermarked tumbling-window aggregation run
+    // through Structured Streaming (memory sink), checked against the
+    // one-shot batch SQL — stream/batch equivalence as an oracle test.
+    "streaming_window_counts" -> ((s, dir) => {
+      val staged = scratch("graft_stream")
+      Tables.load(s, dir, "events").write.parquet(staged)
+      val stream = graft.streaming.EventStream.readEvents(s, staged)
+      val agg = graft.streaming.EventStream.windowedCounts(stream, "1 day", "1 hour")
+      val name = "win_" + math.abs(staged.hashCode).toString
+      val q = graft.streaming.EventStream.runToMemory(agg, name)
+      try {
+        s.table(name)
+          .select(col("window.start").as("w"), col("event_type"),
+            col("n_events"))
+          .orderBy("w", "event_type")
+          .localCheckpoint() // detach from the stopped streaming query
+      } finally q.stop()
+    }),
+
+    // S7: CSV bulk load with the reference dialect (header, ';', NULL
+    // literal, quoting disabled — hook:92-112) — write+read round trip
+    // must be lossless against the source.
+    "csv_bulk_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_csv")
+      graft.sources.IO.writeReferenceCsv(e, path)
+      graft.sources.IO.readReferenceCsv(s, path,
+        graft.streaming.EventStream.eventsSchema)
+        .orderBy("event_id")
+    }),
+
+    // S10/S11: multi-statement script runner with {{ params.* }}
+    // substitution (op:36-55) — DDL (temp view) then query.
+    "ddl_script_runner" -> ((s, dir) =>
+      graft.sources.IO.runScript(s,
+        """CREATE OR REPLACE TEMP VIEW sr_li AS
+          |  SELECT * FROM parquet.`{{ params.dir }}/lineitem.parquet`;
+          |SELECT l_returnflag, count(*) AS n FROM sr_li
+          |  GROUP BY l_returnflag ORDER BY l_returnflag;
+          |""".stripMargin,
+        Map("dir" -> dir)).get))
 
   val oracle: Map[String, String] = Map(
     "pipeline_incremental_e2e" ->
@@ -80,5 +122,13 @@ object Pipelines {
       """SELECT doc_id, 'application/x-fake' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       sha256(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "streaming_window_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w, event_type,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "csv_bulk_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "ddl_script_runner" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
 }
