@@ -48,14 +48,19 @@ object Similarity {
     * corpus vectors by cosine. Query set is broadcast; the corpus scan
     * is embarrassingly parallel. Deterministic ordering: (score desc,
     * candidate id).
+    *
+    * `scoreFn` defaults to the HOF cosine; pass the fused native
+    * expression (graft.functions.CosineSimilarity) for the single-pass
+    * codegen'd variant — results are bit-identical.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     scoreFn: (Column, Column) => Column = cosine(_, _)): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score", scoreFn(col("qv"), col("cv")))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))

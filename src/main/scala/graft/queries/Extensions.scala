@@ -77,6 +77,19 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Same contract as ann_brute_topk but scored by the fused native
+    // Catalyst expression (one array pass, whole-stage codegen) instead
+    // of the three-pass HOF formulation; same oracle — bit-equal scores.
+    "ann_brute_topk_native" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK,
+        (a, b) => graft.functions.Rounding.pround(
+          graft.functions.CosineSimilarity.column(s, a, b), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 10),
@@ -198,6 +211,16 @@ object Extensions {
          |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "ann_brute_topk_native" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.cand_id, $cosineExpr AS score
+         |  FROM c, q WHERE c.cand_id != q.query_id)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
