@@ -106,6 +106,21 @@ object IO {
       .map(_.get(0).toString).toSeq.sorted
   }
 
+  // --- S8/S9: local row interchange -----------------------------------
+
+  /** S8: query result → local rows (the hook's get_pandas_df, hook:61-65).
+    * Harness/driver utility only — never part of a distributed plan.
+    */
+  def toLocalRows(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq
+
+  /** S9: local rows → DataFrame (the hook's import_pandas_df, hook:67-69). */
+  def fromLocalRows(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
   // --- S10/S11: multi-statement script runner -------------------------
 
   /** The reference's SQL-file task (op:45-55 + op:36-43): substitute
