@@ -211,6 +211,38 @@ object ReferenceParity {
         "l_shipdate", lit("1998-06-15 00:00:00").cast("timestamp"), 30)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // A-family extension: exact distinct-count aggregate.
+    "a5_count_distinct" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // A-family extension: ROLLUP grouping sets (subtotals + grand total).
+    "a6_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // §2.5 full window surface: running sum + lag/lead over an ordered
+    // per-key frame (beyond the dedup row_number the reference needs).
+    "w1_running_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
     // Headline agg: pricing-summary style full-table aggregation.
     "q1_pricing_summary" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -344,6 +376,23 @@ object ReferenceParity {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a5_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "w1_running_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_qty,
+        |       lag(l_quantity, 1) OVER w AS prev_qty,
+        |       lead(l_quantity, 1) OVER w AS next_qty,
+        |       row_number() OVER w AS rn
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, rn""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       floor((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) * 100 + 0.5) / 100 AS sum_qty,

@@ -70,4 +70,56 @@ object EventStream {
     q.processAllAvailable()
     q
   }
+
+  // --- custom state: user sessionization -------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long,
+                                sumValue: Double)
+
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp,
+                               n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): per user, events within `gap` of the
+    * previous one extend the session; a larger gap closes it and emits a
+    * UserSession row. State size is one record per active user — the
+    * bounded-state custom operator the reference's batch model cannot
+    * express.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event],
+                 gap: java.time.Duration):
+      org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gap.toMillis
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[UserSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1,
+                  sumValue = s.sumValue + e.value))
+              case Some(s) =>
+                closed ::= UserSession(userId,
+                  new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastSeen), s.nEvents, s.sumValue)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
 }

@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization closes sessions on gap and keeps state per user") {
+    import graft.streaming.EventStream.{Event, UserSession}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 2.0),  // same session
+      Event(3, ts("2024-01-01 12:00:00"), 1, "view", 4.0),  // gap → new session
+      Event(4, ts("2024-01-01 10:05:00"), 2, "view", 8.0))  // other user
+    val stream = spark.createDataset(events)(
+      org.apache.spark.sql.Encoders.product[Event])
+    val sessions = graft.streaming.EventStream.sessionize(
+      stream, java.time.Duration.ofMinutes(30))
+    // batch Dataset path: flatMapGroupsWithState runs in batch mode too —
+    // only closed sessions are emitted (user 1's first session)
+    val out = sessions.collect().toSeq
+    assert(out == Seq(UserSession(1, ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:10:00"), 2, 3.0)))
+  }
+
   test("foreachBatch fact sink lands month-partitioned parquet") {
     val target = tempDir("stream_tgt")
     val stream = EventStream.readEvents(spark, stagedDir)
