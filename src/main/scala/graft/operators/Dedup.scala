@@ -99,21 +99,34 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** 64-bit SimHash per document: tokens vote +1/-1 on each bit of their
-    * xxhash64; the sign of each bit-sum is the fingerprint bit. Built as
-    * 64 codegen'd conditional sums over one token explode — no UDF.
+  /** 64-bit SimHash per document: tokens vote on each bit of their
+    * xxhash64; a bit is set when strictly more than half the tokens have
+    * it set. Instead of 64 separate sums, the per-bit ones-counts are
+    * packed 4-per-long into 16 lane-packed sum aggregates (16-bit lanes,
+    * safe for documents up to 65 535 tokens): 4× smaller aggregation
+    * state on the shuffle and far less generated code, with no branches
+    * in the per-row path. bit j = (2·ones_j > n_tokens) ≡ the ±1-vote
+    * sign.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
+    // packed_k lane l (16 bits) accumulates ones-count of bit j = 4k+l
+    val packedSums = (0 until 16).map { k =>
+      val lanes = (0 until 4).map { l =>
+        val j = 4 * k + l
+        shiftleft(shiftrightunsigned(col("h"), j).bitwiseAND(1), 16 * l)
+      }
+      sum(lanes.reduce(_.bitwiseOR(_))).as(s"p$k")
+    }
+    val summed = toks.groupBy(col(idCol))
+      .agg(packedSums.head, (packedSums.tail :+ count(lit(1)).as("n")): _*)
+    val hash = (0 until 64).map { j =>
+      val ones = shiftrightunsigned(col(s"p${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(0xFFFFL)
+      when(ones * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
     summed.select(col(idCol), hash.as("simhash"))
   }
 
