@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale sanity: amplifies the fixtures (20x events = 2M rows, 10x
+  * embeddings = 20k vectors) into a temp dir and times the flagship
+  * paths, to check the operators scale with data — results recorded in
+  * PLANS.md. Not part of the driver contract.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(32, "scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val base = "/root/testdata/sf0.1"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STRESS $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // 20x events with disjoint ids and shifted timestamps (6 months span)
+    val ev = Tables.load(spark, base, "events")
+    val big = (0 until 20).map(i => ev
+      .withColumn("event_id", $"event_id" + lit(i.toLong * 10_000_000L))
+      .withColumn("ts", $"ts" + expr(s"INTERVAL ${i % 6} MONTHS")))
+      .reduce(_.unionByName(_))
+    time("write 2M events (month-partitioned, shard-keyed)") {
+      sources.IO.writeFact(big, s"$tmp/events", "ts", "event_id",
+        overwritePartitions = false)
+    }
+    val bigEv = spark.read.parquet(s"$tmp/events").drop("month")
+    println("rows=" + bigEv.count() + " months=" +
+      sources.IO.listMonthPartitions(spark, s"$tmp/events").size)
+
+    time("flagship incremental load (cold start, 2M rows)") {
+      val cfg = pipeline.IncrementalLoad.Config(
+        keyCol = "event_id", tsCol = "ts", versionCol = "ts",
+        projection = Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+        sourceName = "superset")
+      pipeline.IncrementalLoad.run(spark, bigEv, s"$tmp/target", cfg).count()
+    }
+    time("A4 dedup window over 2M rows") {
+      operators.Relational.dedupLatest(bigEv, Seq("user_id"), "ts",
+        Seq("event_id")).write.format("noop").mode("overwrite").save()
+    }
+    time("enrichment join + agg over 2M rows") {
+      val c = Tables.load(spark, base, "customer")
+      operators.Relational.enrich(bigEv, c, "user_id", "c_custkey",
+        Seq("c_mktsegment"))
+        .groupBy("c_mktsegment").agg(count(lit(1)), sum("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // 10x embeddings
+    val emb = Tables.load(spark, base, "embeddings")
+    val bigEmb = (0 until 10).map(i => emb
+      .withColumn("vec_id", $"vec_id" + lit(i.toLong * 1_000_000L)))
+      .reduce(_.unionByName(_)).cache()
+    println("vecs=" + bigEmb.count())
+    time("brute-force ANN: 10 queries x 20k vectors (native expr)") {
+      operators.Similarity.bruteForceTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
+        "vec_id", "embedding", 5,
+        (a, b) => functions.CosineSimilarity.column(spark, a, b))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("LSH-bucketed ANN: same, sign-bucket prefilter") {
+      operators.Similarity.bucketedTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
+        "vec_id", "embedding", 5, 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
