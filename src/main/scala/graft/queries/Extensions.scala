@@ -50,6 +50,40 @@ object Extensions {
         TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Vocabulary extraction: the word-count shuffle over the corpus —
+    // top terms with deterministic tie-break.
+    "text_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)),
+
+    // Normalization: lowercase, strip non-alphanumerics, squeeze spaces —
+    // the canonical pre-dedup cleanup pass.
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+        .orderBy("doc_id")),
+
+    // Corpus statistics: exact interpolated length percentiles per
+    // language (both engines use linear interpolation on sorted values).
+    "doc_len_percentiles" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.9)").as("p90"))
+        .orderBy("lang")),
+
+    // Embedding column statistics: per-label counts and mean L2 norm.
+    "emb_stats" -> ((s, dir) =>
+      t(s, dir, "embeddings").groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.pround(
+            avg(Similarity.l2Norm(col("embedding"))), 6).as("avg_norm"))
+        .orderBy("label")),
+
     // --- deduplication ------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -153,6 +187,20 @@ object Extensions {
   }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_len_percentiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "emb_stats" ->
+      s"""SELECT label, count(*) AS n,
+         |  floor((avg(sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000 AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "text_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
