@@ -26,6 +26,20 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Sketch-based corpus cardinality: exact distinct content hashes next
+    * to the HLL++ estimate (`approx_count_distinct`). At 100 TB the
+    * exact count is a full shuffle of all hashes; the sketch is a
+    * constant-size (~few KB) mergeable state per partition — the right
+    * first pass for "how duplicated is this crawl" before paying for
+    * exact dedup.
+    */
+  def dupStats(docs: DataFrame, textCol: String,
+               rsd: Double = 0.01): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol))).as("n_distinct_exact"),
+      approx_count_distinct(md5(col(textCol)), rsd).as("n_distinct_approx"))
+
   /** Distinct word-n-gram shingles per document — the shared first stage
     * of the Jaccard and MinHash paths.
     */
@@ -63,18 +77,25 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes independent min-hashes per document.
-    * Hash h_j(shingle) = md5(j || '|' || shingle) — a string hash whose
-    * min is deterministic and reproducible in any engine (the oracle
-    * uses the identical expression). For a pure-throughput variant swap
+    * Hash h_j(shingle) = an 8-hex-char (32-bit) slice of
+    * md5(j/4 || '|' || shingle): one md5 yields four independent
+    * hashes, so a 12-hash signature costs 3 digests per shingle instead
+    * of 12. The md5 columns are projected once per shingle row before
+    * the aggregation, leaving the 12 min-aggregates as cheap substrings.
+    * Deterministic and reproducible in any engine — the oracle SQL is
+    * generated from the same layout. For a pure-throughput variant swap
     * md5 for xxhash64; the LSH algebra is unchanged.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
     val sh = shingled(docs, idCol, textCol, shingleN)
-    val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("shingle"))))
-        .as(s"h$j"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val numMd5 = (numHashes + 3) / 4
+    val withDigests = sh.select(col(idCol) +: (0 until numMd5).map(p =>
+      md5(concat(lit(s"$p|"), col("shingle"))).as(s"m$p")): _*)
+    val mins = (0 until numHashes).map { j =>
+      min(substring(col(s"m${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j")
+    }
+    withDigests.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash LSH candidate pairs: split the signature into `bands` bands

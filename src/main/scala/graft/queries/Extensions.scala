@@ -178,7 +178,8 @@ object Extensions {
       .mkString(" + ")
 
   private val minhashCols = (0 until Bands * RowsPerBand).map(j =>
-    s"min(md5('$j' || '|' || shingle)) AS h$j").mkString(",\n    ")
+    s"min(substr(md5('${j / 4}' || '|' || shingle), ${(j % 4) * 8 + 1}, 8)) AS h$j")
+    .mkString(",\n    ")
 
   private val bandRows = (0 until Bands).map { b =>
     val sig = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")

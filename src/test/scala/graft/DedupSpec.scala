@@ -52,6 +52,15 @@ class DedupSpec extends SparkSpec {
       .select("hamming").as[Int].head() == 0)
   }
 
+  test("sketch dup-stats: HLL estimate within rsd of exact (100 TB first pass)") {
+    val d = Tables.load(spark, sf, "documents")
+    val r = Dedup.dupStats(d, "text", rsd = 0.02).first()
+    val exact = r.getAs[Long]("n_distinct_exact")
+    val approx = r.getAs[Long]("n_distinct_approx")
+    assert(r.getAs[Long]("n_docs") == 500)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("dedup by key is idempotent on fixture data (property)") {
     val d = Tables.load(spark, sf, "documents")
     val once = Dedup.exact(d, "doc_id", "text")
