@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent per partition layout, so re-runs and
+  * other engines disagree. Hash-gating on a stable key — keep a row iff
+  * a byte of md5(key) falls under the threshold — gives a sample that
+  * is (a) reproducible across runs, engines, and partitionings,
+  * (b) consistent under incremental loads (a key's membership never
+  * changes), and (c) cheap (a scan, no shuffle). The standard trick for
+  * holdout/eval splits over a 100 TB corpus.
+  */
+object Sampling {
+
+  /** Keep ≈ rate256/256 of rows, decided by the first md5 byte of the
+    * key. rate256 ∈ [0, 256].
+    */
+  def hashGate(key: Column, rate256: Int): Column = {
+    require(rate256 >= 0 && rate256 <= 256, s"rate256 out of range: $rate256")
+    substring(md5(key.cast("string")), 1, 2) < lit(f"$rate256%02x")
+  }
+
+  def deterministicSample(df: DataFrame, keyCol: String, rate256: Int): DataFrame =
+    df.filter(hashGate(col(keyCol), rate256))
+
+  /** Disjoint train/eval split by the same gate — union is the corpus. */
+  def split(df: DataFrame, keyCol: String,
+            evalRate256: Int): (DataFrame, DataFrame) = {
+    val gate = hashGate(col(keyCol), evalRate256)
+    (df.filter(!gate), df.filter(gate))
+  }
+}

@@ -84,6 +84,25 @@ object Extensions {
             avg(Similarity.l2Norm(col("embedding"))), 6).as("avg_norm"))
         .orderBy("label")),
 
+    // Deterministic hash-gated sampling: reproducible across runs,
+    // engines and partitionings — the holdout-split primitive.
+    "sample_deterministic" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicSample(
+        t(s, dir, "documents"), "doc_id", 64)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Deterministic arg-max per group (longest doc per language,
+    // ties -> smallest id).
+    "agg_argmax_doc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mx = d.groupBy(col("lang").as("mlang"))
+        .agg(max("n_chars").as("max_chars"))
+      d.join(mx, d("lang") === col("mlang") && d("n_chars") === col("max_chars"))
+        .groupBy(col("lang"), col("max_chars"))
+        .agg(min("doc_id").as("doc_id"))
+        .orderBy("lang")
+    }),
+
     // --- deduplication ------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -188,6 +207,17 @@ object Extensions {
   }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(
+    "sample_deterministic" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
+    "agg_argmax_doc" ->
+      """SELECT d.lang, m.max_chars, min(d.doc_id) AS doc_id
+        |FROM documents d
+        |JOIN (SELECT lang AS mlang, max(n_chars) AS max_chars
+        |      FROM documents GROUP BY lang) m
+        |  ON d.lang = m.mlang AND d.n_chars = m.max_chars
+        |GROUP BY d.lang, m.max_chars ORDER BY d.lang""".stripMargin,
     "text_vocab" ->
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)

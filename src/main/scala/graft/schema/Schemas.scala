@@ -98,6 +98,29 @@ object Schemas {
       d.withColumn(c, coalesce(col(c), lit(EpochDefault).cast("timestamp")))
     }
 
+  /** Verify an ingested frame's schema against the pinned entity schema
+    * (SURVEY.md §1.6: inferred == declared at ingest). Name order and
+    * types must match; nullability may tighten (source nullable →
+    * target not) but never loosen.
+    */
+  def validate(df: DataFrame, expected: StructType): Unit = {
+    val got = df.schema
+    val problems = scala.collection.mutable.Buffer[String]()
+    if (got.fieldNames.toSeq != expected.fieldNames.toSeq)
+      problems += s"column order/names: got ${got.fieldNames.mkString(",")}, " +
+        s"expected ${expected.fieldNames.mkString(",")}"
+    expected.fields.foreach { ef =>
+      got.fields.find(_.name == ef.name).foreach { gf =>
+        if (gf.dataType != ef.dataType)
+          problems += s"${ef.name}: type ${gf.dataType.simpleString} != ${ef.dataType.simpleString}"
+        if (gf.nullable && !ef.nullable)
+          problems += s"${ef.name}: nullable column feeding non-nullable target"
+      }
+    }
+    require(problems.isEmpty,
+      s"schema drift vs declared entity:\n  ${problems.mkString("\n  ")}")
+  }
+
   /** Apply an entity's default map (strings/ints/bools) — §1.4 repair. */
   def applyDefaults(df: DataFrame, defaults: Map[String, Any]): DataFrame = {
     val present = defaults.filter { case (k, _) => df.columns.contains(k) }

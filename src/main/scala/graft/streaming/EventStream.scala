@@ -71,6 +71,15 @@ object EventStream {
     q
   }
 
+  /** Streaming dedup by key within the watermark horizon: the streaming
+    * twin of the A4 ReplacingMergeTree emulation. State holds one key
+    * per event inside the watermark; older duplicates are dropped, state
+    * beyond the horizon is evicted — the bounded-memory upsert at
+    * 100 TB/day event rates.
+    */
+  def dedupedEvents(events: DataFrame, lateness: String): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id")
+
   // --- custom state: user sessionization -------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

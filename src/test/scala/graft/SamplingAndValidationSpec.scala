@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.operators.Sampling
+
+class SamplingAndValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash-gated sample is reproducible and roughly proportional") {
+    val d = Tables.load(spark, sf, "documents")
+    val s1 = Sampling.deterministicSample(d, "doc_id", 64)
+    val s2 = Sampling.deterministicSample(d, "doc_id", 64)
+    assert(s1.select("doc_id").collect().toSeq ==
+      s2.select("doc_id").collect().toSeq) // identical across runs
+    val frac = s1.count().toDouble / d.count()
+    assert(frac > 0.15 && frac < 0.35, s"expected ~0.25, got $frac")
+  }
+
+  test("train/eval split is disjoint and complete") {
+    val d = Tables.load(spark, sf, "documents")
+    val (train, eval) = Sampling.split(d, "doc_id", 64)
+    assert(train.count() + eval.count() == d.count())
+    assert(train.join(eval, "doc_id").count() == 0)
+  }
+
+  test("sample membership is stable under incremental growth") {
+    val d = Tables.load(spark, sf, "documents")
+    val early = Sampling.deterministicSample(d.filter($"doc_id" < 250), "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    val full = Sampling.deterministicSample(d, "doc_id", 64)
+      .select("doc_id").as[Long].collect().toSet
+    assert(early.subsetOf(full)) // no membership churn as the corpus grows
+  }
+
+  test("schema validation accepts matching, rejects drifted frames (§1.6)") {
+    val expected = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val ok = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = true))))
+    graft.schema.Schemas.validate(ok, expected) // no throw
+    val drifted = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      graft.schema.Schemas.validate(drifted, expected)
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = tempDir("dup_events")
+    val ev = Tables.load(spark, sf, "events").limit(100)
+    ev.unionAll(ev).write.parquet(dir) // every event twice
+    val stream = graft.streaming.EventStream.readEvents(spark, dir)
+    val deduped = graft.streaming.EventStream.dedupedEvents(stream, "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 100)
+    } finally q.stop()
+  }
+}
