@@ -211,6 +211,33 @@ object ReferenceParity {
         "l_shipdate", lit("1998-06-15 00:00:00").cast("timestamp"), 30)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Pivot: event-type counts as columns per user (fixed value list so
+    // the schema is stable; absent combinations coalesce to 0).
+    "pivot_event_types" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(tp => coalesce(col(s"`$tp`"), lit(0L)).as(tp)): _*)
+        .orderBy("user_id")
+    }),
+
+    // §2.7 set operations: INTERSECT / EXCEPT with set (distinct)
+    // semantics over key sets.
+    "setop_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(t(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000.0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "setop_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
     // A-family extension: exact distinct-count aggregate.
     "a5_count_distinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type")
@@ -376,6 +403,24 @@ object ReferenceParity {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "pivot_event_types" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY custkey""".stripMargin,
+    "setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY custkey""".stripMargin,
     "a5_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
