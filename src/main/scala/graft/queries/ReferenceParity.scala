@@ -211,6 +211,21 @@ object ReferenceParity {
         "l_shipdate", lit("1998-06-15 00:00:00").cast("timestamp"), 30)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // As-of (point-in-time) join: for each event, the user's most recent
+    // order at/before the event — the label-leakage-free feature lookup.
+    "asof_last_order" -> ((s, dir) =>
+      graft.operators.Temporal.asOfJoin(
+        t(s, dir, "events").select("event_id", "user_id", "ts"),
+        t(s, dir, "orders"),
+        factId = "event_id", factKey = "user_id", factTs = "ts",
+        dimKey = "o_custkey", dimTs = "o_orderdate",
+        dimCols = Seq("o_orderkey", "o_totalprice"),
+        tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_order"),
+          col("o_totalprice").as("last_total"))
+        .orderBy("event_id")),
+
     // Pivot: event-type counts as columns per user (fixed value list so
     // the schema is stable; absent combinations coalesce to 0).
     "pivot_event_types" -> ((s, dir) => {
@@ -403,6 +418,18 @@ object ReferenceParity {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "asof_last_order" ->
+      """WITH m AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT e.event_id, e.user_id, m.o_orderkey AS last_order,
+        |       m.o_totalprice AS last_total
+        |FROM events e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON m.event_id = e.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "pivot_event_types" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
