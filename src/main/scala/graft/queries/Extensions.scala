@@ -84,6 +84,13 @@ object Extensions {
             avg(Similarity.l2Norm(col("embedding"))), 6).as("avg_norm"))
         .orderBy("label")),
 
+    // Data-quality profile of the events table: per-column completeness
+    // and cardinality in one scan.
+    "dq_profile_events" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"))
+        .orderBy("column_name")),
+
     // Deterministic hash-gated sampling: reproducible across runs,
     // engines and partitionings — the holdout-split primitive.
     "sample_deterministic" -> ((s, dir) =>
@@ -206,7 +213,17 @@ object Extensions {
     s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
   }.mkString("\n  UNION ALL ")
 
+  private def dqCol(c: String) =
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) FILTER ($c IS NULL) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_value,
+       |  CAST(max($c) AS VARCHAR) AS max_value FROM events""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dq_profile_events" ->
+      (Seq("event_id", "user_id", "event_type", "value").map(dqCol)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")),
     "sample_deterministic" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
