@@ -107,17 +107,46 @@ object Dedup {
                       shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minHashSignatures(docs, idCol, textCol, shingleN,
       bands * rowsPerBand).persist() // reused by both sides of the self-join
-    val bandRows = (0 until bands).map { b =>
-      val sigCols = (0 until rowsPerBand)
-        .map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"),
-        concat(sigCols: _*).as("sig"))
-    }.reduce(_.unionByName(_))
+    val bandRows = bandRowsOf(sig, idCol, bands, rowsPerBand)
     val x = bandRows.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val y = bandRows.select(col(idCol).as("id_b"), col("band"), col("sig"))
     x.join(y, Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Banded (band, sig) rows from a signature table — shared by the
+    * batch and incremental LSH paths.
+    */
+  private def bandRowsOf(sig: DataFrame, idCol: String, bands: Int,
+                         rowsPerBand: Int): DataFrame =
+    (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band"), concat(sigCols: _*).as("sig"))
+    }.reduce(_.unionByName(_))
+
+  /** Incremental LSH: candidate pairs that involve at least one NEW
+    * document — new×new and new×existing, never existing×existing
+    * (those were found in earlier runs). This is how minhash dedup runs
+    * at 100 TB: signatures are computed once per document at ingest and
+    * stored; each batch joins its band rows against the corpus index
+    * instead of re-banding the world. Cost per batch scales with
+    * |new| × bucket-occupancy, not with |corpus|².
+    */
+  def minHashLshPairsIncremental(existingSigs: DataFrame, newSigs: DataFrame,
+                                 idCol: String, bands: Int,
+                                 rowsPerBand: Int): DataFrame = {
+    val allBands = bandRowsOf(existingSigs.unionByName(newSigs), idCol,
+      bands, rowsPerBand)
+    val newBands = bandRowsOf(newSigs, idCol, bands, rowsPerBand)
+    val x = allBands.select(col(idCol).as("id_a"), col("band"), col("sig"))
+    val y = newBands.select(col(idCol).as("id_b"), col("band"), col("sig"))
+    x.join(y, Seq("band", "sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash per document: tokens vote on each bit of their

@@ -71,6 +71,15 @@ object EventStream {
     q
   }
 
+  /** Stream-static dictionary enrichment: the streaming twin of J1 —
+    * each micro-batch joins against the broadcast dimension snapshot;
+    * swapping the dimension DataFrame (DictionaryRefresh) between
+    * restarts is the LIFETIME reload.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, dimCols: Seq[String]): DataFrame =
+    graft.operators.Relational.enrich(events, dim, factKey, dimKey, dimCols)
+
   /** Streaming dedup by key within the watermark horizon: the streaming
     * twin of the A4 ReplacingMergeTree emulation. State holds one key
     * per event inside the watermark; older duplicates are dropped, state

@@ -52,6 +52,23 @@ class DedupSpec extends SparkSpec {
       .select("hamming").as[Int].head() == 0)
   }
 
+  test("incremental LSH: batch pairs = old-old pairs + pairs touching new docs") {
+    val d = Tables.load(spark, sf, "documents")
+    val old = d.filter($"doc_id" < 400)
+    val fresh = d.filter($"doc_id" >= 400)
+    val full = Dedup.minHashLshPairs(d, "doc_id", "text", 5, 4, 3)
+      .as[(Long, Long)].collect().toSet
+    val oldOnly = Dedup.minHashLshPairs(old, "doc_id", "text", 5, 4, 3)
+      .as[(Long, Long)].collect().toSet
+    val sigsOld = Dedup.minHashSignatures(old, "doc_id", "text", 5, 12)
+    val sigsNew = Dedup.minHashSignatures(fresh, "doc_id", "text", 5, 12)
+    val incremental = Dedup.minHashLshPairsIncremental(
+      sigsOld, sigsNew, "doc_id", 4, 3).as[(Long, Long)].collect().toSet
+    assert(oldOnly.union(incremental) == full)
+    // incremental pairs always touch a new doc
+    assert(incremental.forall(p => p._1 >= 400 || p._2 >= 400))
+  }
+
   test("sketch dup-stats: HLL estimate within rsd of exact (100 TB first pass)") {
     val d = Tables.load(spark, sf, "documents")
     val r = Dedup.dupStats(d, "text", rsd = 0.02).first()

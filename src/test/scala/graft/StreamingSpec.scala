@@ -31,6 +31,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    val stream = EventStream.readEvents(spark, stagedDir)
+    val dim = Tables.load(spark, sf, "customer")
+    val enriched = EventStream.enrichStream(stream, dim, "user_id",
+      "c_custkey", Seq("c_mktsegment"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched_stream").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enriched_stream")
+      assert(out.count() == Tables.load(spark, sf, "events").count())
+      assert(out.filter($"c_mktsegment".isNotNull).count() > 0)
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and keeps state per user") {
     import graft.streaming.EventStream.{Event, UserSession}
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
