@@ -115,6 +115,21 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** The standard candidate→verify composition: MinHash-LSH proposes
+    * pairs (cheap, recall-oriented), exact n-gram Jaccard confirms them
+    * (precision). At 100 TB the verify stage touches only the candidate
+    * pairs — a semi-join back to the shingle index — so its cost is
+    * |candidates| × shingles-per-doc, independent of corpus size.
+    */
+  def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, bands: Int, rowsPerBand: Int,
+                           minJaccard: Double): DataFrame = {
+    val candidates = minHashLshPairs(docs, idCol, textCol, shingleN,
+      bands, rowsPerBand)
+    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleN, minJaccard)
+    exact.join(candidates, Seq("id_a", "id_b"), "left_semi")
+  }
+
   /** Banded (band, sig) rows from a signature table — shared by the
     * batch and incremental LSH paths.
     */

@@ -123,6 +123,12 @@ object Extensions {
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, Bands, RowsPerBand).orderBy("id_a", "id_b")),
 
+    // The candidate→verify composition: LSH proposes, exact Jaccard
+    // confirms.
+    "dedup_minhash_verified" -> ((s, dir) =>
+      Dedup.minHashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, Bands, RowsPerBand, 0.5).orderBy("id_a", "id_b")),
+
     // rows-only check: xxhash64 has no DuckDB equivalent.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
@@ -307,6 +313,31 @@ object Extensions {
          |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_verified" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT id_a, id_b, n_common,
+         |         floor((n_common::DOUBLE / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE floor((n_common::DOUBLE / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 >= 0.5),
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT j.id_a, j.id_b, j.n_common, j.jaccard FROM jac j
+         |WHERE EXISTS (SELECT 1 FROM cand c WHERE c.id_a = j.id_a AND c.id_b = j.id_b)
+         |ORDER BY j.id_a, j.id_b""".stripMargin,
     "ann_brute_topk_native" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),

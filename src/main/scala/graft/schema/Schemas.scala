@@ -98,6 +98,13 @@ object Schemas {
       d.withColumn(c, coalesce(col(c), lit(EpochDefault).cast("timestamp")))
     }
 
+  /** UUID check expression (SURVEY.md §7.4): Spark has no UUID type, so
+    * dashboards.uuid travels as a canonical 36-char string
+    * (create_tables.sql:84); this predicate gates ingest.
+    */
+  def isValidUuid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+
   /** Verify an ingested frame's schema against the pinned entity schema
     * (SURVEY.md §1.6: inferred == declared at ingest). Name order and
     * types must match; nullability may tighten (source nullable →

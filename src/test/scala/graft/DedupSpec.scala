@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
       .select("hamming").as[Int].head() == 0)
   }
 
+  test("candidate->verify: LSH-confirmed jaccard pairs are exactly the true near-dups found by LSH") {
+    val verified = Dedup.minHashVerifiedPairs(docs, "doc_id", "text",
+      3, 4, 3, 0.3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("uuid check expression validates canonical form") {
+    val df = Seq("00000000-0000-0000-0000-000000000000",
+      "123e4567-e89b-12d3-a456-426614174000", "not-a-uuid", "")
+      .toDF("u")
+    val ok = df.filter(graft.schema.Schemas.isValidUuid($"u")).count()
+    assert(ok == 2)
+  }
+
   test("incremental LSH: batch pairs = old-old pairs + pairs touching new docs") {
     val d = Tables.load(spark, sf, "documents")
     val old = d.filter($"doc_id" < 400)
