@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from any detector —
+  * Jaccard, MinHash, SimHash, embedding) become duplicate CLUSTERS, and
+  * each cluster keeps one canonical document. This is the step that
+  * turns pair detection into an actual deduplicated corpus.
+  *
+  * Connected components by iterative min-label propagation: every doc
+  * starts labeled with its own id; each round, a doc adopts the
+  * smallest label among itself and its neighbors. Rounds needed =
+  * graph diameter — for near-dup graphs that is tiny (dup clusters are
+  * cliques or short chains), so the default cap of 10 shuffle rounds
+  * covers any realistic corpus; the loop exits early at fixpoint via a
+  * cheap count of changed labels.
+  */
+object DedupCluster {
+
+  /** @param pairs columns (id_a, id_b) — undirected near-dup edges
+    * @return (doc_id, cluster_id) for every doc in `docs`; singleton
+    *         docs are their own cluster
+    */
+  def components(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .persist()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster_id").as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
+        Seq("id")).filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** One row per cluster: the canonical doc (min id) + member count. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    components(docs, idCol, pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumnRenamed("cluster_id", idCol)
+}

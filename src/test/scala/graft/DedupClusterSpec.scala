@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.DedupCluster
+
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components: chains collapse to one cluster, singletons stay alone") {
+    val docs = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3, pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = DedupCluster.components(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(5L) == 5L && comp(6L) == 5L)
+    assert(comp(4L) == 4L && comp(7L) == 7L)
+  }
+
+  test("canonicalize keeps one row per cluster with member counts") {
+    val docs = (1L to 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val canon = DedupCluster.canonicalize(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 2L, 3L -> 2L, 5L -> 1L))
+  }
+
+  test("end-to-end: LSH pairs on the fixture corpus cluster and dedup it") {
+    val d = Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.minHashLshPairs(d, "doc_id", "text", 5, 4, 3)
+    val comp = DedupCluster.components(d, "doc_id", pairs)
+    assert(comp.count() == d.count()) // every doc labeled
+    val nClusters = comp.select("cluster_id").distinct().count()
+    val nPairs = pairs.count()
+    assert(nClusters <= d.count())
+    assert(nClusters >= d.count() - nPairs) // each pair merges at most one
+  }
+}

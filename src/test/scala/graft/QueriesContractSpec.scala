@@ -1,0 +1,39 @@
+package graft
+
+/** Meta-contract for the driver gate: every oracle entry points at a
+  * real query, every query runs, and the ones that must produce rows
+  * do. Catches the failure mode where a typo or an empty result would
+  * silently zero a round's correctness score.
+  */
+class QueriesContractSpec extends SparkSpec {
+
+  /** Queries whose result size legitimately depends on planted
+    * duplicates/neighbors in the fixtures — may be empty at tiny sf.
+    */
+  private val mayBeEmpty = Set(
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_verified",
+    "dedup_simhash", "emb_near_dup", "j2_anti_missing")
+
+  test("every oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query executes at sf0.001; non-data-dependent ones return rows") {
+    val failures = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val n = fn(spark, sf).count()
+        if (n == 0 && !mayBeEmpty.contains(name))
+          failures += s"$name: 0 rows"
+      } catch {
+        case e: Throwable => failures += s"$name: ${e.getMessage.take(100)}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
