@@ -22,6 +22,9 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC") // CH DATETIME is TZ-naive
+      // runtime bloom-filter pruning: the J2 anti-join reconsistency and
+      // big fact-fact joins skip row groups that cannot match
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.files.maxPartitionBytes", s"${256 * 1024 * 1024}")
       .config("spark.sql.ui.explainMode", "formatted")
