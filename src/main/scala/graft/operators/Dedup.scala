@@ -56,10 +56,14 @@ object Dedup {
     * fan-out is bounded by shingle frequency (rare for word 5-grams).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
+                        n: Int, minJaccard: Double): DataFrame =
     // the shingle set feeds three consumers (both join sides + sizes);
     // persist so the explode+hash stage runs once, not three times
-    val sh = shingled(docs, idCol, textCol, n).persist()
+    jaccardFromShingles(shingled(docs, idCol, textCol, n).persist(),
+      idCol, minJaccard)
+
+  private def jaccardFromShingles(sh: DataFrame, idCol: String,
+                                  minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -87,8 +91,12 @@ object Dedup {
     * md5 for xxhash64; the LSH algebra is unchanged.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, shingleN)
+                        shingleN: Int, numHashes: Int): DataFrame =
+    signaturesFromShingles(shingled(docs, idCol, textCol, shingleN),
+      idCol, numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, idCol: String,
+                                     numHashes: Int): DataFrame = {
     val numMd5 = (numHashes + 3) / 4
     val withDigests = sh.select(col(idCol) +: (0 until numMd5).map(p =>
       md5(concat(lit(s"$p|"), col("shingle"))).as(s"m$p")): _*)
@@ -104,9 +112,14 @@ object Dedup {
     * one shuffle, never compared all-pairs.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minHashSignatures(docs, idCol, textCol, shingleN,
-      bands * rowsPerBand).persist() // reused by both sides of the self-join
+                      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    lshPairsFromSignatures(
+      minHashSignatures(docs, idCol, textCol, shingleN, bands * rowsPerBand)
+        .persist(), // reused by both sides of the self-join
+      idCol, bands, rowsPerBand)
+
+  private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
+                                     bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = bandRowsOf(sig, idCol, bands, rowsPerBand)
     val x = bandRows.select(col(idCol).as("id_a"), col("band"), col("sig"))
     val y = bandRows.select(col(idCol).as("id_b"), col("band"), col("sig"))
@@ -124,9 +137,12 @@ object Dedup {
   def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, bands: Int, rowsPerBand: Int,
                            minJaccard: Double): DataFrame = {
-    val candidates = minHashLshPairs(docs, idCol, textCol, shingleN,
-      bands, rowsPerBand)
-    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleN, minJaccard)
+    // one shingle explode feeds both the LSH and the verify stages
+    val sh = shingled(docs, idCol, textCol, shingleN).persist()
+    val candidates = lshPairsFromSignatures(
+      signaturesFromShingles(sh, idCol, bands * rowsPerBand).persist(),
+      idCol, bands, rowsPerBand)
+    val exact = jaccardFromShingles(sh, idCol, minJaccard)
     exact.join(candidates, Seq("id_a", "id_b"), "left_semi")
   }
 
