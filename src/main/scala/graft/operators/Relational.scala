@@ -84,6 +84,32 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Keep exactly the FIRST row per key (earliest version), the dual of
+    * dedupLatest — used by debouncing, where the first event of a burst
+    * is the real one.
+    */
+  def dedupFirst(df: DataFrame, keys: Seq[String], versionCol: String,
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (versionCol +: tieBreak).map(c => col(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Debounce: collapse bursts of identical (keys) events inside a fixed
+    * time bucket to their first occurrence — the event-stream hygiene
+    * pass before sessionization/aggregation. Bucket = integer division
+    * of epoch micros, so it is engine-portable and join-free.
+    */
+  def debounce(df: DataFrame, keys: Seq[String], tsCol: String,
+               bucketSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val bucket = expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}")
+    dedupFirst(df.withColumn("__bucket", bucket),
+      keys :+ "__bucket", tsCol, tieBreak)
+      .drop("__bucket")
+  }
+
   // --- P1/P2: projection + lineage literal ----------------------------
 
   /** P1: explicit column projection (f_superset_*_upload_data.sql:3-11). */

@@ -134,6 +134,18 @@ object Extensions {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
+    // Cross-modal join: text-quality features next to embedding-norm
+    // features for the same document id.
+    "cross_modal_features" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          graft.functions.Rounding.pround(
+            Similarity.l2Norm(col("embedding")), 6).as("norm"),
+          col("label"))
+        .orderBy("doc_id")),
+
     // --- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -181,6 +193,21 @@ object Extensions {
   }.mkString(",\n    ")
 
   private val allMarkers = inList(TextFunctions.LangMarkers.flatMap(_._2))
+
+  /** The quality-score SQL expression, shared by the text and
+    * cross-modal oracle queries (kept in lockstep with
+    * TextFunctions.qualityScore).
+    */
+  private lazy val qualitySqlExpr: String =
+    s"""floor((
+       |  0.4 * (CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
+       |              WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+       |  + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+       |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+       |      ELSE 0.0 END))
+       |  + 0.3 * least(1.0, (CASE WHEN len(string_split(text, ' ')) > 0
+       |      THEN len(list_filter(string_split(text, ' '), w -> w IN $allMarkers))::DOUBLE / len(string_split(text, ' '))
+       |      ELSE 0.0 END) * 5)) * 10000 + 0.5) / 10000""".stripMargin
 
   /** Shared shingle CTE (word 5-grams, short-doc guard identical to
     * TextFunctions.wordShingles).
@@ -273,16 +300,14 @@ object Extensions {
          |  ELSE 'unknown' END AS lang_id
          |FROM sc ORDER BY doc_id""".stripMargin,
     "text_quality_score" ->
-      s"""SELECT doc_id, floor((
-         |  0.4 * (CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
-         |              WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
-         |  + 0.3 * (1.0 - (CASE WHEN length(text) > 0
-         |      THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text)
-         |      ELSE 0.0 END))
-         |  + 0.3 * least(1.0, (CASE WHEN len(string_split(text, ' ')) > 0
-         |      THEN len(list_filter(string_split(text, ' '), w -> w IN $allMarkers))::DOUBLE / len(string_split(text, ' '))
-         |      ELSE 0.0 END) * 5)) * 10000 + 0.5) / 10000 AS quality
+      s"""SELECT doc_id, $qualitySqlExpr AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "cross_modal_features" ->
+      s"""SELECT d.doc_id, $qualitySqlExpr AS quality,
+         |  floor((sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) FROM generate_series(1, 64) t(i)))) * 1000000 + 0.5) / 1000000 AS norm,
+         |  e.label
+         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

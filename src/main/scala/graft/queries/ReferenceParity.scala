@@ -211,6 +211,37 @@ object ReferenceParity {
         "l_shipdate", lit("1998-06-15 00:00:00").cast("timestamp"), 30)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Debounce: first event per (user, type) within each 10-minute
+    // bucket — burst hygiene before sessionization.
+    "debounce_events" -> ((s, dir) =>
+      Relational.debounce(
+        t(s, dir, "events").select("event_id", "ts", "user_id", "event_type"),
+        keys = Seq("user_id", "event_type"), tsCol = "ts",
+        bucketSeconds = 600, tieBreak = Seq("event_id"))
+        .orderBy("event_id")),
+
+    // Top-k per group with rank (value ties share a rank).
+    "w2_topk_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .orderBy("l_returnflag", "rnk", "l_orderkey", "l_linenumber")
+    }),
+
+    // Fixed-width histogram of the value column.
+    "events_value_histogram" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Rounding.pround(min("value"), 2).as("lo"),
+          graft.functions.Rounding.pround(max("value"), 2).as("hi"))
+        .orderBy("bucket")),
+
     // As-of (point-in-time) join: for each event, the user's most recent
     // order at/before the event — the label-leakage-free feature lookup.
     "asof_last_order" -> ((s, dir) =>
@@ -418,6 +449,23 @@ object ReferenceParity {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "debounce_events" ->
+      """SELECT event_id, ts, user_id, event_type FROM (
+        |  SELECT event_id, ts, user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, event_type, (epoch_us(ts) // 600000000)
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "w2_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rnk FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS rnk
+        |  FROM lineitem) WHERE rnk <= 3
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+    "events_value_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n,
+        |       floor((min(value)) * 100 + 0.5) / 100 AS lo,
+        |       floor((max(value)) * 100 + 0.5) / 100 AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "asof_last_order" ->
       """WITH m AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
