@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Degenerate-input robustness: empty frames, empty text, mismatched
+  * keys. These paths run unattended in production pipelines (a day with
+  * zero new rows is normal), so none of them may throw.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyEvents =
+    Tables.load(spark, sf, "events").filter(lit(false))
+
+  test("dedup/watermark/filters on an empty frame") {
+    assert(Relational.dedupLatest(emptyEvents, Seq("event_id"), "ts").count() == 0)
+    assert(Relational.watermark(emptyEvents, "ts").toString.startsWith("2000-01-01"))
+    assert(Relational.newerThan(emptyEvents, "ts", "2024-01-01 00:00:00").count() == 0)
+    assert(Relational.debounce(emptyEvents, Seq("user_id"), "ts", 60).count() == 0)
+  }
+
+  test("text operators on empty and single-word documents") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "a b")).toDF("doc_id", "text")
+    val sh = docs.select(graft.functions.TextFunctions
+      .wordShingles($"text", 5).as("s")).as[Seq[String]].collect()
+    assert(sh.forall(_.nonEmpty)) // guard yields whole-text shingle
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 3)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5).count() == 0)
+    val q = docs.select(graft.functions.TextFunctions.qualityScore($"text").as("q"))
+      .as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("similarity with an empty query set returns empty, not error") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.bruteForceTopK(emb,
+      emb.filter(lit(false)), "vec_id", "embedding", 5)
+    assert(out.count() == 0)
+  }
+
+  test("incremental load with an empty source is a no-op") {
+    val path = tempDir("empty_inc")
+    val cfg = graft.pipeline.IncrementalLoad.Config(
+      "event_id", "ts", "ts",
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"), "s")
+    val events = Tables.load(spark, sf, "events")
+    graft.pipeline.IncrementalLoad.run(spark, events, path, cfg)
+    val before = spark.read.parquet(path).count()
+    // second run: nothing newer than the watermark → write of 0 rows
+    graft.pipeline.IncrementalLoad.run(spark, events, path, cfg)
+    assert(spark.read.parquet(path).count() == before)
+  }
+
+  test("profile of an empty frame reports zero rows without throwing") {
+    val p = graft.operators.Profile.profile(
+      emptyEvents.select("event_id", "event_type"))
+    assert(p.count() == 2)
+    assert(p.select("n_rows").distinct().as[Long].head() == 0)
+  }
+}
