@@ -242,6 +242,15 @@ object ReferenceParity {
           graft.functions.Rounding.pround(max("value"), 2).as("hi"))
         .orderBy("bucket")),
 
+    // Skyline: Pareto-optimal parts — cheapest price vs largest size
+    // (two-phase distributed skyline; dominance checked by the oracle
+    // with a NOT EXISTS self-join).
+    "skyline_parts" -> ((s, dir) =>
+      graft.operators.Skyline.skyline(
+        t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        minCols = Seq("p_retailprice"), maxCols = Seq("p_size"))
+        .orderBy("p_partkey")),
+
     // As-of (point-in-time) join: for each event, the user's most recent
     // order at/before the event — the label-leakage-free feature lookup.
     "asof_last_order" -> ((s, dir) =>
@@ -449,6 +458,13 @@ object ReferenceParity {
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
         |WHERE l_shipdate >= CAST(date_trunc('month', TIMESTAMP '1998-06-15 00:00:00' - INTERVAL 30 MONTH) AS TIMESTAMP)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "skyline_parts" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "debounce_events" ->
       """SELECT event_id, ts, user_id, event_type FROM (
         |  SELECT event_id, ts, user_id, event_type,
