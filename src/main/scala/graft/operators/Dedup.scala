@@ -80,6 +80,38 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Text top-k similarity join: for each query document, the k most
+    * Jaccard-similar other documents. Candidates come from the inverted
+    * shingle index (only docs sharing a shingle are scored — docs with
+    * zero overlap have similarity 0 and can never enter a top-k that
+    * requires n_common >= 1), so cost scales with index fan-out, not
+    * |queries| × |corpus|. Deterministic ranking: (jaccard desc, id).
+    */
+  def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int,
+                  queryPredicate: Column): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n).persist()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val q = sh.filter(queryPredicate)
+      .select(col(idCol).as("query_id"), col("shingle"))
+    val c = sh.select(col(idCol).as("cand_id"), col("shingle"))
+    val inter = q.join(c, Seq("shingle"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id").agg(count(lit(1)).as("n_common"))
+    val scored = inter
+      .join(sizes.select(col(idCol).as("query_id"), col("n_shingles").as("n_q")), "query_id")
+      .join(sizes.select(col(idCol).as("cand_id"), col("n_shingles").as("n_c")), "cand_id")
+      .withColumn("jaccard",
+        Rounding.pround(col("n_common").cast("double") /
+          (col("n_q") + col("n_c") - col("n_common")), 4))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("jaccard").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "jaccard", "rank")
+  }
+
   /** MinHash signatures: numHashes independent min-hashes per document.
     * Hash h_j(shingle) = an 8-hex-char (32-bit) slice of
     * md5(j/4 || '|' || shingle): one md5 yields four independent

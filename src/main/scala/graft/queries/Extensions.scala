@@ -146,6 +146,13 @@ object Extensions {
           col("label"))
         .orderBy("doc_id")),
 
+    // Text top-k similarity join: 3 nearest documents by n-gram Jaccard
+    // for each query doc, via the inverted shingle index.
+    "text_topk_similar" -> ((s, dir) =>
+      Dedup.jaccardTopK(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, 3, col("doc_id") < 25)
+        .orderBy("query_id", "rank")),
+
     // --- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -338,6 +345,25 @@ object Extensions {
          |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_topk_similar" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |q AS (SELECT doc_id AS query_id, shingle FROM sh WHERE doc_id < 25),
+         |inter AS (
+         |  SELECT q.query_id, c.doc_id AS cand_id, count(*) AS n_common
+         |  FROM q JOIN sh c ON q.shingle = c.shingle AND c.doc_id != q.query_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         floor((n_common::DOUBLE / (sq.n + sc.n - n_common)) * 10000 + 0.5) / 10000 AS jaccard
+         |  FROM inter
+         |  JOIN sizes sq ON sq.doc_id = query_id
+         |  JOIN sizes sc ON sc.doc_id = cand_id)
+         |SELECT query_id, cand_id, jaccard, rank FROM (
+         |  SELECT query_id, cand_id, jaccard,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
