@@ -146,6 +146,21 @@ object Extensions {
           col("label"))
         .orderBy("doc_id")),
 
+    // Edit-distance verification of LSH candidates: integer Levenshtein
+    // over only the candidate pairs (never all-pairs — the quadratic
+    // scan is bounded by the candidate count).
+    "dedup_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cand = Dedup.minHashLshPairs(d, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      cand
+        .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Text top-k similarity join: 3 nearest documents by n-gram Jaccard
     // for each query doc, via the inverted shingle index.
     "text_topk_similar" -> ((s, dir) =>
@@ -345,6 +360,22 @@ object Extensions {
          |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_edit_distance" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.id_a
+         |JOIN documents db ON db.doc_id = c.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
     "text_topk_similar" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
