@@ -90,6 +90,57 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into nlist cells; each query probes only its
+    * nprobe nearest cells. The trained centroids are tiny and broadcast;
+    * cell assignment is one map pass, so index build is O(corpus) and
+    * each query scans ~corpus×nprobe/nlist candidates. The classic IVF
+    * trade: recall rises with nprobe, cost with nprobe/nlist.
+    *
+    * Deterministic given the seed; recall is validated against
+    * bruteForceTopK in SimilaritySpec rather than a SQL oracle (KMeans
+    * has no DuckDB equivalent).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("cell", "centroid")
+    def cellsFor(df: DataFrame, id: String, vec: String, probes: Int) = {
+      import org.apache.spark.sql.expressions.Window
+      val scored = df.crossJoin(broadcast(centDf))
+        .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
+          aggregate(transform(col("centroid"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, v) => a + v))
+      val w = Window.partitionBy(id).orderBy(col("cdist"), col("cell"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
+        .drop("r", "cdist", "centroid")
+    }
+    val corpusCells = cellsFor(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+      "cand_id", "cv", 1)
+    val queryCells = cellsFor(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nprobe)
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("qv"), col("cv")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

@@ -53,6 +53,19 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("IVF top-k: good recall vs brute force at a fraction of the candidates") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 6)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.size <= exact.size) // never more than k per query
+  }
+
   test("brute force on fixture embeddings returns k rows per query") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
