@@ -86,6 +86,28 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
+  /** Winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer et al.'s winnowing scheme): hash every character k-gram,
+    * then keep the minimum hash of each w-gram window. Guarantees any
+    * shared substring of length >= k+w-1 yields a shared fingerprint —
+    * the shift-resistant near-dup signal that whole-document hashing
+    * misses. Returns distinct (id, pos-ordered window minima).
+    */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+          i => md5(col(textCol).substr(i, lit(k))))).as(Seq("pos", "h")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.select(col(idCol), min("h").over(win).as("fp"))
+      .distinct()
+  }
+
   /** Word n-gram shingles (guarded: short docs yield the whole text as
     * one shingle; Spark's `sequence` would otherwise count backwards).
     */

@@ -50,6 +50,14 @@ object Extensions {
         TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Winnowing (rolling-hash) fingerprints: shift-resistant near-dup
+    // signal; restricted to a query slice so output stays bounded.
+    "text_winnowing" -> ((s, dir) =>
+      TextFunctions.winnowingFingerprints(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", k = 16, w = 8)
+        .orderBy("doc_id", "fp")),
+
     // Vocabulary extraction: the word-count shuffle over the corpus —
     // top terms with deterministic tie-break.
     "text_vocab" -> ((s, dir) =>
@@ -304,6 +312,17 @@ object Extensions {
       s"""SELECT label, count(*) AS n,
          |  floor((avg(sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000 AS avg_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "text_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos, md5(substr(text, i, 16)) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i
+        |        FROM documents WHERE doc_id < 50 AND length(text) >= 16)),
+        |m AS (
+        |  SELECT doc_id,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM m ORDER BY doc_id, fp""".stripMargin,
     "text_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

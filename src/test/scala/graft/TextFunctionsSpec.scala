@@ -46,6 +46,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r._1 == r._2)
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint") {
+    val shared = "this exact passage appears verbatim in both documents here"
+    val df = Seq(
+      (1L, s"prefix one $shared and then diverges completely afterwards"),
+      (2L, s"a different start $shared with another unique tail entirely"),
+      (3L, "no overlap with anything else in this tiny corpus at all"))
+      .toDF("doc_id", "text")
+    val fps = graft.functions.TextFunctions
+      .winnowingFingerprints(df, "doc_id", "text", 16, 8)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty) // shared substring detected
+    assert(fps(1L).intersect(fps(3L)).isEmpty ||
+      fps(1L).intersect(fps(3L)).size < fps(1L).intersect(fps(2L)).size)
+  }
+
   test("wordShingles guards short documents") {
     val df = Seq("one two").toDF("text")
     val sh = df.select(TextFunctions.wordShingles($"text", 5).as("s"))
