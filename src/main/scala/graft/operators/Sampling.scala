@@ -20,11 +20,30 @@ object Sampling {
     */
   def hashGate(key: Column, rate256: Int): Column = {
     require(rate256 >= 0 && rate256 <= 256, s"rate256 out of range: $rate256")
-    substring(md5(key.cast("string")), 1, 2) < lit(f"$rate256%02x")
+    // boundary rates: 256 formats as 3 hex chars and would corrupt the
+    // 2-char lexicographic comparison — short-circuit both ends
+    if (rate256 >= 256) lit(true)
+    else if (rate256 <= 0) lit(false)
+    else substring(md5(key.cast("string")), 1, 2) < lit(f"$rate256%02x")
   }
 
   def deterministicSample(df: DataFrame, keyCol: String, rate256: Int): DataFrame =
     df.filter(hashGate(col(keyCol), rate256))
+
+  /** Stratified deterministic sampling: a different keep-rate per
+    * stratum (e.g. language), applied through the same hash gate — the
+    * data-mix rebalancing pass of a training pipeline, still
+    * reproducible and membership-stable. Strata absent from the map are
+    * dropped (rate 0).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates256: Map[String, Int]): DataFrame = {
+    val gate = rates256.foldLeft(org.apache.spark.sql.functions.lit(false)) {
+      case (acc, (stratum, rate)) =>
+        acc || (col(strataCol) === stratum && hashGate(col(keyCol), rate))
+    }
+    df.filter(gate)
+  }
 
   /** Disjoint train/eval split by the same gate — union is the corpus. */
   def split(df: DataFrame, keyCol: String,

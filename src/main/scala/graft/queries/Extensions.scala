@@ -106,6 +106,14 @@ object Extensions {
         t(s, dir, "documents"), "doc_id", 64)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Stratified sampling: rebalance the language mix (keep all 'de',
+    // half 'en', none of the rest) — deterministic per-stratum gates.
+    "sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("de" -> 256, "en" -> 128))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Deterministic arg-max per group (longest doc per language,
     // ties -> smallest id).
     "agg_argmax_doc" -> ((s, dir) => {
@@ -287,6 +295,11 @@ object Extensions {
     "dq_profile_events" ->
       (Seq("event_id", "user_id", "event_type", "value").map(dqCol)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")),
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang = 'de'
+        |   OR (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80')
+        |ORDER BY doc_id""".stripMargin,
     "sample_deterministic" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'

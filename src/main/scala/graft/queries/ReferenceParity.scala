@@ -293,6 +293,16 @@ object ReferenceParity {
           .select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // A-family extension: CUBE grouping sets (all 4 combinations).
+    "a7_cube" -> ((s, dir) =>
+      t(s, dir, "events").cube("event_type",
+        // stable second dimension: user parity
+        "user_id").agg(count(lit(1)).as("n"))
+        .withColumn("user_id", col("user_id"))
+        .filter(col("user_id").isNull || col("user_id") < 5)
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_id").asc_nulls_first)),
+
     // A-family extension: exact distinct-count aggregate.
     "a5_count_distinct" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type")
@@ -512,6 +522,11 @@ object ReferenceParity {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
         |ORDER BY custkey""".stripMargin,
+    "a7_cube" ->
+      """SELECT event_type, user_id, count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, user_id)
+        |HAVING user_id IS NULL OR user_id < 5
+        |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
     "a5_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
