@@ -15,8 +15,26 @@ import graft.functions.{Rounding, TextFunctions}
   * actually share a shingle/bucket — the standard way these survive a
   * 1000-executor, 100 TB corpus. SimHash bands 64 bits into 4×16-bit
   * keys so candidate pairs co-locate by band value.
+  *
+  * Cache discipline: operators that pin big intermediates (the exploded
+  * shingle index, signatures) materialize their small result eagerly
+  * (localCheckpoint) and release the intermediates before returning, so
+  * a long session running many dedup queries never accumulates stale
+  * cached shingle sets (and never trips CacheManager same-plan
+  * cross-talk between queries).
   */
 object Dedup {
+
+  /** Eagerly materialize `result` (a SMALL pair/signature set — orders
+    * of magnitude below the corpus), then release the big pinned
+    * intermediates. The returned frame is backed by the checkpointed
+    * blocks, so downstream consumers never re-trigger the heavy DAG.
+    */
+  private def scoped(caches: Seq[DataFrame])(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id (deterministic), with the copy count. One map-side-
@@ -56,11 +74,12 @@ object Dedup {
     * fan-out is bounded by shingle frequency (rare for word 5-grams).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minJaccard: Double): DataFrame =
+                        n: Int, minJaccard: Double): DataFrame = {
     // the shingle set feeds three consumers (both join sides + sizes);
     // persist so the explode+hash stage runs once, not three times
-    jaccardFromShingles(shingled(docs, idCol, textCol, n).persist(),
-      idCol, minJaccard)
+    val sh = shingled(docs, idCol, textCol, n).persist()
+    scoped(Seq(sh))(jaccardFromShingles(sh, idCol, minJaccard))
+  }
 
   private def jaccardFromShingles(sh: DataFrame, idCol: String,
                                   minJaccard: Double): DataFrame = {
@@ -107,9 +126,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("jaccard").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "jaccard", "rank")
+    scoped(Seq(sh))(
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "cand_id", "jaccard", "rank"))
   }
 
   /** MinHash signatures: numHashes independent min-hashes per document.
@@ -144,11 +164,12 @@ object Dedup {
     * one shuffle, never compared all-pairs.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame =
-    lshPairsFromSignatures(
-      minHashSignatures(docs, idCol, textCol, shingleN, bands * rowsPerBand)
-        .persist(), // reused by both sides of the self-join
-      idCol, bands, rowsPerBand)
+                      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    // signatures are read once per band and join side — persist them
+    val sig = minHashSignatures(docs, idCol, textCol, shingleN,
+      bands * rowsPerBand).persist()
+    scoped(Seq(sig))(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand))
+  }
 
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
                                      bands: Int, rowsPerBand: Int): DataFrame = {
@@ -162,20 +183,62 @@ object Dedup {
 
   /** The standard candidate→verify composition: MinHash-LSH proposes
     * pairs (cheap, recall-oriented), exact n-gram Jaccard confirms them
-    * (precision). At 100 TB the verify stage touches only the candidate
-    * pairs — a semi-join back to the shingle index — so its cost is
-    * |candidates| × shingles-per-doc, independent of corpus size.
+    * (precision). The verify stage is candidate-bounded BY CONSTRUCTION:
+    * the shingle index is first semi-joined down to the candidate doc
+    * ids, collapsed to one shingle-set row per candidate doc, and the
+    * candidate pairs join those per-doc sets directly —
+    * `array_intersect` computes the exact intersection per pair. No
+    * shingle self-join and no co-shingled-pair aggregation ever runs in
+    * the verify path, so its cost is |candidates| × shingles-per-doc,
+    * independent of corpus size — the property that justifies LSH at
+    * 100 TB on a near-dup-heavy crawl.
     */
   def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, bands: Int, rowsPerBand: Int,
                            minJaccard: Double): DataFrame = {
+    val (verified, caches) = verifiedPairsFrame(docs, idCol, textCol,
+      shingleN, bands, rowsPerBand, minJaccard, cache = true)
+    scoped(caches)(verified)
+  }
+
+  /** The lazy (un-checkpointed, un-cached) form of
+    * [[minHashVerifiedPairs]], exposed so plan-audit tests can assert
+    * the candidate restriction sits below the per-doc aggregation.
+    */
+  private[graft] def minHashVerifiedPairsPlan(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame =
+    verifiedPairsFrame(docs, idCol, textCol, shingleN, bands, rowsPerBand,
+      minJaccard, cache = false)._1
+
+  private def verifiedPairsFrame(docs: DataFrame, idCol: String,
+                                 textCol: String, shingleN: Int, bands: Int,
+                                 rowsPerBand: Int, minJaccard: Double,
+                                 cache: Boolean): (DataFrame, Seq[DataFrame]) = {
+    def pin(df: DataFrame): DataFrame = if (cache) df.persist() else df
     // one shingle explode feeds both the LSH and the verify stages
-    val sh = shingled(docs, idCol, textCol, shingleN).persist()
-    val candidates = lshPairsFromSignatures(
-      signaturesFromShingles(sh, idCol, bands * rowsPerBand).persist(),
-      idCol, bands, rowsPerBand)
-    val exact = jaccardFromShingles(sh, idCol, minJaccard)
-    exact.join(candidates, Seq("id_a", "id_b"), "left_semi")
+    val sh = pin(shingled(docs, idCol, textCol, shingleN))
+    val sig = pin(signaturesFromShingles(sh, idCol, bands * rowsPerBand))
+    val candidates = pin(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand))
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    // restrict the index to candidate docs BEFORE any per-doc collapse:
+    // the aggregation below only ever sees candidate documents
+    val sets = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("shingles"))
+    val verified = candidates
+      .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        Rounding.pround(col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "jaccard")
+    (verified, if (cache) Seq(sh, sig, candidates) else Seq.empty)
   }
 
   /** Banded (band, sig) rows from a signature table — shared by the
@@ -212,19 +275,40 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash per document: tokens vote on each bit of their
-    * xxhash64; a bit is set when strictly more than half the tokens have
-    * it set. Instead of 64 separate sums, the per-bit ones-counts are
-    * packed 4-per-long into 16 lane-packed sum aggregates (16-bit lanes,
-    * safe for documents up to 65 535 tokens): 4× smaller aggregation
-    * state on the shuffle and far less generated code, with no branches
-    * in the per-row path. bit j = (2·ones_j > n_tokens) ≡ the ±1-vote
-    * sign.
+  /** Maximum tokens per document for [[simHash]]'s lane-packed votes.
+    * Two bounds stack: the 16-bit lanes carry into the neighbor at
+    * 65536 ones, and under ANSI arithmetic the packed SUM (lane 3
+    * shifted by 48) must stay below 2^63 — which caps the count at
+    * 32767 (32767·2^48 + lower lanes < 2^63). The tighter bound wins
+    * and is enforced with a per-row error rather than silent
+    * corruption; web crawls do contain longer documents — chunk or
+    * truncate them upstream before fingerprinting. (Beyond the guard,
+    * ANSI mode itself raises on the sum overflow, so no input can
+    * corrupt silently.)
+    */
+  val SimHashMaxTokens = 32767
+
+  /** 64-bit SimHash per document: tokens vote on each bit of a 64-bit
+    * hash derived from md5 (the first 16 hex chars, parsed as two 32-bit
+    * halves — exactly reproducible in any engine with md5, which is what
+    * lets the DuckDB oracle hash-match the pairs; swap in xxhash64 for a
+    * pure-throughput variant). A bit is set when strictly more than half
+    * the tokens have it set. Instead of 64 separate sums, the per-bit
+    * ones-counts are packed 4-per-long into 16 lane-packed sum
+    * aggregates (16-bit lanes, guarded at [[SimHashMaxTokens]] tokens
+    * per document): 4× smaller aggregation state on the
+    * shuffle and far less generated code, with no branches in the
+    * per-row path. bit j = (2·ones_j > n_tokens) ≡ the ±1-vote sign.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("hex", md5(col("tok")))
+      // bits 32-63 = first 8 hex chars, bits 0-31 = next 8 — the same
+      // big-endian slicing the oracle SQL reconstructs nibble-by-nibble
+      .withColumn("h",
+        shiftleft(conv(substring(col("hex"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("hex"), 9, 8), 16, 10).cast("long")))
     // packed_k lane l (16 bits) accumulates ones-count of bit j = 4k+l
     val packedSums = (0 until 16).map { k =>
       val lanes = (0 until 4).map { l =>
@@ -240,7 +324,12 @@ object Dedup {
         .bitwiseAND(0xFFFFL)
       when(ones * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    summed.select(col(idCol), hash.as("simhash"))
+    val guarded = when(col("n") > SimHashMaxTokens,
+      raise_error(lit(s"simHash: document exceeds $SimHashMaxTokens tokens " +
+        "— packed vote lanes would overflow; chunk or truncate upstream"))
+        .cast("long"))
+      .otherwise(hash)
+    summed.select(col(idCol), guarded.as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
@@ -259,11 +348,13 @@ object Dedup {
       col("simhash").as("sh_a"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("key"),
       col("simhash").as("sh_b"))
-    x.join(y, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    scoped(Seq(sh))(
+      x.join(y, Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
   }
 }

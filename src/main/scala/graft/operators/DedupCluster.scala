@@ -14,16 +14,22 @@ import org.apache.spark.sql.functions._
   * graph diameter — for near-dup graphs that is tiny (dup clusters are
   * cliques or short chains), so the default cap of 10 shuffle rounds
   * covers any realistic corpus; the loop exits early at fixpoint via a
-  * cheap count of changed labels.
+  * cheap count of changed labels. Every `checkpointEvery` rounds the
+  * label frame is localCheckpoint'ed so lineage stays bounded on
+  * chain-shaped graphs (the iterative-algorithm hazard at scale), and
+  * hitting the round budget without convergence raises — silent
+  * mislabeling is worse than a loud retry with a higher cap.
   */
 object DedupCluster {
 
   /** @param pairs columns (id_a, id_b) — undirected near-dup edges
-    * @return (doc_id, cluster_id) for every doc in `docs`; singleton
-    *         docs are their own cluster
+    * @return (labels, converged): (doc_id, cluster_id) for every doc in
+    *         `docs` (singletons are their own cluster), and whether a
+    *         fixpoint was reached within `maxRounds`
     */
-  def components(docs: DataFrame, idCol: String, pairs: DataFrame,
-                 maxRounds: Int = 10): DataFrame = {
+  def componentsWithStatus(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           maxRounds: Int = 10,
+                           checkpointEvery: Int = 3): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
@@ -37,20 +43,44 @@ object DedupCluster {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("cluster_id").as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"),
             coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"),
-        Seq("id")).filter(col("cluster_id") =!= col("prev")).count()
+      // bound the lineage: a plain persist still drags the full
+      // round-by-round plan behind it; the periodic checkpoint cuts it
+      val next =
+        if ((round + 1) % checkpointEvery == 0) step.localCheckpoint(false)
+        else step
+      val materialized = next.persist()
+      val changed = materialized
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
       labels.unpersist(blocking = false)
-      labels = next
+      labels = materialized
       converged = changed == 0
       round += 1
     }
     edges.unpersist(blocking = false)
+    (labels, converged)
+  }
+
+  /** As [[componentsWithStatus]], but failing loudly when the round
+    * budget is exhausted before fixpoint — labels would be silently
+    * wrong for any component with diameter > maxRounds.
+    */
+  def components(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 maxRounds: Int = 10): DataFrame = {
+    val (labels, converged) =
+      componentsWithStatus(docs, idCol, pairs, maxRounds)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"DedupCluster.components: no fixpoint after $maxRounds rounds — " +
+          "a component has diameter > maxRounds; raise maxRounds " +
+          "(label propagation needs one round per hop)")
+    }
     labels
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, DedupCluster, Similarity}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -13,8 +13,10 @@ import graft.operators.{Dedup, Similarity}
   * same constants (marker word lists, shingle size, band layout) as the
   * Spark code so the two can never drift apart.
   *
-  * simhash_pairs has no oracle entry (xxhash64 is Spark-specific) — the
-  * driver records a rows-only check for it, per the contract.
+  * Every entry here is oracle-checked — including SimHash, whose
+  * md5-derived 64-bit fingerprint the oracle reconstructs nibble by
+  * nibble, and dedup clustering, whose connected components the oracle
+  * computes with a recursive CTE.
   */
 object Extensions {
 
@@ -145,10 +147,34 @@ object Extensions {
       Dedup.minHashVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, Bands, RowsPerBand, 0.5).orderBy("id_a", "id_b")),
 
-    // rows-only check: xxhash64 has no DuckDB equivalent.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
+
+    // Incremental LSH against a stored corpus index: docs with
+    // doc_id % 4 == 0 arrive as the "new" batch; signatures are
+    // checkpointed (they model the persisted per-document index read
+    // back at ingest time), and only new×all band joins run.
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"),
+        "doc_id", "text", ShingleN, Bands * RowsPerBand)
+        .localCheckpoint(true)
+      Dedup.minHashLshPairsIncremental(
+        sigs.filter(col("doc_id") % 4 =!= 0),
+        sigs.filter(col("doc_id") % 4 === 0),
+        "doc_id", Bands, RowsPerBand)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Pair detection → duplicate clusters → one canonical doc (min id)
+    // per cluster with its member count; singletons stay their own
+    // cluster, so this is the full "deduplicated corpus" manifest.
+    "dedup_cluster_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      DedupCluster.canonicalize(d, "doc_id", pairs).orderBy("doc_id")
+    }),
 
     // Cross-modal join: text-quality features next to embedding-norm
     // features for the same document id.
@@ -283,6 +309,28 @@ object Extensions {
       .mkString(" || ")
     s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
   }.mkString("\n  UNION ALL ")
+
+  // --- SimHash oracle: reconstruct the md5-derived 64-bit fingerprint
+  // nibble by nibble (strpos on the hex alphabet = parse-one-nibble),
+  // as two non-negative 32-bit halves so no engine ever shifts into the
+  // sign bit. Kept in lockstep with Dedup.simHash.
+
+  private val simNibbles = (1 to 16).map(p =>
+    s"strpos('0123456789abcdef', substr(hx, $p, 1)) - 1 AS nib$p")
+    .mkString(",\n    ")
+
+  /** ones-count of fingerprint bit j: hex char 16 - j/4 (big-endian),
+    * bit j%4 of that nibble.
+    */
+  private def simOnes(j: Int): String =
+    s"sum((nib${16 - j / 4} >> ${j % 4}) & 1)"
+
+  private val simVotes = (0 until 64).map(j => s"${simOnes(j)} AS o$j")
+    .mkString(",\n    ")
+
+  private def simHalf(base: Int): String = (base until base + 32).map(j =>
+    s"(CASE WHEN 2 * o$j > n THEN (1::BIGINT << ${j - base}) ELSE 0 END)")
+    .mkString(" + ")
 
   private def dqCol(c: String) =
     s"""SELECT '$c' AS column_name, count(*) AS n_rows,
@@ -427,6 +475,63 @@ object Extensions {
          |         row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |nib AS (SELECT doc_id,
+         |    $simNibbles
+         |  FROM (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks)),
+         |votes AS (SELECT doc_id, count(*) AS n,
+         |    $simVotes
+         |  FROM nib GROUP BY doc_id),
+         |fp AS (SELECT doc_id,
+         |    ${simHalf(0)} AS lo,
+         |    ${simHalf(32)} AS hi
+         |  FROM votes),
+         |banded AS (
+         |  SELECT doc_id, 0 AS band, lo & 65535 AS key, lo, hi FROM fp
+         |  UNION ALL SELECT doc_id, 1 AS band, (lo >> 16) & 65535 AS key, lo, hi FROM fp
+         |  UNION ALL SELECT doc_id, 2 AS band, hi & 65535 AS key, lo, hi FROM fp
+         |  UNION ALL SELECT doc_id, 3 AS band, (hi >> 16) & 65535 AS key, lo, hi FROM fp),
+         |pairs AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_incremental" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows)
+         |SELECT DISTINCT least(x.doc_id, y.doc_id) AS id_a,
+         |       greatest(x.doc_id, y.doc_id) AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig
+         | AND x.doc_id != y.doc_id AND y.doc_id % 4 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster_canonical" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id AS doc_id, count(*) AS n_members
+         |FROM cc GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -24,6 +24,24 @@ class DedupClusterSpec extends SparkSpec {
     assert(canon == Map(1L -> 2L, 3L -> 2L, 5L -> 1L))
   }
 
+  test("round budget exhausted before fixpoint raises instead of mislabeling") {
+    // a 12-hop chain needs 11 propagation rounds; cap at 3
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupCluster.components(docs, "doc_id", pairs, maxRounds = 3)
+    }
+    val (partial, converged) =
+      DedupCluster.componentsWithStatus(docs, "doc_id", pairs, maxRounds = 3)
+    assert(!converged)
+    partial.unpersist()
+    // with enough rounds (checkpointing kicks in every 3) it converges
+    val (full, ok) =
+      DedupCluster.componentsWithStatus(docs, "doc_id", pairs, maxRounds = 15)
+    assert(ok)
+    assert(full.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+  }
+
   test("end-to-end: LSH pairs on the fixture corpus cluster and dedup it") {
     val d = Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minHashLshPairs(d, "doc_id", "text", 5, 4, 3)

@@ -49,7 +49,35 @@ class DedupSpec extends SparkSpec {
     assert(sh.toSet.size == 1)
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 3)
     assert(pairs.filter($"id_a" === 1 && $"id_b" === 2)
-      .select("hamming").as[Int].head() == 0)
+      .select("hamming").as[Long].head() == 0L)
+  }
+
+  test("simhash guards the packed vote lanes against over-long docs") {
+    def allMessages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    // identical-token doc: the packed sum overflows a signed long first,
+    // so ANSI arithmetic raises — loud, not silent corruption
+    val big = Seq((1L, Seq.fill(65536)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val overflow = intercept[Exception] {
+      Dedup.simHash(big, "doc_id", "text").collect()
+    }
+    assert(allMessages(overflow).contains("ARITHMETIC_OVERFLOW"))
+    // token with no lane-3 bits (mask 0x8888...): the sum stays in
+    // range, so it is the explicit guard that must fire
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tok = Iterator.from(0).map(i => s"t$i").find { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xFFL))
+      (h & 0x8888888888888888L) == 0L
+    }.get
+    val guarded = Seq((1L, Seq.fill(Dedup.SimHashMaxTokens + 1)(tok).mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.simHash(guarded, "doc_id", "text").collect()
+    }
+    assert(allMessages(e).contains(s"${Dedup.SimHashMaxTokens} tokens"))
   }
 
   test("candidate->verify: LSH-confirmed jaccard pairs are exactly the true near-dups found by LSH") {

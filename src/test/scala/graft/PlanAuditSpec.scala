@@ -45,4 +45,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
   }
+
+  test("minhash verify is candidate-bounded: no shingle self-join, " +
+    "candidate restriction below the per-doc aggregation") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Tables.load(spark, sf, "documents")
+    val lazyFrame = graft.operators.Dedup.minHashVerifiedPairsPlan(
+      docs, "doc_id", "text", 5, 4, 3, 0.5)
+    val optimized = lazyFrame.queryExecution.optimizedPlan
+    // 1) the verify path never self-joins the shingle index — the only
+    //    equi-joins are LSH band/sig and the candidate-pair id joins
+    val shingleJoins = optimized.collect {
+      case j: Join if j.condition.exists(
+        _.references.exists(_.name.startsWith("shingle"))) => j
+    }
+    assert(shingleJoins.isEmpty,
+      s"verify path re-grew a shingle self-join:\n${optimized.treeString.take(3000)}")
+    // 2) the per-doc shingle-set aggregation only sees candidate docs:
+    //    a LeftSemi restriction sits BELOW the collect_set Aggregate
+    val setAggs = optimized.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .exists(_.toString.contains("collect_set")) => a
+    }
+    assert(setAggs.nonEmpty, "collect_set aggregation missing from plan")
+    assert(setAggs.forall(a => a.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty),
+      "candidate LeftSemi restriction is not below the pair aggregation:\n" +
+        optimized.treeString.take(3000))
+    // 3) and no pair-level (two-id-column) aggregation exists at all —
+    //    the exact intersection is computed per candidate pair directly
+    assert(optimized.toString.contains("array_intersect"),
+      "exact verify should use per-pair array_intersect")
+  }
 }
