@@ -22,6 +22,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

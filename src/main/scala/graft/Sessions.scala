@@ -12,9 +12,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  def local(cores: Int, appName: String = "graft"): SparkSession =
-    tuned(SparkSession.builder().master(s"local[$cores]").appName(appName),
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = tuned(SparkSession.builder().master(s"local[$cores]").appName(appName),
       shufflePartitions = cores).getOrCreate()
+    // Reliable checkpoint target (operators materializing small results —
+    // Dedup/DedupCluster — checkpoint here so they survive executor loss
+    // and stay out of the CacheManager). On a cluster, point this at
+    // durable shared storage (HDFS/S3) instead of a local tmp dir.
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    s
+  }
 
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)

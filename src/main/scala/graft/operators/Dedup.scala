@@ -27,14 +27,46 @@ object Dedup {
 
   /** Eagerly materialize `result` (a SMALL pair/signature set — orders
     * of magnitude below the corpus), then release the big pinned
-    * intermediates. The returned frame is backed by the checkpointed
-    * blocks, so downstream consumers never re-trigger the heavy DAG.
+    * intermediates. When the session has a checkpoint dir configured
+    * (graft.Sessions sets one; production points it at reliable
+    * HDFS/S3), this is a RELIABLE checkpoint: the result survives
+    * executor loss (dynamic allocation, spot kills), the failure mode
+    * localCheckpoint could not recover from at 1000 executors. Without a
+    * checkpoint dir it degrades to localCheckpoint — acceptable only in
+    * single-JVM local runs, where losing an executor is losing the app.
+    * Either way the returned frame's plan is DETACHED from the original
+    * query tree, so the CacheManager can never substitute it into a
+    * later structurally-equal dedup query — each query's cost stays its
+    * own (no cross-query cache borrowing, honest benchmarks, stable
+    * plan audits).
+    *
+    * Operators that take `materialize = false` skip all of this and
+    * return the raw lazy plan: full Catalyst visibility (filter/
+    * projection pushdown into the operator), no pinned blocks; identical
+    * exchange subtrees (e.g. both sides of the shingle self-join) are
+    * still computed once per action via ReuseExchange.
     */
   private def scoped(caches: Seq[DataFrame])(result: DataFrame): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
+    val out = materializeDetached(result)
     caches.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Shared by the dedup tier: eager, plan-detached materialization.
+    * The reliable path persists first so the checkpoint WRITE streams
+    * from the cached blocks — without the persist, RDD checkpointing
+    * re-runs the whole DAG a second time to write it (the classic 2×
+    * compute trap). The transient cache entry is dropped immediately,
+    * so nothing stays in the CacheManager.
+    */
+  private[operators] def materializeDetached(result: DataFrame): DataFrame =
+    if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = result.persist()
+      cached.count()
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
+    } else result.localCheckpoint(eager = true)
 
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id (deterministic), with the copy count. One map-side-
@@ -74,12 +106,16 @@ object Dedup {
     * fan-out is bounded by shingle frequency (rare for word 5-grams).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, minJaccard: Double): DataFrame = {
-    // the shingle set feeds three consumers (both join sides + sizes);
-    // persist so the explode+hash stage runs once, not three times
-    val sh = shingled(docs, idCol, textCol, n).persist()
-    scoped(Seq(sh))(jaccardFromShingles(sh, idCol, minJaccard))
-  }
+                        n: Int, minJaccard: Double,
+                        materialize: Boolean = true): DataFrame =
+    if (!materialize)
+      jaccardFromShingles(shingled(docs, idCol, textCol, n), idCol, minJaccard)
+    else {
+      // the shingle set feeds three consumers (both join sides + sizes);
+      // persist so the explode+hash stage runs once, not three times
+      val sh = shingled(docs, idCol, textCol, n).persist()
+      scoped(Seq(sh))(jaccardFromShingles(sh, idCol, minJaccard))
+    }
 
   private def jaccardFromShingles(sh: DataFrame, idCol: String,
                                   minJaccard: Double): DataFrame = {
@@ -108,8 +144,10 @@ object Dedup {
     */
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, k: Int,
-                  queryPredicate: Column): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n).persist()
+                  queryPredicate: Column,
+                  materialize: Boolean = true): DataFrame = {
+    val sh0 = shingled(docs, idCol, textCol, n)
+    val sh = if (materialize) sh0.persist() else sh0
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val q = sh.filter(queryPredicate)
       .select(col(idCol).as("query_id"), col("shingle"))
@@ -126,10 +164,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("jaccard").desc, col("cand_id"))
-    scoped(Seq(sh))(
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select("query_id", "cand_id", "jaccard", "rank"))
+    val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "jaccard", "rank")
+    if (materialize) scoped(Seq(sh))(ranked) else ranked
   }
 
   /** MinHash signatures: numHashes independent min-hashes per document.
@@ -164,11 +202,16 @@ object Dedup {
     * one shuffle, never compared all-pairs.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+                      shingleN: Int, bands: Int, rowsPerBand: Int,
+                      materialize: Boolean = true): DataFrame = {
     // signatures are read once per band and join side — persist them
-    val sig = minHashSignatures(docs, idCol, textCol, shingleN,
-      bands * rowsPerBand).persist()
-    scoped(Seq(sig))(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand))
+    val sig0 = minHashSignatures(docs, idCol, textCol, shingleN,
+      bands * rowsPerBand)
+    if (!materialize) lshPairsFromSignatures(sig0, idCol, bands, rowsPerBand)
+    else {
+      val sig = sig0.persist()
+      scoped(Seq(sig))(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand))
+    }
   }
 
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
@@ -195,10 +238,11 @@ object Dedup {
     */
   def minHashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, bands: Int, rowsPerBand: Int,
-                           minJaccard: Double): DataFrame = {
+                           minJaccard: Double,
+                           materialize: Boolean = true): DataFrame = {
     val (verified, caches) = verifiedPairsFrame(docs, idCol, textCol,
-      shingleN, bands, rowsPerBand, minJaccard, cache = true)
-    scoped(caches)(verified)
+      shingleN, bands, rowsPerBand, minJaccard, cache = materialize)
+    if (materialize) scoped(caches)(verified) else verified
   }
 
   /** The lazy (un-checkpointed, un-cached) form of
@@ -337,8 +381,10 @@ object Dedup {
     * least one band), join per band, verify with bit_count(xor).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    val sh = simHash(docs, idCol, textCol).persist()
+                   maxHamming: Int,
+                   materialize: Boolean = true): DataFrame = {
+    val sh0 = simHash(docs, idCol, textCol)
+    val sh = if (materialize) sh0.persist() else sh0
     val banded = (0 until 4).map(b =>
       sh.select(col(idCol), lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * 16)
@@ -348,13 +394,13 @@ object Dedup {
       col("simhash").as("sh_a"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("key"),
       col("simhash").as("sh_b"))
-    scoped(Seq(sh))(
-      x.join(y, Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
-            .as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming))
+    val pairs = x.join(y, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    if (materialize) scoped(Seq(sh))(pairs) else pairs
   }
 }

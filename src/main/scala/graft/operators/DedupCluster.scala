@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
 object DedupCluster {
 
   /** @param pairs columns (id_a, id_b) — undirected near-dup edges
+    * @param maxRounds round budget; convergence needs component
+    *        diameter + 1 rounds (one per hop plus a final zero-change
+    *        round that proves the fixpoint), so size it at least one
+    *        above the largest expected diameter
     * @return (labels, converged): (doc_id, cluster_id) for every doc in
     *         `docs` (singletons are their own cluster), and whether a
-    *         fixpoint was reached within `maxRounds`
+    *         fixpoint was reached within `maxRounds`. The labels frame
+    *         is persisted; callers own its unpersist once consumed.
     */
   def componentsWithStatus(docs: DataFrame, idCol: String, pairs: DataFrame,
                            maxRounds: Int = 10,
@@ -49,11 +54,13 @@ object DedupCluster {
             coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
       // bound the lineage: a plain persist still drags the full
-      // round-by-round plan behind it; the periodic checkpoint cuts it
-      val next =
+      // round-by-round plan behind it; the periodic checkpoint cuts it.
+      // Checkpoint rounds skip persist(): localCheckpoint already pins
+      // the blocks in executor storage, and persisting on top would
+      // register a second full copy with the CacheManager.
+      val materialized =
         if ((round + 1) % checkpointEvery == 0) step.localCheckpoint(false)
-        else step
-      val materialized = next.persist()
+        else step.persist()
       val changed = materialized
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .filter(col("cluster_id") =!= col("prev")).count()
@@ -78,16 +85,28 @@ object DedupCluster {
       labels.unpersist(blocking = false)
       throw new IllegalStateException(
         s"DedupCluster.components: no fixpoint after $maxRounds rounds — " +
-          "a component has diameter > maxRounds; raise maxRounds " +
-          "(label propagation needs one round per hop)")
+          "a component has diameter >= maxRounds; raise maxRounds " +
+          "(label propagation needs diameter + 1 rounds: one per hop " +
+          "plus a final zero-change round to detect the fixpoint)")
     }
     labels
   }
 
-  /** One row per cluster: the canonical doc (min id) + member count. */
-  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    components(docs, idCol, pairs)
+  /** One row per cluster: the canonical doc (min id) + member count.
+    * The per-doc labels frame is released here once the (tiny) aggregate
+    * is materialized — reliable checkpoint when the session has a
+    * checkpoint dir, localCheckpoint fallback for single-JVM runs — so
+    * no cache entry outlives the call and the returned plan can never be
+    * CacheManager-substituted into a later query.
+    */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = components(docs, idCol, pairs)
+    val agg = labels
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))
       .withColumnRenamed("cluster_id", idCol)
+    val out = Dedup.materializeDetached(agg)
+    labels.unpersist(blocking = false)
+    out
+  }
 }

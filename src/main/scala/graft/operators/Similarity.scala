@@ -114,22 +114,35 @@ object Similarity {
     val centDf = spark.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
       .toDF("cell", "centroid")
-    def cellsFor(df: DataFrame, id: String, vec: String, probes: Int) = {
-      import org.apache.spark.sql.expressions.Window
-      val scored = df.crossJoin(broadcast(centDf))
+    def withCellDist(df: DataFrame, vec: String) =
+      df.crossJoin(broadcast(centDf))
         .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
           aggregate(transform(col("centroid"), x => x.cast("double") * x.cast("double")),
             lit(0.0), (a, v) => a + v))
-      val w = Window.partitionBy(id).orderBy(col("cdist"), col("cell"))
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= probes)
-        .drop("r", "cdist", "centroid")
+        .drop("centroid")
+    // Corpus side (the big one): nearest cell via min_by aggregation, NOT
+    // a row_number window — the agg gets map-side partial aggregation
+    // over the corpus×nlist candidate rows, so nothing corpus×nlist-sized
+    // is ever sorted or shuffled; the shuffle carries one pre-reduced row
+    // per (partition, doc). struct(cdist, cell) orders lexicographically
+    // = (distance, cell) with the same tie-break the window used.
+    val corpusCells = withCellDist(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
+      .groupBy(col("cand_id"))
+      .agg(min_by(struct(col("cell"), col("cv")),
+        struct(col("cdist"), col("cell"))).as("best"))
+      .select(col("cand_id"), col("best.cell").as("cell"),
+        col("best.cv").as("cv"))
+    // Query side stays a window: it must keep nprobe > 1 rows per query,
+    // and the query set is tiny and broadcast anyway.
+    val queryCells = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+      withCellDist(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
+        .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+        .drop("r", "cdist")
     }
-    val corpusCells = cellsFor(
-      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
-      "cand_id", "cv", 1)
-    val queryCells = cellsFor(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", nprobe)
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))

@@ -24,14 +24,81 @@ object Retention {
     val df = spark.read.parquet(path).drop("month")
     val kept = Relational.applyRetention(df, tsCol,
       lit(anchor.toString).cast("timestamp"), months)
-    val tmp = path + "__retained"
+    val tmp = path + TmpSuffix
+    // Drop any partial tmp left by a run that crashed mid-write, so the
+    // append below never mixes generations.
+    fsOf(spark, tmp).delete(hPath(tmp), true)
     IO.writeFact(kept, tmp, tsCol, keyCol, overwritePartitions = false)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    swapInto(spark, tmp, path)
     spark.read.parquet(path)
+  }
+
+  private val TmpSuffix = "__retained"
+  private val BackupSuffix = "__backup"
+
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** FileSystem that OWNS the path (s3a://, hdfs://, file:// each resolve
+    * to their own FS) — `FileSystem.get(conf)` would resolve the default
+    * FS and silently operate on the wrong store for any non-default URI.
+    */
+  private def fsOf(spark: SparkSession, p: String) =
+    hPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Crash-safe directory swap: promote `tmpDir` (a complete, fully
+    * written copy) to `liveDir` such that at EVERY instant at least one
+    * complete copy exists on disk:
+    *
+    *   (1) rename live → backup   (live gone, backup + tmp complete)
+    *   (2) rename tmp  → live     (live complete again)
+    *   (3) delete backup
+    *
+    * The old delete-then-rename order had a window after the delete where
+    * zero copies existed. A crash inside this sequence is healed by
+    * [[recover]]; callers that read `liveDir` first should recover() if
+    * the read fails.
+    */
+  def swapInto(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
+    val fs = fsOf(spark, liveDir)
+    val live = hPath(liveDir)
+    val tmp = hPath(tmpDir)
+    val backup = hPath(liveDir + BackupSuffix)
+    // A backup can only pre-exist if a prior run crashed after step (2);
+    // live was complete then, so the stale backup is safe to drop.
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(live))
+      require(fs.rename(live, backup), s"rename $live -> $backup failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    fs.delete(backup, true)
+  }
+
+  /** Heal a table directory after a crash inside [[swapInto]] (or during
+    * the tmp write). Returns true if a repair was performed.
+    *
+    *   - live present: consistent; drop stale backup/tmp if any.
+    *   - live missing, tmp present: crash between (1) and (2) — tmp was
+    *     fully written before the swap started, so promote it and drop
+    *     the backup: the retention rewrite completes.
+    *   - live missing, only backup: promote the backup — the rewrite
+    *     rolls back; re-run retention.
+    */
+  def recover(spark: SparkSession, liveDir: String): Boolean = {
+    val fs = fsOf(spark, liveDir)
+    val live = hPath(liveDir)
+    val tmp = hPath(liveDir + TmpSuffix)
+    val backup = hPath(liveDir + BackupSuffix)
+    if (fs.exists(live)) {
+      val hadStale = fs.exists(backup) || fs.exists(tmp)
+      fs.delete(backup, true); fs.delete(tmp, true)
+      hadStale
+    } else if (fs.exists(tmp)) {
+      require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+      fs.delete(backup, true)
+      true
+    } else if (fs.exists(backup)) {
+      require(fs.rename(backup, live), s"rename $backup -> $live failed")
+      true
+    } else false
   }
 
   /** JDBC form: the reference's literal behavior — a driver-side DELETE

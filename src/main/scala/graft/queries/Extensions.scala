@@ -151,17 +151,23 @@ object Extensions {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
-    // Incremental LSH against a stored corpus index: docs with
-    // doc_id % 4 == 0 arrive as the "new" batch; signatures are
-    // checkpointed (they model the persisted per-document index read
-    // back at ingest time), and only new×all band joins run.
+    // Incremental LSH against a STORED corpus index: docs with
+    // doc_id % 4 == 0 arrive as the "new" batch. The existing corpus'
+    // signatures are computed once "at ingest", persisted as a bucketed
+    // table (graft.sources.IO.writeBucketedTable — the physical index),
+    // and read back for the join — the plan never re-shingles the
+    // existing corpus, only the new batch (PlanAuditSpec pins this).
+    // Per batch: |new| signature computations + a new×all band join.
     "dedup_minhash_incremental" -> ((s, dir) => {
-      val sigs = Dedup.minHashSignatures(t(s, dir, "documents"),
+      val d = t(s, dir, "documents")
+      graft.sources.IO.writeBucketedTable(
+        Dedup.minHashSignatures(d.filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", ShingleN, Bands * RowsPerBand),
+        "graft_sig_index", "doc_id", buckets = 8)
+      val existing = s.table("graft_sig_index")
+      val newSigs = Dedup.minHashSignatures(d.filter(col("doc_id") % 4 === 0),
         "doc_id", "text", ShingleN, Bands * RowsPerBand)
-        .localCheckpoint(true)
-      Dedup.minHashLshPairsIncremental(
-        sigs.filter(col("doc_id") % 4 =!= 0),
-        sigs.filter(col("doc_id") % 4 === 0),
+      Dedup.minHashLshPairsIncremental(existing, newSigs,
         "doc_id", Bands, RowsPerBand)
         .orderBy("id_a", "id_b")
     }),

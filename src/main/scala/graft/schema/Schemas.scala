@@ -105,6 +105,19 @@ object Schemas {
   def isValidUuid(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.rlike("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
 
+  /** Ingest gate over UUID-typed string columns: a malformed non-null
+    * value raises per-row (ANSI-style loud rejection) instead of landing
+    * corrupt; NULLs pass through so the §1.4 default repair can fill
+    * [[ZeroUuid]]. Pure codegen'd expression — no UDF, no extra scan.
+    */
+  def rejectInvalidUuids(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull || isValidUuid(col(c)), col(c))
+          .otherwise(raise_error(concat(
+            lit(s"invalid UUID in column '$c': "), col(c))).cast("string")))
+    }
+
   /** Verify an ingested frame's schema against the pinned entity schema
     * (SURVEY.md §1.6: inferred == declared at ingest). Name order and
     * types must match; nullability may tighten (source nullable →

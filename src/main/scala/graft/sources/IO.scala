@@ -31,6 +31,29 @@ object IO {
       .jdbc(url, table, partitionColumn, lowerBound, upperBound,
         numPartitions, props)
 
+  /** Database write sink — the reference's actual landing step: an
+    * INSERT into ClickHouse (hook:114-132 executes the INSERT-SELECT of
+    * v2/sql/f_superset_logs_upload_data.sql:1), i.e. S5 with a database
+    * on the receiving end. Each Spark partition opens one connection and
+    * inserts its rows in `batchsize`-row batches, so write parallelism =
+    * upstream partitioning: repartition by the shard key first and the
+    * write reproduces the Distributed(..., id) routing (S6) against N
+    * database shards/connections. `numPartitions` caps concurrent
+    * connections so a 1000-executor job can't open 1000 sockets against
+    * one database.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties,
+                mode: SaveMode = SaveMode.Append,
+                batchSize: Int = 10000,
+                numPartitions: Option[Int] = None): Unit = {
+    val capped = numPartitions.fold(df)(n => df.coalesce(n))
+    capped.write
+      .mode(mode)
+      .option("batchsize", batchSize.toLong)
+      .jdbc(url, table, props)
+  }
+
   // --- S7: CSV bulk load (reference dialect) --------------------------
 
   /** The hook's clickhouse-client CSV contract (hook:92-112): header row,
@@ -77,23 +100,25 @@ object IO {
     * mode=dynamic overwrite (M1) rewrites exactly the months present in
     * `df` — the REPLACE PARTITION analogue (v1/dag:96-102); append (S5)
     * for pure inserts.
+    *
+    * The overwrite mode is a PER-WRITE DataFrameWriter option, never a
+    * session conf: Dag.runV2 runs table loads concurrently on the shared
+    * session (the reference's 3-parallel-table fan-out, v2/dag:156-168),
+    * and a session-global toggle could race a concurrent Overwrite into
+    * *static* mode — which deletes every partition, not just the months
+    * present. Per-write scoping makes concurrent loads safe by
+    * construction; DagAndApiSpec pins it with overlapping runV2 loads.
     */
   def writeFact(df: DataFrame, path: String, tsCol: String, shardKey: String,
-                overwritePartitions: Boolean): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      df.withColumn("month", date_trunc("month", col(tsCol)))
-        .repartition(col("month"), col(shardKey))
-        .sortWithinPartitions(col(shardKey))
-        .write
-        .partitionBy("month")
-        .mode(if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append)
-        .parquet(path)
-    } finally prev.foreach(
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
-  }
+                overwritePartitions: Boolean): Unit =
+    df.withColumn("month", date_trunc("month", col(tsCol)))
+      .repartition(col("month"), col(shardKey))
+      .sortWithinPartitions(col(shardKey))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("month")
+      .mode(if (overwritePartitions) SaveMode.Overwrite else SaveMode.Append)
+      .parquet(path)
 
   /** S3: list live month partitions of a fact table — the system.parts
     * metadata scan (v1/dag:88-94) becomes a partition-column distinct,

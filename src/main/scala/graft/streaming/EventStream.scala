@@ -50,18 +50,48 @@ object EventStream {
         sum(col("value")).as("sum_value"))
 
   /** Streaming sink reusing the batch fact-write (foreachBatch = the
-    * INSERT-SELECT of the reference, per micro-batch, idempotent by
-    * dynamic partition overwrite at month granularity).
+    * INSERT-SELECT of the reference, per micro-batch).
+    *
+    * foreachBatch is at-least-once: after a failure the engine re-executes
+    * the last micro-batch with the SAME batchId. The sink uses that id as
+    * an idempotence key — a commit marker (`_graft_commits/<batchId>`,
+    * underscore-prefixed so Spark's file index ignores it) is written
+    * after the data lands, and a replayed batch whose marker exists is
+    * skipped, so re-execution appends nothing. The one remaining window —
+    * a crash BETWEEN the data write and the marker — leaves that single
+    * batch duplicated, as with any non-transactional append sink; readers
+    * that must tolerate a crash inside that window dedup on event_id at
+    * read (Relational.dedupLatest, the A4 path).
     */
   def factSink(events: DataFrame, targetPath: String): DataStreamWriter[Row] =
     events.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && !isCommitted(batch.sparkSession, targetPath, batchId)) {
           graft.sources.IO.writeFact(batch, targetPath, "ts", "event_id",
             overwritePartitions = false)
+          markCommitted(batch.sparkSession, targetPath, batchId)
+        }
       }
+
+  private def commitMarker(targetPath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$targetPath/_graft_commits/$batchId")
+
+  private def hadoopFs(spark: SparkSession, targetPath: String) =
+    new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True if `batchId` already landed in `targetPath` (replay detection). */
+  def isCommitted(spark: SparkSession, targetPath: String, batchId: Long): Boolean =
+    hadoopFs(spark, targetPath).exists(commitMarker(targetPath, batchId))
+
+  private def markCommitted(spark: SparkSession, targetPath: String,
+                            batchId: Long): Unit = {
+    val fs = hadoopFs(spark, targetPath)
+    val out = fs.create(commitMarker(targetPath, batchId), true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
 
   /** Run a memory-sink query to completion (local smoke path). */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

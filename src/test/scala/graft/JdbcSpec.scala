@@ -46,4 +46,26 @@ class JdbcSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("USER_ID"),
       s"expected pushed filter in:\n$plan")
   }
+
+  test("JDBC write sink round-trips a fact-shaped frame (S5 → database)") {
+    // the reference's landing step is an INSERT into ClickHouse
+    // (hook:114-132); writeJdbc is that edge — per-partition batched
+    // inserts, connection count capped by numPartitions
+    val wurl = "jdbc:derby:memory:graftwrite;create=true"
+    val fact = Tables.load(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .filter($"event_id" <= 200)
+    graft.sources.IO.writeJdbc(fact, wurl, "events_sink", new Properties(),
+      mode = org.apache.spark.sql.SaveMode.Overwrite, batchSize = 500,
+      numPartitions = Some(2))
+    val back = spark.read.jdbc(wurl, "events_sink", new Properties())
+    assert(back.count() == fact.count())
+    assert(back.exceptAll(fact).count() == 0 &&
+      fact.exceptAll(back).count() == 0)
+    // idempotent reload: Overwrite replaces, never duplicates
+    graft.sources.IO.writeJdbc(fact, wurl, "events_sink", new Properties(),
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(spark.read.jdbc(wurl, "events_sink", new Properties()).count()
+      == fact.count())
+  }
 }

@@ -57,6 +57,65 @@ class PipelineSpec extends SparkSpec {
     assert(kept.count() < li.count())
   }
 
+  test("retention swap is crash-safe: every interruption point leaves a " +
+    "recoverable table") {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def seed(): String = {
+      val p = tempDir("ret_crash")
+      Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(p)
+      p
+    }
+    def writeTmp(p: String, suffix: String): Unit =
+      Seq((3, "c")).toDF("id", "v").write.parquet(p + suffix)
+
+    // crash BEFORE the swap (mid tmp-write): live intact, stale tmp —
+    // recover() keeps live, drops the partial tmp
+    val p1 = seed(); writeTmp(p1, "__retained")
+    assert(Retention.recover(spark, p1))
+    assert(spark.read.parquet(p1).count() == 2)
+    assert(!fs.exists(new Path(p1 + "__retained")))
+
+    // crash BETWEEN rename(live→backup) and rename(tmp→live): zero live
+    // dirs, but both a complete backup and a complete tmp — recover()
+    // promotes the tmp (the retention result) and drops the backup
+    val p2 = seed(); writeTmp(p2, "__retained")
+    assert(fs.rename(new Path(p2), new Path(p2 + "__backup")))
+    assert(Retention.recover(spark, p2))
+    assert(spark.read.parquet(p2).count() == 1) // the new generation
+    assert(!fs.exists(new Path(p2 + "__backup")))
+
+    // crash AFTER rename(tmp→live), before the backup delete: live is the
+    // new generation; recover() just drops the stale backup
+    val p3 = seed()
+    assert(fs.rename(new Path(p3), new Path(p3 + "__backup")))
+    writeTmp(p3, "") // plays the role of the promoted tmp
+    assert(Retention.recover(spark, p3))
+    assert(spark.read.parquet(p3).count() == 1)
+    assert(!fs.exists(new Path(p3 + "__backup")))
+
+    // no crash: recover() is a no-op
+    val p4 = seed()
+    assert(!Retention.recover(spark, p4))
+    assert(spark.read.parquet(p4).count() == 2)
+  }
+
+  test("retention rewrite survives a stale partial tmp from a prior crash") {
+    val path = tempDir("ret_stale")
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_shipdate", "ts")
+    graft.sources.IO.writeFact(li, path, "ts", "l_orderkey",
+      overwritePartitions = false)
+    // a previous run died mid-write and left junk in the tmp dir
+    Seq((99, "junk")).toDF("l_orderkey", "ts_junk")
+      .write.parquet(path + "__retained")
+    val kept = Retention.rewrite(spark, path, "ts", "l_orderkey", 30,
+      java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+    val expected = li.filter($"ts" >= lit("1995-12-01 00:00:00").cast("timestamp")).count()
+    assert(kept.count() == expected)
+  }
+
   test("dictionary refresh caches within TTL and reloads after") {
     var loads = 0
     var now = 0L

@@ -46,6 +46,51 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("incremental dedup reads the STORED signature index and only " +
+    "re-shingles the new batch") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // building the query also writes the bucketed index table
+    val frame = SparkEntry.queries("dedup_minhash_incremental")(spark, sf)
+    val optimized = frame.queryExecution.optimizedPlan
+    // the existing corpus arrives from the persisted index, not recompute
+    assert(optimized.treeString.contains("graft_sig_index"),
+      "stored signature index is not in the plan:\n" +
+        optimized.treeString.take(3000))
+    // every shingle explode (Generate) sits over the NEW batch only —
+    // the stored-corpus side is never re-shingled
+    val generates = optimized.collect { case g: Generate => g }
+    assert(generates.nonEmpty, "new batch must be shingled")
+    generates.foreach { g =>
+      assert(!g.treeString.contains("graft_sig_index"),
+        "existing corpus re-shingled:\n" + g.treeString.take(2000))
+      assert(g.treeString.contains("% 4) = 0"),
+        "a Generate runs over more than the new batch:\n" +
+          g.treeString.take(2000))
+    }
+  }
+
+  test("IVF corpus cell assignment is an aggregation (map-side partial), " +
+    "not a window sort over corpus×nlist") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val plan = graft.operators.Similarity.ivfTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2)
+      .queryExecution.optimizedPlan
+    val minByAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions
+        .exists(_.toString.contains("min_by")) => a
+    }
+    assert(minByAggs.nonEmpty, "corpus cell assignment lost its min_by " +
+      "aggregation:\n" + plan.treeString.take(3000))
+    // exactly two windows remain: the nprobe>1 query-side probe and the
+    // final top-k ranking — neither is corpus×nlist-sized
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.length <= 2,
+      s"corpus-sized window crept back (got ${windows.length}):\n" +
+        plan.treeString.take(3000))
+  }
+
   test("minhash verify is candidate-bounded: no shingle self-join, " +
     "candidate restriction below the per-doc aggregation") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi

@@ -54,6 +54,23 @@ class SamplingAndValidationSpec extends SparkSpec {
     assert(e.getMessage.contains("id"))
   }
 
+  test("UUID ingest gate passes canonical + null, raises on malformed (X5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = Seq(
+      Some("123e4567-e89b-12d3-a456-426614174000"),
+      Some(graft.schema.Schemas.ZeroUuid),
+      None).toDF("uuid")
+    val gated = graft.schema.Schemas.rejectInvalidUuids(good, Seq("uuid"))
+    assert(gated.count() == 3) // no throw; nulls flow to default repair
+    val bad = Seq("not-a-uuid").toDF("uuid")
+    val e = intercept[Exception] {
+      graft.schema.Schemas.rejectInvalidUuids(bad, Seq("uuid"))
+        .filter(col("uuid").isNotNull).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = tempDir("dup_events")
     val ev = Tables.load(spark, sf, "events").limit(100)

@@ -10,12 +10,21 @@ trait SparkSpec extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // Pin ANSI on (the Spark 4.x default) so overflow-guard expectations
+    // don't silently depend on the engine default changing per profile.
+    .config("spark.sql.ansi.enabled", "true")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  locally { spark.sparkContext.setLogLevel("WARN") }
+  locally {
+    spark.sparkContext.setLogLevel("WARN")
+    // reliable-checkpoint target for Dedup/DedupCluster materialization
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+  }
 
   val sf: String = "/root/testdata/sf0.001"
 
