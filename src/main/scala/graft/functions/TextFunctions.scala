@@ -118,4 +118,48 @@ object TextFunctions {
         i => array_join(slice(ws, i, lit(n)), " ")))
       .otherwise(array(array_join(ws, " ")))
   }
+
+  // --- PII scrubbing ----------------------------------------------------
+
+  /** Regexes restricted to the Java-regex ∩ RE2 common dialect so the
+    * DuckDB oracle applies the identical patterns. Replacement order
+    * matters (email before IP before phone) and is part of the contract.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+\\d[\\d -]{6,}\\d"
+
+  /** Training corpora must not memorize contact details: replace emails,
+    * IPv4 addresses, and international-format phone numbers with typed
+    * placeholder tags. Three codegen'd regexp_replace passes — one
+    * projection, no UDF, linear scan at any scale.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  // --- repetition scoring (Gopher-style quality filters) ----------------
+
+  /** Fraction of word occurrences that are repeats of an earlier word:
+    * 1 - distinct/total. High values flag boilerplate/keyword-stuffed
+    * documents that length and punctuation filters miss.
+    */
+  def dupWordRatio(c: Column): Column = {
+    val ws = tokens(c)
+    Rounding.pround(lit(1.0) -
+      size(array_distinct(ws)).cast("double") / size(ws).cast("double"), 4)
+  }
+
+  /** Same signal over word n-grams (n=2..4 in the Gopher repetition
+    * filter family): repeated phrases score high even when individual
+    * word frequencies look normal.
+    */
+  def dupNgramRatio(c: Column, n: Int): Column = {
+    val gs = wordShingles(c, n)
+    Rounding.pround(lit(1.0) -
+      size(array_distinct(gs)).cast("double") / size(gs).cast("double"), 4)
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Rounding, TextFunctions}
+
+/** Eval-set contamination detection for the training-data tier: find
+  * TRAINING documents that contain a meaningful fraction of an EVAL
+  * document's word n-grams — the decontamination pass every
+  * benchmark-clean corpus build runs before training (n-gram-overlap
+  * style, as published in the GPT-3/PaLM data cards).
+  *
+  * The metric is CONTAINMENT (shared shingles / eval-doc shingles), not
+  * Jaccard: a 100-word eval question buried in a 10k-word training page
+  * is contamination even though the pair's Jaccard is tiny.
+  *
+  * Scale shape: the same inverted-index discipline as the dedup tier —
+  * explode distinct shingles, equi-join on the shingle, aggregate per
+  * (eval, train) pair; cost is bounded by shingle co-occurrence, never
+  * |eval| × |corpus|. The eval side (benchmarks: thousands of docs, not
+  * billions) is broadcast, so the 100 TB corpus side streams map-side
+  * with no corpus shuffle at all.
+  */
+object Contamination {
+
+  /** @param evalPredicate marks the eval/benchmark rows inside `docs`
+    * @param minContainment report pairs with containment >= this
+    * @return (eval_id, train_id, n_common, containment)
+    */
+  def overlap(docs: DataFrame, idCol: String, textCol: String, n: Int,
+              evalPredicate: Column, minContainment: Double): DataFrame = {
+    val sh = docs.select(col(idCol), evalPredicate.as("is_eval"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
+        .as("shingle"))
+    val ev = sh.filter(col("is_eval"))
+      .select(col(idCol).as("eval_id"), col("shingle"))
+    val tr = sh.filter(!col("is_eval"))
+      .select(col(idCol).as("train_id"), col("shingle"))
+    val evSizes = ev.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_eval_shingles"))
+    val inter = tr.join(broadcast(ev), Seq("shingle"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_common"))
+    inter.join(broadcast(evSizes), Seq("eval_id"))
+      .withColumn("containment", Rounding.pround(
+        col("n_common").cast("double") / col("n_eval_shingles"), 4))
+      .filter(col("containment") >= minContainment)
+      .select("eval_id", "train_id", "n_common", "containment")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{NumericType, StringType}
 
@@ -35,5 +35,24 @@ object Profile {
       s"stack(${cols.length}, $stackExpr) AS (column_name, n_nulls, n_distinct, min_value, max_value)")
       .select("column_name", "n_rows", "n_nulls", "n_distinct",
         "min_value", "max_value")
+  }
+
+  /** Corpus mix planning: per-group document/token totals, each group's
+    * share of the token budget, and the sampling weight that would flatten
+    * the mix to uniform (weight > 1 = upsample, < 1 = downsample) — the
+    * numbers a data-mixture config is written from. Two tiny aggregates
+    * (per-group, then grand total broadcast back); one scan of the corpus.
+    */
+  def mixSummary(docs: DataFrame, groupCol: String, tokens: Column): DataFrame = {
+    val per = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    val totals = per.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_groups"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("token_share", graft.functions.Rounding.pround(
+        col("n_tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("uniform_weight", graft.functions.Rounding.pround(
+        col("total_tokens").cast("double") / col("n_groups") / col("n_tokens"), 6))
+      .select(groupCol, "n_docs", "n_tokens", "token_share", "uniform_weight")
   }
 }

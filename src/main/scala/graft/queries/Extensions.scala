@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, DedupCluster, Similarity}
+import graft.operators.{Contamination, Dedup, DedupCluster, Packing, Profile, Similarity}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -216,6 +216,52 @@ object Extensions {
         ShingleN, 3, col("doc_id") < 25)
         .orderBy("query_id", "rank")),
 
+    // Eval-set contamination: docs with doc_id % 20 == 0 play the held-out
+    // benchmark; training docs containing >= 20% of an eval doc's
+    // shingles are flagged. Containment, not Jaccard — a short eval item
+    // inside a long page is still contamination.
+    "contamination_overlap" -> ((s, dir) =>
+      Contamination.overlap(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, col("doc_id") % 20 === 0, 0.2)
+        .orderBy("eval_id", "train_id")),
+
+    // PII scrubbing: deterministic synthetic contact block appended per
+    // doc (the fixture corpus carries no PII), then the email/IP/phone
+    // scrub — the oracle applies the identical regex pipeline.
+    "text_pii_scrub" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.scrubPii(concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 or call +1 555 010 "),
+          (col("doc_id") % 90 + 10).cast("string"))).as("clean"))
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition features: repeated-word and repeated-bigram
+    // ratios per document.
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        TextFunctions.dupWordRatio(col("text")).as("dup_word_ratio"),
+        TextFunctions.dupNgramRatio(col("text"), 2).as("dup_bigram_ratio"))
+        .orderBy("doc_id")),
+
+    // Token-budget packing: concatenate-then-chunk sequence assignment
+    // per language group at a 2048-token budget.
+    "seq_pack_bins" -> ((s, dir) =>
+      Packing.packBins(t(s, dir, "documents"), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), 2048)
+        .orderBy("doc_id")),
+
+    // Mixture planning: token share per language + the uniform-mix
+    // sampling weight.
+    "corpus_mix_summary" -> ((s, dir) =>
+      Profile.mixSummary(t(s, dir, "documents"), "lang",
+        TextFunctions.tokenCount(col("text")))
+        .orderBy("lang")),
+
     // --- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -422,6 +468,76 @@ object Extensions {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "contamination_overlap" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 20 != 0),
+         |sizes AS (SELECT eval_id, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+         |inter AS (
+         |  SELECT eval_id, train_id, count(*) AS n_common
+         |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1, 2)
+         |SELECT i.eval_id, i.train_id, i.n_common,
+         |  floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 AS containment
+         |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
+         |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
+         |ORDER BY i.eval_id, i.train_id""".stripMargin,
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |          || '@mail.example.com from 10.0.'
+         |          || CAST(doc_id % 200 AS VARCHAR)
+         |          || '.7 or call +1 555 010 '
+         |          || CAST(doc_id % 90 + 10 AS VARCHAR),
+         |        '${TextFunctions.EmailRe}', '[EMAIL]', 'g'),
+         |      '${TextFunctions.Ipv4Re}', '[IP]', 'g'),
+         |    '${TextFunctions.PhoneRe}', '[PHONE]', 'g') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1,
+        |    CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 1 END)) AS i
+        |  FROM toks),
+        |big AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 2 THEN array_to_string(ws[i:i+1], ' ')
+        |         ELSE array_to_string(ws, ' ') END AS g
+        |  FROM idx),
+        |bs AS (SELECT doc_id, count(*) AS n_b, count(DISTINCT g) AS n_bd FROM big GROUP BY 1),
+        |wsx AS (SELECT doc_id, len(ws) AS n_w, len(list_distinct(ws)) AS n_wd FROM toks)
+        |SELECT w.doc_id, CAST(n_w AS BIGINT) AS n_words,
+        |  floor((1.0 - n_wd::DOUBLE / n_w) * 10000 + 0.5) / 10000 AS dup_word_ratio,
+        |  floor((1.0 - n_bd::DOUBLE / n_b) * 10000 + 0.5) / 10000 AS dup_bigram_ratio
+        |FROM wsx w JOIN bs b ON w.doc_id = b.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "seq_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset::DOUBLE / 2048) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "corpus_mix_summary" ->
+      """WITH per AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |        count(*) AS n_groups FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |  floor((n_tokens::DOUBLE / total_tokens) * 1000000 + 0.5) / 1000000 AS token_share,
+        |  floor((total_tokens::DOUBLE / n_groups / n_tokens) * 1000000 + 0.5) / 1000000 AS uniform_weight
+        |FROM per, tot ORDER BY lang""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -141,12 +141,24 @@ object IO {
     * query.
     */
   def writeBucketedTable(df: DataFrame, tableName: String, key: String,
-                         buckets: Int): Unit =
+                         buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A table dropped by a PREVIOUS session (in-memory catalog, durable
+    // warehouse) leaves its directory behind; saveAsTable then refuses
+    // with LOCATION_ALREADY_EXISTS even under SaveMode.Overwrite. Drop
+    // any current registration and clear the stale location first.
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      tableName.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key) // L3: clustered sort within buckets
       .saveAsTable(tableName)
+  }
 
   // --- S8/S9: local row interchange -----------------------------------
 

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Contamination, Packing, Profile}
+
+/** Training-data pipeline extras: contamination detection, PII scrub,
+  * repetition features, sequence packing, mixture planning.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination flags a train doc containing an eval doc's shingles") {
+    val docs = Seq(
+      // eval doc (id % 20 == 0): a 7-word question
+      (20L, "what is the capital city of france"),
+      // train doc fully containing it inside a longer page
+      (1L, "trivia page says what is the capital city of france and much more text follows here"),
+      // unrelated train doc
+      (2L, "completely different content about cooking pasta at home")).toDF("doc_id", "text")
+    val out = Contamination.overlap(docs, "doc_id", "text", n = 5,
+      col("doc_id") % 20 === 0, minContainment = 0.5)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((20L, 1L)))
+    // eval doc has 3 distinct 5-gram shingles, all contained -> 1.0
+    assert(out.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("contamination uses containment, not jaccard: short eval inside " +
+    "long train still flags") {
+    val evalText = "alpha beta gamma delta epsilon"
+    val filler = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (40L, evalText),
+      (3L, s"$filler $evalText $filler")).toDF("doc_id", "text")
+    val out = Contamination.overlap(docs, "doc_id", "text", n = 5,
+      col("doc_id") % 20 === 0, minContainment = 0.9).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("scrubPii replaces emails, IPv4s, and phone numbers, leaves prose") {
+    val df = Seq(
+      "mail me at jane.doe+spam@corp.example.org thanks",
+      "server 192.168.001.1 responded",
+      "call +49 30 901820 now",
+      "no pii here, just 12 plain words and a 3.14 constant")
+      .toDF("t")
+    val out = df.select(TextFunctions.scrubPii($"t").as("c")).as[String].collect()
+    assert(out(0) == "mail me at [EMAIL] thanks")
+    assert(out(1) == "server [IP] responded")
+    assert(out(2) == "call [PHONE] now")
+    assert(out(3) == "no pii here, just 12 plain words and a 3.14 constant")
+  }
+
+  test("repetition ratios: distinct text scores 0, repeated text scores high") {
+    val df = Seq(
+      ("clean", "one two three four five six"),
+      ("loop", "spam spam spam spam spam spam")).toDF("k", "t")
+    val out = df.select($"k",
+      TextFunctions.dupWordRatio($"t").as("w"),
+      TextFunctions.dupNgramRatio($"t", 2).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("clean") == ((0.0, 0.0)))
+    // 6 words, 1 distinct -> 1 - 1/6 = 0.8333; 5 bigrams, 1 distinct -> 0.8
+    assert(out("loop") == ((0.8333, 0.8)))
+  }
+
+  test("packBins assigns contiguous bins per group under the budget") {
+    val docs = Seq(
+      (1L, "g1", 1000L), (2L, "g1", 1000L), (3L, "g1", 1000L),
+      (4L, "g1", 1000L), (5L, "g2", 5000L), (6L, "g2", 100L))
+      .toDF("doc_id", "grp", "n")
+    val out = Packing.packBins(docs, "doc_id", "grp", col("n"), budget = 2048)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // g1 offsets 0,1000,2000,3000 -> bins 0,0,0,1
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((1000L, 0L)))
+    assert(out(3L) == ((2000L, 0L)) && out(4L) == ((3000L, 1L)))
+    // g2 independent stream: offsets 0, 5000 -> bins 0, 2
+    assert(out(5L) == ((0L, 0L)) && out(6L) == ((5000L, 2L)))
+  }
+
+  test("mixSummary shares sum to 1 and uniform weights invert the skew") {
+    val docs = Seq.fill(8)(("en", "a b c d")) ++ Seq.fill(2)(("de", "a b c d"))
+    val df = docs.toDF("lang", "text")
+    val out = Profile.mixSummary(df, "lang",
+      TextFunctions.tokenCount(col("text"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("en") == ((8L, 32L, 0.8, 0.625)))   // 20/32 tokens target
+    assert(out("de") == ((2L, 8L, 0.2, 2.5)))      // upsample 2.5x
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
+  }
+}
