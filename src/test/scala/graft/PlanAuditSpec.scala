@@ -91,6 +91,24 @@ class PlanAuditSpec extends SparkSpec {
         plan.treeString.take(3000))
   }
 
+  test("contamination broadcasts the eval side; the corpus never shuffles " +
+    "into a sort-merge join") {
+    val p = plan("contamination_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "eval-side broadcast degraded to SMJ — the 100 TB corpus would shuffle:\n" +
+        p.take(2000))
+  }
+
+  test("sequence packing needs exactly one hash exchange (the group key)") {
+    // the trailing orderBy adds a range exchange for presentation; the
+    // packing itself must cost one hash shuffle on the packing group
+    val p = plan("seq_pack_bins")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(2000)}")
+  }
+
   test("minhash verify is candidate-bounded: no shingle self-join, " +
     "candidate restriction below the per-doc aggregation") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
