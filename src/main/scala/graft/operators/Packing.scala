@@ -26,9 +26,21 @@ object Packing {
     * @return (idCol, groupCol, n_tokens, start_offset, bin)
     */
   def packBins(docs: DataFrame, idCol: String, groupCol: String,
-               tokens: Column, budget: Int): DataFrame = {
+               tokens: Column, budget: Int): DataFrame =
+    packBins(docs, idCol, groupCol, tokens, budget, Seq(col(idCol)))
+
+  /** Packing in an explicit order — pass
+    * `Sampling.shuffleKey(col(id), seed)` (plus the id as tie-break) to
+    * lay documents out in reproducible pseudo-random training order
+    * before chunking, the shuffle-then-pack shape training runs want.
+    * The order columns must totally order each group or offsets are
+    * nondeterministic.
+    */
+  def packBins(docs: DataFrame, idCol: String, groupCol: String,
+               tokens: Column, budget: Int,
+               order: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    val w = Window.partitionBy(groupCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(groupCol), tokens.as("n_tokens"))
       .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))

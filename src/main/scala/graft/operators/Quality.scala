@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The C4/Gopher-style corpus cleaning pass: every per-document quality
+  * signal computed in ONE projection over one corpus scan, then a single
+  * ordered verdict — the composition a production pipeline actually
+  * runs, rather than one filter job per signal.
+  *
+  * Scale shape: all signals are codegen'd expressions
+  * (`TextFunctions.*`), so the whole pass is one WholeStageCodegen
+  * map stage — no shuffle, no UDF, linear in corpus size, and the
+  * verdict predicate pushes into the scan when only kept docs are read.
+  */
+object Quality {
+
+  /** Reject thresholds; verdict precedence is the declaration order
+    * below (a doc failing several checks reports the first).
+    */
+  final case class Thresholds(
+      minTokens: Long = 15,
+      maxTokens: Long = 1 << 20,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
+      minQuality: Double = 0.0,
+      maxDupWordRatio: Double = 1.0)
+
+  /** Per-document signals + verdict: `too_short` | `too_long` |
+    * `bad_lang` | `low_quality` | `repetitive` | `keep`.
+    */
+  def verdict(docs: DataFrame, idCol: String, textCol: String,
+              t: Thresholds): DataFrame = {
+    val c = col(textCol)
+    docs.select(col(idCol),
+      TextFunctions.tokenCount(c).as("n_tokens"),
+      TextFunctions.langId(c).as("lang_id"),
+      TextFunctions.qualityScore(c).as("quality"),
+      TextFunctions.dupWordRatio(c).as("dup_word_ratio"))
+      .withColumn("verdict",
+        when(col("n_tokens") < t.minTokens, "too_short")
+          .when(col("n_tokens") > t.maxTokens, "too_long")
+          .when(!col("lang_id").isin(t.allowedLangs.map(x => x: Any): _*),
+            "bad_lang")
+          .when(col("quality") < t.minQuality, "low_quality")
+          .when(col("dup_word_ratio") > t.maxDupWordRatio, "repetitive")
+          .otherwise("keep"))
+  }
+
+  /** The filtered corpus itself: original rows that pass every check —
+    * the same signals as a pure filter predicate, still one map-only
+    * scan (no join against the verdict frame needed).
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            t: Thresholds): DataFrame = {
+    val c = col(textCol)
+    docs.filter(
+      TextFunctions.tokenCount(c).between(t.minTokens, t.maxTokens) &&
+        TextFunctions.langId(c)
+          .isin(t.allowedLangs.map(x => x: Any): _*) &&
+        TextFunctions.qualityScore(c) >= t.minQuality &&
+        TextFunctions.dupWordRatio(c) <= t.maxDupWordRatio)
+  }
+}

@@ -51,4 +51,28 @@ object Sampling {
     val gate = hashGate(col(keyCol), evalRate256)
     (df.filter(!gate), df.filter(gate))
   }
+
+  /** Three-way train/val/test assignment from the same md5 byte: the
+    * first val256/256 of hash space is "val", the next test256/256 is
+    * "test", the rest "train". Label (not filter) form so one scan
+    * tags the whole corpus; disjoint and exhaustive by construction,
+    * and a key's split never changes as the corpus grows — the property
+    * that keeps eval sets honest across corpus versions.
+    */
+  def splitLabel(key: Column, val256: Int, test256: Int): Column = {
+    require(val256 >= 0 && test256 >= 0 && val256 + test256 <= 255,
+      s"split fractions out of range: val=$val256 test=$test256")
+    val h = substring(md5(key.cast("string")), 1, 2)
+    when(h < lit(f"$val256%02x"), "val")
+      .when(h < lit(f"${val256 + test256}%02x"), "test")
+      .otherwise("train")
+  }
+
+  /** Deterministic training-order shuffle key: md5 of key + seed. Sort
+    * by it (repartitionByRange + sortWithinPartitions at scale) for a
+    * reproducible pseudo-random document order; a new seed reshuffles,
+    * the same seed replays byte-identically on any engine.
+    */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat(key.cast("string"), lit(":"), lit(seed)))
 }

@@ -262,6 +262,32 @@ object Extensions {
         TextFunctions.tokenCount(col("text")))
         .orderBy("lang")),
 
+    // Three-way train/val/test assignment (6.25% val, 12.5% test) from
+    // one md5 byte — membership-stable as the corpus grows.
+    "corpus_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.operators.Sampling.splitLabel(col("doc_id"), 16, 32).as("split"))
+        .orderBy("doc_id")),
+
+    // The composed C4/Gopher cleaning pass: every signal in one scan,
+    // first-failing-check verdict per document.
+    "corpus_quality_verdict" -> ((s, dir) =>
+      graft.operators.Quality.verdict(t(s, dir, "documents"), "doc_id",
+        "text", graft.operators.Quality.Thresholds(
+          minTokens = 15, maxTokens = 90,
+          allowedLangs = Seq("en", "de", "es", "fr"),
+          minQuality = 0.55, maxDupWordRatio = 0.68))
+        .orderBy("doc_id")),
+
+    // Shuffle-then-pack: documents laid out in seeded pseudo-random
+    // order (md5 shuffle key) before token-budget chunking.
+    "seq_pack_shuffled" -> ((s, dir) =>
+      Packing.packBins(t(s, dir, "documents"), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")), 2048,
+        Seq(graft.operators.Sampling.shuffleKey(col("doc_id"), "s42"),
+          col("doc_id")))
+        .orderBy("doc_id")),
+
     // --- similarity search --------------------------------------------
     "ann_brute_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -538,6 +564,50 @@ object Extensions {
         |  floor((n_tokens::DOUBLE / total_tokens) * 1000000 + 0.5) / 1000000 AS token_share,
         |  floor((total_tokens::DOUBLE / n_groups / n_tokens) * 1000000 + 0.5) / 1000000 AS uniform_weight
         |FROM per, tot ORDER BY lang""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '30' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_quality_verdict" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $markerScores,
+         |    $qualitySqlExpr AS quality,
+         |    floor((1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS dup_word_ratio
+         |  FROM documents),
+         |l AS (SELECT *,
+         |  CASE WHEN s_en + s_de + s_es + s_fr > 0 THEN
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS lang_id FROM sig)
+         |SELECT doc_id, n_tokens, lang_id, quality, dup_word_ratio,
+         |  CASE WHEN n_tokens < 15 THEN 'too_short'
+         |       WHEN n_tokens > 90 THEN 'too_long'
+         |       WHEN lang_id NOT IN ('en', 'de', 'es', 'fr') THEN 'bad_lang'
+         |       WHEN quality < 0.55 THEN 'low_quality'
+         |       WHEN dup_word_ratio > 0.68 THEN 'repetitive'
+         |       ELSE 'keep' END AS verdict
+         |FROM l ORDER BY doc_id""".stripMargin,
+    "seq_pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - n_tokens AS start_offset
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, start_offset,
+        |  CAST(floor(start_offset::DOUBLE / 2048) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Contamination, Packing, Profile}
+import graft.operators.{Contamination, Packing, Profile, Quality, Sampling}
 
 /** Training-data pipeline extras: contamination detection, PII scrub,
   * repetition features, sequence packing, mixture planning.
@@ -78,6 +78,65 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out(3L) == ((2000L, 0L)) && out(4L) == ((3000L, 1L)))
     // g2 independent stream: offsets 0, 5000 -> bins 0, 2
     assert(out(5L) == ((0L, 0L)) && out(6L) == ((5000L, 2L)))
+  }
+
+  test("splitLabel is disjoint, exhaustive, and membership-stable") {
+    val ids = (1L to 2000L).toDF("id")
+    val out = ids.select($"id",
+      Sampling.splitLabel($"id", 16, 32).as("split"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row gets exactly one of the three labels
+    assert(counts.values.sum == 2000L && counts.keySet == Set("train", "val", "test"))
+    // ≈ 6.25% val, 12.5% test (md5 is uniform; generous tolerance)
+    assert(counts("val") > 60 && counts("val") < 200)
+    assert(counts("test") > 150 && counts("test") < 350)
+    // growing the corpus never reassigns an existing key
+    val before = out.filter($"id" <= 1000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = (1L to 1000L).toDF("id").select($"id",
+      Sampling.splitLabel($"id", 16, 32).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after)
+  }
+
+  test("quality verdict applies checks in precedence order; clean keeps " +
+    "exactly the keep rows") {
+    val docs = Seq(
+      (1L, "too short"),                                             // too_short
+      (2L, ("the a of to and in is it that " * 3).trim),             // keep (en)
+      (3L, ("uno dos tres " * 10).trim),                             // bad_lang (no markers)
+      (4L, ("spam " * 30).trim + " the a of to and in is it that"))  // repetitive
+      .toDF("doc_id", "text")
+    val t = Quality.Thresholds(minTokens = 5, maxTokens = 100,
+      allowedLangs = Seq("en", "de", "es", "fr"),
+      minQuality = 0.0, maxDupWordRatio = 0.7) // doc2 = 0.6667, doc4 = 0.7436
+    val v = Quality.verdict(docs, "doc_id", "text", t).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(v(1L) == "too_short")
+    assert(v(2L) == "keep")
+    assert(v(3L) == "bad_lang")
+    assert(v(4L) == "repetitive")
+    val kept = Quality.clean(docs, "doc_id", "text", t)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("shuffled packing reorders within the group but conserves totals") {
+    val docs = (1L to 20L).map(i => (i, "g", 100L)).toDF("doc_id", "grp", "n")
+    val plain = Packing.packBins(docs, "doc_id", "grp", col("n"), 512)
+    val shuffled = Packing.packBins(docs, "doc_id", "grp", col("n"), 512,
+      Seq(Sampling.shuffleKey(col("doc_id"), "s1"), col("doc_id")))
+    val po = plain.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val so = shuffled.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // same offset SET (a permutation of the same token stream)…
+    assert(po.values.toSeq.sorted == so.values.toSeq.sorted)
+    // …but a genuinely different order, and deterministic across runs
+    assert(po != so)
+    val so2 = Packing.packBins(docs, "doc_id", "grp", col("n"), 512,
+      Seq(Sampling.shuffleKey(col("doc_id"), "s1"), col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(so == so2)
   }
 
   test("mixSummary shares sum to 1 and uniform weights invert the skew") {
