@@ -323,7 +323,18 @@ object Extensions {
     // would make the check vacuous.
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", LshBits, 0.4).orderBy("id_a", "id_b")))
+        "embedding", LshBits, 0.4).orderBy("id_a", "id_b")),
+
+    // The dedup arc on the EMBEDDING modality: near-dup pairs →
+    // connected components → canonical manifest, the same cluster
+    // machinery the text tier uses (DedupCluster is modality-agnostic —
+    // it only sees ids and edges).
+    "emb_dedup_canonical" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        LshBits, 0.4)
+      DedupCluster.canonicalize(e, "vec_id", pairs).orderBy("vec_id")
+    }))
 
   // --- DuckDB oracle SQL, generated from the same constants -----------
 
@@ -790,5 +801,24 @@ object Extensions {
          |SELECT id_a, id_b, score FROM (
          |  SELECT id_a, id_b, $cosineExpr AS score
          |  FROM a JOIN b ON a.bucket = b.bucket AND a.id_a < b.id_b)
-         |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+         |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "emb_dedup_canonical" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+         |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM v),
+         |b AS (SELECT vec_id AS id_b, embedding AS cv, bucket FROM v),
+         |cand AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, $cosineExpr AS score
+         |    FROM a JOIN b ON a.bucket = b.bucket AND a.id_a < b.id_b)
+         |  WHERE score >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id AS vec_id, count(*) AS n_members
+         |FROM cc GROUP BY cluster_id ORDER BY vec_id""".stripMargin)
 }
