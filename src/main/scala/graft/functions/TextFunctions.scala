@@ -119,6 +119,16 @@ object TextFunctions {
       .otherwise(array(array_join(ws, " ")))
   }
 
+  /** Non-overlapping n-word chunks ("lines" for a corpus without line
+    * structure): chunk i covers words [i*n+1, (i+1)*n]. The unit of
+    * line-level dedup over the fixture corpus.
+    */
+  def wordChunks(c: Column, n: Int): Column = {
+    val ws = tokens(c)
+    transform(sequence(lit(1), ((size(ws) + (n - 1)) / n).cast("int")),
+      i => array_join(slice(ws, (i - lit(1)) * lit(n) + lit(1), lit(n)), " "))
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Regexes restricted to the Java-regex ∩ RE2 common dialect so the

@@ -279,6 +279,16 @@ object Extensions {
           minQuality = 0.55, maxDupWordRatio = 0.68))
         .orderBy("doc_id")),
 
+    // Line-level (CCNet-style) dedup: 10-word chunks recurring in > 2
+    // distinct docs are boilerplate, stripped from every doc; docs are
+    // reassembled from their surviving chunks in position order.
+    "line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LineDedup.dedupLines(d, "doc_id",
+        TextFunctions.wordChunks(col("text"), 10), maxDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     // Shuffle-then-pack: documents laid out in seeded pseudo-random
     // order (md5 shuffle key) before token-budget chunking.
     "seq_pack_shuffled" -> ((s, dir) =>
@@ -604,6 +614,27 @@ object Extensions {
          |       WHEN dup_word_ratio > 0.68 THEN 'repetitive'
          |       ELSE 'keep' END AS verdict
          |FROM l ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS line
+        |  FROM toks, unnest(generate_series(1,
+        |    CAST(ceil(len(ws) / 10.0) AS INT))) t(i)),
+        |common AS (
+        |  SELECT line FROM ch GROUP BY line
+        |  HAVING count(DISTINCT doc_id) > 2),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY i) AS clean_text
+        |  FROM ch WHERE line NOT IN (SELECT line FROM common)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(t.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "seq_pack_shuffled" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

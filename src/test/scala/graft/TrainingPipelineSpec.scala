@@ -139,6 +139,32 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(so == so2)
   }
 
+  test("line dedup strips cross-doc boilerplate lines, keeps doc order, " +
+    "and survives a fully-boilerplate doc") {
+    import graft.operators.LineDedup
+    val boiler = "subscribe to our newsletter now"
+    val docs = Seq(
+      (1L, Array("unique alpha text", boiler, "unique beta text")),
+      (2L, Array(boiler, "other content here")),
+      (3L, Array("third doc body", boiler)),
+      (4L, Array(boiler))) // nothing survives
+      .toDF("doc_id", "lines")
+    val out = LineDedup.dedupLines(docs, "doc_id", col("lines"), maxDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("unique alpha text unique beta text", 2L, 1L)))
+    assert(out(2L) == (("other content here", 1L, 1L)))
+    assert(out(3L) == (("third doc body", 1L, 1L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
+  test("wordChunks covers every word exactly once in n-word chunks") {
+    val df = Seq("a b c d e f g h i j k").toDF("t") // 11 words
+    val out = df.select(TextFunctions.wordChunks($"t", 5).as("c"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b c d e", "f g h i j", "k"))
+  }
+
   test("mixSummary shares sum to 1 and uniform weights invert the skew") {
     val docs = Seq.fill(8)(("en", "a b c d")) ++ Seq.fill(2)(("de", "a b c d"))
     val df = docs.toDF("lang", "text")
