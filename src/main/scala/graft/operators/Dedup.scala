@@ -319,6 +319,38 @@ object Dedup {
       .distinct()
   }
 
+  /** The ingest-time drop decision on top of
+    * [[minHashLshPairsIncremental]]: which NEW documents are duplicates
+    * and must not enter the corpus. A new doc is dropped when it
+    * collides with any existing doc (the corpus copy wins regardless of
+    * id order) or with a smaller-id doc of its own batch (greedy
+    * keep-first, the deterministic in-batch tie-break). Existing docs
+    * are never dropped — their duplicates were resolved when they were
+    * ingested.
+    *
+    * @return single-column frame of `idCol` values to drop from the
+    *         new batch
+    */
+  def incrementalDropIds(existingSigs: DataFrame, newSigs: DataFrame,
+                         idCol: String, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val pairs = minHashLshPairsIncremental(existingSigs, newSigs, idCol,
+      bands, rowsPerBand)
+    val ex = existingSigs.select(col(idCol).as("xid")).distinct()
+    val vsExistingA = pairs.join(ex, pairs("id_a") === col("xid"))
+      .select(col("id_b").as(idCol))
+    val vsExistingB = pairs.join(ex, pairs("id_b") === col("xid"))
+      .select(col("id_a").as(idCol))
+    val newNew = pairs
+      .join(ex, pairs("id_a") === col("xid"), "left_anti")
+      .join(ex, pairs("id_b") === col("xid"), "left_anti")
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
+    vsExistingA.unionByName(vsExistingB).unionByName(newNew)
+      // guard: only ids of the new batch can be dropped
+      .join(newSigs.select(col(idCol)), Seq(idCol), "left_semi")
+      .distinct()
+  }
+
   /** Maximum tokens per document for [[simHash]]'s lane-packed votes.
     * Two bounds stack: the 16-bit lanes carry into the neighbor at
     * 65536 ones, and under ANSI arithmetic the packed SUM (lane 3

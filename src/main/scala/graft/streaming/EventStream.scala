@@ -86,8 +86,8 @@ object EventStream {
   def isCommitted(spark: SparkSession, targetPath: String, batchId: Long): Boolean =
     hadoopFs(spark, targetPath).exists(commitMarker(targetPath, batchId))
 
-  private def markCommitted(spark: SparkSession, targetPath: String,
-                            batchId: Long): Unit = {
+  private[streaming] def markCommitted(spark: SparkSession, targetPath: String,
+                                       batchId: Long): Unit = {
     val fs = hadoopFs(spark, targetPath)
     val out = fs.create(commitMarker(targetPath, batchId), true)
     try out.write(Array.emptyByteArray) finally out.close()

@@ -94,4 +94,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == expected,
       "replayed micro-batch wrote duplicate rows")
   }
+
+  test("document ingest stream: quality gate + incremental dedup against " +
+    "the stored index across micro-batches") {
+    import graft.streaming.DocStream
+    import graft.operators.Quality
+    val srcDir = tempDir("doc_stream_src")
+    val corpus = tempDir("doc_stream_corpus")
+    val index = tempDir("doc_stream_index")
+    val ckpt = tempDir("doc_stream_ckpt")
+    val t = Quality.Thresholds(minTokens = 3, maxTokens = 1000,
+      allowedLangs = Seq("en", "unknown"), minQuality = 0.0,
+      maxDupWordRatio = 1.0)
+    def doc(id: Long, text: String) =
+      (id, text, "en", "web", text.length.toLong)
+    def writeBatch(rows: Seq[(Long, String, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = DocStream.ingestSink(DocStream.readDocs(spark, srcDir),
+        corpus, index, t, shingleN = 3, bands = 4, rowsPerBand = 3)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textB = "a completely different document about distributed query engines"
+    writeBatch(Seq(
+      doc(1, textA), doc(2, textB),
+      doc(3, "tiny"))) // fails the token floor
+    runOnce()
+    val afterB1 = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(afterB1 == Set(1L, 2L), s"batch 1 kept $afterB1")
+    assert(spark.read.parquet(index).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: 4 duplicates the STORED doc 1; 5 is new; 6 duplicates 5
+    // within the batch (greedy keep-first drops the larger id)
+    val textC = "brand new material discussing training data pipelines at scale"
+    writeBatch(Seq(
+      doc(4, textA), doc(5, textC), doc(6, textC)))
+    runOnce()
+    val afterB2 = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(afterB2 == Set(1L, 2L, 5L), s"batch 2 result $afterB2")
+    assert(spark.read.parquet(index).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 5L),
+      "index must track exactly the corpus survivors")
+  }
 }
