@@ -40,7 +40,9 @@ object LineDedup {
           array_sort(collect_list(struct(col("pos"), col("line")))),
           s => s.getField("line")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
-    docs.select(col(idCol), size(lines).as("n_lines"))
+    // null line arrays: posexplode already dropped them, so report the
+    // doc with zero lines rather than null arithmetic downstream
+    docs.select(col(idCol), coalesce(size(lines), lit(0)).as("n_lines"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -39,7 +39,10 @@ object Quality {
       TextFunctions.qualityScore(c).as("quality"),
       TextFunctions.dupWordRatio(c).as("dup_word_ratio"))
       .withColumn("verdict",
-        when(col("n_tokens") < t.minTokens, "too_short")
+        // a null document must not fall through every threshold `when`
+        // (null comparisons are null, not false) into "keep"
+        when(col("n_tokens").isNull, "null_text")
+          .when(col("n_tokens") < t.minTokens, "too_short")
           .when(col("n_tokens") > t.maxTokens, "too_long")
           .when(!col("lang_id").isin(t.allowedLangs.map(x => x: Any): _*),
             "bad_lang")
@@ -56,7 +59,8 @@ object Quality {
             t: Thresholds): DataFrame = {
     val c = col(textCol)
     docs.filter(
-      TextFunctions.tokenCount(c).between(t.minTokens, t.maxTokens) &&
+      c.isNotNull &&
+        TextFunctions.tokenCount(c).between(t.minTokens, t.maxTokens) &&
         TextFunctions.langId(c)
           .isin(t.allowedLangs.map(x => x: Any): _*) &&
         TextFunctions.qualityScore(c) >= t.minQuality &&

@@ -57,7 +57,10 @@ object Sampling {
     * "test", the rest "train". Label (not filter) form so one scan
     * tags the whole corpus; disjoint and exhaustive by construction,
     * and a key's split never changes as the corpus grows — the property
-    * that keeps eval sets honest across corpus versions.
+    * that keeps eval sets honest across corpus versions. A null key
+    * lands in "train" (the `otherwise` branch): null has no stable
+    * hash identity, and train is the split where an unidentifiable
+    * row does least harm.
     */
   def splitLabel(key: Column, val256: Int, test256: Int): Column = {
     require(val256 >= 0 && test256 >= 0 && val256 + test256 <= 255,

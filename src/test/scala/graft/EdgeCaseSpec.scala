@@ -33,6 +33,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("null/degenerate documents in the training-tier operators") {
+    import graft.operators.{LineDedup, Packing, Quality, Sampling}
+    val docs = Seq[(Long, String)]((1L, null), (2L, ""), (3L, "the a of to and in is it that"))
+      .toDF("doc_id", "text")
+    // null text is rejected explicitly, never "keep"
+    val v = Quality.verdict(docs, "doc_id", "text",
+      Quality.Thresholds(minTokens = 1, allowedLangs = Seq("en", "unknown")))
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(v(1L) == "null_text")
+    assert(v(3L) == "keep")
+    val kept = Quality.clean(docs, "doc_id", "text",
+      Quality.Thresholds(minTokens = 1, allowedLangs = Seq("en", "unknown")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && kept.contains(3L))
+    // null split keys land in train, not null
+    val s = docs.select(Sampling.splitLabel(lit(null).cast("string"), 16, 32)
+      .as("sp")).distinct().as[String].collect().toSeq
+    assert(s == Seq("train"))
+    // null line arrays: doc reported with zero lines, no null arithmetic
+    val ld = LineDedup.dedupLines(
+      Seq((1L, Array("x y z")), (2L, null.asInstanceOf[Array[String]]))
+        .toDF("doc_id", "lines"), "doc_id", $"lines", maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(ld(2L) == ((0L, 0L)))
+    // zero-token documents do not corrupt packing offsets
+    val p = Packing.packBins(
+      Seq((1L, "g", 5L), (2L, "g", 0L), (3L, "g", 5L)).toDF("doc_id", "g", "n"),
+      "doc_id", "g", col("n"), budget = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(p == Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
+  }
+
   test("similarity with an empty query set returns empty, not error") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(emb,
