@@ -78,4 +78,72 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(attachBinary(docs, "doc_id", "text").as[MediaRow]).toDF()
   }
+
+  // --- resize -----------------------------------------------------------
+
+  /** STUB resize: nearest-neighbor index mapping over the byte payload
+    * as if it were a width×height single-channel image (the real
+    * decoder's resize replaces the body; the signature — bytes +
+    * dimensions in, bytes out — is the contract). Deterministic, so
+    * tests can pin outputs.
+    */
+  def resizeStub(media: Array[Byte], width: Int, height: Int,
+                 targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](targetW * targetH)
+    var i = 0
+    while (i < targetH) {
+      val srcRow = (i.toLong * height / targetH).toInt
+      var j = 0
+      while (j < targetW) {
+        val srcCol = (j.toLong * width / targetW).toInt
+        val idx = srcRow * width + srcCol
+        out(i * targetW + j) =
+          if (idx < media.length) media(idx) else 0: Byte
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Batch resize: a map over the typed Dataset updating payload and
+    * metadata together — no shuffle, width/height stay truthful.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+             targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map(r => r.copy(
+      media = resizeStub(r.media, r.width, r.height, targetW, targetH),
+      width = targetW, height = targetH))
+  }
+
+  // --- frame sampling ---------------------------------------------------
+
+  /** One sampled frame of a video payload. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_ts_ms: Long,
+                            frame: Array[Byte])
+
+  /** Frame sampling: video → one row PER SAMPLED FRAME — the
+    * row-explosion shape (flatMap) that lets every downstream stage
+    * (dedup, embedding, filtering) treat frames as first-class rows.
+    * Frames stay in their source's partition (no shuffle); repartition
+    * afterwards only if frame-level rebalancing is needed.
+    *
+    * STUB extraction: fixed-width byte windows with a constant
+    * inter-frame interval stand in for decoded frames; the real decoder
+    * replaces the window slicing, the fan-out plumbing is unchanged.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameIntervalMs: Long,
+                   frameBytes: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(1, r.media.length / frameBytes)
+      (0 until n).iterator.map { i =>
+        FrameRow(r.doc_id, i, i * frameIntervalMs,
+          java.util.Arrays.copyOfRange(r.media, i * frameBytes,
+            math.min(r.media.length, (i + 1) * frameBytes)))
+      }
+    }
+  }
 }

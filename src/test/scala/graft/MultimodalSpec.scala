@@ -29,4 +29,40 @@ class MultimodalSpec extends SparkSpec {
     val b = "same bytes".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
   }
+
+  test("resize keeps payload and metadata in lockstep") {
+    import spark.implicits._
+    val src = Seq(
+      Multimodal.MediaRow(1L, Array.tabulate(64 * 64)(_.toByte), "img", 64, 64),
+      Multimodal.MediaRow(2L, Array.emptyByteArray, "img", 64, 64)).toDS()
+    val out = Multimodal.resize(src, 16, 16).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).media.length == 16 * 16)
+    assert(out(1L).width == 16 && out(1L).height == 16)
+    // nearest-neighbor: out(0,0) is in(0,0); out(15,15) maps to in(60,60)
+    assert(out(1L).media(0) == 0.toByte)
+    assert(out(1L).media(255) == (60 * 64 + 60).toByte)
+    // payload shorter than geometry (or empty) zero-fills, never throws
+    assert(out(2L).media.length == 16 * 16 && out(2L).media.forall(_ == 0))
+  }
+
+  test("frame sampling explodes one row per frame with monotone timestamps") {
+    import spark.implicits._
+    val payload = Array.tabulate(10 * 4)(_.toByte) // 10 frames of 4 bytes
+    val src = Seq(
+      Multimodal.MediaRow(7L, payload, "video", 2, 2),
+      Multimodal.MediaRow(8L, Array[Byte](1, 2), "video", 2, 2)) // < 1 frame
+      .toDS()
+    val frames = Multimodal.sampleFrames(src, frameIntervalMs = 40,
+      frameBytes = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(7L).length == 10)
+    assert(byDoc(7L).sortBy(_.frame_idx).map(_.frame_ts_ms).toSeq ==
+      (0 until 10).map(_ * 40L))
+    // frames reassemble to the original payload (stub slicing is lossless)
+    assert(byDoc(7L).sortBy(_.frame_idx).flatMap(_.frame).toSeq ==
+      payload.toSeq)
+    // a payload smaller than one frame still yields exactly one row
+    assert(byDoc(8L).length == 1 && byDoc(8L).head.frame.toSeq == Seq[Byte](1, 2))
+  }
 }
