@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, KmvDistinct}
+
+/** Session-extension entry point (SURVEY §2.11 registration path): start
+  * any session with
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * and the engine's custom Catalyst expressions are first-class SQL
+  * functions — usable from `spark.sql(...)`, thrift/connect clients,
+  * and SQL files run through `IO.runScript`, with no per-session
+  * registration call:
+  *
+  *   - `cosine_sim(a, b)`   codegen'd float-vector cosine (scalar)
+  *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** The registry entries, exposed so a live session can also install
+    * them directly (`spark.sessionState.functionRegistry
+    * .registerFunction`) — the same builders either way.
+    */
+  val functions: Seq[FunctionDescription] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
+        CosineSimilarity(exprs(0), exprs(1))
+      }),
+    (new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "kmv_distinct(col, k)")
+        KmvDistinct(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      }))
+
+  /** Install on an already-running session (tests, notebooks). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

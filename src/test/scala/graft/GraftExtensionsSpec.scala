@@ -1,0 +1,31 @@
+package graft
+
+/** The SparkSessionExtensions registration path: the same function
+  * descriptions injected by `spark.sql.extensions=graft.GraftExtensions`
+  * are installed on the live session and driven through pure SQL.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("cosine_sim and kmv_distinct are callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val cos = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(0.6 AS FLOAT), CAST(0.8 AS FLOAT))) AS c
+        |""".stripMargin).head().getDouble(0)
+    assert(math.abs(cos - 0.6) < 1e-6) // float32 inputs: ~1e-8 rounding
+    val est = spark.sql(
+      "SELECT kmv_distinct(id, 64) FROM range(0, 1000)").head().getLong(0)
+    // KMV with k=64 over 1000 exact-distinct values: generous ±30% band
+    assert(est > 700 && est < 1300, s"estimate $est out of band")
+    // install is idempotent (createOrReplace semantics)
+    GraftExtensions.install(spark)
+  }
+
+  test("class-based entry point wires the same builders") {
+    // the (SparkSessionExtensions => Unit) contract the config path uses
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders shared
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("cosine_sim", "kmv_distinct"))
+  }
+}
