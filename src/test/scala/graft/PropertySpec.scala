@@ -66,6 +66,110 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("splitLabel partitions any id population exactly by hash bands") {
+    import graft.operators.Sampling
+    val idsGen = Gen.listOfN(300, Gen.choose(0L, 1000000L))
+    forAll(idsGen, n = 5) { ids =>
+      whenever(ids.nonEmpty) {
+        val df = ids.distinct.toDF("id")
+        forAll(for {
+          v <- Gen.choose(0, 120); t <- Gen.choose(0, 120)
+        } yield (v, t), n = 3) { case (v, t) =>
+          val out = df.select($"id",
+            Sampling.splitLabel($"id", v, t).as("s"),
+            substring(md5($"id".cast("string")), 1, 2).as("h"))
+            .collect()
+          out.foreach { r =>
+            val b = Integer.parseInt(r.getString(2), 16)
+            val expect = if (b < v) "val" else if (b < v + t) "test" else "train"
+            assert(r.getString(1) == expect)
+          }
+        }
+      }
+    }
+  }
+
+  test("packBins: offsets are the exclusive prefix sums per group and " +
+    "bins are offset/budget, regardless of order column") {
+    import graft.operators.{Packing, Sampling}
+    val docsGen = Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 10000L)
+      g <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(0L, 500L)
+    } yield (id, g, n))
+    forAll(docsGen, n = 5) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      whenever(distinctRows.nonEmpty) {
+        val df = distinctRows.toDF("id", "g", "n")
+        for (order <- Seq(Seq(col("id")),
+          Seq(Sampling.shuffleKey(col("id"), "p7"), col("id")))) {
+          val out = Packing.packBins(df, "id", "g", col("n"), 256, order)
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              r.getLong(2), r.getLong(3), r.getLong(4)))
+          out.groupBy(_._2).foreach { case (_, grp) =>
+            // offsets sorted ascending are the exclusive prefix sums of
+            // the token counts laid in SOME total order of the group
+            val byOffset = grp.sortBy(_._4)
+            var acc = 0L
+            byOffset.foreach { case (_, _, n, off, bin) =>
+              assert(off == acc, s"offset gap: $off vs $acc")
+              assert(bin == off / 256)
+              acc += n
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("lineDedup conservation: kept + dropped == total lines per doc; " +
+    "no kept line exceeds the document-frequency cap") {
+    import graft.operators.LineDedup
+    val linePool = ('a' to 'j').map(c => s"line $c content")
+    val docsGen = Gen.listOfN(12, Gen.listOfN(6, Gen.oneOf(linePool)))
+    forAll(docsGen, n = 5) { docLines =>
+      val df = docLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.toArray) }
+        .toDF("doc_id", "lines")
+      val out = LineDedup.dedupLines(df, "doc_id", $"lines", maxDocs = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      val freq = docLines.zipWithIndex
+        .flatMap { case (ls, i) => ls.distinct.map(_ -> i) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.length }
+      docLines.zipWithIndex.foreach { case (ls, i) =>
+        val (text, kept, dropped) = out(i.toLong)
+        assert(kept + dropped == ls.length)
+        val expectKept = ls.filter(l => freq(l) <= 3)
+        assert(text == expectKept.mkString(" "))
+      }
+    }
+  }
+
+  test("quality clean == verdict keep rows for arbitrary thresholds") {
+    import graft.operators.Quality
+    val texts = Seq(
+      "the a of to and in is it that words more content here",
+      "spam spam spam spam spam spam spam",
+      "der die das und ist nicht ein zu etwas",
+      "uno dos tres cuatro", "tiny", "x y z w v u t s r q p o n m l")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    forAll(for {
+      mn <- Gen.choose(1, 10); mx <- Gen.choose(5, 20)
+      q <- Gen.choose(0.0, 1.0); d <- Gen.choose(0.0, 1.0)
+    } yield (mn, mx, q, d), n = 8) { case (mn, mx, q, d) =>
+      val t = Quality.Thresholds(mn, mx, Seq("en", "de", "unknown"), q, d)
+      val keepIds = Quality.verdict(df, "doc_id", "text", t)
+        .filter($"verdict" === "keep").select("doc_id")
+        .as[Long].collect().toSet
+      val cleanIds = Quality.clean(df, "doc_id", "text", t)
+        .select("doc_id").as[Long].collect().toSet
+      assert(keepIds == cleanIds,
+        s"verdict/clean disagree at $t: $keepIds vs $cleanIds")
+    }
+  }
+
   test("salted join equals plain join (inner and left)") {
     val facts = Seq((1, "a"), (1, "b"), (2, "c"), (99, "d"))
       .toDF("k", "payload")
