@@ -225,6 +225,20 @@ object Extensions {
         ShingleN, col("doc_id") % 20 === 0, 0.2)
         .orderBy("eval_id", "train_id")),
 
+    // Detect → remove: the decontaminated training corpus — training
+    // docs minus those flagged against the eval set (eval rows are not
+    // training data and are excluded by definition).
+    "decontaminated_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val flagged = Contamination.overlap(d, "doc_id", "text",
+        ShingleN, col("doc_id") % 20 === 0, 0.2)
+        .select(col("train_id").as("doc_id")).distinct()
+      d.filter(col("doc_id") % 20 =!= 0)
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing: deterministic synthetic contact block appended per
     // doc (the fixture corpus carries no PII), then the email/IP/phone
     // scrub — the oracle applies the identical regex pipeline.
@@ -528,6 +542,22 @@ object Extensions {
          |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
          |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
          |ORDER BY i.eval_id, i.train_id""".stripMargin,
+    "decontaminated_corpus" ->
+      s"""WITH $shingleCte,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 20 != 0),
+         |sizes AS (SELECT eval_id, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+         |inter AS (
+         |  SELECT eval_id, train_id, count(*) AS n_common
+         |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1, 2),
+         |flagged AS (
+         |  SELECT DISTINCT i.train_id
+         |  FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
+         |  WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 20 != 0
+         |  AND doc_id NOT IN (SELECT train_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       s"""SELECT doc_id,
          |  regexp_replace(
