@@ -43,6 +43,33 @@ object Profile {
     * numbers a data-mixture config is written from. Two tiny aggregates
     * (per-group, then grand total broadcast back); one scan of the corpus.
     */
+  /** Temperature-flattened mixture rates (the multilingual τ-sampling
+    * rule): target probability p_g ∝ share_g^τ — τ=1 keeps the natural
+    * mix, τ=0 is uniform, 0<τ<1 upweights small groups. `keep_rate` is
+    * the per-group single-pass downsampling rate that realizes the
+    * target mix ((p_g/share_g) scaled so the most-boosted group keeps
+    * everything); feed it to `Sampling.stratifiedSample` as
+    * `floor(rate*256)` gates. Input is any per-group token aggregate
+    * (e.g. [[mixSummary]] output); both normalizers are tiny
+    * single-row aggregates broadcast back.
+    */
+  def temperatureRates(mix: DataFrame, groupCol: String, tokensCol: String,
+                       tau: Double): DataFrame = {
+    import graft.functions.Rounding.pround
+    val tot = mix.agg(sum(col(tokensCol)).cast("double").as("total"))
+    val s = mix.crossJoin(broadcast(tot))
+      .withColumn("share", col(tokensCol).cast("double") / col("total"))
+      .withColumn("p_raw", pow(col("share"), tau))
+    val z = s.agg(sum("p_raw").as("z"),
+      max(col("p_raw") / col("share")).as("max_boost"))
+    s.crossJoin(broadcast(z))
+      .select(col(groupCol), col(tokensCol),
+        pround(col("share"), 6).as("share"),
+        pround(col("p_raw") / col("z"), 6).as("p_tau"),
+        pround((col("p_raw") / col("share")) / col("max_boost"), 6)
+          .as("keep_rate"))
+  }
+
   def mixSummary(docs: DataFrame, groupCol: String, tokens: Column): DataFrame = {
     val per = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))

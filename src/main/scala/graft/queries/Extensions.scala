@@ -276,6 +276,16 @@ object Extensions {
         TextFunctions.tokenCount(col("text")))
         .orderBy("lang")),
 
+    // Temperature-flattened mixture: τ=0.5 target probabilities and the
+    // single-pass keep-rates that realize them.
+    "mix_temperature_rates" -> ((s, dir) =>
+      Profile.temperatureRates(
+        Profile.mixSummary(t(s, dir, "documents"), "lang",
+          TextFunctions.tokenCount(col("text")))
+          .select("lang", "n_tokens"),
+        "lang", "n_tokens", tau = 0.5)
+        .orderBy("lang")),
+
     // Three-way train/val/test assignment (6.25% val, 12.5% test) from
     // one md5 byte — membership-stable as the corpus grows.
     "corpus_split" -> ((s, dir) =>
@@ -615,6 +625,20 @@ object Extensions {
         |  floor((n_tokens::DOUBLE / total_tokens) * 1000000 + 0.5) / 1000000 AS token_share,
         |  floor((total_tokens::DOUBLE / n_groups / n_tokens) * 1000000 + 0.5) / 1000000 AS uniform_weight
         |FROM per, tot ORDER BY lang""".stripMargin,
+    "mix_temperature_rates" ->
+      """WITH per AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM per),
+        |s AS (SELECT lang, n_tokens, n_tokens / total AS share,
+        |        pow(n_tokens / total, 0.5) AS p_raw
+        |      FROM per, tot),
+        |z AS (SELECT sum(p_raw) AS z, max(p_raw / share) AS max_boost FROM s)
+        |SELECT lang, n_tokens,
+        |  floor(share * 1000000 + 0.5) / 1000000 AS share,
+        |  floor((p_raw / z) * 1000000 + 0.5) / 1000000 AS p_tau,
+        |  floor(((p_raw / share) / max_boost) * 1000000 + 0.5) / 1000000 AS keep_rate
+        |FROM s, z ORDER BY lang""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'val'

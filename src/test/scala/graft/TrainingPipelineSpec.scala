@@ -139,6 +139,23 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(so == so2)
   }
 
+  test("temperature rates: tau=1 keeps the natural mix, tau=0 targets " +
+    "uniform, tau=0.5 sits between and the most-boosted group keeps all") {
+    val mix = Seq(("big", 900L), ("small", 100L)).toDF("g", "n")
+    def rates(tau: Double) = Profile.temperatureRates(mix, "g", "n", tau)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val t1 = rates(1.0)
+    assert(t1("big") == ((0.9, 1.0)) && t1("small") == ((0.1, 1.0)))
+    val t0 = rates(0.0)
+    assert(t0("big")._1 == 0.5 && t0("small")._1 == 0.5)
+    // uniform target: big keeps 1/9 of what small keeps
+    assert(math.abs(t0("big")._2 - 1.0 / 9) < 1e-6 && t0("small")._2 == 1.0)
+    val th = rates(0.5)
+    assert(th("big")._1 > 0.5 && th("big")._1 < 0.9)
+    assert(th("small")._2 == 1.0 && th("big")._2 < 1.0)
+  }
+
   test("line dedup strips cross-doc boilerplate lines, keeps doc order, " +
     "and survives a fully-boilerplate doc") {
     import graft.operators.LineDedup
