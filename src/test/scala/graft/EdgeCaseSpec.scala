@@ -65,6 +65,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p == Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
   }
 
+  test("contamination with an empty eval set returns empty, not error") {
+    import graft.operators.Contamination
+    val docs = Seq((1L, "some training text here that is long enough"),
+      (2L, "other training text entirely")).toDF("doc_id", "text")
+    val out = Contamination.overlap(docs, "doc_id", "text", n = 3,
+      lit(false), minContainment = 0.1)
+    assert(out.count() == 0)
+  }
+
   test("similarity with an empty query set returns empty, not error") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.bruteForceTopK(emb,

@@ -109,6 +109,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 1 hash exchange, got $hashExchanges:\n${p.take(2000)}")
   }
 
+  test("line dedup: the frequent-line set broadcasts; the corpus side " +
+    "never sort-merge joins") {
+    val p = plan("line_dedup")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "boilerplate set stopped broadcasting — corpus-sized shuffle join:\n" +
+        p.take(2000))
+  }
+
   test("minhash verify is candidate-bounded: no shingle self-join, " +
     "candidate restriction below the per-doc aggregation") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
