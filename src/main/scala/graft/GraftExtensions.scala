@@ -44,6 +44,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "kmv_distinct(col, k)")
+        // eval(null) on a non-foldable (e.g. a column reference) throws
+        // an opaque analysis-time error — fail with the contract instead
+        require(exprs(1).foldable,
+          "kmv_distinct: k must be a constant (literal) expression")
         KmvDistinct(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())
       }))

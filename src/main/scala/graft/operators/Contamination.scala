@@ -26,15 +26,35 @@ object Contamination {
 
   /** @param evalPredicate marks the eval/benchmark rows inside `docs`
     * @param minContainment report pairs with containment >= this
+    * @param materialize eager plan-detached result (default); pass
+    *                    false for a lazy frame when composing — the
+    *                    eval shingle set then evaluates once per
+    *                    consumer
     * @return (eval_id, train_id, n_common, containment)
     */
   def overlap(docs: DataFrame, idCol: String, textCol: String, n: Int,
-              evalPredicate: Column, minContainment: Double): DataFrame = {
+              evalPredicate: Column, minContainment: Double,
+              materialize: Boolean = true): DataFrame = {
     val sh = docs.select(col(idCol), evalPredicate.as("is_eval"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("shingle"))
-    val ev = sh.filter(col("is_eval"))
-      .select(col(idCol).as("eval_id"), col("shingle"))
+    if (!materialize) pairsFrom(sh, idCol, minContainment)
+    else {
+      // the tiny eval shingle set feeds two consumers (join side +
+      // sizes); persist so the corpus is shingled and split only once
+      val ev = sh.filter(col("is_eval"))
+        .select(col(idCol).as("eval_id"), col("shingle")).persist()
+      val out = Dedup.materializeDetached(
+        pairsFrom(sh, idCol, minContainment, Some(ev)))
+      ev.unpersist(blocking = false)
+      out
+    }
+  }
+
+  private def pairsFrom(sh: DataFrame, idCol: String, minContainment: Double,
+                        evCached: Option[DataFrame] = None): DataFrame = {
+    val ev = evCached.getOrElse(sh.filter(col("is_eval"))
+      .select(col(idCol).as("eval_id"), col("shingle")))
     val tr = sh.filter(!col("is_eval"))
       .select(col(idCol).as("train_id"), col("shingle"))
     val evSizes = ev.groupBy("eval_id")

@@ -44,7 +44,9 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), col(groupCol), tokens.as("n_tokens"))
       .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
-      .withColumn("bin",
-        floor(col("start_offset").cast("double") / budget).cast("bigint"))
+      // integer division keeps the promised exact arithmetic: offsets
+      // are non-negative longs, so `div` equals mathematical floor and
+      // never round-trips through a double
+      .withColumn("bin", expr(s"start_offset div ${budget}L"))
   }
 }

@@ -37,12 +37,6 @@ object Profile {
         "min_value", "max_value")
   }
 
-  /** Corpus mix planning: per-group document/token totals, each group's
-    * share of the token budget, and the sampling weight that would flatten
-    * the mix to uniform (weight > 1 = upsample, < 1 = downsample) — the
-    * numbers a data-mixture config is written from. Two tiny aggregates
-    * (per-group, then grand total broadcast back); one scan of the corpus.
-    */
   /** Temperature-flattened mixture rates (the multilingual τ-sampling
     * rule): target probability p_g ∝ share_g^τ — τ=1 keeps the natural
     * mix, τ=0 is uniform, 0<τ<1 upweights small groups. `keep_rate` is
@@ -56,8 +50,12 @@ object Profile {
   def temperatureRates(mix: DataFrame, groupCol: String, tokensCol: String,
                        tau: Double): DataFrame = {
     import graft.functions.Rounding.pround
-    val tot = mix.agg(sum(col(tokensCol)).cast("double").as("total"))
-    val s = mix.crossJoin(broadcast(tot))
+    // a zero-token group would make p_raw/share = 0/0 = NaN, and NaN
+    // sorts largest in max() — poisoning every group's keep_rate; an
+    // empty group has nothing to sample, so it is dropped up front
+    val nonEmpty = mix.filter(col(tokensCol) > 0)
+    val tot = nonEmpty.agg(sum(col(tokensCol)).cast("double").as("total"))
+    val s = nonEmpty.crossJoin(broadcast(tot))
       .withColumn("share", col(tokensCol).cast("double") / col("total"))
       .withColumn("p_raw", pow(col("share"), tau))
     val z = s.agg(sum("p_raw").as("z"),
@@ -70,6 +68,12 @@ object Profile {
           .as("keep_rate"))
   }
 
+  /** Corpus mix planning: per-group document/token totals, each group's
+    * share of the token budget, and the sampling weight that would flatten
+    * the mix to uniform (weight > 1 = upsample, < 1 = downsample) — the
+    * numbers a data-mixture config is written from. Two tiny aggregates
+    * (per-group, then grand total broadcast back); one scan of the corpus.
+    */
   def mixSummary(docs: DataFrame, groupCol: String, tokens: Column): DataFrame = {
     val per = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))

@@ -29,6 +29,17 @@ object Retention {
     // append below never mixes generations.
     fsOf(spark, tmp).delete(hPath(tmp), true)
     IO.writeFact(kept, tmp, tsCol, keyCol, overwritePartitions = false)
+    // Streaming replay markers (_graft_commits, EventStream.factSink /
+    // DocStream) live INSIDE the table dir; copy them into the new
+    // generation before the swap or a post-retention foreachBatch replay
+    // would see no marker and re-append its batch. Copy, not rename —
+    // the live dir must stay complete until swapInto promotes tmp.
+    val fs = fsOf(spark, path)
+    val markers = hPath(path + "/_graft_commits")
+    if (fs.exists(markers))
+      org.apache.hadoop.fs.FileUtil.copy(fs, markers, fs,
+        hPath(tmp + "/_graft_commits"), false,
+        spark.sparkContext.hadoopConfiguration)
     swapInto(spark, tmp, path)
     spark.read.parquet(path)
   }

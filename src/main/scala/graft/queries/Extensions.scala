@@ -612,7 +612,7 @@ object Extensions {
         |      - n_tokens AS start_offset
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, start_offset,
-        |  CAST(floor(start_offset::DOUBLE / 2048) AS BIGINT) AS bin
+        |  start_offset // 2048 AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
     "corpus_mix_summary" ->
       """WITH per AS (
@@ -702,7 +702,7 @@ object Extensions {
         |      - n_tokens AS start_offset
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, start_offset,
-        |  CAST(floor(start_offset::DOUBLE / 2048) AS BIGINT) AS bin
+        |  start_offset // 2048 AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,

@@ -148,8 +148,13 @@ object IO {
     // with LOCATION_ALREADY_EXISTS even under SaveMode.Overwrite. Drop
     // any current registration and clear the stale location first.
     spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // resolve through the CURRENT database's location (default db lives
+    // at the warehouse root, others at <warehouse>/<db>.db) so the
+    // cleanup targets the directory saveAsTable will actually use
+    val dbLoc = spark.sessionState.catalog
+      .getDatabaseMetadata(spark.catalog.currentDatabase).locationUri
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
+      new org.apache.hadoop.fs.Path(dbLoc),
       tableName.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)

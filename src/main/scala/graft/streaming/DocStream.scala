@@ -80,8 +80,10 @@ object DocStream {
       bands * rowsPerBand).persist()
     try {
       val existing = readIndexOrEmpty(spark, indexPath, sigs)
+      // the tiny drop-id set feeds both anti-joins; persist it so the
+      // index read + incremental band join run once per batch, not twice
       val drops = Dedup.incrementalDropIds(existing, sigs, "doc_id", bands,
-        rowsPerBand)
+        rowsPerBand).persist()
       val kept = clean.join(drops, Seq("doc_id"), "left_anti").persist()
       try {
         val n = kept.count()
@@ -91,7 +93,10 @@ object DocStream {
             .write.mode("append").parquet(indexPath)
         }
         n
-      } finally kept.unpersist(blocking = false)
+      } finally {
+        kept.unpersist(blocking = false)
+        drops.unpersist(blocking = false)
+      }
     } finally sigs.unpersist(blocking = false)
   }
 

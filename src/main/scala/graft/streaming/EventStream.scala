@@ -62,6 +62,13 @@ object EventStream {
     * batch duplicated, as with any non-transactional append sink; readers
     * that must tolerate a crash inside that window dedup on event_id at
     * read (Relational.dedupLatest, the A4 path).
+    *
+    * SCOPE: markers are keyed by batchId within the target directory, so
+    * a target must be paired with ONE streaming checkpoint for its
+    * lifetime. Restarting with a NEW/lost checkpoint restarts batchIds
+    * at 0 and the old markers would silently skip the new batches —
+    * call [[resetCommits]] whenever the checkpoint is recreated (and
+    * never point two different queries at one target).
     */
   def factSink(events: DataFrame, targetPath: String): DataStreamWriter[Row] =
     events.writeStream
@@ -85,6 +92,14 @@ object EventStream {
   /** True if `batchId` already landed in `targetPath` (replay detection). */
   def isCommitted(spark: SparkSession, targetPath: String, batchId: Long): Boolean =
     hadoopFs(spark, targetPath).exists(commitMarker(targetPath, batchId))
+
+  /** Clear all replay markers of `targetPath`. MUST be called when the
+    * paired streaming checkpoint is deleted/recreated: the new query
+    * restarts batchIds at 0 and stale markers would skip real batches.
+    */
+  def resetCommits(spark: SparkSession, targetPath: String): Unit =
+    hadoopFs(spark, targetPath)
+      .delete(new org.apache.hadoop.fs.Path(s"$targetPath/_graft_commits"), true)
 
   private[streaming] def markCommitted(spark: SparkSession, targetPath: String,
                                        batchId: Long): Unit = {

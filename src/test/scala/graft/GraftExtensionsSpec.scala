@@ -21,6 +21,18 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.install(spark)
   }
 
+  test("kmv_distinct rejects a non-constant k with the contract message") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(id, id) FROM range(0, 10)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(e).exists(_.contains("k must be a constant")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("class-based entry point wires the same builders") {
     // the (SparkSessionExtensions => Unit) contract the config path uses
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -57,6 +57,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept.count() < li.count())
   }
 
+  test("retention rewrite preserves streaming replay markers") {
+    import graft.streaming.EventStream
+    val path = tempDir("ret_markers")
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumnRenamed("l_shipdate", "ts")
+    graft.sources.IO.writeFact(li, path, "ts", "l_orderkey",
+      overwritePartitions = false)
+    // a streaming sink committed batches 0 and 1 into this target
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(0L, 1L).foreach { b =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_commits/$b"),
+        true).close()
+    }
+    Retention.rewrite(spark, path, "ts", "l_orderkey", 30,
+      java.sql.Timestamp.valueOf("1998-06-15 00:00:00"))
+    // markers survived the generation swap: a replayed batch stays a no-op
+    assert(EventStream.isCommitted(spark, path, 0L))
+    assert(EventStream.isCommitted(spark, path, 1L))
+    // and resetCommits clears them for a recreated checkpoint
+    EventStream.resetCommits(spark, path)
+    assert(!EventStream.isCommitted(spark, path, 0L))
+  }
+
   test("retention swap is crash-safe: every interruption point leaves a " +
     "recoverable table") {
     import org.apache.hadoop.fs.Path

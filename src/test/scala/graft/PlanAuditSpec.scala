@@ -93,7 +93,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("contamination broadcasts the eval side; the corpus never shuffles " +
     "into a sort-merge join") {
-    val p = plan("contamination_overlap")
+    // audit the LAZY plan: the query-map entry is eagerly materialized,
+    // so its returned plan is just a scan of the checkpointed result
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.Contamination.overlap(docs, "doc_id", "text",
+      5, org.apache.spark.sql.functions.col("doc_id") % 20 === 0, 0.2,
+      materialize = false)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "eval-side broadcast degraded to SMJ — the 100 TB corpus would shuffle:\n" +

@@ -156,6 +156,15 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(th("small")._2 == 1.0 && th("big")._2 < 1.0)
   }
 
+  test("temperature rates drop zero-token groups instead of poisoning " +
+    "every keep_rate with NaN") {
+    val mix = Seq(("full", 900L), ("empty", 0L)).toDF("g", "n")
+    val out = Profile.temperatureRates(mix, "g", "n", 0.5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains("empty"))
+    assert(out("full") == ((1.0, 1.0)))
+  }
+
   test("line dedup strips cross-doc boilerplate lines, keeps doc order, " +
     "and survives a fully-boilerplate doc") {
     import graft.operators.LineDedup
