@@ -72,6 +72,38 @@ object ScaleStress {
         "vec_id", "embedding", 5, 8)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // 10x documents (50k docs, each base doc in a 10-near-dup clique) —
+    // the training-tier paths. Copies get a
+    // distinct tail so they are near-dups (shared shingles) rather than
+    // exact dups, exercising the realistic LSH load.
+    val docs = Tables.load(spark, base, "documents")
+    val bigDocs = (0 until 10).map(i => docs
+      .withColumn("doc_id", $"doc_id" + lit(i.toLong * 10_000_000L))
+      .withColumn("text", concat($"text", lit(s" stress tail marker $i"))))
+      .reduce(_.unionByName(_)).cache()
+    println("docs=" + bigDocs.count())
+    time("quality verdict over 50k docs (map-only pass)") {
+      operators.Quality.verdict(bigDocs, "doc_id", "text",
+        operators.Quality.Thresholds())
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("line dedup over 50k docs (10-word chunks)") {
+      operators.LineDedup.dedupLines(bigDocs, "doc_id",
+        functions.TextFunctions.wordChunks($"text", 10), maxDocs = 12)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("minhash LSH pairs over 50k docs, 10-cliques (lazy plan)") {
+      operators.Dedup.minHashLshPairs(bigDocs, "doc_id", "text",
+        5, 4, 3, materialize = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sequence packing over 50k docs (per-language windows)") {
+      operators.Packing.packBins(bigDocs, "doc_id", "lang",
+        functions.TextFunctions.tokenCount($"text"), 2048,
+        Seq(operators.Sampling.shuffleKey($"doc_id", "stress"), $"doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
