@@ -36,4 +36,43 @@ object Temporal {
       .select((factId +: dimCols).map(col): _*)
     facts.join(latest, Seq(factId), "left")
   }
+
+  /** Binned range (interval) join: each left row paired with the right
+    * rows of the same key whose timestamp falls in
+    * `(leftTs + loSec, leftTs + hiSec]` — lower bound exclusive, upper
+    * inclusive. Returns each matching pair exactly once, with the right
+    * side's carried columns prefixed `r_`.
+    *
+    * Scale shape: the naive key-equi-join + range filter pairs every
+    * row combination of a key before filtering — quadratic on hot keys.
+    * Here time is quantized into bins of the WINDOW WIDTH
+    * (`hiSec - loSec`): a right row lands in exactly one bin, a left
+    * row's window overlaps at most two, so the join runs on
+    * `(key, bin)` and candidate fan-out is bounded by rows-per-bin —
+    * the Spark-native translation of an interval index. Because each
+    * right row has one bin, no matching pair can be produced twice.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKey: String, rightKey: String,
+                leftTs: String, rightTs: String,
+                loSec: Long, hiSec: Long,
+                rightCols: Seq[String]): DataFrame = {
+    require(hiSec > loSec, s"empty window: ($loSec, $hiSec]")
+    val w = hiSec - loSec
+    val r = right
+      .select((Seq(rightKey, rightTs) ++ rightCols).distinct
+        .map(c => col(c).as(s"r_$c")): _*)
+      .withColumn("__bin",
+        floor(col(s"r_$rightTs").cast("long") / w).cast("long"))
+    val probes = left.withColumn("__bin",
+      explode(array_distinct(array(
+        floor((col(leftTs).cast("long") + loSec) / w).cast("long"),
+        floor((col(leftTs).cast("long") + hiSec) / w).cast("long")))))
+    probes
+      .join(r, probes("__bin") === r("__bin") &&
+        probes(leftKey) === r(s"r_$rightKey") &&
+        r(s"r_$rightTs") > probes(leftTs) + expr(s"INTERVAL $loSec SECONDS") &&
+        r(s"r_$rightTs") <= probes(leftTs) + expr(s"INTERVAL $hiSec SECONDS"))
+      .drop("__bin")
+  }
 }

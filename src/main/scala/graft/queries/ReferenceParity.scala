@@ -266,6 +266,21 @@ object ReferenceParity {
           col("o_totalprice").as("last_total"))
         .orderBy("event_id")),
 
+    // Binned range join: per event, how many events the same user fires
+    // in the following 5 minutes (burst/velocity feature). Events with
+    // no follower report 0 via the left re-join.
+    "range_join_next_events" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val pairs = graft.operators.Temporal.rangeJoin(e, e,
+        "user_id", "user_id", "ts", "ts", 0L, 300L, Seq("event_id"))
+      val counts = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_next"))
+      e.select("event_id").join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: event-type counts as columns per user (fixed value list so
     // the schema is stable; absent combinations coalesce to 0).
     "pivot_event_types" -> ((s, dir) => {
@@ -492,6 +507,14 @@ object ReferenceParity {
         |       floor((min(value)) * 100 + 0.5) / 100 AS lo,
         |       floor((max(value)) * 100 + 0.5) / 100 AS hi
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "range_join_next_events" ->
+      """SELECT e.event_id,
+        |  CAST(count(f.event_id) AS BIGINT) AS n_next
+        |FROM events e LEFT JOIN events f
+        |  ON f.user_id = e.user_id
+        | AND epoch_us(f.ts) > epoch_us(e.ts)
+        | AND epoch_us(f.ts) <= epoch_us(e.ts) + 300000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
     "asof_last_order" ->
       """WITH m AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,

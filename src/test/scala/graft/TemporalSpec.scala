@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.operators.Temporal
 
 class TemporalSpec extends SparkSpec {
@@ -47,5 +49,36 @@ class TemporalSpec extends SparkSpec {
       "event_id", "user_id", "ts", "o_custkey", "o_orderdate",
       Seq("o_orderkey"))
     assert(out.count() == events.count())
+  }
+
+  test("binned range join equals the naive join+filter, including window " +
+    "boundaries and bin crossings") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // window (0, 300]: boundary rows at exactly +300s (in) and 0s (out),
+    // plus pairs straddling multiples of the 300 s bin width
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-01 10:05:00")),   // exactly +300 from e1: in
+      (3L, 1L, ts("2024-01-01 10:00:00")),   // equal ts to e1: out
+      (4L, 1L, ts("2024-01-01 10:04:59")),   // in e1's window; e2 in e4's
+      (5L, 2L, ts("2024-01-01 10:01:00")),   // other key
+      (6L, 1L, ts("2024-01-01 10:09:59")))   // in e2's and e4's window
+      .toDF("event_id", "user_id", "ts")
+    val binned = Temporal.rangeJoin(rows, rows, "user_id", "user_id",
+      "ts", "ts", 0L, 300L, Seq("event_id"))
+      .select($"event_id", $"r_event_id")
+    val naive = rows.as("e").join(rows.as("f"),
+      col("f.user_id") === col("e.user_id") &&
+        col("f.ts") > col("e.ts") &&
+        col("f.ts") <= col("e.ts") + expr("INTERVAL 300 SECONDS"))
+      .select(col("e.event_id"), col("f.event_id").as("r_event_id"))
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // each pair exactly once (a right row lives in exactly one bin)
+    assert(binned.count() == binned.distinct().count())
+    val pairs = binned.as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L),
+      (4L, 2L), (4L, 6L), (2L, 6L)))
   }
 }
