@@ -134,6 +134,26 @@ object EventStream {
   def dedupedEvents(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
+  /** Stream-stream interval self-join: the streaming twin of
+    * `Temporal.rangeJoin` — for each event, the same user's events in
+    * the following `windowSec` seconds, as they arrive. Spark's native
+    * stream-stream join; the watermark on BOTH sides plus the time-range
+    * condition lets the engine evict join state older than
+    * `lateness + windowSec`, so state stays bounded at any event rate —
+    * the streaming analogue of the batch bin index.
+    */
+  def nextEventsWithin(events: DataFrame, lateness: String,
+                       windowSec: Long): DataFrame = {
+    val l = events.withWatermark("ts", lateness).alias("e")
+    val r = events.withWatermark("ts", lateness).alias("f")
+    l.join(r, expr(
+      s"""e.user_id = f.user_id AND
+         |f.ts > e.ts AND
+         |f.ts <= e.ts + INTERVAL $windowSec SECONDS""".stripMargin))
+      .select(col("e.event_id").as("event_id"),
+        col("f.event_id").as("next_event_id"))
+  }
+
   // --- custom state: user sessionization -------------------------------
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -95,6 +95,25 @@ class StreamingSpec extends SparkSpec {
       "replayed micro-batch wrote duplicate rows")
   }
 
+  test("stream-stream interval join equals the batch binned range join") {
+    val stream = EventStream.readEvents(spark, stagedDir)
+    val joined = EventStream.nextEventsWithin(stream, "1 hour", 300L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("next_events").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("next_events")
+      val batch = graft.operators.Temporal.rangeJoin(
+        Tables.load(spark, sf, "events").select("event_id", "user_id", "ts"),
+        Tables.load(spark, sf, "events").select("event_id", "user_id", "ts"),
+        "user_id", "user_id", "ts", "ts", 0L, 300L, Seq("event_id"))
+        .select($"event_id", $"r_event_id".as("next_event_id"))
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      assert(streamed.count() > 0, "fixture must produce some pairs")
+    } finally q.stop()
+  }
+
   test("document ingest stream: quality gate + incremental dedup against " +
     "the stored index across micro-batches") {
     import graft.streaming.DocStream
