@@ -170,6 +170,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("binned range join equals the naive join+filter under random " +
+    "timestamps, keys, and windows (including windows before the row)") {
+    import graft.operators.Temporal
+    val rowsGen = Gen.listOfN(40, for {
+      key <- Gen.choose(0, 3)
+      off <- Gen.choose(0L, 2000L)
+    } yield (key, off))
+    val windowGen = for {
+      lo <- Gen.oneOf(-300L, -60L, 0L, 60L)
+      w <- Gen.oneOf(60L, 300L, 450L)
+    } yield (lo, lo + w)
+    forAll(rowsGen, n = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, off), i) =>
+        (i.toLong, k, new java.sql.Timestamp(1704067200000L + off * 1000L))
+      }.toDF("event_id", "user_id", "ts")
+      forAll(windowGen, n = 3) { case (lo, hi) =>
+        val binned = Temporal.rangeJoin(df, df, "user_id", "user_id",
+          "ts", "ts", lo, hi, Seq("event_id"))
+          .select($"event_id", $"r_event_id")
+        val naive = df.as("e").join(df.as("f"),
+          col("f.user_id") === col("e.user_id") &&
+            col("f.ts") > col("e.ts") + expr(s"INTERVAL $lo SECONDS") &&
+            col("f.ts") <= col("e.ts") + expr(s"INTERVAL $hi SECONDS"))
+          .select(col("e.event_id"), col("f.event_id").as("r_event_id"))
+        assert(binned.exceptAll(naive).count() == 0,
+          s"extra pairs at window ($lo, $hi]")
+        assert(naive.exceptAll(binned).count() == 0,
+          s"missing pairs at window ($lo, $hi]")
+      }
+    }
+  }
+
   test("salted join equals plain join (inner and left)") {
     val facts = Seq((1, "a"), (1, "b"), (2, "c"), (99, "d"))
       .toDF("k", "payload")
