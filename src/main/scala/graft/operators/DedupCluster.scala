@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * cliques or short chains), so the default cap of 10 shuffle rounds
   * covers any realistic corpus; the loop exits early at fixpoint via a
   * cheap count of changed labels. Every `checkpointEvery` rounds the
-  * label frame is localCheckpoint'ed so lineage stays bounded on
-  * chain-shaped graphs (the iterative-algorithm hazard at scale), and
+  * label frame's lineage is cut — reliable checkpoint when the session
+  * has a checkpoint dir, localCheckpoint fallback otherwise — so
+  * lineage stays bounded on chain-shaped graphs (the
+  * iterative-algorithm hazard at scale), and
   * hitting the round budget without convergence raises — silent
   * mislabeling is worse than a loud retry with a higher cap.
   */
@@ -35,11 +37,24 @@ object DedupCluster {
   def componentsWithStatus(docs: DataFrame, idCol: String, pairs: DataFrame,
                            maxRounds: Int = 10,
                            checkpointEvery: Int = 3): (DataFrame, Boolean) = {
+    val spark = docs.sparkSession
+    // Periodic lineage cut: RELIABLE checkpoint when the session has a
+    // checkpoint dir (blocks live on reliable storage, survive executor
+    // loss, predecessors releasable immediately — the right mode on a
+    // cluster); localCheckpoint fallback for single-JVM runs. The
+    // fallback stores its data AS executor cache blocks, so unpersisting
+    // a localCheckpointed round would delete the only copy that later
+    // persist()ed (recomputable-through-lineage) rounds recompute FROM —
+    // after an executor loss their recomputation dies on missing
+    // checkpoint blocks. The most recent local cut therefore stays
+    // `pinned` until the next cut supersedes it.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
     var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
       .persist()
+    var pinned: DataFrame = null
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -54,23 +69,41 @@ object DedupCluster {
             coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
       // bound the lineage: a plain persist still drags the full
-      // round-by-round plan behind it; the periodic checkpoint cuts it.
-      // Checkpoint rounds skip persist(): localCheckpoint already pins
-      // the blocks in executor storage, and persisting on top would
-      // register a second full copy with the CacheManager.
+      // round-by-round plan behind it; the periodic cut truncates it.
+      // Cut rounds skip persist(): both checkpoint flavors already
+      // materialize the data, and persisting on top would register a
+      // second full copy with the CacheManager.
+      val isCut = (round + 1) % checkpointEvery == 0
       val materialized =
-        if ((round + 1) % checkpointEvery == 0) step.localCheckpoint(false)
+        if (isCut && reliable) Dedup.materializeDetached(step)
+        else if (isCut) step.localCheckpoint(false)
         else step.persist()
       val changed = materialized
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist(blocking = false)
+      if (labels ne pinned) labels.unpersist(blocking = false)
+      if (isCut) {
+        // the new cut truncates lineage at `materialized`; nothing
+        // downstream can reach the previous cut's blocks any more
+        if (pinned != null) pinned.unpersist(blocking = false)
+        pinned = if (reliable) null else materialized
+      }
       labels = materialized
       converged = changed == 0
       round += 1
     }
     edges.unpersist(blocking = false)
-    (labels, converged)
+    if (pinned == null || (pinned eq labels)) (labels, converged)
+    else {
+      // The returned frame must not depend on a pin the caller doesn't
+      // know about: cut its lineage (streams from labels' still-cached
+      // blocks, so no recompute), then release both loop frames. The
+      // caller releases the returned frame as documented.
+      val out = labels.localCheckpoint(eager = true)
+      labels.unpersist(blocking = false)
+      pinned.unpersist(blocking = false)
+      (out, converged)
+    }
   }
 
   /** As [[componentsWithStatus]], but failing loudly when the round

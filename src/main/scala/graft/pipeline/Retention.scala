@@ -68,9 +68,35 @@ object Retention {
     * zero copies existed. A crash inside this sequence is healed by
     * [[recover]]; callers that read `liveDir` first should recover() if
     * the read fails.
+    *
+    * REQUIRES an atomic directory rename from the path's FileSystem —
+    * HDFS and posix `file://` provide it; S3A does NOT (its "rename" is a
+    * per-object copy+delete, so a crash mid-rename leaves a PARTIAL
+    * directory that [[recover]] could wrongly promote). On object stores
+    * run retention against a table format with a metadata-pointer commit
+    * (Iceberg/Delta — swap = one atomic pointer write), or point
+    * `liveDir` at an HDFS/posix staging area and sync to the store
+    * afterwards. Enforced below: refuses the swap on a FileSystem whose
+    * scheme is a known non-atomic-rename store.
     */
+  /** Object-store schemes whose directory "rename" is copy+delete, not
+    * atomic — the swap's at-least-one-complete-copy invariant cannot hold
+    * on them (see scaladoc above).
+    */
+  private val NonAtomicRenameSchemes = Set("s3a", "s3", "s3n", "gs", "wasb",
+    "wasbs", "abfs", "abfss", "oss", "cos")
+
+  private[graft] def requireAtomicRename(scheme: String): Unit =
+    require(!NonAtomicRenameSchemes.contains(
+      scheme.toLowerCase(java.util.Locale.ROOT)),
+      s"swapInto requires atomic directory rename; '$scheme' renames by " +
+        "copy+delete. Use a metadata-pointer table format " +
+        "(Iceberg/Delta) or an HDFS/posix staging path for retention " +
+        "on this store.")
+
   def swapInto(spark: SparkSession, tmpDir: String, liveDir: String): Unit = {
     val fs = fsOf(spark, liveDir)
+    requireAtomicRename(Option(fs.getUri.getScheme).getOrElse(""))
     val live = hPath(liveDir)
     val tmp = hPath(tmpDir)
     val backup = hPath(liveDir + BackupSuffix)

@@ -40,14 +40,18 @@ object IO {
     * write reproduces the Distributed(..., id) routing (S6) against N
     * database shards/connections. `numPartitions` caps concurrent
     * connections so a 1000-executor job can't open 1000 sockets against
-    * one database.
+    * one database. The cap is a `repartition`, not `coalesce`: coalesce
+    * propagates up the DAG and would collapse the UPSTREAM computation
+    * to n tasks too — on a 1000-executor job that throttles the whole
+    * pipeline, not just the connection count. The one extra shuffle is
+    * the price of keeping upstream parallelism intact.
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties,
                 mode: SaveMode = SaveMode.Append,
                 batchSize: Int = 10000,
                 numPartitions: Option[Int] = None): Unit = {
-    val capped = numPartitions.fold(df)(n => df.coalesce(n))
+    val capped = numPartitions.fold(df)(n => df.repartition(n))
     capped.write
       .mode(mode)
       .option("batchsize", batchSize.toLong)

@@ -100,11 +100,24 @@ object DocStream {
     } finally sigs.unpersist(blocking = false)
   }
 
+  /** First-batch bootstrap: an index that does not exist yet reads as
+    * empty. ONLY the two conditions that mean "nothing written yet"
+    * (missing path, or a present-but-empty directory Spark can't infer a
+    * schema from) are treated that way — a corrupt index, a wrong-schema
+    * index, or a mistyped `indexPath` that resolves to something else
+    * must fail loudly, because silently returning empty would disable
+    * cross-batch dedup and let duplicates into the corpus.
+    */
+  private val EmptyIndexConditions =
+    Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
   private def readIndexOrEmpty(spark: SparkSession, indexPath: String,
                                like: DataFrame): DataFrame =
     try spark.read.parquet(indexPath)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition != null &&
+            EmptyIndexConditions.contains(e.getCondition) =>
         like.filter(lit(false))
     }
 }

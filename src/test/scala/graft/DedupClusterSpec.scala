@@ -42,6 +42,41 @@ class DedupClusterSpec extends SparkSpec {
     assert(full.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
   }
 
+  test("localCheckpoint fallback: converges across cut rounds and leaves " +
+      "no cache entries behind") {
+    // SparkSpec sets a checkpoint dir, so the reliable path is the
+    // default; drop it for this test to exercise the fallback, whose
+    // pinned-checkpoint lifetime rules are the subtle part (a local
+    // checkpoint's blocks ARE its storage — releasing one too early
+    // strands every later persisted round's recompute path).
+    val sc = spark.sparkContext
+    val saved = sc.getCheckpointDir
+    sc.setCheckpointDir(null)
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      val docs = (1L to 12L).toDF("doc_id")
+      val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      // 11-hop chain: 12 rounds spanning four checkpointEvery=3 cuts,
+      // ending on a non-cut round so the final-labels lineage cut runs
+      val (labels, ok) = DedupCluster.componentsWithStatus(
+        docs, "doc_id", pairs, maxRounds = 15, checkpointEvery = 3)
+      assert(ok)
+      assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+      labels.unpersist(blocking = true)
+      // Cache hygiene, scoped to THIS call (the session is shared across
+      // suites, so a global-emptiness check would flag other suites'
+      // fixtures). Every CacheManager-registered round frame must be
+      // released synchronously; only localCheckpoint block sets (the four
+      // cuts + the final lineage cut) may linger until the ContextCleaner
+      // GCs their now-unreachable RDDs. A leak of the ~8 persist()ed
+      // rounds would blow well past that bound.
+      val lingering = sc.getPersistentRDDs.keySet -- before
+      assert(lingering.size <= 5,
+        s"fallback mode left ${lingering.size} persistent RDDs — " +
+          "loop rounds are leaking cache entries")
+    } finally saved.foreach(sc.setCheckpointDir)
+  }
+
   test("end-to-end: LSH pairs on the fixture corpus cluster and dedup it") {
     val d = Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minHashLshPairs(d, "doc_id", "text", 5, 4, 3)

@@ -178,4 +178,13 @@ class PipelineSpec extends SparkSpec {
     assert(months.nonEmpty)
     assert(months.forall(_.startsWith("2024-01")))
   }
+
+  test("swapInto refuses object stores whose rename is copy+delete") {
+    // the swap's at-every-instant-one-complete-copy invariant holds only
+    // under atomic directory rename; S3A-style stores break it silently
+    for (s <- Seq("s3a", "S3A", "gs", "abfss"))
+      intercept[IllegalArgumentException](Retention.requireAtomicRename(s))
+    Retention.requireAtomicRename("file")
+    Retention.requireAtomicRename("hdfs")
+  }
 }

@@ -160,4 +160,25 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 5L),
       "index must track exactly the corpus survivors")
   }
+
+  test("ingest bootstrap: an existing-but-empty index directory reads as " +
+    "empty (UNABLE_TO_INFER_SCHEMA), not as a hard failure") {
+    import graft.streaming.DocStream
+    import graft.operators.Quality
+    val corpus = tempDir("doc_boot_corpus")
+    // pre-create the index dir with nothing in it — the other bootstrap
+    // shape besides PATH_NOT_FOUND; any OTHER AnalysisException must now
+    // propagate instead of silently disabling cross-batch dedup
+    val index = tempDir("doc_boot_index")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(index))
+    val t = Quality.Thresholds(minTokens = 1, maxTokens = 1000,
+      allowedLangs = Seq("en", "unknown"), minQuality = 0.0,
+      maxDupWordRatio = 1.0)
+    val batch = Seq((1L, "fresh corpus bootstrap document", "en", "web", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = DocStream.ingestBatch(batch, corpus, index, t,
+      shingleN = 3, bands = 4, rowsPerBand = 3)
+    assert(kept == 1L)
+    assert(spark.read.parquet(corpus).count() == 1L)
+  }
 }
