@@ -34,7 +34,12 @@ object Bench {
       .filter(SparkEntry.queries.contains)
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional name filter (regex, full match) for quick per-query
+    // iteration: SPARK_GRAFT_ONLY='dedup_.*' runs just the dedup tier.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.matches(n)))
+    val results = names.map { name =>
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

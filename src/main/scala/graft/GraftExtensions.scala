@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, KmvDistinct}
+import graft.functions.{CosineSimilarity, KmvDistinct, MisraGries}
 
 /** Session-extension entry point (SURVEY §2.11 registration path): start
   * any session with
@@ -18,6 +18,7 @@ import graft.functions.{CosineSimilarity, KmvDistinct}
   *
   *   - `cosine_sim(a, b)`   codegen'd float-vector cosine (scalar)
   *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
+  *   - `misra_gries(x, k)`  heavy-hitters sketch (aggregate)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -49,6 +50,15 @@ object GraftExtensions {
         require(exprs(1).foldable,
           "kmv_distinct: k must be a constant (literal) expression")
         KmvDistinct(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      }),
+    (new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "misra_gries(col, k)")
+        require(exprs(1).foldable,
+          "misra_gries: k must be a constant (literal) expression")
+        MisraGries(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())
       }))
 

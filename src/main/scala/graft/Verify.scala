@@ -17,7 +17,13 @@ object Verify {
     spark.sparkContext.setCheckpointDir(
       Files.createTempDirectory("graft_ckpt").toString)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional full-match regex filter for local iteration (the driver
+    // sets no filter); the oracle json below is filtered to match so
+    // tools/oracle_check.py compares exactly the dumped subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.matches(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -37,6 +43,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -1,0 +1,155 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitters sketch as a `TypedImperativeAggregate`:
+  * the frequent-items counterpart of [[KmvDistinct]] in the engine's
+  * custom-aggregate tier.
+  *
+  * Buffer = at most `k` (item, count) counters. Update is the classic
+  * decrement rule (an unmatched item with a full table decrements every
+  * counter); merge is the mergeable-summaries rule (Agarwal et al.,
+  * PODS'12): add counts pointwise, then subtract the (k+1)-th largest
+  * count and drop non-positives. State is O(k) regardless of input
+  * size and map-side combinable, so finding the frequent terms of a
+  * 100 TB corpus moves k counters per partition instead of shuffling
+  * every distinct term the way an exact groupBy must (the exact query
+  * stays the oracle-checkable semantics at test scale —
+  * `text_heavy_hitters`).
+  *
+  * Guarantee: every item with true frequency > N/(k+1) is present, and
+  * each reported count c' satisfies true − N/(k+1) ≤ c' ≤ true.
+  */
+case class MisraGries(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(k >= 1, s"k >= 1 required, got $k")
+  require(child.dataType == StringType,
+    s"misra_gries expects a string column, got ${child.dataType}")
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(key)
+      if (buf.containsKey(key)) buf.put(key, cur + 1L)
+      else if (buf.size < k) buf.put(key, 1L)
+      else decrementAll(buf, 1L)
+    }
+    buf
+  }
+
+  /** Subtract `d` from every counter, dropping non-positives. */
+  private def decrementAll(buf: java.util.HashMap[String, Long],
+                           d: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val left = e.getValue - d
+      if (left > 0) e.setValue(left) else it.remove()
+    }
+  }
+
+  override def merge(buf: java.util.HashMap[String, Long],
+                     other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (buf.size > k) {
+      // (k+1)-th largest count = the amount to subtract so at most k
+      // counters stay positive (mergeable-summaries rule)
+      import scala.jdk.CollectionConverters._
+      val counts = buf.values().asScala.toArray.sorted(Ordering[Long].reverse)
+      decrementAll(buf, counts(k))
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new java.util.ArrayList(buf.entrySet())
+    entries.sort { (a: java.util.Map.Entry[String, Long],
+                    b: java.util.Map.Entry[String, Long]) =>
+      val byCount = java.lang.Long.compare(b.getValue, a.getValue)
+      if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+    }
+    val rows = new Array[Any](entries.size())
+    var i = 0
+    while (i < rows.length) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "misra_gries"
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGries =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGries =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object MisraGries {
+
+  /** Register `misra_gries(col, k)` on the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      exprs => MisraGries(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def column(spark: SparkSession, c: Column, k: Int): Column = {
+    register(spark)
+    call_function("misra_gries", c, org.apache.spark.sql.functions.lit(k))
+  }
+}

@@ -51,6 +51,51 @@ object Contamination {
     }
   }
 
+  /** Bloom-filter corpus prefilter: training documents none of whose
+    * shingles can possibly appear in the eval set are dropped BEFORE
+    * the shingle explode/join. The filter is built distributed from the
+    * eval shingles (`DataFrameStat.bloomFilter`, a treeAggregate),
+    * collected once (m·ln(1/fpp)/ln²2 bits — a few MB for benchmark-
+    * sized eval sets), and broadcast; each corpus document then pays
+    * one map-side membership probe per distinct shingle instead of
+    * entering the join at all. Bloom filters have NO false negatives,
+    * so the exact overlap on the survivors equals the exact overlap on
+    * the full corpus — verified by `ContaminationSpec` and the shared
+    * oracle row. At 100 TB this is the difference between shuffling
+    * shingles for every document and for only the ~fpp fraction that
+    * might matter.
+    *
+    * The membership probe is a Scala UDF — the one place the engine
+    * accepts one, because Spark exposes no codegen'd bloom-probe
+    * function on a prebuilt filter (the built-in runtime row-level
+    * filtering is join-internal and not addressable from the API).
+    */
+  def bloomSurvivors(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                     evalPredicate: Column, expectedShingles: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val evalShingles = docs.filter(evalPredicate)
+      .select(explode(array_distinct(
+        TextFunctions.wordShingles(col(textCol), n))).as("shingle"))
+    val bloom = evalShingles.stat.bloomFilter("shingle", expectedShingles, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf((shingles: Seq[String]) =>
+      shingles != null && shingles.exists(bc.value.mightContainString))
+    docs.filter(evalPredicate ||
+      mightHit(array_distinct(TextFunctions.wordShingles(col(textCol), n))))
+  }
+
+  /** [[overlap]] over [[bloomSurvivors]] — identical result (no false
+    * negatives), corpus-scale prefilter in front.
+    */
+  def overlapPrefiltered(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, evalPredicate: Column,
+                         minContainment: Double,
+                         expectedShingles: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame =
+    overlap(bloomSurvivors(docs, idCol, textCol, n, evalPredicate,
+      expectedShingles, fpp), idCol, textCol, n, evalPredicate,
+      minContainment)
+
   private def pairsFrom(sh: DataFrame, idCol: String, minContainment: Double,
                         evCached: Option[DataFrame] = None): DataFrame = {
     val ev = evCached.getOrElse(sh.filter(col("is_eval"))

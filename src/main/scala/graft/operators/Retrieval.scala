@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Rounding, TextFunctions}
+
+/** Full-text top-k retrieval over the corpus: BM25 ranking through an
+  * inverted term index — the "find training documents like this eval
+  * item" / "nearest textual neighbors" workhorse that complements the
+  * Jaccard similarity join (set overlap) with a graded relevance score
+  * (term frequency saturation × rarity × length normalization).
+  *
+  * Scale design: the only join is query-terms ⋈ postings on the term —
+  * an equi-join through the inverted index, so each query document
+  * meets exactly the documents sharing at least one term with it
+  * (bounded by posting-list length), never the full corpus. Corpus
+  * statistics (N, avgdl) are a one-row broadcast; document frequencies
+  * ride the same term key as the postings join. All per-pair state is
+  * one partial sum — map-side combinable — and the final top-k is a
+  * bounded per-query window. At 100 TB: postings are the exploded
+  * corpus (shuffle once on term, or pre-bucket the index table by term
+  * via IO.writeBucketedTable and the join is exchange-free), queries
+  * are the small side.
+  *
+  * Determinism contract (the oracle gate): the classic BM25 idf is
+  * ln((N-df+0.5)/(df+0.5)+1), and `ln` is the one operation whose
+  * low-order bits differ between math libraries. This implementation
+  * uses the RATIONAL idf (N-df+0.5)/(df+0.5) — strictly monotone in
+  * the classic idf per term, so single-term rankings are identical and
+  * rare terms still dominate — keeping every score inside closed-form
+  * IEEE +,-,×,÷ arithmetic that is bit-identical in any engine that
+  * evaluates the same expression shape. Per-term contributions are
+  * summed as DECIMAL(38,12) so the pair score is independent of
+  * partition/accumulation order, then rounded (pround) to 4 digits.
+  */
+object Retrieval {
+
+  /** @param queryPredicate selects the query documents (applied to the
+    *        per-(doc,term) frame, so any predicate over idCol works)
+    * @param k results per query
+    * @return (query_id, cand_id, score, rank) — rank 1..k by
+    *         (score desc, cand_id), candidates sharing ≥1 term only
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryPredicate: Column, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               materialize: Boolean = true): DataFrame = {
+    // one row per (doc, distinct term) with its in-doc frequency — the
+    // inverted index; feeds postings, query terms, doc lengths, and
+    // document frequencies, so persist it across those consumers
+    val tf0 = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tf0.persist() else tf0
+
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    // doc lengths are small integers: the double sum inside avg() is
+    // exact (< 2^53), so n_docs/avgdl match any engine bit-for-bit
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val dfreq = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val q = tf.filter(queryPredicate)
+      .select(col(idCol).as("query_id"), col("term"))
+    val postings = tf.select(col(idCol).as("cand_id"), col("term"),
+      col("tf").cast("double").as("tf_c"))
+
+    // same expression shape as the oracle SQL — parenthesization is part
+    // of the determinism contract
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf_c") * lit(k1 + 1.0)) /
+      (col("tf_c") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("dl_c") / col("avgdl"))))
+    val contrib = q
+      .join(postings, Seq("term"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(dfreq, Seq("term"))
+      .join(dl.select(col(idCol).as("cand_id"),
+        col("dl").cast("double").as("dl_c")), Seq("cand_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("cand_id"),
+        (idf * sat).cast("decimal(38,12)").as("part"))
+
+    val scored = contrib.groupBy("query_id", "cand_id")
+      .agg(Rounding.pround(sum("part").cast("double"), 4).as("score"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+    if (materialize) {
+      // same cache discipline as the dedup tier: materialize the small
+      // result detached from the plan, then release the pinned index
+      val out = Dedup.materializeDetached(ranked)
+      tf.unpersist(blocking = false)
+      out
+    } else ranked
+  }
+}

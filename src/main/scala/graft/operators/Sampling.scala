@@ -78,4 +78,39 @@ object Sampling {
     */
   def shuffleKey(key: Column, seed: String): Column =
     md5(concat(key.cast("string"), lit(":"), lit(seed)))
+
+  /** Weighted sampling without replacement, derandomized (Efraimidis–
+    * Spirakis exponential keys): each row gets priority u^(1/w) with u a
+    * uniform (0,1] value derived from md5(key:seed) — the top-n
+    * priorities ARE a weight-proportional sample without replacement.
+    * Deterministic (same sample on re-run, any engine, any
+    * partitioning), membership-stable under corpus growth for rows that
+    * stay in the top-n, and one scan + a top-n (TakeOrdered at scale —
+    * per-partition heaps, no global sort). The priority is rounded to 9
+    * digits so both engines rank the identical value; ties (same
+    * weight, adjacent hash) break by key.
+    *
+    * The mixture-sampling primitive: w = token count gives
+    * token-proportional document draws; w = quality score biases toward
+    * clean documents.
+    */
+  def weightedPriority(key: Column, weight: Column, seed: String): Column = {
+    // first 8 md5 hex chars → 32-bit int x; u = (x+1)/2^32 ∈ (0, 1]
+    val x = conv(substring(md5(concat(key.cast("string"), lit(":" + seed))),
+      1, 8), 16, 10).cast("double")
+    val u = (x + lit(1.0)) / lit(4294967296.0)
+    graft.functions.Rounding.pround(
+      pow(u, lit(1.0) / weight.cast("double")), 9)
+  }
+
+  /** Top-n rows by [[weightedPriority]]; rows with weight <= 0 can never
+    * be drawn (u^(1/w) is not meaningful for them) and are filtered.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int, seed: String): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("priority",
+        weightedPriority(col(keyCol), col(weightCol), seed))
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(n)
 }

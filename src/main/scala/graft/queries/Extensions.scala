@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{Rounding, TextFunctions}
 import graft.operators.{Contamination, Dedup, DedupCluster, Packing, Profile, Similarity}
 
 /** Oracle-checked queries for the training-data-pipeline tier
@@ -69,6 +69,24 @@ object Extensions {
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
 
+    // Frequency-threshold heavy hitters (exact form — the oracle
+    // semantics of functions.MisraGries, whose O(k) mergeable sketch is
+    // the 100 TB path benchmarked in GraftExtensionsSpec): terms whose
+    // share of all tokens is at least 0.5%.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+      val share = graft.functions.Rounding.pround(
+        col("n").cast("double") / col("total"), 6)
+      toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share", share)
+        .filter(col("share") >= 0.005)
+        .select("term", "n", "share")
+        .orderBy(col("n").desc, col("term"))
+    }),
+
     // Normalization: lowercase, strip non-alphanumerics, squeeze spaces —
     // the canonical pre-dedup cleanup pass.
     "text_normalize" -> ((s, dir) =>
@@ -115,6 +133,22 @@ object Extensions {
         t(s, dir, "documents"), "doc_id", "lang",
         Map("de" -> 256, "en" -> 128))
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Weighted sampling without replacement (derandomized exponential
+    // keys): char-length-proportional document draws — the mixture-
+    // sampling primitive. Top-50 priorities u^(1/w), u md5-derived.
+    "sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", "n_chars", 50, "mix1")
+        .select("doc_id", "n_chars", "priority")
+        .orderBy(col("priority").desc, col("doc_id"))),
+
+    // BM25 top-k retrieval through the inverted term index; docs with
+    // doc_id < 25 play the queries (the text_topk_similar convention).
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") < 25, 3)
+        .orderBy("query_id", "rank")),
 
     // Deterministic arg-max per group (longest doc per language,
     // ties -> smallest id).
@@ -223,6 +257,15 @@ object Extensions {
     "contamination_overlap" -> ((s, dir) =>
       Contamination.overlap(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, col("doc_id") % 20 === 0, 0.2)
+        .orderBy("eval_id", "train_id")),
+
+    // Same detection through the broadcast-bloom corpus prefilter: the
+    // filter has no false negatives, so the result is IDENTICAL to
+    // contamination_overlap (shared oracle row proves it) while the
+    // exact join only ever sees the few documents that might collide.
+    "contamination_prefiltered" -> ((s, dir) =>
+      Contamination.overlapPrefiltered(t(s, dir, "documents"), "doc_id",
+        "text", ShingleN, col("doc_id") % 20 === 0, 0.2)
         .orderBy("eval_id", "train_id")),
 
     // Detect → remove: the decontaminated training corpus — training
@@ -462,7 +505,79 @@ object Extensions {
        |  CAST(min($c) AS VARCHAR) AS min_value,
        |  CAST(max($c) AS VARCHAR) AS max_value FROM events""".stripMargin
 
+  /** 8 hex chars of `hx` → the 32-bit integer value, nibble by nibble
+    * (exact in double: every intermediate is an integer < 2^32).
+    */
+  private def hex8ToInt(hx: String): String =
+    (1 to 8).map { i =>
+      val f = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
+    }.mkString("(", " + ", ")")
+
+  private val contaminationOracle =
+    s"""WITH $shingleCte,
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
+       |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 20 != 0),
+       |sizes AS (SELECT eval_id, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
+       |inter AS (
+       |  SELECT eval_id, train_id, count(*) AS n_common
+       |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1, 2)
+       |SELECT i.eval_id, i.train_id, i.n_common,
+       |  floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 AS containment
+       |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
+       |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
+       |ORDER BY i.eval_id, i.train_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+         |t AS (SELECT term, count(*) AS n FROM toks GROUP BY 1)
+         |SELECT term, n,
+         |  ${Rounding.sqlPround("CAST(n AS DOUBLE) / total", 6)} AS share
+         |FROM t, tot
+         |WHERE ${Rounding.sqlPround("CAST(n AS DOUBLE) / total", 6)} >= 0.005
+         |ORDER BY n DESC, term""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |         substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) AS hx
+         |  FROM documents WHERE n_chars > 0),
+         |p AS (
+         |  SELECT doc_id, n_chars,
+         |    ${Rounding.sqlPround(
+             s"pow((${hex8ToInt("hx")} + 1.0) / 4294967296.0, " +
+               "1.0 / CAST(n_chars AS DOUBLE))", 9)} AS priority
+         |  FROM h)
+         |SELECT doc_id, n_chars, priority FROM p
+         |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
+    "text_bm25_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 25),
+         |contrib AS (
+         |  SELECT q.query_id, c.doc_id AS cand_id,
+         |    CAST(((s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+         |         ((CAST(c.tf AS DOUBLE) * 2.2) /
+         |          (CAST(c.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+         |      AS DECIMAL(38,12)) AS part
+         |  FROM q
+         |  JOIN tf c ON c.term = q.term AND c.doc_id != q.query_id
+         |  JOIN dfreq f ON f.term = q.term
+         |  JOIN dl d ON d.doc_id = c.doc_id
+         |  CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT query_id, cand_id,
+         |         ${Rounding.sqlPround("CAST(sum(part) AS DOUBLE)", 4)} AS score
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS rank FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "dq_profile_events" ->
       (Seq("event_id", "user_id", "event_type", "value").map(dqCol)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")),
@@ -539,19 +654,10 @@ object Extensions {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
-    "contamination_overlap" ->
-      s"""WITH $shingleCte,
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
-         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 20 != 0),
-         |sizes AS (SELECT eval_id, count(*) AS n_eval_shingles FROM ev GROUP BY 1),
-         |inter AS (
-         |  SELECT eval_id, train_id, count(*) AS n_common
-         |  FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY 1, 2)
-         |SELECT i.eval_id, i.train_id, i.n_common,
-         |  floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 AS containment
-         |FROM inter i JOIN sizes s ON i.eval_id = s.eval_id
-         |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
-         |ORDER BY i.eval_id, i.train_id""".stripMargin,
+    "contamination_overlap" -> contaminationOracle,
+    // The bloom prefilter has no false negatives, so the prefiltered
+    // pipeline must produce EXACTLY the unfiltered result — same oracle.
+    "contamination_prefiltered" -> contaminationOracle,
     "decontaminated_corpus" ->
       s"""WITH $shingleCte,
          |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),

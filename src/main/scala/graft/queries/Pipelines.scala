@@ -92,6 +92,18 @@ object Pipelines {
     // S7: CSV bulk load with the reference dialect (header, ';', NULL
     // literal, quoting disabled — hook:92-112) — write+read round trip
     // must be lossless against the source.
+    // Z-order clustered write (multi-dim pruning layout): content must
+    // round-trip exactly; ZOrderSpec separately measures the per-file
+    // span narrowing that makes the layout worth paying for.
+    "zorder_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val path = scratch("graft_zorder")
+      graft.sources.IO.writeZOrdered(e, path, Seq("user_id", "value"),
+        bits = 4, numFiles = 8)
+      s.read.parquet(path).orderBy("event_id")
+    }),
+
     "csv_bulk_roundtrip" -> ((s, dir) => {
       val e = Tables.load(s, dir, "events")
       val path = scratch("graft_csv")
@@ -129,6 +141,8 @@ object Pipelines {
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
     "csv_bulk_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "zorder_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id",
     "ddl_script_runner" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
 }

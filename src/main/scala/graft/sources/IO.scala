@@ -169,6 +169,54 @@ object IO {
       .saveAsTable(tableName)
   }
 
+  /** Z-order clustered write: interleave the bits of quantile-bucketed
+    * clustering columns into one Morton key, range-partition and sort
+    * the data by it, and write. Each output file then covers a small
+    * hyper-rectangle of the clustering space, so parquet min/max
+    * row-group stats prune scans filtered on ANY clustered column — the
+    * multi-dimensional generalization of the 1-D `sortWithinPartitions`
+    * layout (L3), and the same layout Delta/Iceberg OPTIMIZE ZORDER
+    * produces. Linear sort narrows one column's per-file span and
+    * leaves the others full-width; Z-order narrows all of them
+    * (ZOrderSpec measures exactly this).
+    *
+    * Scale shape: quantile cut points are an `approxQuantile` sketch
+    * pass (driver gets bits·dims doubles, broadcast back as literals);
+    * bucketing is a codegen'd fold over the sorted cuts; the only
+    * shuffle is the final range partition — same cost as any sorted
+    * write of the table.
+    */
+  def zOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(cols.size >= 2, "z-ordering needs >= 2 columns (use a plain " +
+      "sorted write for one)")
+    require(bits * cols.size <= 60, s"bits=$bits × ${cols.size} dims " +
+      "overflows the long Morton key")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val cutsPerCol = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+    val bucketCols = cols.zip(cutsPerCol).map { case (c, cuts) =>
+      // rank of the value among the sorted cut points = its quantile
+      // bucket; a monotone fold the codegen unrolls (no UDF, no join)
+      cuts.foldLeft(lit(0L)) { (acc, cut) =>
+        acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L)
+      }
+    }
+    (0 until bits).flatMap(b => bucketCols.zipWithIndex.map { case (bc, j) =>
+      shiftleft(shiftrightunsigned(bc, b).bitwiseAND(1L),
+        b * cols.size + j)
+    }).reduce(_.bitwiseOR(_))
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    bits: Int = 8, numFiles: Int = 32): Unit = {
+    val withZ = df.withColumn("__zorder", zOrderKey(df, cols, bits))
+    withZ
+      .repartitionByRange(numFiles, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   // --- S8/S9: local row interchange -----------------------------------
 
   /** S8: query result → local rows (the hook's get_pandas_df, hook:61-65).

@@ -38,6 +38,6 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("cosine_sim", "kmv_distinct"))
+      Seq("cosine_sim", "kmv_distinct", "misra_gries"))
   }
 }

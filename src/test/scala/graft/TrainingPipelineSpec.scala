@@ -27,6 +27,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out.head.getAs[Double]("containment") == 1.0)
   }
 
+  test("bloom prefilter: identical pairs to the exact path, and clean " +
+    "docs are dropped before the join") {
+    val d = Tables.load(spark, sf, "documents")
+    val exactPairs = Contamination.overlap(d, "doc_id", "text", 5,
+      col("doc_id") % 20 === 0, 0.2)
+      .select("eval_id", "train_id", "n_common", "containment")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val prefiltered = Contamination.overlapPrefiltered(d, "doc_id", "text", 5,
+      col("doc_id") % 20 === 0, 0.2)
+      .select("eval_id", "train_id", "n_common", "containment")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(prefiltered == exactPairs,
+      "bloom has no false negatives — results must be identical")
+    // the prefilter must actually prune: far fewer docs reach the join
+    // than the full corpus (fpp=1% on a disjoint-shingle majority)
+    val survivors = Contamination.bloomSurvivors(d, "doc_id", "text", 5,
+      col("doc_id") % 20 === 0).count()
+    val total = d.count()
+    assert(survivors < total / 2,
+      s"prefilter kept $survivors of $total docs — not pruning")
+    // every flagged train doc and every eval doc must survive
+    val mustKeep = exactPairs.map(_._2) ++
+      d.filter(col("doc_id") % 20 === 0).select("doc_id").as[Long].collect()
+    val kept = Contamination.bloomSurvivors(d, "doc_id", "text", 5,
+      col("doc_id") % 20 === 0).select("doc_id").as[Long].collect().toSet
+    assert(mustKeep.subsetOf(kept))
+  }
+
   test("contamination uses containment, not jaccard: short eval inside " +
     "long train still flags") {
     val evalText = "alpha beta gamma delta epsilon"
