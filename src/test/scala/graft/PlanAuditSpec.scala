@@ -124,6 +124,45 @@ class PlanAuditSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("bm25: corpus stats broadcast as one row; no cartesian product " +
+    "reaches the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      org.apache.spark.sql.functions.col("doc_id") < 25, 3,
+      materialize = false).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      "N/avgdl stats must broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "corpus-sized cartesian crept into bm25:\n" + p.take(2000))
+  }
+
+  test("bloom prefilter is a pure map-side scan+filter: no exchange, " +
+    "no join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.Contamination.bloomSurvivors(docs, "doc_id",
+      "text", 5, org.apache.spark.sql.functions.col("doc_id") % 20 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      "the corpus prefilter must not shuffle:\n" + p.take(2000))
+    assert(!p.contains("Join"),
+      "the corpus prefilter must not join:\n" + p.take(2000))
+  }
+
+  test("misra_gries aggregates map-side (partial ObjectHashAggregate " +
+    "before the exchange)") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.load(spark, sf, "documents")
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val p = toks.groupBy("lang")
+      .agg(graft.functions.MisraGries.column(spark, col("term"), 10).as("hh"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "sketch must combine map-side (partial + final aggregate):\n" +
+        p.take(2000))
+  }
+
   test("minhash verify is candidate-bounded: no shingle self-join, " +
     "candidate restriction below the per-doc aggregation") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
