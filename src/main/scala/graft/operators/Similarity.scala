@@ -154,6 +154,123 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Product-quantization ANN (ADC form): the vector-compression path
+    * that makes billion-scale search affordable. Train: the dimension
+    * axis splits into `nsub` subvectors and each gets its own KMeans
+    * codebook of `ksub` centroids (train on a sample at 100 TB — the
+    * codebook only needs distribution coverage). Encode: every corpus
+    * vector becomes `nsub` small codes — here a PURE map pass: the
+    * codebooks are literal arrays inside a codegen'd least-of-structs
+    * argmin, no join, no shuffle, and the encoded corpus is
+    * nsub·log2(ksub) bits per vector (64-dim float → 8 bytes = 32×
+    * smaller — the memory factor that lets an index fit a cluster).
+    * Query (asymmetric distance computation): the query stays exact;
+    * each candidate's distance is the sum over subvectors of
+    * ||q_j − centroid[code_j]||², evaluated by indexing the literal
+    * codebook with the candidate's stored code — again map-only over a
+    * broadcast query set.
+    *
+    * Recall is validated against exact L2 brute force in
+    * SimilaritySpec (KMeans has no SQL-oracle equivalent, same rule as
+    * IVF). Compose with [[ivfTopK]]'s cell routing for the full
+    * IVF-PQ shape: cells bound the candidates, codes bound the bytes.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val nsub = codebooks.size
+    val subDim = codebooks.head.head.size
+    val codeCols = (0 until nsub).map { j =>
+      val sub = slice(col(vecCol), j * subDim + 1, subDim)
+      // argmin over the codebook = lexicographic least of
+      // struct(distance, index) — ties break to the smaller code
+      val cands = codebooks(j).zipWithIndex.map { case (cent, i) =>
+        val d = cent.zipWithIndex.map { case (c, dIdx) =>
+          val diff = element_at(sub, dIdx + 1).cast("double") - lit(c.toDouble)
+          diff * diff
+        }.reduce(_ + _)
+        struct(d.as("d"), lit(i).as("i"))
+      }
+      least(cands: _*).getField("i")
+    }
+    corpus.select(col(idCol).as("cand_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Train `nsub` sub-quantizers of `ksub` centroids each. */
+  def pqTrain(corpus: DataFrame, vecCol: String, nsub: Int, ksub: Int,
+              seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % nsub == 0, s"dim $dim not divisible by nsub=$nsub")
+    val subDim = dim / nsub
+    (0 until nsub).map { j =>
+      val train = corpus.select(array_to_vector(
+        slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
+        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    }
+  }
+
+  /** ADC top-k over a pq-encoded corpus: smallest approximate L2
+    * distance first, candidate id tie-break.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val nsub = codebooks.size
+    val subDim = codebooks.head.head.size
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val dist = (0 until nsub).map { j =>
+      val cent = element_at(typedLit(codebooks(j)),
+        element_at(col("codes"), j + 1) + 1)
+      val qsub = slice(col("qv"), j * subDim + 1, subDim)
+      aggregate(zip_with(qsub, cent, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("approx_dist", Rounding.pround(dist, 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "approx_dist", "rank")
+  }
+
+  /** ADC shortlist → exact re-rank: the production PQ arc. The coarse
+    * 8-byte codes overquery a k·`overquery` shortlist (map-only over
+    * the encoded corpus), then ONLY those candidates fetch their raw
+    * vectors — the corpus joins the tiny broadcast shortlist map-side —
+    * and exact L2 re-ranks to k. Exact math runs on k·overquery rows
+    * per query instead of the corpus; recall approaches brute force at
+    * PQ scan cost (SimilaritySpec: ≥0.8 vs raw ADC's ~0.35 here).
+    */
+  def pqTopKRefined(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    codebooks: Seq[Seq[Seq[Float]]],
+                    overquery: Int = 5): DataFrame = {
+    val shortlist = pqTopK(encoded, queries, idCol, vecCol, k * overquery,
+      codebooks).select("query_id", "cand_id")
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exactDist = aggregate(zip_with(col("qv"), col("cv"), (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+    val scored = cv.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", Rounding.pround(exactDist, 6))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

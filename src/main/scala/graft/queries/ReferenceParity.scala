@@ -405,6 +405,52 @@ object ReferenceParity {
         .groupBy(n("n_name"))
         .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
         .orderBy("n_name")
+    }),
+
+    // TPC-H q7 shape: bidirectional trade volume between two nations —
+    // a 6-way join where Catalyst broadcasts both nation dims and the
+    // supplier/customer sides, leaving only the lineitem⋈orders shuffle.
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H q17 shape: revenue of small-quantity orders vs the per-part
+    // average. The correlated avg becomes a per-part aggregate join, and
+    // the threshold l_quantity < 0.2·avg is rearranged to the EXACT
+    // decimal comparison 5·qty·cnt < sum(qty) — no double division, so
+    // any engine draws the same boundary.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(qd).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(perPart, li("l_partkey") === col("pk"))
+        .filter(qd * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .agg(Rounding.pround(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0,
+          2).as("avg_yearly"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +645,30 @@ object ReferenceParity {
         |WHERE r.r_name = 'ASIA'
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS pk,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         count(*) AS cnt_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT floor((CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN per_part pp ON l.l_partkey = pp.pk
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt_qty < pp.sum_qty""".stripMargin)
 }

@@ -72,4 +72,52 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", 5)
     assert(out.count() == 15)
   }
+
+  test("PQ: codes are compact, encoding is deterministic, ADC recall " +
+      "tracks exact L2 top-k") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val nsub = 8; val ksub = 16; val k = 10
+    val books = Similarity.pqTrain(emb, "embedding", nsub, ksub)
+    assert(books.size == nsub && books.forall(_.size == ksub) &&
+      books.forall(_.forall(_.size == 8))) // 64 dims / 8 subvectors
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", books).persist()
+    // every vector compresses to nsub codes in [0, ksub)
+    val codes = enc.select(explode($"codes").as("c"))
+    assert(codes.filter($"c" < 0 || $"c" >= ksub).count() == 0)
+    assert(enc.filter(size($"codes") =!= nsub).count() == 0)
+    // deterministic re-encode
+    val enc2 = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    assert(enc.exceptAll(enc2).count() == 0)
+
+    // exact L2 top-k ground truth (ADC approximates L2, not cosine)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+
+    val pq = Similarity.pqTopK(enc, queries, "vec_id", "embedding", k, books)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"raw ADC recall@$k = $recall")
+
+    // the production arc: ADC shortlist -> exact re-rank recovers most
+    // of what 8-byte codes lose
+    val refined = Similarity.pqTopKRefined(enc, emb, queries, "vec_id",
+      "embedding", k, books, overquery = 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = refined.intersect(exact).size.toDouble / exact.size
+    assert(refinedRecall >= 0.8, s"refined recall@$k = $refinedRecall")
+    assert(refinedRecall >= recall, "re-ranking must not lose recall")
+    enc.unpersist()
+  }
 }
