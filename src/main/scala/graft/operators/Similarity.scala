@@ -101,48 +101,71 @@ object Similarity {
     * bruteForceTopK in SimilaritySpec rather than a SQL oracle (KMeans
     * has no DuckDB equivalent).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int,
-              seed: Long = 42L): DataFrame = {
+  /** Train the IVF coarse quantizer; returns the broadcastable
+    * (cell, centroid) frame.
+    */
+  private def coarseCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                              seed: Long): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    val spark = corpus.sparkSession
-    val centDf = spark.createDataFrame(
+    corpus.sparkSession.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
       .toDF("cell", "centroid")
-    def withCellDist(df: DataFrame, vec: String) =
-      df.crossJoin(broadcast(centDf))
-        .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
-          aggregate(transform(col("centroid"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (a, v) => a + v))
-        .drop("centroid")
-    // Corpus side (the big one): nearest cell via min_by aggregation, NOT
-    // a row_number window — the agg gets map-side partial aggregation
-    // over the corpus×nlist candidate rows, so nothing corpus×nlist-sized
-    // is ever sorted or shuffled; the shuffle carries one pre-reduced row
-    // per (partition, doc). struct(cdist, cell) orders lexicographically
-    // = (distance, cell) with the same tie-break the window used.
-    val corpusCells = withCellDist(
+  }
+
+  /** `cdist` = squared L2 distance to each centroid up to the per-row
+    * constant ||v||² (constant per vector → argmin-equivalent).
+    */
+  private def withCellDist(centDf: DataFrame)(df: DataFrame,
+                                              vec: String): DataFrame =
+    df.crossJoin(broadcast(centDf))
+      .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
+        aggregate(transform(col("centroid"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v))
+      .drop("centroid")
+
+  /** Corpus side (the big one): nearest cell via min_by aggregation, NOT
+    * a row_number window — the agg gets map-side partial aggregation
+    * over the corpus×nlist candidate rows, so nothing corpus×nlist-sized
+    * is ever sorted or shuffled; the shuffle carries one pre-reduced row
+    * per (partition, doc). struct(cdist, cell) orders lexicographically
+    * = (distance, cell) with the same tie-break the window used.
+    */
+  private def corpusCellAssignment(corpus: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   centDf: DataFrame): DataFrame =
+    withCellDist(centDf)(
       corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
       .groupBy(col("cand_id"))
       .agg(min_by(struct(col("cell"), col("cv")),
         struct(col("cdist"), col("cell"))).as("best"))
       .select(col("cand_id"), col("best.cell").as("cell"),
         col("best.cv").as("cv"))
-    // Query side stays a window: it must keep nprobe > 1 rows per query,
-    // and the query set is tiny and broadcast anyway.
-    val queryCells = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
-      withCellDist(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
-        .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
-        .drop("r", "cdist")
-    }
+
+  /** Query side stays a window: it must keep nprobe > 1 rows per query,
+    * and the query set is tiny and broadcast anyway.
+    */
+  private def queryCellProbe(queries: DataFrame, idCol: String,
+                             vecCol: String, centDf: DataFrame,
+                             nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))
+    withCellDist(centDf)(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
+      .withColumn("r", row_number().over(w)).filter(col("r") <= nprobe)
+      .drop("r", "cdist")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              seed: Long = 42L): DataFrame = {
+    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+    val corpusCells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+    val queryCells = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("score", cosine(col("qv"), col("cv")))
@@ -238,6 +261,56 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "approx_dist", "rank")
+  }
+
+  /** IVF-PQ: the full billion-scale composition — IVF cells bound WHICH
+    * candidates are scored (~nprobe/nlist of the corpus per query), PQ
+    * codes bound the BYTES per scored candidate (ADC against 8-byte
+    * codes), and the exact re-rank restores precision on the k·overquery
+    * shortlist. The index is (cell, codes, raw vector) per corpus row:
+    * cells + codes answer the scan, the raw vector is touched only for
+    * shortlisted rows. This simplified form quantizes raw vectors (FAISS
+    * quantizes cell residuals — one subtraction better in accuracy,
+    * same plan shape).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                nsub: Int, ksub: Int, overquery: Int = 5,
+                seed: Long = 42L): DataFrame = {
+    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+    val books = pqTrain(corpus, vecCol, nsub, ksub, seed)
+    val subDim = books.head.head.size
+    val indexed = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+      .join(pqEncode(corpus, idCol, vecCol, books), Seq("cand_id"))
+    val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
+    val adc = (0 until nsub).map { j =>
+      val cent = element_at(typedLit(books(j)),
+        element_at(col("codes"), j + 1) + 1)
+      val qsub = slice(col("qv"), j * subDim + 1, subDim)
+      aggregate(zip_with(qsub, cent, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist"), col("cand_id"))
+    val shortlist = indexed.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("adc_dist", adc)
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * overquery)
+    val exactDist = aggregate(zip_with(col("qv"), col("cv"), (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("cand_id"))
+    shortlist
+      .withColumn("dist", Rounding.pround(exactDist, 6))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
   }
 
   /** ADC shortlist → exact re-rank: the production PQ arc. The coarse

@@ -29,19 +29,57 @@ object Retention {
     // append below never mixes generations.
     fsOf(spark, tmp).delete(hPath(tmp), true)
     IO.writeFact(kept, tmp, tsCol, keyCol, overwritePartitions = false)
-    // Streaming replay markers (_graft_commits, EventStream.factSink /
-    // DocStream) live INSIDE the table dir; copy them into the new
-    // generation before the swap or a post-retention foreachBatch replay
-    // would see no marker and re-append its batch. Copy, not rename —
-    // the live dir must stay complete until swapInto promotes tmp.
+    copyMarkers(spark, path, tmp)
+    swapInto(spark, tmp, path)
+    spark.read.parquet(path)
+  }
+
+  /** Streaming replay markers (_graft_commits, EventStream.factSink /
+    * DocStream) live INSIDE the table dir; copy them into the new
+    * generation before a swap or a post-rewrite foreachBatch replay
+    * would see no marker and re-append its batch. Copy, not rename —
+    * the live dir must stay complete until swapInto promotes tmp.
+    */
+  private def copyMarkers(spark: SparkSession, path: String,
+                          tmp: String): Unit = {
     val fs = fsOf(spark, path)
     val markers = hPath(path + "/_graft_commits")
     if (fs.exists(markers))
       org.apache.hadoop.fs.FileUtil.copy(fs, markers, fs,
         hPath(tmp + "/_graft_commits"), false,
         spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetFileBytes` files with identical content, promoted through
+    * the same crash-safe [[swapInto]] (a crash mid-compaction heals via
+    * [[recover]]). The maintenance pass every streaming/incremental
+    * sink eventually needs — micro-batch appends accumulate files far
+    * below the efficient scan size, and at 100 TB the file count, not
+    * the byte count, is what kills listing and task-scheduling time.
+    * Operates on one leaf directory: for a month-partitioned fact
+    * table, compact each month dir (only recent months accumulate
+    * appends; closed months stay untouched).
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = fsOf(spark, path)
+    val parts = fs.listStatus(hPath(path))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val nBefore = parts.length
+    val n = math.max(1, math.ceil(
+      parts.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    val tmp = path + TmpSuffix
+    fsOf(spark, tmp).delete(hPath(tmp), true)
+    // the write action fully materializes from the live dir before the
+    // swap touches anything
+    spark.read.parquet(path).repartition(n)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    copyMarkers(spark, path, tmp)
     swapInto(spark, tmp, path)
-    spark.read.parquet(path)
+    (nBefore, n)
   }
 
   private val TmpSuffix = "__retained"

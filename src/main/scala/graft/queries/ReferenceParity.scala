@@ -407,6 +407,43 @@ object ReferenceParity {
         .orderBy("n_name")
     }),
 
+    // Batch sessionization: a >30-min gap per user starts a new session
+    // (the batch twin of EventStream's stateful sessionizer). Timestamps
+    // compare as fractional epoch seconds (timestamp→double cast is
+    // exact micros in both engines — unix_timestamp would truncate).
+    "w3_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("ts"), 1).over(w)
+      val newSession = when(prev.isNull ||
+        col("ts").cast("double") - prev.cast("double") > 1800.0, 1L)
+        .otherwise(0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          newSession.as("ns"))
+        .withColumn("session_seq", sum(col("ns")).over(run))
+        .select("event_id", "user_id", "ts", "session_seq")
+        .orderBy("event_id")
+    }),
+
+    // Time-RANGE rolling frame: per event, activity of the same user in
+    // the preceding hour (inclusive) — the RANGE-frame shape ROWS
+    // windows can't express when events are unevenly spaced.
+    "w4_rolling_hour" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("double"))
+        .rangeBetween(-3600L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_hour", count(lit(1)).over(w))
+        .withColumn("sum_hour",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("event_id", "user_id", "n_hour", "sum_hour")
+        .orderBy("event_id")
+    }),
+
     // TPC-H q7 shape: bidirectional trade volume between two nations —
     // a 6-way join where Catalyst broadcasts both nation dims and the
     // supplier/customer sides, leaving only the lineitem⋈orders shuffle.
@@ -646,6 +683,27 @@ object ReferenceParity {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "w3_sessionize" ->
+      """SELECT event_id, user_id, ts,
+        |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                OR epoch(ts) - epoch(prev_ts) > 1800.0
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM (SELECT event_id, user_id, ts,
+        |               lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |ORDER BY event_id""".stripMargin,
+    "w4_rolling_hour" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_hour,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

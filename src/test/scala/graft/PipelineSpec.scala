@@ -179,6 +179,34 @@ class PipelineSpec extends SparkSpec {
     assert(months.forall(_.startsWith("2024-01")))
   }
 
+  test("compact shrinks the file count, preserves content and replay " +
+    "markers, and swaps atomically") {
+    val path = tempDir("compact")
+    events.repartition(40).write.parquet(path)
+    // a replay marker like a streaming sink would leave
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "/_graft_commits"))
+    fs.create(new org.apache.hadoop.fs.Path(path + "/_graft_commits/7"))
+      .close()
+    val before = spark.read.parquet(path)
+    val beforeRows = before.orderBy("event_id").collect().toSeq
+    val (nBefore, nAfter) = Retention.compact(spark, path,
+      targetFileBytes = 1L << 20)
+    assert(nBefore == 40)
+    assert(nAfter < nBefore, s"no compaction: $nBefore -> $nAfter")
+    val partFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles == nAfter, s"wrote $partFiles files, planned $nAfter")
+    assert(spark.read.parquet(path).orderBy("event_id").collect().toSeq ==
+      beforeRows)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      path + "/_graft_commits/7")), "replay marker lost in compaction")
+    // no leftover tmp/backup generations
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__retained")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__backup")))
+  }
+
   test("swapInto refuses object stores whose rename is copy+delete") {
     // the swap's at-every-instant-one-complete-copy invariant holds only
     // under atomic directory rename; S3A-style stores break it silently

@@ -118,6 +118,15 @@ class SimilaritySpec extends SparkSpec {
     val refinedRecall = refined.intersect(exact).size.toDouble / exact.size
     assert(refinedRecall >= 0.8, s"refined recall@$k = $refinedRecall")
     assert(refinedRecall >= recall, "re-ranking must not lose recall")
+
+    // the full IVF-PQ composition: cells bound candidates, codes bound
+    // bytes, re-rank restores precision — recall stays useful even
+    // though each query touches only ~nprobe/nlist of the corpus
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k, nlist = 8, nprobe = 4, nsub = nsub, ksub = ksub, overquery = 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivfpqRecall = ivfpq.intersect(exact).size.toDouble / exact.size
+    assert(ivfpqRecall >= 0.5, s"IVF-PQ recall@$k = $ivfpqRecall")
     enc.unpersist()
   }
 }
