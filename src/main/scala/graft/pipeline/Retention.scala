@@ -66,9 +66,11 @@ object Retention {
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val fs = fsOf(spark, path)
+    if (!fs.exists(hPath(path))) return (0, 0)
     val parts = fs.listStatus(hPath(path))
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
     val nBefore = parts.length
+    if (nBefore == 0) return (0, 0) // nothing to rewrite — leave the dir be
     val n = math.max(1, math.ceil(
       parts.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     val tmp = path + TmpSuffix

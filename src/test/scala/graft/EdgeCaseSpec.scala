@@ -100,4 +100,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p.count() == 2)
     assert(p.select("n_rows").distinct().as[Long].head() == 0)
   }
+
+  test("bm25 with an empty query predicate returns empty, not error") {
+    val d = Tables.load(spark, sf, "documents")
+    val out = graft.operators.Retrieval.bm25TopK(d, "doc_id", "text",
+      lit(false), 3)
+    assert(out.count() == 0)
+    out.unpersist()
+  }
+
+  test("weighted sample with n above the population returns everything " +
+    "with positive weight") {
+    val df = Seq((1L, 3L), (2L, 0L), (3L, 9L)).toDF("id", "w")
+    val got = graft.operators.Sampling.weightedSample(df, "id", "w",
+      100, "s").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("compact of a missing or empty directory is a no-op (0, 0)") {
+    val missing = tempDir("compact_missing")
+    assert(graft.pipeline.Retention.compact(spark, missing) == (0, 0))
+    val empty = tempDir("compact_empty")
+    new java.io.File(empty).mkdirs()
+    assert(graft.pipeline.Retention.compact(spark, empty) == (0, 0))
+  }
+
+  test("z-order on a constant column degenerates gracefully (all rows " +
+    "one bucket, content intact)") {
+    val df = Seq((1L, 5L, 1.0), (2L, 5L, 2.0), (3L, 5L, 3.0))
+      .toDF("id", "const_col", "v")
+    val path = tempDir("zorder_const")
+    graft.sources.IO.writeZOrdered(df, path, Seq("const_col", "v"),
+      bits = 2, numFiles = 2)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 3)
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
 }
