@@ -104,6 +104,40 @@ object ScaleStress {
         Seq(operators.Sampling.shuffleKey($"doc_id", "stress"), $"doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+
+    // round-4 tier at the same 10x amplification
+    time("bm25 top-3 for 25 queries over 50k docs (inverted index, " +
+      "persisted tf)") {
+      operators.Retrieval.bm25TopK(bigDocs, "doc_id", "text",
+        $"doc_id" < 25, 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("bloom-prefiltered decontamination over 50k docs") {
+      operators.Contamination.overlapPrefiltered(bigDocs, "doc_id", "text",
+        5, $"doc_id" % 20 === 0, 0.2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("misra_gries(40) heavy hitters over 50k docs' tokens") {
+      bigDocs.select(explode(functions.TextFunctions.tokens($"text")).as("t"))
+        .agg(functions.MisraGries.column(spark, $"t", 40))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("weighted sample 1000 of 50k docs") {
+      operators.Sampling.weightedSample(bigDocs, "doc_id", "n_chars",
+        1000, "stress")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("IVF-PQ top-5: 10 queries x 20k vectors (nlist=32, 8x16 codes)") {
+      operators.Similarity.ivfPqTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
+        "vec_id", "embedding", 5, nlist = 32, nprobe = 4,
+        nsub = 8, ksub = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("z-order write of 2M events on (user_id, value)") {
+      sources.IO.writeZOrdered(bigEv
+        .select("event_id", "user_id", "ts", "value"),
+        s"$tmp/events_z", Seq("user_id", "value"))
+    }
     spark.stop()
   }
 }
