@@ -101,4 +101,80 @@ object Retrieval {
       out
     } else ranked
   }
+
+  /** Persist the BM25 index: tokenize/aggregate the corpus ONCE and
+    * store (a) the postings — (term, cand_id, tf_c, dl_c) — as a
+    * bucketed-by-term table, and (b) the per-term statistics joined
+    * with the two corpus scalars. Retrieval then never re-tokenizes
+    * the corpus (the PlanAuditSpec pin, mirroring the dedup tier's
+    * stored signature index): a query is two joins against stored
+    * tables. At 100 TB the index build is the one corpus-scale pass;
+    * per-query cost is bounded by posting-list fan-out.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 postingsTable: String, buckets: Int = 32): Unit = {
+    val tf = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val postings = tf
+      .join(dl.withColumnRenamed(idCol, "dl_id"),
+        col(idCol) === col("dl_id"))
+      .select(col("term"), col(idCol).as("cand_id"),
+        col("tf").cast("double").as("tf_c"), col("dl").cast("double").as("dl_c"))
+    graft.sources.IO.writeBucketedTable(postings, postingsTable, "term",
+      buckets)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val termStats = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+    graft.sources.IO.writeBucketedTable(termStats, postingsTable + "_terms",
+      "term", buckets)
+    tf.unpersist(blocking = false)
+  }
+
+  /** Top-k retrieval against a stored index: `queryTerms` is the tiny
+    * (query_id, term) side (tokenize just the query docs, or raw user
+    * terms); the corpus arrives exclusively from the two index tables.
+    * Scoring/ranking semantics are identical to [[bm25TopK]] — the
+    * oracle row for the indexed form reuses the direct form's SQL
+    * verbatim.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        postingsTable: String, queryTerms: DataFrame,
+                        k: Int, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    val postings = spark.table(postingsTable)
+    val terms = spark.table(postingsTable + "_terms")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf_c") * lit(k1 + 1.0)) /
+      (col("tf_c") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * (col("dl_c") / col("avgdl"))))
+    val contrib = queryTerms
+      .join(postings, Seq("term"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .join(terms, Seq("term"))
+      .select(col("query_id"), col("cand_id"),
+        (idf * sat).cast("decimal(38,12)").as("part"))
+    val scored = contrib.groupBy("query_id", "cand_id")
+      .agg(Rounding.pround(sum("part").cast("double"), 4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
+  /** Distinct (query_id, term) rows for a set of query documents —
+    * the query side of [[bm25TopKFromIndex]].
+    */
+  def queryTerms(docs: DataFrame, idCol: String, textCol: String,
+                 queryPredicate: Column): DataFrame =
+    docs.filter(queryPredicate)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol))))
+          .as("term"))
 }

@@ -150,6 +150,20 @@ object Extensions {
         "doc_id", "text", col("doc_id") < 25, 3)
         .orderBy("query_id", "rank")),
 
+    // Same retrieval against the STORED index: postings + term stats
+    // are built once as bucketed tables and the query path never
+    // re-tokenizes the corpus (PlanAuditSpec pins it); identical
+    // results — the oracle row is the direct form's SQL verbatim.
+    "text_bm25_indexed" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Retrieval.writeIndex(d, "doc_id", "text",
+        "graft_bm25_postings")
+      graft.operators.Retrieval.bm25TopKFromIndex(s, "graft_bm25_postings",
+        graft.operators.Retrieval.queryTerms(d, "doc_id", "text",
+          col("doc_id") < 25), 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic arg-max per group (longest doc per language,
     // ties -> smallest id).
     "agg_argmax_doc" -> ((s, dir) => {
@@ -528,6 +542,37 @@ object Extensions {
        |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
        |ORDER BY i.eval_id, i.train_id""".stripMargin
 
+  /** Shared by the direct and stored-index BM25 rows — the indexed
+    * path must produce byte-identical results.
+    */
+  private val bm25Oracle =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 25),
+       |contrib AS (
+       |  SELECT q.query_id, c.doc_id AS cand_id,
+       |    CAST(((s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+       |         ((CAST(c.tf AS DOUBLE) * 2.2) /
+       |          (CAST(c.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+       |      AS DECIMAL(38,12)) AS part
+       |  FROM q
+       |  JOIN tf c ON c.term = q.term AND c.doc_id != q.query_id
+       |  JOIN dfreq f ON f.term = q.term
+       |  JOIN dl d ON d.doc_id = c.doc_id
+       |  CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |         ${Rounding.sqlPround("CAST(sum(part) AS DOUBLE)", 4)} AS score
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, cand_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS rank FROM scored)
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
@@ -551,33 +596,8 @@ object Extensions {
          |  FROM h)
          |SELECT doc_id, n_chars, priority FROM p
          |ORDER BY priority DESC, doc_id LIMIT 50""".stripMargin,
-    "text_bm25_topk" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |                 avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-         |q AS (SELECT doc_id AS query_id, term FROM tf WHERE doc_id < 25),
-         |contrib AS (
-         |  SELECT q.query_id, c.doc_id AS cand_id,
-         |    CAST(((s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
-         |         ((CAST(c.tf AS DOUBLE) * 2.2) /
-         |          (CAST(c.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-         |      AS DECIMAL(38,12)) AS part
-         |  FROM q
-         |  JOIN tf c ON c.term = q.term AND c.doc_id != q.query_id
-         |  JOIN dfreq f ON f.term = q.term
-         |  JOIN dl d ON d.doc_id = c.doc_id
-         |  CROSS JOIN stats s),
-         |scored AS (
-         |  SELECT query_id, cand_id,
-         |         ${Rounding.sqlPround("CAST(sum(part) AS DOUBLE)", 4)} AS score
-         |  FROM contrib GROUP BY 1, 2)
-         |SELECT query_id, cand_id, score, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, cand_id) AS rank FROM scored)
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "text_bm25_topk" -> bm25Oracle,
+    "text_bm25_indexed" -> bm25Oracle,
     "dq_profile_events" ->
       (Seq("event_id", "user_id", "event_type", "value").map(dqCol)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")),

@@ -136,6 +136,27 @@ class PlanAuditSpec extends SparkSpec {
       "corpus-sized cartesian crept into bm25:\n" + p.take(2000))
   }
 
+  test("indexed bm25 reads the STORED postings and only tokenizes the " +
+    "query docs") {
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    // building the query also writes the postings + term-stats tables
+    val frame = SparkEntry.queries("text_bm25_indexed")(spark, sf)
+    val optimized = frame.queryExecution.optimizedPlan
+    assert(optimized.treeString.contains("graft_bm25_postings"),
+      "stored postings index missing from the plan:\n" +
+        optimized.treeString.take(3000))
+    val generates = optimized.collect { case g: Generate => g }
+    assert(generates.nonEmpty, "query docs must be tokenized")
+    generates.foreach { g =>
+      assert(!g.treeString.contains("graft_bm25_postings"),
+        "corpus re-tokenized in the indexed query path:\n" +
+          g.treeString.take(2000))
+      assert(g.treeString.contains("< 25"),
+        "a Generate runs over more than the query docs:\n" +
+          g.treeString.take(2000))
+    }
+  }
+
   test("bloom prefilter is a pure map-side scan+filter: no exchange, " +
     "no join") {
     val docs = Tables.load(spark, sf, "documents")
