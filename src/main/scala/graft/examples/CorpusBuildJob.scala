@@ -15,7 +15,8 @@ import graft.operators._
   *   3. line-level boilerplate removal (`LineDedup`) — 1 line-key shuffle
   *   4. document near-dup removal: MinHash-LSH pairs → connected
   *      components → keep each cluster's canonical (min-id) doc
-  *   5. eval-set decontamination (`Contamination.overlap` anti-join)
+  *   5. eval-set decontamination (`Contamination.overlapPrefiltered`
+  *      anti-join — broadcast-bloom prefilter, exact verify)
   *   6. train/val/test split (`Sampling.splitLabel`) — map-only
   *   7. shuffle-then-pack per language (`Packing.packBins`)
   *   8. mixture stats + τ-flattening rates (`Profile`)
@@ -82,10 +83,13 @@ object CorpusBuildJob {
     labels.unpersist(blocking = false)
     val afterDocDedup = deduped.count()
 
-    // 5: decontamination against the eval set
+    // 5: decontamination against the eval set — through the broadcast
+    // bloom prefilter, so at corpus scale only documents that might
+    // share a shingle with the eval set ever reach the exact
+    // containment join (identical result: no false negatives)
     val together = deduped.select(col("doc_id"), col("text"), lit(false).as("is_eval"))
       .unionByName(eval_.select(col("doc_id"), col("text"), lit(true).as("is_eval")))
-    val flagged = Contamination.overlap(together, "doc_id", "text",
+    val flagged = Contamination.overlapPrefiltered(together, "doc_id", "text",
       shingleN, col("is_eval"), minContainment)
       .select(col("train_id").as("doc_id")).distinct()
     val decontaminated = deduped.join(flagged, Seq("doc_id"), "left_anti")

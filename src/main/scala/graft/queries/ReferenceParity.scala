@@ -444,6 +444,19 @@ object ReferenceParity {
         .orderBy("event_id")
     }),
 
+    // Rank-statistics windows: ntile deciles, percent_rank, cume_dist —
+    // all ratios of row counts (exact rational doubles in any engine).
+    "w5_rank_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("doc_id")
+    }),
+
     // TPC-H q7 shape: bidirectional trade volume between two nations —
     // a 6-way join where Catalyst broadcasts both nation dims and the
     // supplier/customer sides, leaving only the lineitem⋈orders shuffle.
@@ -704,6 +717,14 @@ object ReferenceParity {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "w5_rank_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |       ntile(10) OVER w AS decile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
