@@ -698,8 +698,9 @@ object ReferenceParity {
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "w3_sessionize" ->
       """SELECT event_id, user_id, ts,
-        |       sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |       CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS session_seq
         |FROM (
         |  SELECT event_id, user_id, ts,
         |         CASE WHEN prev_ts IS NULL

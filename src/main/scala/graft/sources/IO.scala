@@ -251,6 +251,12 @@ object IO {
     * split on `;`, drop blanks, execute sequentially. Statements run on
     * the session catalog, so DDL (S11) and INSERT-SELECT (S5) both work.
     * Returns the result of the last statement.
+    *
+    * The split is quote-aware (the reference op:49-50 splits on every
+    * `;`, breaking literals containing one — we implement the intent,
+    * not the bug, per SURVEY §3.3): `;` inside `'...'`/`"..."`/
+    * backtick-quoted runs does not terminate a statement, doubled
+    * quotes and backslash escapes stay inside their literal.
     */
   def runScript(spark: SparkSession, script: String,
                 params: Map[String, String] = Map.empty): Option[DataFrame] = {
@@ -259,7 +265,40 @@ object IO {
         .replace(s"{{params.$k}}", v)
         .replace(s"{{ custom_template_fields.$k }}", v)
     }
-    substituted.split(";").map(_.trim).filter(_.nonEmpty)
+    splitStatements(substituted)
       .foldLeft(Option.empty[DataFrame]) { (_, stmt) => Some(spark.sql(stmt)) }
+  }
+
+  /** Split a script on `;` outside quoted literals. Inside a literal,
+    * a doubled opening quote (`''` / `""`) is an escaped quote and a
+    * backslash escapes the next character (Spark SQL string syntax);
+    * backticks delimit identifiers and admit neither escape.
+    */
+  private[graft] def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < script.length) {
+          cur.append(script.charAt(i + 1)); i += 1
+        } else if (c == quote) {
+          if (quote != '`' && i + 1 < script.length &&
+              script.charAt(i + 1) == quote) {
+            cur.append(quote); i += 1 // doubled quote stays in-literal
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case ';'              => out += cur.result(); cur.clear()
+        case _                => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

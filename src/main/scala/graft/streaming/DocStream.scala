@@ -20,12 +20,17 @@ import graft.operators.{Dedup, Quality}
   * batch size × bucket occupancy, not corpus size: the property that
   * lets ingest keep up while the corpus grows to 100 TB.
   *
-  * Exactly-once discipline mirrors [[EventStream.factSink]]: batchId
-  * commit markers make replayed micro-batches no-ops; the residual
-  * window (a crash between the corpus append and the marker) leaves one
-  * batch duplicated, which the NEXT batch's index join would not catch
-  * (its signatures were not yet appended) — readers needing a hard
-  * guarantee dedup exactly on doc_id at read.
+  * Exactly-once is structural: each micro-batch writes its survivors
+  * (and their signatures) into an `ingest_batch=<batchId>` partition
+  * with dynamic partition overwrite, so a replayed batch — after a
+  * crash at ANY point, before or after the commit marker — overwrites
+  * its own partition instead of appending a duplicate copy. The replay
+  * recomputes identical drop decisions because the index read excludes
+  * the batch's own partition (a crashed attempt may have landed its
+  * signatures already; without the exclusion a replay would see its own
+  * fingerprints and drop everything). The [[EventStream]] batchId
+  * markers remain as a fast-skip so fully-committed batches cost
+  * nothing on replay; they are no longer load-bearing for correctness.
   */
 object DocStream {
 
@@ -61,17 +66,19 @@ object DocStream {
         if (!batch.isEmpty &&
             !EventStream.isCommitted(spark, corpusPath, batchId)) {
           ingestBatch(batch, corpusPath, indexPath, thresholds, shingleN,
-            bands, rowsPerBand)
+            bands, rowsPerBand, batchId)
           EventStream.markCommitted(spark, corpusPath, batchId)
         }
       }
 
   /** One micro-batch (also the testable batch-mode entry): returns the
-    * number of documents that survived both gates.
+    * number of documents that survived both gates. Idempotent in
+    * `batchId` — re-running the same batch overwrites its own
+    * `ingest_batch` partition in both corpus and index (see object doc).
     */
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
                   thresholds: Quality.Thresholds, shingleN: Int,
-                  bands: Int, rowsPerBand: Int): Long = {
+                  bands: Int, rowsPerBand: Int, batchId: Long = 0L): Long = {
     val spark = batch.sparkSession
     val clean = Quality.clean(batch, "doc_id", "text", thresholds)
     // signatures feed the drop decision AND the index append — persist
@@ -79,7 +86,7 @@ object DocStream {
     val sigs = Dedup.minHashSignatures(clean, "doc_id", "text", shingleN,
       bands * rowsPerBand).persist()
     try {
-      val existing = readIndexOrEmpty(spark, indexPath, sigs)
+      val existing = readIndexOrEmpty(spark, indexPath, sigs, batchId)
       // the tiny drop-id set feeds both anti-joins; persist it so the
       // index read + incremental band join run once per batch, not twice
       val drops = Dedup.incrementalDropIds(existing, sigs, "doc_id", bands,
@@ -88,9 +95,9 @@ object DocStream {
       try {
         val n = kept.count()
         if (n > 0) {
-          kept.write.mode("append").parquet(corpusPath)
-          sigs.join(drops, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(indexPath)
+          writeBatchPartition(kept, corpusPath, batchId)
+          writeBatchPartition(sigs.join(drops, Seq("doc_id"), "left_anti"),
+            indexPath, batchId)
         }
         n
       } finally {
@@ -99,6 +106,25 @@ object DocStream {
       }
     } finally sigs.unpersist(blocking = false)
   }
+
+  /** Idempotent per-batch landing: dynamic partition overwrite replaces
+    * only this batch's `ingest_batch` partition, leaving earlier batches
+    * untouched — the same per-write isolation [[graft.sources.IO.writeFact]]
+    * uses for M1 partition swaps.
+    */
+  private def writeBatchPartition(df: DataFrame, path: String,
+                                  batchId: Long): Unit =
+    df.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch")
+      .parquet(path)
+
+  /** Corpus/index read path for consumers: the physical `ingest_batch`
+    * partition column is commit plumbing, not document data.
+    */
+  def readCorpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("ingest_batch")
 
   /** First-batch bootstrap: an index that does not exist yet reads as
     * empty. ONLY the two conditions that mean "nothing written yet"
@@ -112,8 +138,14 @@ object DocStream {
     Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
   private def readIndexOrEmpty(spark: SparkSession, indexPath: String,
-                               like: DataFrame): DataFrame =
-    try spark.read.parquet(indexPath)
+                               like: DataFrame, batchId: Long): DataFrame =
+    try
+      // exclude this batch's own partition: a crashed earlier attempt of
+      // the SAME batch may have landed signatures, and a replay that saw
+      // its own fingerprints would drop every document as a duplicate
+      spark.read.parquet(indexPath)
+        .filter(col("ingest_batch") =!= lit(batchId))
+        .drop("ingest_batch")
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null &&

@@ -162,6 +162,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.get.as[Long].head() == 42L)
   }
 
+  test("script runner keeps ';' inside quoted literals intact (quote-aware " +
+    "split — the reference op:49-50's intent, not its bug)") {
+    val out = graft.sources.IO.runScript(spark,
+      """CREATE OR REPLACE TEMP VIEW sr_semi AS
+        |  SELECT 'a;b' AS s, 'it''s; fine' AS t;
+        |SELECT concat(s, ';', t) AS u FROM sr_semi;
+        |""".stripMargin)
+    assert(out.get.as[String].head() == "a;b;it's; fine")
+    // splitter unit shapes: escaped quote, backslash escape, backticks
+    assert(graft.sources.IO.splitStatements("SELECT 1") == Seq("SELECT 1"))
+    assert(graft.sources.IO.splitStatements("SELECT ';'; SELECT 2")
+      == Seq("SELECT ';'", "SELECT 2"))
+    assert(graft.sources.IO.splitStatements("SELECT 'a''b;c'; SELECT 2")
+      == Seq("SELECT 'a''b;c'", "SELECT 2"))
+    assert(graft.sources.IO.splitStatements("SELECT 'a\\';b'; SELECT 2")
+      == Seq("SELECT 'a\\';b'", "SELECT 2"))
+    assert(graft.sources.IO.splitStatements("SELECT `a;b` FROM t; SELECT 2")
+      == Seq("SELECT `a;b` FROM t", "SELECT 2"))
+  }
+
   test("reference CSV dialect round-trips with NULL literals (S7)") {
     val path = tempDir("csv")
     val df = Seq((1, "a"), (2, null)).toDF("id", "name")

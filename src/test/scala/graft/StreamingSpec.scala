@@ -161,6 +161,58 @@ class StreamingSpec extends SparkSpec {
       "index must track exactly the corpus survivors")
   }
 
+  test("ingest replay is exactly-once at every crash point: full replay, " +
+    "index-landed-corpus-lost, corpus-landed-index-lost") {
+    import graft.streaming.DocStream
+    import graft.operators.Quality
+    val t = Quality.Thresholds(minTokens = 3, maxTokens = 1000,
+      allowedLangs = Seq("en", "unknown"), minQuality = 0.0,
+      maxDupWordRatio = 1.0)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en", "web", 49L),
+      (2L, "a completely different document about distributed query engines",
+        "en", "web", 63L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def docs(path: String) = spark.read.parquet(path)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    def run(corpus: String, index: String) = DocStream.ingestBatch(
+      batch, corpus, index, t, shingleN = 3, bands = 4, rowsPerBand = 3,
+      batchId = 7L)
+    def rmPartition(base: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$base/ingest_batch=7")).deleteRecursively()
+    }
+    // (a) crash after both writes, before the marker → full replay:
+    // partition overwritten, not appended; nothing dropped as self-dup
+    val (c1, i1) = (tempDir("xo_c1"), tempDir("xo_i1"))
+    assert(run(c1, i1) == 2L)
+    assert(run(c1, i1) == 2L, "replay must not see its own signatures")
+    assert(docs(c1) == Seq(1L, 2L))
+    assert(docs(i1) == Seq(1L, 2L))
+    // (b) index landed, corpus lost mid-write → replay restores corpus
+    val (c2, i2) = (tempDir("xo_c2"), tempDir("xo_i2"))
+    assert(run(c2, i2) == 2L)
+    rmPartition(c2)
+    assert(run(c2, i2) == 2L)
+    assert(docs(c2) == Seq(1L, 2L))
+    assert(docs(i2) == Seq(1L, 2L))
+    // (c) corpus landed, index lost mid-write → replay restores index
+    val (c3, i3) = (tempDir("xo_c3"), tempDir("xo_i3"))
+    assert(run(c3, i3) == 2L)
+    rmPartition(i3)
+    assert(run(c3, i3) == 2L)
+    assert(docs(c3) == Seq(1L, 2L))
+    assert(docs(i3) == Seq(1L, 2L))
+    // a LATER batch still dedups against batch 7's index partition
+    val dup = Seq((9L,
+      "the quick brown fox jumps over the lazy dog today", "en", "web", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DocStream.ingestBatch(dup, c3, i3, t, 3, 4, 3, batchId = 8L) == 0L)
+    assert(docs(c3) == Seq(1L, 2L))
+    // and the reader-facing corpus view hides the commit plumbing column
+    assert(!DocStream.readCorpus(spark, c3).columns.contains("ingest_batch"))
+  }
+
   test("ingest bootstrap: an existing-but-empty index directory reads as " +
     "empty (UNABLE_TO_INFER_SCHEMA), not as a hard failure") {
     import graft.streaming.DocStream

@@ -49,6 +49,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gc} vs {wc}")
             n_fail += 1
             continue
+        # Dtype-strict: the driver hashes raw values, so int64 vs float64/
+        # object (e.g. DuckDB typing sum(INTEGER) as HUGEINT) must fail here
+        # even when Python == would call the values equal.
+        dt_bad = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in gc if str(got[c].dtype) != str(want[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes spark-vs-oracle {dt_bad}")
+            n_fail += 1
+            continue
         g = [tuple(norm(v) for v in r) for r in got[gc].itertuples(index=False)]
         w = [tuple(norm(v) for v in r) for r in want[wc].itertuples(index=False)]
         g.sort(key=repr)
