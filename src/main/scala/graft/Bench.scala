@@ -37,9 +37,22 @@ object Bench {
     // Optional name filter (regex, full match) for quick per-query
     // iteration: SPARK_GRAFT_ONLY='dedup_.*' runs just the dedup tier.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+
+    // Stored-index builds run (and are timed) BEFORE the query sweep:
+    // the indexed query entries then find their tables present and
+    // measure pure query cost — the "build once, query many" split a
+    // production deployment sees.
+    val buildResults = SparkEntry.benchBuilds.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.matches(n)) }
+      .map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try build(spark, sfDir) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.matches(n)))
-    val results = names.map { name =>
+    val results = buildResults ++ names.map { name =>
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
@@ -47,7 +60,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the metric line as a file: the driver's stdout tail
+    // capture truncates long JSON, leaving BENCH_r{N}.json unparsed.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

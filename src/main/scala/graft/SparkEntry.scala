@@ -36,4 +36,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ReferenceParity.oracle ++ Extensions.oracle ++ Pipelines.oracle
+
+  /** Stored-index build stages, timed separately by [[Bench]] so the
+    * indexed query entries measure query cost alone (the builds run
+    * before the query sweep; queries find the tables present and skip
+    * their build-if-absent path).
+    */
+  def benchBuilds: Map[String, (SparkSession, String) => Unit] =
+    Extensions.benchBuilds
 }

@@ -38,9 +38,54 @@ object Multimodal {
       lit("application/x-fake").as("kind"),
       lit(64).as("width"), lit(64).as("height"))
 
+  /** A really-decoded image: true pixel geometry + luminance histogram. */
+  final case class DecodedImage(width: Int, height: Int,
+                                features: Array[Float])
+
+  /** Real pure-JVM image decode (PNG/JPEG/GIF/BMP via `javax.imageio` —
+    * no native codec libraries needed): bytes → true width/height + a
+    * `bins`-bucket normalized luminance histogram (ITU-R BT.601 integer
+    * weights). Returns None when the payload is not a parseable image,
+    * so [[decode]] can fall back to the byte-histogram stub for opaque
+    * or fixture payloads.
+    */
+  def decodeImage(media: Array[Byte], bins: Int = 16): Option[DecodedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Float](bins)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          hist(lum * bins / 256) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toFloat * h
+      var j = 0
+      while (j < bins) { hist(j) /= n; j += 1 }
+      Some(DecodedImage(w, h, hist))
+    }
+  }
+
+  /** Feature decode used by [[extractFeatures]]: real image decode when
+    * the payload parses as one, byte-histogram stub otherwise — one
+    * signature, both fixture text payloads and real PNGs flow through.
+    */
+  def decode(media: Array[Byte], bins: Int = 16): Array[Float] =
+    decodeImage(media, bins).map(_.features).getOrElse(decodeStub(media, bins))
+
   /** STUB decode: a deterministic fake "pixel histogram" from the raw
-    * bytes. Replace with the real decoder in production; the signature —
-    * bytes in, fixed-length float features out — is the contract.
+    * bytes. Kept as the test double / fallback for non-image payloads;
+    * real images take the [[decodeImage]] path.
     */
   def decodeStub(media: Array[Byte], bins: Int = 16): Array[Float] = {
     val hist = new Array[Float](bins)
@@ -62,13 +107,16 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init happens here (decoder context, model weights)
+      // per-partition init happens here (decoder context, model weights);
+      // ImageIO's default disk-backed stream cache would write a temp
+      // file per row — keep probing in-memory
+      javax.imageio.ImageIO.setUseCache(false)
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       rows.map { r =>
         digest.reset()
         val sum = digest.digest(r.media).map("%02x".format(_)).mkString
         MediaFeatures(r.doc_id, r.kind, r.media.length.toLong, sum,
-          decodeStub(r.media))
+          decode(r.media))
       }
     }
   }

@@ -156,8 +156,8 @@ object Extensions {
     // results — the oracle row is the direct form's SQL verbatim.
     "text_bm25_indexed" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      graft.operators.Retrieval.writeIndex(d, "doc_id", "text",
-        "graft_bm25_postings")
+      if (!s.catalog.tableExists("graft_bm25_postings"))
+        buildBm25Index(s, dir)
       graft.operators.Retrieval.bm25TopKFromIndex(s, "graft_bm25_postings",
         graft.operators.Retrieval.queryTerms(d, "doc_id", "text",
           col("doc_id") < 25), 3)
@@ -208,10 +208,8 @@ object Extensions {
     // Per batch: |new| signature computations + a new×all band join.
     "dedup_minhash_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      graft.sources.IO.writeBucketedTable(
-        Dedup.minHashSignatures(d.filter(col("doc_id") % 4 =!= 0),
-          "doc_id", "text", ShingleN, Bands * RowsPerBand),
-        "graft_sig_index", "doc_id", buckets = 8)
+      if (!s.catalog.tableExists("graft_sig_index"))
+        buildSigIndex(s, dir)
       val existing = s.table("graft_sig_index")
       val newSigs = Dedup.minHashSignatures(d.filter(col("doc_id") % 4 === 0),
         "doc_id", "text", ShingleN, Bands * RowsPerBand)
@@ -409,6 +407,20 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ encode + ADC scoring with FIXED hand-set codebooks (no KMeans)
+    // so the quantization arithmetic itself gets a hash-matched oracle
+    // row — the trained paths (pqTrain/ivfPqTopK) are recall-tested in
+    // SimilaritySpec, but this pins the encode argmin and ADC distance
+    // math exactly. The oracle SQL is generated from the same codebook
+    // constants below.
+    "pq_adc_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val enc = Similarity.pqEncode(emb, "vec_id", "embedding", PqBooks)
+      Similarity.pqTopK(enc, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, PqBooks)
+        .orderBy("query_id", "rank")
+    }),
+
     // threshold 0.4: the fixture corpus has no planted vector near-dups
     // (max pairwise cosine ≈0.51), so a production-style 0.9 threshold
     // would make the check vacuous.
@@ -474,6 +486,43 @@ object Extensions {
       |  (SELECT sum(qv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
       |  (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
       |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
+
+  // --- pq_adc_fixed codebooks ---------------------------------------
+  // Dyadic values (k/32) are exactly representable in float AND double,
+  // and their shortest decimal form parses back to the same double in
+  // DuckDB — so the cross-engine argmin and ADC folds are bit-identical
+  // term by term (no trained KMeans centroids could guarantee that).
+  private val PqSub = 4
+  private val PqKsub = 4
+  private val PqSubDim = 16
+  private[queries] val PqBooks: Seq[Seq[Seq[Float]]] =
+    Seq.tabulate(PqSub, PqKsub, PqSubDim)((j, c, d) =>
+      (((j * 5 + c * 3 + d) % 17) - 8) / 32.0f)
+
+  /** Left-assoc chain of squared diffs of `vec`'s j-th subvector against
+    * codebook centroid (j,c) — the exact fold order Similarity.pqEncode
+    * and pqTopK evaluate, so sums are bit-equal across engines.
+    */
+  private def pqCentDist(vec: String, j: Int, c: Int): String =
+    (0 until PqSubDim).map { d =>
+      val cent = PqBooks(j)(c)(d).toDouble
+      val x = s"$vec[${j * PqSubDim + d + 1}]::DOUBLE - ($cent)"
+      s"($x) * ($x)"
+    }.mkString(" + ")
+
+  /** Argmin over the 4 centroid distances, ties to the smaller code —
+    * same semantics as pqEncode's least(struct(dist, idx)).
+    */
+  private def pqCodeCase(j: Int): String = {
+    val d = (0 until PqKsub).map(c => s"d${j}_$c")
+    s"CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0 " +
+      s"WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1 " +
+      s"WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END"
+  }
+
+  private def pqAdcCase(j: Int): String =
+    s"CASE e.code$j " + (0 until PqKsub).map(c =>
+      s"WHEN $c THEN (${pqCentDist("q.qv", j, c)})").mkString(" ") + " END"
 
   private def bucketExpr(v: String): String =
     (1 to LshBits).map(i =>
@@ -572,6 +621,33 @@ object Extensions {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, cand_id) AS rank FROM scored)
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Stored-index builders, exposed separately so the bench times build
+    * and query independently — "build once, query many" is these
+    * operators' whole point, and folding the build into the query time
+    * inverts it (the indexed query would bench SLOWER than the direct
+    * form it exists to beat). The query entries above build-if-absent:
+    * the catalog is in-memory per JVM, so a fresh Verify/Bench run
+    * always builds at least once from its own sfDir before querying.
+    */
+  val benchBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "text_bm25_index_build" -> ((s, dir) => buildBm25Index(s, dir)),
+    "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)))
+
+  private def buildBm25Index(s: SparkSession, dir: String): Unit =
+    graft.operators.Retrieval.writeIndex(t(s, dir, "documents"),
+      "doc_id", "text", "graft_bm25_postings")
+
+  /** The incremental-dedup fixture's "existing corpus" signatures
+    * (doc_id % 4 != 0), persisted as the bucketed physical index the
+    * incremental band join reads back.
+    */
+  private def buildSigIndex(s: SparkSession, dir: String): Unit =
+    graft.sources.IO.writeBucketedTable(
+      Dedup.minHashSignatures(
+        t(s, dir, "documents").filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", ShingleN, Bands * RowsPerBand),
+      "graft_sig_index", "doc_id", buckets = 8)
 
   val oracle: Map[String, String] = Map(
     "text_heavy_hitters" ->
@@ -1005,6 +1081,31 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "pq_adc_fixed" -> {
+      val cdistCols = (for (j <- 0 until PqSub; c <- 0 until PqKsub)
+        yield s"(${pqCentDist("embedding", j, c)}) AS d${j}_$c").mkString(",\n  ")
+      val codeCols = (0 until PqSub)
+        .map(j => s"${pqCodeCase(j)} AS code$j").mkString(",\n  ")
+      val adc = (0 until PqSub).map(j => s"(${pqAdcCase(j)})").mkString(" + ")
+      s"""WITH cdist AS (
+         |  SELECT vec_id AS cand_id,
+         |  $cdistCols
+         |  FROM embeddings),
+         |enc AS (
+         |  SELECT cand_id,
+         |  $codeCols
+         |  FROM cdist),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.cand_id,
+         |         floor(($adc) * 1000000 + 0.5) / 1000000 AS approx_dist
+         |  FROM enc e, q WHERE e.cand_id != q.query_id)
+         |SELECT query_id, cand_id, approx_dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+    },
+
     "emb_near_dup" ->
       s"""WITH v AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
          |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM v),

@@ -30,6 +30,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(b).toSeq == Multimodal.decodeStub(b).toSeq)
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImage reads a real PNG's geometry and luminance histogram") {
+    val black = Multimodal.decodeImage(pngBytes(8, 6, 0x000000)).get
+    assert(black.width == 8 && black.height == 6)
+    assert(black.features(0) == 1.0f, "all-black → everything in bin 0")
+    val white = Multimodal.decodeImage(pngBytes(3, 5, 0xFFFFFF)).get
+    assert(white.width == 3 && white.height == 5)
+    assert(white.features(15) == 1.0f, "all-white → everything in bin 15")
+    // mid-gray 0x808080: lum = 128 → bin 128*16/256 = 8
+    val gray = Multimodal.decodeImage(pngBytes(4, 4, 0x808080)).get
+    assert(gray.features(8) == 1.0f)
+    // a non-image payload is None, and decode() falls back to the stub
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(junk).isEmpty)
+    assert(Multimodal.decode(junk).toSeq == Multimodal.decodeStub(junk).toSeq)
+  }
+
+  test("extractFeatures routes real PNG payloads through the real decoder") {
+    import spark.implicits._
+    val png = pngBytes(8, 6, 0xFFFFFF)
+    val src = Seq(
+      Multimodal.MediaRow(1L, png, "image/png", 8, 6),
+      Multimodal.MediaRow(2L, "plain text".getBytes("UTF-8"), "text", 0, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(src).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(1L).features(15) == 1.0f, "white PNG decoded for real")
+    assert(feats(2L).features.toSeq ==
+      Multimodal.decodeStub("plain text".getBytes("UTF-8")).toSeq)
+  }
+
   test("resize keeps payload and metadata in lockstep") {
     import spark.implicits._
     val src = Seq(
