@@ -42,17 +42,48 @@ object Multimodal {
   final case class DecodedImage(width: Int, height: Int,
                                 features: Array[Float])
 
+  /** Pixel-count ceiling for [[decodeImage]]: payloads whose header
+    * declares more pixels than this are rejected BEFORE the pixel
+    * buffer is allocated. 64 MPix ≈ 256 MB ARGB — far above any sane
+    * training-corpus image, far below an executor-killing allocation.
+    */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
   /** Real pure-JVM image decode (PNG/JPEG/GIF/BMP via `javax.imageio` —
     * no native codec libraries needed): bytes → true width/height + a
     * `bins`-bucket normalized luminance histogram (ITU-R BT.601 integer
     * weights). Returns None when the payload is not a parseable image,
     * so [[decode]] can fall back to the byte-histogram stub for opaque
     * or fixture payloads.
+    *
+    * Hardened for untrusted corpora: dimensions are read from the
+    * format header FIRST and checked against [[MaxDecodePixels]] — a
+    * 100-byte payload declaring a 100k×100k canvas is rejected without
+    * allocating the pixel buffer — and ALL decoder throws are contained
+    * (ImageIO plugins raise RuntimeExceptions, not just IOException, on
+    * truncated/corrupt data), so one adversarial row degrades to the
+    * stub path instead of failing the job.
     */
   def decodeImage(media: Array[Byte], bins: Int = 16): Option[DecodedImage] = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-      catch { case _: java.io.IOException => null }
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (iis == null || !readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+            else reader.read(0)
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
