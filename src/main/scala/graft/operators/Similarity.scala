@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
@@ -279,10 +279,23 @@ object Similarity {
                 seed: Long = 42L): DataFrame = {
     val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
     val books = pqTrain(corpus, vecCol, nsub, ksub, seed)
-    val subDim = books.head.head.size
     val indexed = corpusCellAssignment(corpus, idCol, vecCol, centDf)
       .join(pqEncode(corpus, idCol, vecCol, books), Seq("cand_id"))
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
+    adcShortlistRerank(indexed, probes, books, k, overquery)
+  }
+
+  /** The shared IVF-PQ query tail: ADC over the (cell-joined) candidate
+    * rows → k·overquery shortlist → exact L2 re-rank to k. Both the
+    * in-memory path ([[ivfPqTopK]]) and the stored-index path
+    * ([[ivfPqTopKFromIndex]]) run THIS code, so their results are equal
+    * by construction whenever centroids/codebooks/codes are.
+    */
+  private def adcShortlistRerank(indexed: DataFrame, probes: DataFrame,
+                                 books: Seq[Seq[Seq[Float]]], k: Int,
+                                 overquery: Int): DataFrame = {
+    val nsub = books.size
+    val subDim = books.head.head.size
     val adc = (0 until nsub).map { j =>
       val cent = element_at(typedLit(books(j)),
         element_at(col("codes"), j + 1) + 1)
@@ -311,6 +324,77 @@ object Similarity {
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "dist", "rank")
+  }
+
+  /** Persist the IVF-PQ vector index — the "build once, query many"
+    * split for ANN, mirroring Retrieval.writeIndex (BM25) and the
+    * minhash signature index. One corpus-scale pass trains the coarse
+    * quantizer and PQ codebooks, then stores:
+    *
+    *   - `table`              (cell, cand_id, codes, cv) — one row per
+    *     corpus vector, BUCKETED BY cell so the per-query cell probe
+    *     join is exchange-free on the corpus side; `cv` rides along so
+    *     the exact re-rank never touches the raw corpus either
+    *   - `table_centroids`    (cell, centroid) — nlist rows, broadcast
+    *     at query time for the query-side probe
+    *   - `table_codebooks`    (sub, code, centroid) — nsub·ksub rows,
+    *     collected to the driver at query time and inlined as ADC
+    *     literals (same literal-codebook codegen as the in-memory path)
+    *
+    * At 100 TB: training runs on the corpus (sample upstream if needed —
+    * codebooks only need distribution coverage), encode is a map pass,
+    * and the one shuffle is the bucketed write; every later query costs
+    * ~nprobe/nlist of a corpus scan over 8-byte codes, zero retraining.
+    */
+  def writeVectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       table: String, nlist: Int, nsub: Int, ksub: Int,
+                       seed: Long = 42L, buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+    val books = pqTrain(corpus, vecCol, nsub, ksub, seed)
+    val indexed = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+      .join(pqEncode(corpus, idCol, vecCol, books), Seq("cand_id"))
+      .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
+    graft.sources.IO.writeBucketedTable(indexed, table, "cell", buckets)
+    graft.sources.IO.writeBucketedTable(centDf, table + "_centroids",
+      "cell", 1)
+    val bookRows = for {
+      (book, j) <- books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (j, c, cent)
+    graft.sources.IO.writeBucketedTable(
+      spark.createDataFrame(bookRows).toDF("sub", "code", "centroid"),
+      table + "_codebooks", "sub", 1)
+  }
+
+  /** Rehydrate the PQ codebooks from the stored index: nsub·ksub rows —
+    * driver-side metadata, same class of bounded collect as partition
+    * listings — back into the literal nested-Seq form the ADC codegen
+    * inlines.
+    */
+  def readCodebooks(spark: SparkSession, table: String): Seq[Seq[Seq[Float]]] =
+    spark.table(table + "_codebooks")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+
+  /** IVF-PQ top-k against the STORED index: the corpus arrives
+    * exclusively from the three index tables — no KMeans retrain, no
+    * re-encode, no raw-corpus scan (PlanAuditSpec pins this). Query
+    * semantics are identical to [[ivfPqTopK]] (same
+    * [[adcShortlistRerank]] tail), so results match the in-memory path
+    * exactly for the same build parameters.
+    */
+  def ivfPqTopKFromIndex(spark: SparkSession, table: String,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, nprobe: Int,
+                         overquery: Int = 5): DataFrame = {
+    val indexed = spark.table(table)
+    val centDf = spark.table(table + "_centroids")
+    val books = readCodebooks(spark, table)
+    val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
+    adcShortlistRerank(indexed, probes, books, k, overquery)
   }
 
   /** ADC shortlist → exact re-rank: the production PQ arc. The coarse

@@ -28,6 +28,12 @@ object Extensions {
   private val RowsPerBand = 3
   private val AnnK = 5
   private val LshBits = 8
+  // stored-vector-index build/query parameters (graft_vec_index)
+  private val AnnNlist = 16
+  private val AnnNprobe = 6
+  private val AnnNsub = 8
+  private val AnnKsub = 16
+  private val AnnOverquery = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ------------------------------------------------
@@ -421,6 +427,22 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ against the STORED vector index: build-if-absent (the
+    // catalog is in-memory per JVM), then the query reads only the
+    // three index tables — no KMeans retrain, no re-encode, no raw
+    // corpus scan (PlanAuditSpec pins this). Not SQL-expressible
+    // (trained KMeans centroids) → rows-only driver check; result
+    // equality with the in-memory ivfPqTopK path and recall vs brute
+    // force are proven in SimilaritySpec instead.
+    "ann_ivfpq_indexed" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_vec_index")) buildVecIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKFromIndex(s, "graft_vec_index",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
+        nprobe = AnnNprobe, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // threshold 0.4: the fixture corpus has no planted vector near-dups
     // (max pairwise cosine ≈0.51), so a production-style 0.9 threshold
     // would make the check vacuous.
@@ -632,7 +654,15 @@ object Extensions {
     */
   val benchBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "text_bm25_index_build" -> ((s, dir) => buildBm25Index(s, dir)),
-    "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)))
+    "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)),
+    "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)))
+
+  /** One corpus pass trains + encodes + persists the IVF-PQ index the
+    * ann_ivfpq_indexed query reads back.
+    */
+  private def buildVecIndex(s: SparkSession, dir: String): Unit =
+    Similarity.writeVectorIndex(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "graft_vec_index", AnnNlist, AnnNsub, AnnKsub)
 
   private def buildBm25Index(s: SparkSession, dir: String): Unit =
     graft.operators.Retrieval.writeIndex(t(s, dir, "documents"),

@@ -91,6 +91,26 @@ class PlanAuditSpec extends SparkSpec {
         plan.treeString.take(3000))
   }
 
+  test("indexed IVF-PQ reads the STORED index; the raw corpus parquet " +
+    "appears only as the (filtered) query side") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // building the query also trains + writes the index tables
+    val frame = SparkEntry.queries("ann_ivfpq_indexed")(spark, sf)
+    val optimized = frame.queryExecution.optimizedPlan
+    assert(optimized.treeString.contains("graft_vec_index"),
+      "stored vector index missing from the plan:\n" +
+        optimized.treeString.take(3000))
+    // every NON-catalog file scan is the query side (vec_id < 10 pushed
+    // down); the corpus itself arrives only through the index tables —
+    // no retrain, no re-encode, no full-corpus embedding scan
+    val rawScans = optimized.collect {
+      case l: LogicalRelation if l.catalogTable.isEmpty => l
+    }
+    assert(rawScans.length == 1,
+      s"expected exactly one raw scan (the query side), got " +
+        s"${rawScans.length}:\n" + optimized.treeString.take(3000))
+  }
+
   test("contamination broadcasts the eval side; the corpus never shuffles " +
     "into a sort-merge join") {
     // audit the LAZY plan: the query-map entry is eagerly materialized,

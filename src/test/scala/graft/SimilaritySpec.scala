@@ -129,4 +129,48 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqRecall >= 0.5, s"IVF-PQ recall@$k = $ivfpqRecall")
     enc.unpersist()
   }
+
+  test("stored IVF-PQ index: from-index results equal the in-memory path " +
+      "and keep useful recall vs exact L2") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5; val nlist = 8; val nprobe = 4
+    val nsub = 8; val ksub = 16; val oq = 10
+
+    val mem = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+      nlist, nprobe, nsub, ksub, overquery = oq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    Similarity.writeVectorIndex(emb, "vec_id", "embedding",
+      "graft_vec_index_spec", nlist, nsub, ksub)
+    // codebooks round-trip parquet bit-exactly
+    val books = Similarity.readCodebooks(spark, "graft_vec_index_spec")
+    assert(books.size == nsub && books.forall(_.size == ksub))
+    assert(books == Similarity.pqTrain(emb, "embedding", nsub, ksub))
+
+    val idx = Similarity.ivfPqTopKFromIndex(spark, "graft_vec_index_spec",
+      queries, "vec_id", "embedding", k, nprobe, overquery = oq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // same build parameters + same query tail ⇒ identical results
+    assert(idx == mem,
+      s"stored-index path diverged from in-memory:\n mem=$mem\n idx=$idx")
+
+    // recall vs exact L2 brute force stays useful
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val got = idx.map(r => (r._1, r._2))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"stored-index recall@$k = $recall")
+  }
 }
