@@ -64,28 +64,38 @@ object Multimodal {
     * truncated/corrupt data), so one adversarial row degrades to the
     * stub path instead of failing the job.
     */
-  def decodeImage(media: Array[Byte], bins: Int = 16): Option[DecodedImage] = {
-    val img =
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(media))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (iis == null || !readers.hasNext) null
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis, true, true)
-            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
-            else reader.read(0)
-          } finally {
-            reader.dispose()
-            iis.close()
+  /** The hardened bytes→BufferedImage read shared by [[decodeImage]]
+    * and [[resizeImage]]: null-checked stream, header-first dimension
+    * guard, reader disposed and the input stream closed on EVERY path
+    * (a no-matching-reader payload must not leak the stream — with
+    * ImageIO's default disk-backed cache that is a temp file + fd per
+    * row), all decoder throws contained.
+    */
+  private def readImage(media: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      if (iis == null) None
+      else {
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+              if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+              else Option(reader.read(0))
+                .filter(i => i.getWidth > 0 && i.getHeight > 0)
+            } finally reader.dispose()
           }
-        }
-      } catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
+        } finally iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeImage(media: Array[Byte], bins: Int = 16): Option[DecodedImage] =
+    readImage(media).map { img =>
       val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Float](bins)
       var y = 0
@@ -103,9 +113,8 @@ object Multimodal {
       val n = w.toFloat * h
       var j = 0
       while (j < bins) { hist(j) /= n; j += 1 }
-      Some(DecodedImage(w, h, hist))
+      DecodedImage(w, h, hist)
     }
-  }
 
   /** Feature decode used by [[extractFeatures]]: real image decode when
     * the payload parses as one, byte-histogram stub otherwise — one
@@ -185,14 +194,45 @@ object Multimodal {
     out
   }
 
+  /** REAL image resize for payloads that decode (pure JVM — the same
+    * `javax.imageio` + `java.awt` stack as [[decodeImage]], no native
+    * codecs): hardened decode → `Graphics2D` bilinear scale into an RGB
+    * canvas → PNG re-encode. Returns None for opaque/corrupt payloads
+    * and absurd targets, so [[resize]] can fall back to the byte stub —
+    * the same real-first/stub-fallback split as `decode`/`decodeStub`.
+    */
+  def resizeImage(media: Array[Byte], targetW: Int,
+                  targetH: Int): Option[Array[Byte]] =
+    if (targetW <= 0 || targetH <= 0 ||
+      targetW.toLong * targetH > MaxDecodePixels) None
+    else readImage(media).flatMap { img =>
+      try {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(out, "png", bos)) Some(bos.toByteArray)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Batch resize: a map over the typed Dataset updating payload and
-    * metadata together — no shuffle, width/height stay truthful.
+    * metadata together — no shuffle, width/height stay truthful. Real
+    * image payloads take the bilinear [[resizeImage]] path (output is a
+    * true PNG at the target geometry); opaque payloads keep the
+    * deterministic byte-stub semantics.
     */
   def resize(media: Dataset[MediaRow], targetW: Int,
              targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map(r => r.copy(
-      media = resizeStub(r.media, r.width, r.height, targetW, targetH),
+      media = resizeImage(r.media, targetW, targetH).getOrElse(
+        resizeStub(r.media, r.width, r.height, targetW, targetH)),
       width = targetW, height = targetH))
   }
 

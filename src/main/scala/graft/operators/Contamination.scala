@@ -34,18 +34,20 @@ object Contamination {
     */
   def overlap(docs: DataFrame, idCol: String, textCol: String, n: Int,
               evalPredicate: Column, minContainment: Double,
-              materialize: Boolean = true): DataFrame = {
+              materialize: Boolean = true,
+              maxTrainDf: Int = Dedup.DefaultMaxDf): DataFrame = {
     val sh = docs.select(col(idCol), evalPredicate.as("is_eval"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("shingle"))
-    if (!materialize) pairsFrom(sh, idCol, minContainment)
+    if (!materialize) pairsFrom(sh, idCol, minContainment,
+      maxTrainDf = maxTrainDf)
     else {
       // the tiny eval shingle set feeds two consumers (join side +
       // sizes); persist so the corpus is shingled and split only once
       val ev = sh.filter(col("is_eval"))
         .select(col(idCol).as("eval_id"), col("shingle")).persist()
       val out = Dedup.materializeDetached(
-        pairsFrom(sh, idCol, minContainment, Some(ev)))
+        pairsFrom(sh, idCol, minContainment, Some(ev), maxTrainDf))
       ev.unpersist(blocking = false)
       out
     }
@@ -91,17 +93,38 @@ object Contamination {
                          n: Int, evalPredicate: Column,
                          minContainment: Double,
                          expectedShingles: Long = 1L << 20,
-                         fpp: Double = 0.01): DataFrame =
+                         fpp: Double = 0.01,
+                         maxTrainDf: Int = Dedup.DefaultMaxDf): DataFrame =
     overlap(bloomSurvivors(docs, idCol, textCol, n, evalPredicate,
       expectedShingles, fpp), idCol, textCol, n, evalPredicate,
-      minContainment)
+      minContainment, maxTrainDf = maxTrainDf)
 
+  /** A shingle present in more than `maxTrainDf` TRAINING documents is
+    * web boilerplate, not benchmark leakage — and it is also the df²
+    * hot key that would blow up the overlap join on a real crawl (one
+    * ubiquitous phrase × every eval doc containing it). Over-cap
+    * shingles are dropped from BOTH sides (and from the containment
+    * denominator), so the score stays a true containment over the
+    * informative-shingle universe. The over-cap set is tiny by
+    * definition → broadcast anti-join, no extra corpus shuffle
+    * (same shape as Dedup.capDf, keyed on the training-side df).
+    */
   private def pairsFrom(sh: DataFrame, idCol: String, minContainment: Double,
-                        evCached: Option[DataFrame] = None): DataFrame = {
-    val ev = evCached.getOrElse(sh.filter(col("is_eval"))
+                        evCached: Option[DataFrame] = None,
+                        maxTrainDf: Int = Dedup.DefaultMaxDf): DataFrame = {
+    val ev0 = evCached.getOrElse(sh.filter(col("is_eval"))
       .select(col(idCol).as("eval_id"), col("shingle")))
-    val tr = sh.filter(!col("is_eval"))
+    val tr0 = sh.filter(!col("is_eval"))
       .select(col(idCol).as("train_id"), col("shingle"))
+    val (ev, tr) =
+      if (maxTrainDf <= 0) (ev0, tr0)
+      else {
+        val hot = tr0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxTrainDf)
+          .select(col("shingle"))
+        (ev0.join(broadcast(hot), Seq("shingle"), "left_anti"),
+          tr0.join(broadcast(hot), Seq("shingle"), "left_anti"))
+      }
     val evSizes = ev.groupBy("eval_id")
       .agg(count(lit(1)).as("n_eval_shingles"))
     val inter = tr.join(broadcast(ev), Seq("shingle"))

@@ -68,6 +68,40 @@ object Dedup {
       out
     } else result.localCheckpoint(eager = true)
 
+  /** Document-frequency cap for inverted-index candidate generation —
+    * the systemic guard for the one thing that kills every
+    * explode-and-equi-join operator at 100 TB: a boilerplate shingle or
+    * stop-term present in 10⁶ documents turns its posting list into a
+    * df² hot key (the self-join emits df·(df−1)/2 pairs for that single
+    * key, on one task). Keys above `maxDf` carry no dedup signal — two
+    * documents sharing ONLY site chrome are not near-duplicates — so
+    * they are dropped from the index before any join.
+    *
+    * Cost shape: the df aggregation is map-side combinable (one
+    * pre-reduced row per (partition, key) on the shuffle), and the
+    * over-cap key set is TINY by definition (each survivor of the
+    * filter represents > maxDf rows), so the removal is a broadcast
+    * anti-join — a map-side probe over the corpus-scale index, no
+    * second corpus shuffle. `maxDf <= 0` disables the cap (identity).
+    */
+  private[operators] def capDf(index: DataFrame, key: String,
+                               maxDf: Int): DataFrame =
+    if (maxDf <= 0) index
+    else {
+      val hot = index.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col(key))
+      index.join(broadcast(hot), Seq(key), "left_anti")
+    }
+
+  /** Default [[capDf]] bound for the dedup tier: far above any key
+    * frequency the fixtures (or any honest near-dup signal) produce, so
+    * results are unchanged at test scale, while a 100 TB crawl's
+    * boilerplate keys (df in the millions) are dropped before they can
+    * quadratically explode a join task.
+    */
+  val DefaultMaxDf = 10000
+
   /** Exact dedup by content hash: one row per distinct text, keeping the
     * smallest id (deterministic), with the copy count. One map-side-
     * combinable groupBy — the cheapest possible dedup at any scale.
@@ -107,18 +141,27 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minJaccard: Double,
-                        materialize: Boolean = true): DataFrame =
+                        materialize: Boolean = true,
+                        maxDf: Int = DefaultMaxDf): DataFrame =
     if (!materialize)
-      jaccardFromShingles(shingled(docs, idCol, textCol, n), idCol, minJaccard)
+      jaccardFromShingles(shingled(docs, idCol, textCol, n), idCol,
+        minJaccard, maxDf)
     else {
       // the shingle set feeds three consumers (both join sides + sizes);
       // persist so the explode+hash stage runs once, not three times
       val sh = shingled(docs, idCol, textCol, n).persist()
-      scoped(Seq(sh))(jaccardFromShingles(sh, idCol, minJaccard))
+      scoped(Seq(sh))(jaccardFromShingles(sh, idCol, minJaccard, maxDf))
     }
 
-  private def jaccardFromShingles(sh: DataFrame, idCol: String,
-                                  minJaccard: Double): DataFrame = {
+  /** Jaccard is computed over the df-capped shingle universe (both the
+    * intersection AND the per-doc sizes), so the score stays a true
+    * Jaccard of the informative-shingle sets — boilerplate keys vanish
+    * from numerator and denominator alike.
+    */
+  private def jaccardFromShingles(sh0: DataFrame, idCol: String,
+                                  minJaccard: Double,
+                                  maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh = capDf(sh0, "shingle", maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -145,9 +188,11 @@ object Dedup {
   def jaccardTopK(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, k: Int,
                   queryPredicate: Column,
-                  materialize: Boolean = true): DataFrame = {
+                  materialize: Boolean = true,
+                  maxDf: Int = DefaultMaxDf): DataFrame = {
     val sh0 = shingled(docs, idCol, textCol, n)
-    val sh = if (materialize) sh0.persist() else sh0
+    val shAll = if (materialize) sh0.persist() else sh0
+    val sh = capDf(shAll, "shingle", maxDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val q = sh.filter(queryPredicate)
       .select(col(idCol).as("query_id"), col("shingle"))
@@ -167,7 +212,7 @@ object Dedup {
     val ranked = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "jaccard", "rank")
-    if (materialize) scoped(Seq(sh))(ranked) else ranked
+    if (materialize) scoped(Seq(shAll))(ranked) else ranked
   }
 
   /** MinHash signatures: numHashes independent min-hashes per document.
@@ -203,25 +248,65 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, bands: Int, rowsPerBand: Int,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true,
+                      maxBucket: Int = DefaultMaxDf): DataFrame = {
     // signatures are read once per band and join side — persist them
     val sig0 = minHashSignatures(docs, idCol, textCol, shingleN,
       bands * rowsPerBand)
-    if (!materialize) lshPairsFromSignatures(sig0, idCol, bands, rowsPerBand)
+    if (!materialize) lshPairsFromSignatures(sig0, idCol, bands, rowsPerBand,
+      maxBucket)
     else {
       val sig = sig0.persist()
-      scoped(Seq(sig))(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand))
+      scoped(Seq(sig))(lshPairsFromSignatures(sig, idCol, bands, rowsPerBand,
+        maxBucket))
     }
   }
 
+  /** Hot-band guard: an LSH bucket with n members emits n·(n−1)/2
+    * candidate pairs on ONE join task — invisible on fixtures, fatal
+    * when a 100 TB crawl contains 10⁶ copies of one page (10¹² pairs in
+    * a single bucket). Buckets above `maxBucket` occupancy therefore
+    * stop emitting all-pairs and instead emit a spanning STAR rooted at
+    * the bucket's minimum id: n−1 edges connecting exactly the same
+    * documents, so downstream clustering (DedupCluster components →
+    * canonical manifest) is UNCHANGED — a clique and its spanning star
+    * have the same connected components. Pair-level consumers lose the
+    * non-star pairs of pathological buckets only, which is the point:
+    * those pairs carry no information a cluster pass doesn't.
+    *
+    * The occupancy aggregation is map-side combinable and the over-cap
+    * bucket list is tiny by definition (each entry represents >
+    * maxBucket rows) → both the exclusion and the star join are
+    * broadcast-side, no extra corpus-scale shuffle. `maxBucket <= 0`
+    * disables the guard.
+    */
   private def lshPairsFromSignatures(sig: DataFrame, idCol: String,
-                                     bands: Int, rowsPerBand: Int): DataFrame = {
+                                     bands: Int, rowsPerBand: Int,
+                                     maxBucket: Int = DefaultMaxDf): DataFrame = {
     val bandRows = bandRowsOf(sig, idCol, bands, rowsPerBand)
-    val x = bandRows.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val y = bandRows.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    x.join(y, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    def allPairs(rows: DataFrame): DataFrame = {
+      val x = rows.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      val y = rows.select(col(idCol).as("id_b"), col("band"), col("sig"))
+      x.join(y, Seq("band", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val pairs =
+      if (maxBucket <= 0) allPairs(bandRows)
+      else {
+        val hot = bandRows.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("n"), min(col(idCol)).as("hub"))
+          .filter(col("n") > maxBucket)
+          .select(col("band"), col("sig"), col("hub"))
+        val cold = bandRows.join(broadcast(hot.select("band", "sig")),
+          Seq("band", "sig"), "left_anti")
+        // hub = bucket min id ⇒ (hub, member) already satisfies a < b
+        val star = bandRows.join(broadcast(hot), Seq("band", "sig"))
+          .filter(col(idCol) =!= col("hub"))
+          .select(col("hub").as("id_a"), col(idCol).as("id_b"))
+        allPairs(cold).unionByName(star)
+      }
+    pairs.distinct()
   }
 
   /** The standard candidate→verify composition: MinHash-LSH proposes

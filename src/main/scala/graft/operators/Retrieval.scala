@@ -39,13 +39,22 @@ object Retrieval {
   /** @param queryPredicate selects the query documents (applied to the
     *        per-(doc,term) frame, so any predicate over idCol works)
     * @param k results per query
+    * @param stopTermDf OPT-IN posting-list fan-out guard (0 = off, the
+    *        default — dropping terms changes scores, and BM25's idf
+    *        already makes ubiquitous terms contribute ≈0): terms in
+    *        more than this many documents are excluded from the
+    *        postings join entirely, bounding the worst-case candidate
+    *        fan-out per query term at `stopTermDf` — the difference
+    *        between a stop-word costing ~0 score and costing a
+    *        |queries|×df join explosion on a 100 TB corpus
     * @return (query_id, cand_id, score, rank) — rank 1..k by
     *         (score desc, cand_id), candidates sharing ≥1 term only
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryPredicate: Column, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               materialize: Boolean = true): DataFrame = {
+               materialize: Boolean = true,
+               stopTermDf: Int = 0): DataFrame = {
     // one row per (doc, distinct term) with its in-doc frequency — the
     // inverted index; feeds postings, query terms, doc lengths, and
     // document frequencies, so persist it across those consumers
@@ -62,10 +71,18 @@ object Retrieval {
     val dfreq = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
 
-    val q = tf.filter(queryPredicate)
-      .select(col(idCol).as("query_id"), col("term"))
-    val postings = tf.select(col(idCol).as("cand_id"), col("term"),
-      col("tf").cast("double").as("tf_c"))
+    // the over-cap stop-term set is tiny by definition → broadcast
+    // anti-join on both join inputs, no extra corpus-scale shuffle;
+    // n_docs/avgdl/dl stay computed over the FULL corpus (the cap
+    // bounds candidate generation, it does not redefine the statistics)
+    val stop = if (stopTermDf <= 0) None
+      else Some(dfreq.filter(col("df") > stopTermDf).select(col("term")))
+    def capped(df0: DataFrame): DataFrame =
+      stop.fold(df0)(h => df0.join(broadcast(h), Seq("term"), "left_anti"))
+    val q = capped(tf.filter(queryPredicate)
+      .select(col(idCol).as("query_id"), col("term")))
+    val postings = capped(tf.select(col(idCol).as("cand_id"), col("term"),
+      col("tf").cast("double").as("tf_c")))
 
     // same expression shape as the oracle SQL — parenthesization is part
     // of the determinism contract

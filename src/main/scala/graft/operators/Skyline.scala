@@ -22,10 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
+  /** Phase-2 safety bound: the global pass runs on ONE task, so the
+    * phase-1 survivor union must stay driver-sized. Realistic inputs do
+    * (local skylines are tiny for low-dimensional criteria), but an
+    * adversarial distribution — e.g. an anti-correlated criterion pair,
+    * where nearly every row is locally Pareto-optimal — would silently
+    * funnel the whole input through a single task. Above the bound the
+    * operator fails LOUDLY with guidance instead.
+    */
+  val MaxGlobalRows: Long = 5000000L
+
   /** @param minCols criteria to minimize; @param maxCols to maximize.
     * Numeric columns only; null criteria rows are excluded.
+    * @param maxGlobalRows phase-2 input bound (see [[MaxGlobalRows]]);
+    *        raise it only with executor memory to back it
     */
-  def skyline(df: DataFrame, minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+  def skyline(df: DataFrame, minCols: Seq[String], maxCols: Seq[String],
+              maxGlobalRows: Long = MaxGlobalRows): DataFrame = {
     val crit = minCols ++ maxCols
     val clean = df.na.drop(crit)
     val schema = clean.schema
@@ -65,7 +78,20 @@ object Skyline {
     }
 
     val enc = Encoders.row(schema)
-    val local = clean.mapPartitions(localSkyline _)(enc)
-    local.repartition(1).mapPartitions(localSkyline _)(enc)
+    val local = clean.mapPartitions(localSkyline _)(enc).persist()
+    try {
+      val survivors = local.count()
+      if (survivors > maxGlobalRows)
+        throw new IllegalStateException(
+          s"Skyline phase-1 survivors ($survivors rows) exceed " +
+            s"maxGlobalRows=$maxGlobalRows: the global pass would funnel " +
+            "them through one task. This happens when the criteria are " +
+            "anti-correlated and nearly every row is locally " +
+            "Pareto-optimal. Reduce the criterion set, pre-filter the " +
+            "input, or raise maxGlobalRows only with the executor memory " +
+            "to back a single-task pass of that size.")
+      Dedup.materializeDetached(
+        local.repartition(1).mapPartitions(localSkyline _)(enc))
+    } finally local.unpersist(blocking = false)
   }
 }

@@ -269,16 +269,27 @@ object IO {
       .foldLeft(Option.empty[DataFrame]) { (_, stmt) => Some(spark.sql(stmt)) }
   }
 
-  /** Split a script on `;` outside quoted literals. Inside a literal,
-    * a doubled opening quote (`''` / `""`) is an escaped quote and a
-    * backslash escapes the next character (Spark SQL string syntax);
-    * backticks delimit identifiers and admit neither escape.
+  /** Split a script on `;` outside quoted literals and comments.
+    * Inside a literal, a doubled opening quote (`''` / `""`) is an
+    * escaped quote and a backslash escapes the next character (Spark
+    * SQL string syntax); backticks delimit identifiers and admit
+    * neither escape. `--` line comments and slash-star block comments
+    * are copied through verbatim (so join-hint comments survive) but
+    * are NOT scanned for quotes or `;` — an apostrophe in a comment
+    * must not open a phantom literal that swallows the next statement
+    * boundary. A fragment containing only comments and whitespace is
+    * not a statement and is dropped.
     */
   private[graft] def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
+    var hasCode = false
     var quote: Char = 0
     var i = 0
+    def emit(): Unit = {
+      if (hasCode) out += cur.result()
+      cur.clear(); hasCode = false
+    }
     while (i < script.length) {
       val c = script.charAt(i)
       if (quote != 0) {
@@ -291,14 +302,30 @@ object IO {
             cur.append(quote); i += 1 // doubled quote stays in-literal
           } else quote = 0
         }
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case ';'              => out += cur.result(); cur.clear()
-        case _                => cur.append(c)
+        i += 1
+      } else if (c == '-' && i + 1 < script.length &&
+          script.charAt(i + 1) == '-') {
+        val nl = script.indexOf('\n', i)
+        val end = if (nl < 0) script.length else nl + 1
+        cur.append(script.substring(i, end))
+        i = end
+      } else if (c == '/' && i + 1 < script.length &&
+          script.charAt(i + 1) == '*') {
+        val close = script.indexOf("*/", i + 2)
+        val end = if (close < 0) script.length else close + 2
+        cur.append(script.substring(i, end))
+        i = end
+      } else {
+        c match {
+          case '\'' | '"' | '`' => quote = c; cur.append(c); hasCode = true
+          case ';'              => emit()
+          case _                =>
+            cur.append(c); if (!c.isWhitespace) hasCode = true
+        }
+        i += 1
       }
-      i += 1
     }
-    out += cur.result()
+    emit()
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 }

@@ -139,14 +139,20 @@ object DocStream {
 
   private def readIndexOrEmpty(spark: SparkSession, indexPath: String,
                                like: DataFrame, batchId: Long): DataFrame =
-    try
+    try {
+      val idx = spark.read.parquet(indexPath)
       // exclude this batch's own partition: a crashed earlier attempt of
       // the SAME batch may have landed signatures, and a replay that saw
-      // its own fingerprints would drop every document as a duplicate
-      spark.read.parquet(indexPath)
-        .filter(col("ingest_batch") =!= lit(batchId))
-        .drop("ingest_batch")
-    catch {
+      // its own fingerprints would drop every document as a duplicate.
+      // An index written before the partitioned format has no
+      // `ingest_batch` column — every row there predates this batch by
+      // construction, so it reads as all-prior-batches instead of
+      // crashing the ingest on UNRESOLVED_COLUMN.
+      if (idx.columns.contains("ingest_batch"))
+        idx.filter(col("ingest_batch") =!= lit(batchId))
+          .drop("ingest_batch")
+      else idx
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null &&
             EmptyIndexConditions.contains(e.getCondition) =>

@@ -85,6 +85,96 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).media.length == 16 * 16 && out(2L).media.forall(_ == 0))
   }
 
+  test("corrupt/truncated payloads degrade to the stub — the job survives " +
+      "adversarial rows") {
+    import spark.implicits._
+    // valid PNG signature + header, truncated mid-IDAT: a reader IS
+    // found, read(0) throws, the throw is contained
+    val truncated = pngBytes(8, 8, 0x123456).take(40)
+    assert(Multimodal.decodeImage(truncated).isEmpty)
+    assert(Multimodal.decode(truncated).toSeq ==
+      Multimodal.decodeStub(truncated).toSeq)
+    // pure garbage that is not any image format
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(Multimodal.decodeImage(garbage).isEmpty)
+    // end-to-end: a partition containing both adversarial rows completes
+    val src = Seq(
+      Multimodal.MediaRow(1L, truncated, "image/png", 8, 8),
+      Multimodal.MediaRow(2L, garbage, "bin", 0, 0),
+      Multimodal.MediaRow(3L, pngBytes(4, 4, 0xFFFFFF), "image/png", 4, 4))
+      .toDS()
+    val feats = Multimodal.extractFeatures(src).collect()
+    assert(feats.length == 3)
+    assert(feats.find(_.doc_id == 3L).get.features(15) == 1.0f,
+      "the valid row still decodes for real")
+  }
+
+  /** A syntactically valid PNG header (correct signature, IHDR chunk
+    * with a correct CRC) declaring a `w`×`h` canvas — and nothing else.
+    * 33 bytes that claim to be 10 gigapixels.
+    */
+  private def hugeHeaderPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val body = ihdr.array()
+    val crc = new java.util.zip.CRC32
+    crc.update(body)
+    val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+    out.write(len); out.write(body)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    out.toByteArray
+  }
+
+  test("a tiny payload declaring a gigapixel canvas is rejected before " +
+      "the pixel buffer is allocated") {
+    val bomb = hugeHeaderPng(100000, 100000) // 10 GPix ≈ 40 GB ARGB
+    assert(bomb.length < 50, "the attack payload itself is tiny")
+    // must return None fast without attempting the 40 GB allocation
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    assert(Multimodal.resizeImage(bomb, 4, 4).isEmpty)
+    // within-limit header with truncated data still degrades cleanly
+    assert(Multimodal.decodeImage(hugeHeaderPng(16, 16)).isEmpty)
+  }
+
+  test("real bilinear resize: true PNG out at target geometry, luminance " +
+      "preserved") {
+    // left half black, right half white
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val resized = Multimodal.resizeImage(png, 8, 8).get
+    val dec = Multimodal.decodeImage(resized).get
+    assert(dec.width == 8 && dec.height == 8, "output is a real 8x8 PNG")
+    def meanLum(f: Array[Float]): Double =
+      f.zipWithIndex.map { case (v, i) => v * (i + 0.5) / 16 }.sum
+    val before = meanLum(Multimodal.decodeImage(png).get.features)
+    val after = meanLum(dec.features)
+    assert(math.abs(before - after) < 0.1,
+      s"luminance histogram drifted: $before -> $after")
+    // halves survive: ~half the pixels dark, ~half bright (bilinear
+    // blending only affects the boundary column)
+    assert(dec.features(0) >= 0.3f && dec.features(15) >= 0.3f)
+
+    // the Dataset-level resize routes decodable payloads through the
+    // real path: the output re-decodes at the target geometry
+    import spark.implicits._
+    val out = Multimodal.resize(
+      Seq(Multimodal.MediaRow(1L, png, "image/png", 16, 16)).toDS(), 8, 8)
+      .collect().head
+    assert(out.width == 8 && out.height == 8)
+    assert(Multimodal.decodeImage(out.media).get.width == 8)
+  }
+
   test("frame sampling explodes one row per frame with monotone timestamps") {
     import spark.implicits._
     val payload = Array.tabulate(10 * 4)(_.toByte) // 10 frames of 4 bytes

@@ -182,6 +182,31 @@ class PipelineSpec extends SparkSpec {
       == Seq("SELECT `a;b` FROM t", "SELECT 2"))
   }
 
+  test("script splitter ignores quotes and semicolons inside comments") {
+    // an apostrophe in a line comment must not open a phantom literal
+    // that swallows the next statement boundary
+    assert(graft.sources.IO.splitStatements(
+      "-- don't panic\nSELECT 2; SELECT 3")
+      == Seq("-- don't panic\nSELECT 2", "SELECT 3"))
+    // a semicolon inside a block comment is not a boundary either
+    assert(graft.sources.IO.splitStatements(
+      "SELECT /* won't; break */ 1; SELECT 2")
+      == Seq("SELECT /* won't; break */ 1", "SELECT 2"))
+    // a trailing comment-only fragment is not a statement
+    assert(graft.sources.IO.splitStatements("SELECT 1; -- done\n")
+      == Seq("SELECT 1"))
+    assert(graft.sources.IO.splitStatements("/* header only */")
+      == Seq.empty)
+    // join-hint comments survive verbatim inside their statement
+    assert(graft.sources.IO.splitStatements(
+      "SELECT /*+ BROADCAST(t) */ * FROM t; SELECT 2")
+      == Seq("SELECT /*+ BROADCAST(t) */ * FROM t", "SELECT 2"))
+    // and a commented-out apostrophe still composes with real literals
+    assert(graft.sources.IO.splitStatements(
+      "SELECT ';' -- the real ';' was above'\n; SELECT 2")
+      == Seq("SELECT ';' -- the real ';' was above'", "SELECT 2"))
+  }
+
   test("reference CSV dialect round-trips with NULL literals (S7)") {
     val path = tempDir("csv")
     val df = Seq((1, "a"), (2, null)).toDF("id", "name")

@@ -233,4 +233,27 @@ class StreamingSpec extends SparkSpec {
     assert(kept == 1L)
     assert(spark.read.parquet(corpus).count() == 1L)
   }
+
+  test("a legacy index written before the ingest_batch partition format " +
+    "reads as all-prior-batches, not a crash") {
+    import graft.streaming.DocStream
+    import graft.operators.{Dedup, Quality}
+    val corpus = tempDir("doc_legacy_corpus")
+    val index = tempDir("doc_legacy_index")
+    val t = Quality.Thresholds(minTokens = 1, maxTokens = 1000,
+      allowedLangs = Seq("en", "unknown"), minQuality = 0.0,
+      maxDupWordRatio = 1.0)
+    val text = "the quick brown fox jumps over the lazy dog today"
+    // flat signature parquet, NO ingest_batch column — the pre-partition
+    // index layout an upgraded deployment still carries
+    Dedup.minHashSignatures(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", 3, 12)
+      .write.parquet(index)
+    // a new batch duplicating the legacy doc must be dropped against it
+    val dup = Seq((9L, text, "en", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = DocStream.ingestBatch(dup, corpus, index, t,
+      shingleN = 3, bands = 4, rowsPerBand = 3, batchId = 5L)
+    assert(kept == 0L, "legacy signatures must still dedup new arrivals")
+  }
 }
