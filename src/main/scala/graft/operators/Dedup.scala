@@ -389,19 +389,56 @@ object Dedup {
     * instead of re-banding the world. Cost per batch scales with
     * |new| × bucket-occupancy, not with |corpus|².
     */
+  /** Hot-band guard, incremental form (same rationale as the batch
+    * guard in [[lshPairsFromSignatures]], same default): a bucket whose
+    * TOTAL occupancy (stored + new) exceeds `maxBucket` emits one star
+    * edge per member against the bucket's minimum id instead of
+    * new×occupancy pairs. The ingest drop decision
+    * ([[incrementalDropIds]]) is UNCHANGED by the star: a new member
+    * whose hub is existing pairs vs-existing → dropped (corpus copy
+    * wins); a new member whose hub is a smaller new doc pairs new×new →
+    * dropped (greedy keep-first); an all-new bucket keeps exactly its
+    * hub. Only pairs touching at least one new document are emitted,
+    * preserving the never-existing×existing contract.
+    */
   def minHashLshPairsIncremental(existingSigs: DataFrame, newSigs: DataFrame,
                                  idCol: String, bands: Int,
-                                 rowsPerBand: Int): DataFrame = {
-    val allBands = bandRowsOf(existingSigs.unionByName(newSigs), idCol,
-      bands, rowsPerBand)
-    val newBands = bandRowsOf(newSigs, idCol, bands, rowsPerBand)
-    val x = allBands.select(col(idCol).as("id_a"), col("band"), col("sig"))
-    val y = newBands.select(col(idCol).as("id_b"), col("band"), col("sig"))
-    x.join(y, Seq("band", "sig"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .distinct()
+                                 rowsPerBand: Int,
+                                 maxBucket: Int = DefaultMaxDf): DataFrame = {
+    val exBands = bandRowsOf(existingSigs, idCol, bands, rowsPerBand)
+      .withColumn("is_new", lit(false))
+    val nwBands = bandRowsOf(newSigs, idCol, bands, rowsPerBand)
+      .withColumn("is_new", lit(true))
+    val allBands = exBands.unionByName(nwBands)
+    def newVsAll(all: DataFrame, nw: DataFrame): DataFrame = {
+      val x = all.select(col(idCol).as("id_a"), col("band"), col("sig"))
+      val y = nw.select(col(idCol).as("id_b"), col("band"), col("sig"))
+      x.join(y, Seq("band", "sig"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }
+    val pairs =
+      if (maxBucket <= 0) newVsAll(allBands, nwBands)
+      else {
+        val hot = allBands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("n"), min(col(idCol)).as("hub"),
+            min_by(col("is_new"), col(idCol)).as("hub_is_new"))
+          .filter(col("n") > maxBucket)
+          .select(col("band"), col("sig"), col("hub"), col("hub_is_new"))
+        val coldAll = allBands.join(broadcast(hot.select("band", "sig")),
+          Seq("band", "sig"), "left_anti")
+        val coldNew = nwBands.join(broadcast(hot.select("band", "sig")),
+          Seq("band", "sig"), "left_anti")
+        // hub = bucket min id ⇒ (hub, member) already satisfies a < b;
+        // keep only edges touching a new doc (contract: no ex×ex pairs)
+        val star = allBands.join(broadcast(hot), Seq("band", "sig"))
+          .filter(col(idCol) =!= col("hub") &&
+            (col("is_new") || col("hub_is_new")))
+          .select(col("hub").as("id_a"), col(idCol).as("id_b"))
+        newVsAll(coldAll, coldNew).unionByName(star)
+      }
+    pairs.distinct()
   }
 
   /** The ingest-time drop decision on top of

@@ -112,6 +112,45 @@ class FanoutGuardSpec extends SparkSpec {
       s"expected one cluster (canonical=1, members=$n), got $manifest")
   }
 
+  test("incremental LSH hot-band guard keeps drop decisions identical " +
+      "while bounding pair counts") {
+    val text = "exactly the same duplicated text appears in every document"
+    val nExisting = 100
+    val existing = (1 to nExisting).map(i => (i.toLong, text))
+      .toDF("doc_id", "text")
+    // new batch: 5 dups of the stored page + 1 genuinely new doc
+    val fresh = ((101 to 105).map(i => (i.toLong, text)) :+
+      (106L, "a genuinely novel document about catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val exSigs = Dedup.minHashSignatures(existing, "doc_id", "text", 3, 12)
+    val nwSigs = Dedup.minHashSignatures(fresh, "doc_id", "text", 3, 12)
+
+    val guarded = Dedup.minHashLshPairsIncremental(exSigs, nwSigs,
+      "doc_id", 4, 3, maxBucket = 10)
+    // unguarded: 5×100 + C(5,2) = 510 pairs; star: one edge per hot-
+    // bucket member touching a new doc + nothing else
+    val n = guarded.count()
+    assert(n <= 110, s"hot bucket must not emit new×occupancy pairs, got $n")
+    val drops = Dedup.incrementalDropIds(exSigs, nwSigs, "doc_id", 4, 3)
+      .as[Long].collect().toSet
+    val dropsGuarded = {
+      // same decision through the guarded pair set
+      val pairs = guarded
+      val ex = exSigs.select($"doc_id".as("xid")).distinct()
+      val vsA = pairs.join(ex, pairs("id_a") === col("xid")).select($"id_b")
+      val vsB = pairs.join(ex, pairs("id_b") === col("xid")).select($"id_a")
+      val nn = pairs.join(ex, pairs("id_a") === col("xid"), "left_anti")
+        .join(ex, pairs("id_b") === col("xid"), "left_anti")
+        .select(greatest($"id_a", $"id_b"))
+      vsA.union(vsB).union(nn).distinct().as[Long].collect().toSet
+        .intersect((101L to 106L).toSet)
+    }
+    assert(drops == (101L to 105L).toSet,
+      s"default-cap drop decision wrong: $drops")
+    assert(dropsGuarded == (101L to 105L).toSet,
+      s"guarded drop decision diverged: $dropsGuarded")
+  }
+
   test("skyline raises loudly when anti-correlated criteria make the " +
       "phase-1 survivor set exceed the single-task bound") {
     // b = a with one minimized and one maximized → EVERY row is locally
