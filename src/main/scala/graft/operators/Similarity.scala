@@ -273,16 +273,43 @@ object Similarity {
     * quantizes cell residuals — one subtraction better in accuracy,
     * same plan shape).
     */
+  /** Cell-relative residuals (the FAISS refinement): PQ codebooks
+    * quantize `v − centroid[cell]` instead of `v`. Residuals of a cell
+    * cluster around zero with much smaller variance than raw vectors,
+    * so the same nsub·log2(ksub) bits buy a tighter quantization — and
+    * because query and candidate subtract the SAME probed centroid,
+    * ||q−c[cell] − (v−c[cell])||² = ||q−v||² exactly: the ADC still
+    * approximates the true distance, just with less quantization error.
+    * One broadcast join + one zip_with per row; plan shape unchanged.
+    */
+  private def withResiduals(corpusCells: DataFrame,
+                            centDf: DataFrame): DataFrame =
+    corpusCells.join(broadcast(centDf), Seq("cell"))
+      .withColumn("rv", zip_with(col("cv"), col("centroid"), (x, y) => x - y))
+      .drop("centroid")
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
                 nsub: Int, ksub: Int, overquery: Int = 5,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, residual: Boolean = false): DataFrame = {
     val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
-    val books = pqTrain(corpus, vecCol, nsub, ksub, seed)
-    val indexed = corpusCellAssignment(corpus, idCol, vecCol, centDf)
-      .join(pqEncode(corpus, idCol, vecCol, books), Seq("cand_id"))
+    val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+    val (books, codes) =
+      if (residual) {
+        val res = withResiduals(cells, centDf)
+        // train on an id-ordered view: KMeans initialization samples by
+        // partition, and the residual frame sits behind a shuffle whose
+        // row order is not execution-stable — ordering makes the learned
+        // codebooks (hence the whole index) reproducible for same data
+        (pqTrain(res.orderBy("cand_id"), "rv", nsub, ksub, seed),
+          (b: Seq[Seq[Seq[Float]]]) => pqEncode(res, "cand_id", "rv", b))
+      } else
+        (pqTrain(corpus, vecCol, nsub, ksub, seed),
+          (b: Seq[Seq[Seq[Float]]]) => pqEncode(corpus, idCol, vecCol, b))
+    val indexed = cells.join(codes(books), Seq("cand_id"))
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
-    adcShortlistRerank(indexed, probes, books, k, overquery)
+    adcShortlistRerank(indexed, probes, books, k, overquery,
+      if (residual) Some(centDf) else None)
   }
 
   /** The shared IVF-PQ query tail: ADC over the (cell-joined) candidate
@@ -290,16 +317,30 @@ object Similarity {
     * in-memory path ([[ivfPqTopK]]) and the stored-index path
     * ([[ivfPqTopKFromIndex]]) run THIS code, so their results are equal
     * by construction whenever centroids/codebooks/codes are.
+    *
+    * `residualCentroids`: when the codes quantize cell residuals, the
+    * query side must subtract the SAME probed-cell centroid before the
+    * ADC — the (tiny) centroid table rides the broadcast probe join.
     */
   private def adcShortlistRerank(indexed: DataFrame, probes: DataFrame,
                                  books: Seq[Seq[Seq[Float]]], k: Int,
-                                 overquery: Int): DataFrame = {
+                                 overquery: Int,
+                                 residualCentroids: Option[DataFrame] = None)
+      : DataFrame = {
     val nsub = books.size
     val subDim = books.head.head.size
+    val (probeSide, adcQueryVec) = residualCentroids match {
+      case Some(centDf) =>
+        (probes.join(broadcast(centDf), Seq("cell"))
+          .withColumn("qres",
+            zip_with(col("qv"), col("centroid"), (x, y) => x - y))
+          .drop("centroid"), "qres")
+      case None => (probes, "qv")
+    }
     val adc = (0 until nsub).map { j =>
       val cent = element_at(typedLit(books(j)),
         element_at(col("codes"), j + 1) + 1)
-      val qsub = slice(col("qv"), j * subDim + 1, subDim)
+      val qsub = slice(col(adcQueryVec), j * subDim + 1, subDim)
       aggregate(zip_with(qsub, cent, (x, y) => {
         val d = x.cast("double") - y.cast("double")
         d * d
@@ -308,7 +349,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_dist"), col("cand_id"))
-    val shortlist = indexed.join(broadcast(probes), Seq("cell"))
+    val shortlist = indexed.join(broadcast(probeSide), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
       .withColumn("r", row_number().over(wAdc))
@@ -348,43 +389,70 @@ object Similarity {
     */
   def writeVectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        table: String, nlist: Int, nsub: Int, ksub: Int,
-                       seed: Long = 42L, buckets: Int = 8): Unit = {
+                       seed: Long = 42L, buckets: Int = 8,
+                       residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
-    val books = pqTrain(corpus, vecCol, nsub, ksub, seed)
-    val indexed = corpusCellAssignment(corpus, idCol, vecCol, centDf)
-      .join(pqEncode(corpus, idCol, vecCol, books), Seq("cand_id"))
+    val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+    // the residual frame feeds nsub sub-quantizer trainings + the
+    // encode pass — pin it so cell assignment runs once, not nsub+1×
+    val (books, encoded, pinned) =
+      if (residual) {
+        val res = withResiduals(cells, centDf).persist()
+        // id-ordered training view — see ivfPqTopK: reproducible builds
+        val b = pqTrain(res.orderBy("cand_id"), "rv", nsub, ksub, seed)
+        (b, pqEncode(res, "cand_id", "rv", b), Some(res))
+      } else {
+        val b = pqTrain(corpus, vecCol, nsub, ksub, seed)
+        (b, pqEncode(corpus, idCol, vecCol, b), None)
+      }
+    val indexed = cells.join(encoded, Seq("cand_id"))
       .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
     graft.sources.IO.writeBucketedTable(indexed, table, "cell", buckets)
+    pinned.foreach(_.unpersist(blocking = false))
     graft.sources.IO.writeBucketedTable(centDf, table + "_centroids",
       "cell", 1)
+    // the residual flag rides the codebook rows so the query side can
+    // NEVER be mismatched against how the codes were built
     val bookRows = for {
       (book, j) <- books.zipWithIndex
       (cent, c) <- book.zipWithIndex
-    } yield (j, c, cent)
+    } yield (j, c, cent, residual)
     graft.sources.IO.writeBucketedTable(
-      spark.createDataFrame(bookRows).toDF("sub", "code", "centroid"),
+      spark.createDataFrame(bookRows)
+        .toDF("sub", "code", "centroid", "residual"),
       table + "_codebooks", "sub", 1)
   }
 
-  /** Rehydrate the PQ codebooks from the stored index: nsub·ksub rows —
-    * driver-side metadata, same class of bounded collect as partition
-    * listings — back into the literal nested-Seq form the ADC codegen
-    * inlines.
+  /** Rehydrate the PQ codebooks (and the residual-encoding flag) from
+    * the stored index: nsub·ksub rows — driver-side metadata, same
+    * class of bounded collect as partition listings — back into the
+    * literal nested-Seq form the ADC codegen inlines.
     */
-  def readCodebooks(spark: SparkSession, table: String): Seq[Seq[Seq[Float]]] =
-    spark.table(table + "_codebooks")
-      .collect()
+  def readCodebooksAndMode(spark: SparkSession,
+                           table: String): (Seq[Seq[Seq[Float]]], Boolean) = {
+    val df = spark.table(table + "_codebooks")
+    // pre-flag indexes (no `residual` column) were raw-vector encoded
+    val hasFlag = df.columns.contains("residual")
+    val rows = df.collect()
+    val books = rows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
+    (books, hasFlag && rows.headOption.exists(_.getBoolean(3)))
+  }
+
+  def readCodebooks(spark: SparkSession, table: String): Seq[Seq[Seq[Float]]] =
+    readCodebooksAndMode(spark, table)._1
 
   /** IVF-PQ top-k against the STORED index: the corpus arrives
     * exclusively from the three index tables — no KMeans retrain, no
     * re-encode, no raw-corpus scan (PlanAuditSpec pins this). Query
     * semantics are identical to [[ivfPqTopK]] (same
     * [[adcShortlistRerank]] tail), so results match the in-memory path
-    * exactly for the same build parameters.
+    * exactly for the same build parameters; whether the codes are
+    * residual-encoded is read FROM the index, not trusted to the
+    * caller.
     */
   def ivfPqTopKFromIndex(spark: SparkSession, table: String,
                          queries: DataFrame, idCol: String, vecCol: String,
@@ -392,9 +460,10 @@ object Similarity {
                          overquery: Int = 5): DataFrame = {
     val indexed = spark.table(table)
     val centDf = spark.table(table + "_centroids")
-    val books = readCodebooks(spark, table)
+    val (books, residual) = readCodebooksAndMode(spark, table)
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
-    adcShortlistRerank(indexed, probes, books, k, overquery)
+    adcShortlistRerank(indexed, probes, books, k, overquery,
+      if (residual) Some(centDf) else None)
   }
 
   /** ADC shortlist → exact re-rank: the production PQ arc. The coarse

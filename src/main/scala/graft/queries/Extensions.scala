@@ -658,11 +658,15 @@ object Extensions {
     "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)))
 
   /** One corpus pass trains + encodes + persists the IVF-PQ index the
-    * ann_ivfpq_indexed query reads back.
+    * ann_ivfpq_indexed query reads back. Residual encoding (FAISS
+    * style): codes quantize v − centroid[cell] — tighter quantization
+    * at identical byte cost; the query path auto-detects the mode from
+    * the stored codebooks.
     */
   private def buildVecIndex(s: SparkSession, dir: String): Unit =
     Similarity.writeVectorIndex(t(s, dir, "embeddings"), "vec_id",
-      "embedding", "graft_vec_index", AnnNlist, AnnNsub, AnnKsub)
+      "embedding", "graft_vec_index", AnnNlist, AnnNsub, AnnKsub,
+      residual = true)
 
   private def buildBm25Index(s: SparkSession, dir: String): Unit =
     graft.operators.Retrieval.writeIndex(t(s, dir, "documents"),

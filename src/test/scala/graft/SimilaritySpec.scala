@@ -173,4 +173,50 @@ class SimilaritySpec extends SparkSpec {
     val recall = got.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"stored-index recall@$k = $recall")
   }
+
+  test("residual-encoded stored index: mode auto-detected, from-index " +
+      "equals in-memory, recall not worse than raw-vector PQ") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val k = 5; val nlist = 8; val nprobe = 4
+    val nsub = 8; val ksub = 16; val oq = 10
+
+    val mem = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+      nlist, nprobe, nsub, ksub, overquery = oq, residual = true)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    Similarity.writeVectorIndex(emb, "vec_id", "embedding",
+      "graft_vec_index_res_spec", nlist, nsub, ksub, residual = true)
+    val (_, mode) = Similarity.readCodebooksAndMode(spark,
+      "graft_vec_index_res_spec")
+    assert(mode, "residual flag must round-trip through the codebook table")
+    val idx = Similarity.ivfPqTopKFromIndex(spark, "graft_vec_index_res_spec",
+      queries, "vec_id", "embedding", k, nprobe, overquery = oq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(idx == mem, "residual stored-index path diverged from in-memory")
+
+    // exact L2 ground truth
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallOf(s: Set[(Long, Long, Double, Long)]) =
+      s.map(r => (r._1, r._2)).intersect(exact).size.toDouble / exact.size
+    val raw = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+      nlist, nprobe, nsub, ksub, overquery = oq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val (rRes, rRaw) = (recallOf(idx), recallOf(raw))
+    // residual quantization is strictly tighter in expectation; allow a
+    // small fixture-noise margin but never a collapse
+    assert(rRes >= rRaw - 0.05 && rRes >= 0.5,
+      s"residual recall $rRes vs raw $rRaw")
+  }
 }
