@@ -71,6 +71,40 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Bounded deterministic sample: ≈`maxRows` rows (binomial around the
+    * target, concentrated within ±O(√maxRows)) chosen by a 32-bit md5
+    * gate on the key — membership is a pure function of (key, seed), so
+    * the sample is reproducible across runs, engines, and partitionings,
+    * and costs one count pass plus one scan, NO shuffle and NO
+    * `orderBy(...).limit(n)` (which at corpus scale either heaps through
+    * a single reducer or falls back to a global sort). The 32-bit gate
+    * resolves fractions down to 2⁻³², fine enough that a trillion-row
+    * corpus can still be gated to a ~10⁵-row training set — the
+    * model-fitting primitive (KMeans codebooks, quantile sketches) where
+    * the fit needs distribution coverage, not the population.
+    *
+    * A frame already at or under the budget passes through unchanged
+    * (and un-counted frames pay the count only when sampling might
+    * apply — callers with known-small inputs can skip calling this).
+    */
+  def boundedSample(df: DataFrame, keyCol: String, maxRows: Long,
+                    seed: String): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
+    val n = df.count()
+    if (n <= maxRows) df
+    else {
+      // threshold = ceil(fraction · 2³²): at least the target fraction,
+      // never zero; compared against the first 8 md5 hex chars as an
+      // unsigned 32-bit value
+      val threshold = math.min(
+        math.ceil(maxRows.toDouble / n * 4294967296.0).toLong, 4294967295L)
+      val gate = conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit(":" + seed))), 1, 8),
+        16, 10).cast("long") < lit(threshold)
+      df.filter(gate)
+    }
+  }
+
   /** Deterministic training-order shuffle key: md5 of key + seed. Sort
     * by it (repartitionByRange + sortWithinPartitions at scale) for a
     * reproducible pseudo-random document order; a new seed reshuffles,

@@ -101,8 +101,24 @@ object Similarity {
     * bruteForceTopK in SimilaritySpec rather than a SQL oracle (KMeans
     * has no DuckDB equivalent).
     */
+  /** Bounded, deterministic, id-ordered training view for the KMeans
+    * fits: the coarse quantizer and PQ codebooks need distribution
+    * COVERAGE, not the population, so training on more than ~10⁵
+    * vectors buys nothing while costing a corpus-scale pass per fit —
+    * at 100 TB the difference between an index build that runs and one
+    * that doesn't. [[Sampling.boundedSample]] gates membership by
+    * md5(id) (no shuffle, no global sort); the trailing `orderBy` on
+    * the ≤`maxTrain`-row survivor set makes KMeans initialization see a
+    * stable row order, so the learned model — hence the whole index —
+    * is reproducible for the same data regardless of partitioning.
+    */
+  private def trainView(df: DataFrame, idCol: String, maxTrain: Int): DataFrame =
+    Sampling.boundedSample(df, idCol, maxTrain.toLong, "vec-train")
+      .orderBy(idCol)
+
   /** Train the IVF coarse quantizer; returns the broadcastable
-    * (cell, centroid) frame.
+    * (cell, centroid) frame. Callers pass the [[trainView]]-bounded
+    * frame, not the raw corpus.
     */
   private def coarseCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
                               seed: Long): DataFrame = {
@@ -120,7 +136,7 @@ object Similarity {
   /** `cdist` = squared L2 distance to each centroid up to the per-row
     * constant ||v||² (constant per vector → argmin-equivalent).
     */
-  private def withCellDist(centDf: DataFrame)(df: DataFrame,
+  private[graft] def withCellDist(centDf: DataFrame)(df: DataFrame,
                                               vec: String): DataFrame =
     df.crossJoin(broadcast(centDf))
       .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
@@ -135,9 +151,9 @@ object Similarity {
     * per (partition, doc). struct(cdist, cell) orders lexicographically
     * = (distance, cell) with the same tie-break the window used.
     */
-  private def corpusCellAssignment(corpus: DataFrame, idCol: String,
-                                   vecCol: String,
-                                   centDf: DataFrame): DataFrame =
+  private[graft] def corpusCellAssignment(corpus: DataFrame, idCol: String,
+                                          vecCol: String,
+                                          centDf: DataFrame): DataFrame =
     withCellDist(centDf)(
       corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
       .groupBy(col("cand_id"))
@@ -162,8 +178,9 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int,
-              seed: Long = 42L): DataFrame = {
-    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+              seed: Long = 42L, maxTrain: Int = 1 << 16): DataFrame = {
+    val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
+      vecCol, nlist, seed)
     val corpusCells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
     val queryCells = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
@@ -218,20 +235,29 @@ object Similarity {
     corpus.select(col(idCol).as("cand_id"), array(codeCols: _*).as("codes"))
   }
 
-  /** Train `nsub` sub-quantizers of `ksub` centroids each. */
+  /** Train `nsub` sub-quantizers of `ksub` centroids each. The training
+    * frame (callers pass the [[trainView]]-bounded sample, never the
+    * raw corpus) is pinned for the duration: it feeds the dim probe
+    * plus `nsub` independent KMeans fits, and without the persist each
+    * fit would recompute the whole lineage — `nsub`+1 scans instead of
+    * one.
+    */
   def pqTrain(corpus: DataFrame, vecCol: String, nsub: Int, ksub: Int,
               seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % nsub == 0, s"dim $dim not divisible by nsub=$nsub")
-    val subDim = dim / nsub
-    (0 until nsub).map { j =>
-      val train = corpus.select(array_to_vector(
-        slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
-        .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    }
+    val pinned = corpus.persist()
+    try {
+      val dim = pinned.select(size(col(vecCol))).head().getInt(0)
+      require(dim % nsub == 0, s"dim $dim not divisible by nsub=$nsub")
+      val subDim = dim / nsub
+      (0 until nsub).map { j =>
+        val train = pinned.select(array_to_vector(
+          slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
+          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      }
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** ADC top-k over a pq-encoded corpus: smallest approximate L2
@@ -282,8 +308,8 @@ object Similarity {
     * approximates the true distance, just with less quantization error.
     * One broadcast join + one zip_with per row; plan shape unchanged.
     */
-  private def withResiduals(corpusCells: DataFrame,
-                            centDf: DataFrame): DataFrame =
+  private[graft] def withResiduals(corpusCells: DataFrame,
+                                   centDf: DataFrame): DataFrame =
     corpusCells.join(broadcast(centDf), Seq("cell"))
       .withColumn("rv", zip_with(col("cv"), col("centroid"), (x, y) => x - y))
       .drop("centroid")
@@ -291,20 +317,24 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
                 nsub: Int, ksub: Int, overquery: Int = 5,
-                seed: Long = 42L, residual: Boolean = false): DataFrame = {
-    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+                seed: Long = 42L, residual: Boolean = false,
+                maxTrain: Int = 1 << 16): DataFrame = {
+    val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
+      vecCol, nlist, seed)
     val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
     val (books, codes) =
       if (residual) {
         val res = withResiduals(cells, centDf)
-        // train on an id-ordered view: KMeans initialization samples by
-        // partition, and the residual frame sits behind a shuffle whose
-        // row order is not execution-stable — ordering makes the learned
-        // codebooks (hence the whole index) reproducible for same data
-        (pqTrain(res.orderBy("cand_id"), "rv", nsub, ksub, seed),
+        // train on the bounded id-ordered view (trainView): KMeans
+        // initialization samples by partition, and the residual frame
+        // sits behind a shuffle whose row order is not execution-stable
+        // — the bounded ordered sample makes the learned codebooks
+        // (hence the whole index) reproducible for same data, at
+        // bounded cost no matter the corpus size
+        (pqTrain(trainView(res, "cand_id", maxTrain), "rv", nsub, ksub, seed),
           (b: Seq[Seq[Seq[Float]]]) => pqEncode(res, "cand_id", "rv", b))
       } else
-        (pqTrain(corpus, vecCol, nsub, ksub, seed),
+        (pqTrain(trainView(corpus, idCol, maxTrain), vecCol, nsub, ksub, seed),
           (b: Seq[Seq[Seq[Float]]]) => pqEncode(corpus, idCol, vecCol, b))
     val indexed = cells.join(codes(books), Seq("cand_id"))
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
@@ -382,28 +412,34 @@ object Similarity {
     *     collected to the driver at query time and inlined as ADC
     *     literals (same literal-codebook codegen as the in-memory path)
     *
-    * At 100 TB: training runs on the corpus (sample upstream if needed —
-    * codebooks only need distribution coverage), encode is a map pass,
-    * and the one shuffle is the bucketed write; every later query costs
-    * ~nprobe/nlist of a corpus scan over 8-byte codes, zero retraining.
+    * At 100 TB: training runs on a bounded deterministic sample
+    * ([[trainView]], ≈`maxTrain` rows — codebooks only need
+    * distribution coverage), encode is a map pass, and the one shuffle
+    * is the bucketed write; every later query costs ~nprobe/nlist of a
+    * corpus scan over 8-byte codes, zero retraining. New vectors join
+    * the index through [[appendVectors]] without touching any of this.
     */
   def writeVectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
                        table: String, nlist: Int, nsub: Int, ksub: Int,
                        seed: Long = 42L, buckets: Int = 8,
-                       residual: Boolean = false): Unit = {
+                       residual: Boolean = false,
+                       maxTrain: Int = 1 << 16): Unit = {
     val spark = corpus.sparkSession
-    val centDf = coarseCentroids(corpus, vecCol, nlist, seed)
+    val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
+      vecCol, nlist, seed)
     val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
-    // the residual frame feeds nsub sub-quantizer trainings + the
-    // encode pass — pin it so cell assignment runs once, not nsub+1×
+    // the residual frame feeds the bounded sub-quantizer training + the
+    // encode pass — pin it so cell assignment runs once, not twice
     val (books, encoded, pinned) =
       if (residual) {
         val res = withResiduals(cells, centDf).persist()
-        // id-ordered training view — see ivfPqTopK: reproducible builds
-        val b = pqTrain(res.orderBy("cand_id"), "rv", nsub, ksub, seed)
+        // bounded id-ordered training view — see ivfPqTopK
+        val b = pqTrain(trainView(res, "cand_id", maxTrain), "rv",
+          nsub, ksub, seed)
         (b, pqEncode(res, "cand_id", "rv", b), Some(res))
       } else {
-        val b = pqTrain(corpus, vecCol, nsub, ksub, seed)
+        val b = pqTrain(trainView(corpus, idCol, maxTrain), vecCol,
+          nsub, ksub, seed)
         (b, pqEncode(corpus, idCol, vecCol, b), None)
       }
     val indexed = cells.join(encoded, Seq("cand_id"))
@@ -464,6 +500,51 @@ object Similarity {
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     adcShortlistRerank(indexed, probes, books, k, overquery,
       if (residual) Some(centDf) else None)
+  }
+
+  /** Encode rows into stored-index form — (cell, cand_id, codes, cv) —
+    * against an EXISTING model (centroids + codebooks + residual mode).
+    * Pure map/broadcast work over `rows`: cell assignment is an argmin
+    * against the broadcast centroids, codes come from the literal
+    * codebook argmin, and the one aggregation is the per-row min_by of
+    * cell assignment. Shared by the build tail and [[appendVectors]] so
+    * appended rows are byte-identical to what a full build with the
+    * same model would have produced.
+    */
+  private[graft] def encodeForIndex(rows: DataFrame, idCol: String,
+                                    vecCol: String, centDf: DataFrame,
+                                    books: Seq[Seq[Seq[Float]]],
+                                    residual: Boolean): DataFrame = {
+    val cells = corpusCellAssignment(rows, idCol, vecCol, centDf)
+    val encoded =
+      if (residual)
+        pqEncode(withResiduals(cells, centDf), "cand_id", "rv", books)
+      else pqEncode(rows, idCol, vecCol, books)
+    cells.join(encoded, Seq("cand_id"))
+      .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
+  }
+
+  /** Incremental index maintenance: encode `newRows` with the STORED
+    * model and append them to the stored index — no KMeans retrain, no
+    * re-encode of the existing corpus, per-batch cost ∝ |new|. The ANN
+    * analogue of the minhash signature index's incremental path (and
+    * the shape FAISS calls `add` vs `train`): centroids and codebooks
+    * are fixed at build time; new vectors only get assigned and coded.
+    * Queries via [[ivfPqTopKFromIndex]] see old and new rows uniformly.
+    *
+    * Caller owns id uniqueness (same contract as the minhash index):
+    * appending an id that already exists in the index yields two index
+    * rows for it. Quantization drift is the known trade — if the data
+    * distribution moves far from the training sample, recall decays
+    * and a rebuild is the remedy (cheap: one bounded retrain + one
+    * corpus-scale encode pass).
+    */
+  def appendVectors(spark: SparkSession, table: String, newRows: DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    val centDf = spark.table(table + "_centroids")
+    val (books, residual) = readCodebooksAndMode(spark, table)
+    graft.sources.IO.appendToBucketedTable(
+      encodeForIndex(newRows, idCol, vecCol, centDf, books, residual), table)
   }
 
   /** ADC shortlist → exact re-rank: the production PQ arc. The coarse

@@ -443,6 +443,24 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental index maintenance: the base index is built from the
+    // older vectors only; the newest batch arrives via appendVectors —
+    // encoded with the STORED centroids/codebooks and bucket-appended,
+    // no retrain, cost ∝ |batch| (the ANN analogue of
+    // dedup_minhash_incremental). The query then sees old and new rows
+    // uniformly. Not SQL-expressible (trained KMeans) → rows-only
+    // check; encode-equality and full-probe exactness of the append
+    // path are proven in SimilaritySpec.
+    "ann_ivfpq_append" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_vec_index_inc"))
+        buildIncVecIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKFromIndex(s, "graft_vec_index_inc",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
+        nprobe = AnnNprobe, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // threshold 0.4: the fixture corpus has no planted vector near-dups
     // (max pairwise cosine ≈0.51), so a production-style 0.9 threshold
     // would make the check vacuous.
@@ -667,6 +685,22 @@ object Extensions {
     Similarity.writeVectorIndex(t(s, dir, "embeddings"), "vec_id",
       "embedding", "graft_vec_index", AnnNlist, AnnNsub, AnnKsub,
       residual = true)
+
+  /** Incremental-maintenance fixture: base index over the older ~80% of
+    * vectors, newest batch appended with the stored model. The split
+    * point scales with the fixture (max/5) so every sfDir exercises a
+    * non-trivial append batch.
+    */
+  private def buildIncVecIndex(s: SparkSession, dir: String): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))
+      .cast("long")).head().getLong(0) / 5
+    Similarity.writeVectorIndex(emb.filter(col("vec_id") >= cut), "vec_id",
+      "embedding", "graft_vec_index_inc", AnnNlist, AnnNsub, AnnKsub,
+      residual = true)
+    Similarity.appendVectors(s, "graft_vec_index_inc",
+      emb.filter(col("vec_id") < cut), "vec_id", "embedding")
+  }
 
   private def buildBm25Index(s: SparkSession, dir: String): Unit =
     graft.operators.Retrieval.writeIndex(t(s, dir, "documents"),

@@ -169,6 +169,34 @@ object IO {
       .saveAsTable(tableName)
   }
 
+  /** Append rows to an existing bucketed table under the table's OWN
+    * bucket spec (read from the catalog, not re-supplied by the caller
+    * — a mismatched re-spec would silently break the no-exchange join
+    * property every reader relies on). Columns are aligned to the
+    * table's schema order first, so the append is insensitive to the
+    * caller's projection order. This is the incremental half of
+    * [[writeBucketedTable]]: one shuffle over the NEW rows only, the
+    * stored corpus untouched — per-batch cost ∝ batch size while the
+    * table grows unbounded.
+    */
+  def appendToBucketedTable(df: DataFrame, tableName: String): Unit = {
+    val spark = df.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $tableName has no bucket spec — appendToBucketedTable only " +
+        "extends tables written by writeBucketedTable"))
+    val aligned = df.select(meta.schema.fieldNames.map(col(_)).toSeq: _*)
+    val writer = aligned.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.drop(1): _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       writer.sortBy(spec.sortColumnNames.head,
+         spec.sortColumnNames.drop(1): _*)
+     else writer)
+      .saveAsTable(tableName)
+  }
+
   /** Z-order clustered write: interleave the bits of quantile-bucketed
     * clustering columns into one Morton key, range-partition and sort
     * the data by it, and write. Each output file then covers a small

@@ -111,6 +111,42 @@ class PlanAuditSpec extends SparkSpec {
         s"${rawScans.length}:\n" + optimized.treeString.take(3000))
   }
 
+  test("appended index queries read only index tables; the append write " +
+    "itself scans only the new batch") {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // query over a base+appended index: same discipline as the
+    // build-once path — the raw corpus appears only as the query side
+    val frame = SparkEntry.queries("ann_ivfpq_append")(spark, sf)
+    val optimized = frame.queryExecution.optimizedPlan
+    assert(optimized.treeString.contains("graft_vec_index_inc"),
+      "appended index missing from the plan:\n" +
+        optimized.treeString.take(3000))
+    val rawScans = optimized.collect {
+      case l: LogicalRelation if l.catalogTable.isEmpty => l
+    }
+    assert(rawScans.length == 1,
+      s"expected exactly one raw scan (the query side), got " +
+        s"${rawScans.length}:\n" + optimized.treeString.take(3000))
+
+    // the append's WRITE-side plan: encoding the new batch against the
+    // stored model touches the batch + the tiny centroid table — never
+    // the stored code rows (per-batch cost ∝ |batch|, not |index|)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centDf = spark.table("graft_vec_index_inc_centroids")
+    val (books, residual) =
+      graft.operators.Similarity.readCodebooksAndMode(
+        spark, "graft_vec_index_inc")
+    val enc = graft.operators.Similarity.encodeForIndex(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+      "vec_id", "embedding", centDf, books, residual)
+    // match the relation name followed by its column list so the
+    // centroids table (same prefix) doesn't mask a violation
+    assert(!enc.queryExecution.optimizedPlan.treeString
+      .contains("graft_vec_index_inc["),
+      "append encode must not scan the stored index rows:\n" +
+        enc.queryExecution.optimizedPlan.treeString.take(3000))
+  }
+
   test("contamination broadcasts the eval side; the corpus never shuffles " +
     "into a sort-merge join") {
     // audit the LAZY plan: the query-map entry is eagerly materialized,

@@ -71,6 +71,30 @@ class SamplingAndValidationSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("boundedSample: identity under budget, ≈maxRows over budget, " +
+      "membership independent of partitioning") {
+    val ev = Tables.load(spark, sf, "events").select("event_id").persist()
+    val n = ev.count()
+    // under budget → the frame passes through unchanged
+    assert(Sampling.boundedSample(ev, "event_id", n + 1, "s").count() == n)
+    // over budget → concentrated near the target
+    val target = 300L
+    val s = Sampling.boundedSample(ev, "event_id", target, "s")
+    val got = s.count()
+    assert(got > 200 && got < 400, s"expected ≈$target of $n, got $got")
+    // membership is a pure function of (key, seed): any partitioning,
+    // same rows
+    val reshaped = Sampling.boundedSample(ev.repartition(7), "event_id",
+      target, "s").select("event_id").as[Long].collect().toSet
+    val flat = s.select("event_id").as[Long].collect().toSet
+    assert(flat == reshaped)
+    // a different seed draws a different sample
+    val other = Sampling.boundedSample(ev, "event_id", target, "other")
+      .select("event_id").as[Long].collect().toSet
+    assert(flat != other)
+    ev.unpersist()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = tempDir("dup_events")
     val ev = Tables.load(spark, sf, "events").limit(100)

@@ -143,10 +143,12 @@ class SimilaritySpec extends SparkSpec {
 
     Similarity.writeVectorIndex(emb, "vec_id", "embedding",
       "graft_vec_index_spec", nlist, nsub, ksub)
-    // codebooks round-trip parquet bit-exactly
+    // codebooks round-trip parquet bit-exactly (the build trains on the
+    // id-ordered bounded view — under-budget fixture ⇒ orderBy only)
     val books = Similarity.readCodebooks(spark, "graft_vec_index_spec")
     assert(books.size == nsub && books.forall(_.size == ksub))
-    assert(books == Similarity.pqTrain(emb, "embedding", nsub, ksub))
+    assert(books ==
+      Similarity.pqTrain(emb.orderBy("vec_id"), "embedding", nsub, ksub))
 
     val idx = Similarity.ivfPqTopKFromIndex(spark, "graft_vec_index_spec",
       queries, "vec_id", "embedding", k, nprobe, overquery = oq)
@@ -218,5 +220,132 @@ class SimilaritySpec extends SparkSpec {
     // small fixture-noise margin but never a collapse
     assert(rRes >= rRaw - 0.05 && rRes >= 0.5,
       s"residual recall $rRes vs raw $rRaw")
+  }
+
+  test("bounded training (maxTrain): build trains on a capped sample, " +
+      "stored path still equals in-memory, recall survives") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5; val nlist = 8; val nprobe = 4
+    val nsub = 8; val ksub = 16; val oq = 10; val cap = 64
+
+    val mem = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", k,
+      nlist, nprobe, nsub, ksub, overquery = oq, residual = true,
+      maxTrain = cap)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    Similarity.writeVectorIndex(emb, "vec_id", "embedding",
+      "graft_vec_index_cap_spec", nlist, nsub, ksub, residual = true,
+      maxTrain = cap)
+    val idx = Similarity.ivfPqTopKFromIndex(spark, "graft_vec_index_cap_spec",
+      queries, "vec_id", "embedding", k, nprobe, overquery = oq)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(idx == mem, "capped-training stored path diverged from in-memory")
+
+    // model quality from 64 training rows: recall degrades gracefully,
+    // not to noise (fixture: 500 corpus rows, k=5)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = idx.map(r => (r._1, r._2)).intersect(exact)
+      .size.toDouble / exact.size
+    assert(recall >= 0.3, s"capped-training recall@$k = $recall")
+  }
+
+  test("appendVectors: incremental rows encode exactly as a build with " +
+      "the same model would, and full-probe queries are exact over " +
+      "old+new") {
+    val emb = Tables.load(spark, sf, "embeddings").persist()
+    val base = emb.filter($"vec_id" >= 50)
+    val extra = emb.filter($"vec_id" < 50)
+    val nlist = 8; val nsub = 8; val ksub = 16
+    Similarity.writeVectorIndex(base, "vec_id", "embedding",
+      "graft_vec_index_app_spec", nlist, nsub, ksub, residual = true)
+    val baseCount = spark.table("graft_vec_index_app_spec").count()
+    Similarity.appendVectors(spark, "graft_vec_index_app_spec", extra,
+      "vec_id", "embedding")
+    val table = spark.table("graft_vec_index_app_spec")
+    assert(table.count() == emb.count(),
+      "append must add exactly the new rows")
+    assert(baseCount == base.count())
+
+    // appended rows carry exactly the (cell, codes, cv) a full build
+    // with the SAME stored model would assign them
+    val centDf = spark.table("graft_vec_index_app_spec_centroids")
+    val (books, residual) =
+      Similarity.readCodebooksAndMode(spark, "graft_vec_index_app_spec")
+    assert(residual)
+    val expected = Similarity.encodeForIndex(extra, "vec_id", "embedding",
+      centDf, books, residual)
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val got = table.filter($"cand_id" < 50)
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(got == expected, "appended rows diverge from build-time encoding")
+
+    // with every cell probed and an overquery covering the corpus, the
+    // ADC shortlist contains every candidate and the exact re-rank makes
+    // the result EQUAL to exact L2 top-k over old+new — an independent
+    // oracle for the append path
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    val idx = Similarity.ivfPqTopKFromIndex(spark, "graft_vec_index_app_spec",
+      queries, "vec_id", "embedding", k, nprobe = nlist, overquery = 100)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(graft.functions.Rounding.pround($"d", 6), $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w).cast("long")).filter($"r" <= k)
+      .select("query_id", "cand_id", "r")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(idx == exact,
+      s"full-probe appended index must equal exact L2 top-k:\n idx=$idx\n exact=$exact")
+    emb.unpersist()
+  }
+
+  test("appendVectors refuses nothing but non-bucketed targets; " +
+      "append is deterministic") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val base = emb.filter($"vec_id" >= 400)
+    val extra = emb.filter($"vec_id" < 20)
+    for (t <- Seq("graft_vec_index_det1", "graft_vec_index_det2")) {
+      Similarity.writeVectorIndex(base, "vec_id", "embedding", t, 4, 8, 16)
+      Similarity.appendVectors(spark, t, extra, "vec_id", "embedding")
+    }
+    val a = spark.table("graft_vec_index_det1")
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val b = spark.table("graft_vec_index_det2")
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(a == b, "same build+append inputs must produce identical indexes")
+
+    // a plain (non-bucketed) table is not a valid append target
+    emb.limit(5).write.mode("overwrite").saveAsTable("graft_not_bucketed")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.IO.appendToBucketedTable(
+        spark.table("graft_not_bucketed"), "graft_not_bucketed")
+    }
+    assert(e.getMessage.contains("bucket spec"))
   }
 }
