@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Rounding, TextFunctions}
+
+/** Unigram language-model scoring — the CCNet/ccnet-style perplexity
+  * filter of a training-data pipeline: train a cheap LM on a reference
+  * corpus, score every candidate document by cross-entropy under it,
+  * and keep the fluent ones. (Production CCNet uses a 5-gram KenLM;
+  * the unigram form keeps the same pipeline shape — reference-corpus
+  * counts in, bits-per-token out — with engine-checkable math.)
+  *
+  * Scale shape: the LM is one `groupBy(token)` over the reference
+  * corpus (map-side combinable). Scoring is a token-exploded equi-join
+  * against the LM — the LM side carries EXACTLY ONE row per token, so
+  * a hot token ("the" in every document) streams probe-side rows
+  * through a hash join without any pair fan-out; output stays ∝ corpus
+  * token count. The two scalar stats (total count, vocab size) ride a
+  * one-row broadcast, the same shape as BM25's corpus stats.
+  *
+  * Float discipline (the BM25/weightedPriority rules): the one
+  * transcendental (log2) is rounded to 9 digits per DISTINCT
+  * (token, count) value — the repo-standard tolerance for math-library
+  * ulp skew — then summed exactly as DECIMAL(38,12), so the per-doc
+  * total is independent of partition and accumulation order and the
+  * DuckDB oracle hash-matches a distributed sum.
+  */
+object LanguageModel {
+
+  /** Train: unigram counts over the reference corpus — (token, cnt). */
+  def unigramLm(reference: DataFrame, textCol: String): DataFrame =
+    reference
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Score: per-document cross-entropy (bits/token) and perplexity
+    * under the add-α-smoothed unigram LM:
+    *
+    *   p(w) = (cnt(w) + α) / (T + α·(V+1))
+    *
+    * where T = Σcnt, V = vocab size; the +1 folds all unseen tokens
+    * into one pseudo-type, so p is a proper distribution and an
+    * out-of-vocabulary token costs the α-floor probability rather than
+    * −∞. Documents with no tokens are absent from the output (no
+    * tokens → no distribution to score them under).
+    *
+    * The LM need not come from `docs` — the CCNet arc trains on a
+    * clean reference corpus and scores a crawled candidate set.
+    */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                   lm: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    val stats = lm.agg(sum(col("cnt")).cast("double").as("lm_total"),
+      count(lit(1)).cast("double").as("lm_vocab"))
+    val tok = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val p = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("lm_total") + lit(alpha) * (col("lm_vocab") + lit(1.0)))
+    tok.join(lm, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        Rounding.pround(log2(p), 9).cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
+      .withColumn("xent",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .withColumn("perplexity",
+        Rounding.pround(pow(lit(2.0), col("xent")), 4))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
+
+  /** Filter: keep documents whose cross-entropy under the LM is at most
+    * `maxXent` bits/token — the "drop the gibberish" gate. Left-semi
+    * join on the id, so document payloads never shuffle through the
+    * scoring aggregation.
+    */
+  def perplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                       lm: DataFrame, maxXent: Double,
+                       alpha: Double = 0.5): DataFrame =
+    docs.join(
+      crossEntropy(docs, idCol, textCol, lm, alpha)
+        .filter(col("xent") <= maxXent).select(col(idCol)),
+      Seq(idCol), "left_semi")
+}

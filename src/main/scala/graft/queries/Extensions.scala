@@ -75,6 +75,29 @@ object Extensions {
         .orderBy(col("n").desc, col("word"))
         .limit(20)),
 
+    // CCNet-style LM quality scoring: unigram LM trained on the corpus,
+    // every document scored by cross-entropy (bits/token) under it.
+    // Gibberish and boilerplate drift from the corpus distribution and
+    // score high; fluent text scores low. The one transcendental (log2)
+    // follows the weightedPriority 9-digit rule; per-doc sums are exact
+    // DECIMAL(38,12) — order-independent, DuckDB-hash-matchable.
+    "text_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.crossEntropy(d, "doc_id", "text",
+        graft.operators.LanguageModel.unigramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // The filter arc: keep documents at or under 4.95 bits/token (the
+    // fixture corpus sits at ~4.88–5.33, so the gate is non-vacuous).
+    "corpus_perplexity_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.perplexityFilter(d, "doc_id", "text",
+        graft.operators.LanguageModel.unigramLm(d, "text"), maxXent = 4.95)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Frequency-threshold heavy hitters (exact form — the oracle
     // semantics of functions.MisraGries, whose O(k) mergeable sketch is
     // the 100 TB path benchmarked in GraftExtensionsSpec): terms whose
@@ -765,6 +788,43 @@ object Extensions {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "text_perplexity" ->
+      """WITH lm AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+        |              CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(floor(log2((COALESCE(cnt, 0) + 0.5) / (t_total + 0.5 * (v + 1))) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM tok LEFT JOIN lm USING (token) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
+        |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_perplexity_filter" ->
+      """WITH lm AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+        |              CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |         CAST(floor(log2((COALESCE(cnt, 0) + 0.5) / (t_total + 0.5 * (v + 1))) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM tok LEFT JOIN lm USING (token) CROSS JOIN st),
+        |x AS (
+        |  SELECT doc_id,
+        |         floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |JOIN x ON d.doc_id = x.doc_id
+        |WHERE x.xent <= 4.95 ORDER BY d.doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -230,4 +230,39 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(out("de") == ((2L, 8L, 0.2, 2.5)))      // upsample 2.5x
     assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
   }
+
+  test("LM cross-entropy matches the hand-computed smoothed unigram " +
+      "value; OOV and rare tokens score higher; filter gates on xent") {
+    import graft.operators.LanguageModel
+    val ref = Seq((1L, "a a b"), (2L, "a a a")).toDF("doc_id", "text")
+    val lm = LanguageModel.unigramLm(ref, "text") // a→5, b→1; T=6, V=2
+
+    // p(a)=5.5/7.5, p(b)=1.5/7.5, p(OOV)=0.5/7.5  (α=0.5, denom=T+α(V+1))
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val (la, lb, loov) = (r9(math.log(5.5 / 7.5) / math.log(2)),
+      r9(math.log(1.5 / 7.5) / math.log(2)),
+      r9(math.log(0.5 / 7.5) / math.log(2)))
+
+    val cand = Seq((10L, "a a a"), (11L, "a a b"), (12L, "q a"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.crossEntropy(cand, "doc_id", "text", lm)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(got(10L) == r6(-la))
+    assert(got(11L) == r6(-(2 * la + lb) / 3))
+    assert(got(12L) == r6(-(loov + la) / 2))
+    // fluency ordering: all-common < mixed < OOV-bearing
+    assert(got(10L) < got(11L) && got(11L) < got(12L))
+
+    // the filter keeps docs at or under the threshold, drops the rest
+    val mid = (got(11L) + got(12L)) / 2
+    val kept = LanguageModel.perplexityFilter(cand, "doc_id", "text", lm,
+      maxXent = mid).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L))
+
+    // an empty-ish doc (one token) still scores; a doc is never split
+    // across output rows
+    val out = LanguageModel.crossEntropy(cand, "doc_id", "text", lm)
+    assert(out.count() == out.select("doc_id").distinct().count())
+  }
 }
