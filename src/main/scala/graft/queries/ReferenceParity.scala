@@ -501,6 +501,60 @@ object ReferenceParity {
         .agg(Rounding.pround(
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0,
           2).as("avg_yearly"))
+    }),
+
+    // TPC-H q6 shape: forecast-revenue-change — a pure scan+filter+agg
+    // whose three range predicates all push into the parquet scan; at
+    // 100 TB this is the query class where pushdown IS the runtime.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+        .agg(Rounding.pround(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H q10 shape: returned-item reporting — who returned the most
+    // revenue last quarter. Fact-side join keyed on orderkey; the
+    // customer/nation dimensions broadcast; top-20 runs as TakeOrdered.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    // TPC-H q14 shape: promo revenue share — conditional aggregation
+    // over one join, both sums exact-decimal, one double division at
+    // the very end (order-independent, oracle-hash-stable).
+    "q14_promo_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(Rounding.pround(
+          lit(100.0) * sum(when(col("p_type") === "ECONOMY", disc))
+            .cast("double") / sum(disc).cast("double"), 4)
+          .as("promo_share"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -750,5 +804,32 @@ object ReferenceParity {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN per_part pp ON l.l_partkey = pp.pk
         |WHERE p.p_brand = 'Brand#13'
-        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt_qty < pp.sum_qty""".stripMargin)
+        |  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * pp.cnt_qty < pp.sum_qty""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |       floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue,
+        |       c.c_acctbal, n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT floor((100.0 * CAST(sum(CASE WHEN p.p_type = 'ECONOMY' THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)) * 10000 + 0.5) / 10000 AS promo_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
 }
