@@ -493,10 +493,25 @@ object Similarity {
   def ivfPqTopKFromIndex(spark: SparkSession, table: String,
                          queries: DataFrame, idCol: String, vecCol: String,
                          k: Int, nprobe: Int,
-                         overquery: Int = 5): DataFrame = {
-    val indexed = spark.table(table)
-    val centDf = spark.table(table + "_centroids")
-    val (books, residual) = readCodebooksAndMode(spark, table)
+                         overquery: Int = 5): DataFrame =
+    ivfPqTopKOverRows(spark.table(table), spark.table(table + "_centroids"),
+      readCodebooksAndMode(spark, table), queries, idCol, vecCol, k, nprobe,
+      overquery)
+
+  /** The stored-index query over an EXPLICIT row set — same semantics as
+    * [[ivfPqTopKFromIndex]], but the (cell, cand_id, codes, cv) rows are
+    * supplied by the caller instead of read from the catalog table.
+    * This is the composition point for index rows that live in more
+    * than one place: [[graft.streaming.VecStream]] unions the bucketed
+    * base table with micro-batch partitions that streamed in after the
+    * build, and queries both uniformly through this entry.
+    */
+  def ivfPqTopKOverRows(indexed: DataFrame, centDf: DataFrame,
+                        model: (Seq[Seq[Seq[Float]]], Boolean),
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int,
+                        overquery: Int = 5): DataFrame = {
+    val (books, residual) = model
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     adcShortlistRerank(indexed, probes, books, k, overquery,
       if (residual) Some(centDf) else None)

@@ -234,6 +234,98 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(corpus).count() == 1L)
   }
 
+  test("vector stream: batches encode with the stored model, replays " +
+    "land idempotently, and full-probe queries over base+streamed " +
+    "equal exact L2 over everything") {
+    import graft.streaming.VecStream
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings").persist()
+    val base = emb.filter($"vec_id" >= 100)
+    val b1 = emb.filter($"vec_id" < 50)
+    val b2 = emb.filter($"vec_id" >= 50 && $"vec_id" < 100)
+    val nlist = 8
+    Similarity.writeVectorIndex(base, "vec_id", "embedding",
+      "graft_vec_stream_idx", nlist, 8, 16, residual = true)
+    val streamPath = tempDir("vec_stream")
+
+    // before anything streams, queries run against the base alone
+    val queries = emb.filter($"vec_id" < 5)
+    assert(VecStream.topK(spark, "graft_vec_stream_idx", streamPath,
+      queries, 5, nprobe = nlist).count() > 0)
+
+    assert(VecStream.ingestBatch(b1, "graft_vec_stream_idx", streamPath,
+      batchId = 1L) == b1.count())
+    assert(VecStream.ingestBatch(b2, "graft_vec_stream_idx", streamPath,
+      batchId = 2L) == b2.count())
+    // crash replay of batch 1 overwrites its own partition — no dups
+    VecStream.ingestBatch(b1, "graft_vec_stream_idx", streamPath,
+      batchId = 1L)
+    val streamed = VecStream.readStreamed(spark, streamPath,
+      "graft_vec_stream_idx")
+    assert(streamed.count() == b1.count() + b2.count())
+
+    // streamed rows are byte-identical to the appendVectors encoding
+    val centDf = spark.table("graft_vec_stream_idx_centroids")
+    val (books, residual) =
+      Similarity.readCodebooksAndMode(spark, "graft_vec_stream_idx")
+    val expected = Similarity.encodeForIndex(emb.filter($"vec_id" < 100),
+      "vec_id", "embedding", centDf, books, residual)
+      .select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val got = streamed.select($"cand_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(got == expected)
+
+    // full-probe + corpus-covering overquery ⇒ the union query equals
+    // exact L2 top-k over base+streamed — the independent oracle
+    val k = 5
+    val idx = VecStream.topK(spark, "graft_vec_stream_idx", streamPath,
+      queries, k, nprobe = nlist, overquery = 100)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(graft.functions.Rounding.pround($"d", 6), $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w).cast("long")).filter($"r" <= k)
+      .select("query_id", "cand_id", "r")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(idx == exact,
+      s"union query must equal exact L2 top-k:\n idx=$idx\n exact=$exact")
+    emb.unpersist()
+  }
+
+  test("vector stream end-to-end through the AvailableNow sink") {
+    import graft.streaming.VecStream
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    Similarity.writeVectorIndex(emb.filter($"vec_id" >= 100), "vec_id",
+      "embedding", "graft_vec_stream_e2e", 8, 8, 16, residual = true)
+    val srcDir = tempDir("vec_stream_src")
+    val streamPath = tempDir("vec_stream_e2e")
+    emb.filter($"vec_id" < 100).write.parquet(srcDir)
+    val q = VecStream.ingestSink(
+      VecStream.readVectors(spark, srcDir), "graft_vec_stream_e2e",
+      streamPath).start()
+    try q.awaitTermination() finally q.stop()
+    assert(VecStream.readStreamed(spark, streamPath, "graft_vec_stream_e2e")
+      .count() == 100)
+    // a vector that arrived via the stream is findable
+    val probe = VecStream.topK(spark, "graft_vec_stream_e2e", streamPath,
+      emb.filter($"vec_id" === 7).withColumn("vec_id", lit(90007L)),
+      k = 1, nprobe = 8, overquery = 50)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(probe == Seq(7L), s"expected the streamed twin, got $probe")
+  }
+
   test("a legacy index written before the ingest_batch partition format " +
     "reads as all-prior-batches, not a crash") {
     import graft.streaming.DocStream
