@@ -555,6 +555,140 @@ object ReferenceParity {
           lit(100.0) * sum(when(col("p_type") === "ECONOMY", disc))
             .cast("double") / sum(disc).cast("double"), 4)
           .as("promo_share"))
+    }),
+
+    // TPC-H q4 shape: order-priority checking — EXISTS becomes a
+    // LEFT SEMI join, so the fact side is never duplicated and the
+    // probe stream stays one row per order (the fixture lacks
+    // commit/receipt dates; returned-lineitem existence plays the
+    // "late" role). Date range pushes into the orders scan.
+    "q4_priority_check" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast("timestamp"))
+      val lr = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(lr, o("o_orderkey") === lr("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H q8 shape: national market share — an 8-way join where every
+    // dimension (part, both nations, region, supplier, customer)
+    // broadcasts, leaving lineitem⋈orders as the only shuffle; the
+    // share is two conditional exact-decimal sums and one double
+    // division at the end (order-independent).
+    "q8_market_share" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), c("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("s_nkey"))
+        .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(Rounding.pround(
+          sum(when(col("supp_nation") === "NATION_5", disc)).cast("double") /
+            sum(disc).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H q13 shape: customer order-count distribution — the LEFT
+    // OUTER join keeps order-less customers as c_count=0 (count of a
+    // nullable column skips nulls), then a second, far smaller
+    // aggregation histograms the counts.
+    "q13_cust_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      val perCust = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H q18 shape: large-volume customers — the HAVING subquery is
+    // a map-side-combinable per-order aggregate whose survivors (a tiny
+    // set) broadcast back onto the fact tables; top-100 runs as
+    // TakeOrdered, never a global sort.
+    "q18_large_volume" -> ((s, dir) => {
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("big_ok"))
+        .agg(sum(qd).as("tot_qty"))
+        .filter(col("tot_qty") > lit(300).cast("decimal(18,2)"))
+        .select("big_ok")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(broadcast(big), li("l_orderkey") === col("big_ok"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(qd).cast("double").as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice").cast("double").as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H q19 shape: disjunctive brand/size/quantity predicates — the
+    // OR-of-ANDs stays one scan+join; per-branch part predicates can
+    // only prune after the join, but the common p_partkey equi-key
+    // keeps it a single broadcast hash join, no union-of-scans.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val disc = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val branch = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(branch("Brand#12", 15, 1, 11) ||
+          branch("Brand#23", 20, 10, 20) ||
+          branch("Brand#24", 25, 20, 30))
+        .agg(Rounding.pround(sum(disc).cast("double"), 2).as("revenue"))
+    }),
+
+    // TPC-H q22 shape: dormant high-balance customers — the scalar
+    // "above average positive balance" threshold is carried as an exact
+    // cross-multiplication (bal·cnt > total, q17's trick — no division,
+    // so both engines draw the same boundary) on a one-row broadcast
+    // stats frame; NOT EXISTS becomes a LEFT ANTI join against the
+    // recent-orders keys.
+    "q22_dormant_balances" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val bal = col("c_acctbal").cast("decimal(18,2)")
+      val stats = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum(bal).as("tot_bal"), count(lit(1)).as("cnt_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(stats))
+        .filter(bal * col("cnt_bal") > col("tot_bal"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(bal).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -831,5 +965,72 @@ object ReferenceParity {
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-        |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+        |  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |       floor((CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume END) AS DOUBLE)
+        |              / CAST(sum(volume) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mkt_share
+        |FROM vol GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c
+        |      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |        AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_volume" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_balances" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot_bal, count(*) AS cnt_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, stats
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.cnt_bal > stats.tot_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
 }
