@@ -397,6 +397,21 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicated-substring spans (suffix-dedup at word-8-gram
+    // granularity): maximal verbatim runs occurring more than once
+    // corpus-wide, first occurrence exempt.
+    "span_dedup_spans" -> ((s, dir) =>
+      graft.operators.SpanDedup.dupSpans(
+        t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id", "span_start")),
+
+    // The excised corpus: duplicated spans removed from every doc but
+    // the globally-first occurrence; span-free docs pass verbatim.
+    "span_dedup_clean" -> ((s, dir) =>
+      graft.operators.SpanDedup.removeDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+
     // Shuffle-then-pack: documents laid out in seeded pseudo-random
     // order (md5 shuffle key) before token-budget chunking.
     "seq_pack_shuffled" -> ((s, dir) =>
@@ -1019,6 +1034,75 @@ object Extensions {
         |  CAST(t.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "span_dedup_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) t
+        |  WHERE len(w) >= 8),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY gram) AS df
+        |  FROM occ),
+        |dup AS (SELECT doc_id, pos FROM marked WHERE df >= 2 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM dup),
+        |isl2 AS (SELECT doc_id, pos,
+        |                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |          FROM isl2 GROUP BY doc_id, island)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start + 1 AS n_words
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "span_dedup_clean" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 8 + 2)) AS i) t
+        |  WHERE len(w) >= 8),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+        |         count(*) OVER (PARTITION BY gram) AS df
+        |  FROM occ),
+        |dup AS (SELECT doc_id, pos FROM marked WHERE df >= 2 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |                OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM dup),
+        |isl2 AS (SELECT doc_id, pos,
+        |                sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |         FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |          FROM isl2 GROUP BY doc_id, island),
+        |wp AS (
+        |  SELECT doc_id, i - 1 AS pos, w[i] AS word
+        |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+        |kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(word, ' ' ORDER BY pos) AS kept_text
+        |  FROM wp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                    WHERE s.doc_id = wp.doc_id
+        |                      AND wp.pos BETWEEN s.span_start AND s.span_end)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.kept_text, '') AS clean_text,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT)
+        |         - coalesce(k.n_kept, 0) AS n_removed
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "seq_pack_shuffled" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
