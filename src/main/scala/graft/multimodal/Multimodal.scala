@@ -117,11 +117,14 @@ object Multimodal {
     }
 
   /** Feature decode used by [[extractFeatures]]: real image decode when
-    * the payload parses as one, byte-histogram stub otherwise — one
-    * signature, both fixture text payloads and real PNGs flow through.
+    * the payload parses as one, real audio decode when it parses as
+    * PCM audio, byte-histogram stub otherwise — one signature; fixture
+    * text payloads, real PNGs, and real WAVs all flow through.
     */
   def decode(media: Array[Byte], bins: Int = 16): Array[Float] =
-    decodeImage(media, bins).map(_.features).getOrElse(decodeStub(media, bins))
+    decodeImage(media, bins).map(_.features)
+      .orElse(decodeAudio(media, bins).map(_.features))
+      .getOrElse(decodeStub(media, bins))
 
   /** STUB decode: a deterministic fake "pixel histogram" from the raw
     * bytes. Kept as the test double / fallback for non-image payloads;
@@ -257,12 +260,202 @@ object Multimodal {
     require(frameBytes > 0, "frameBytes must be positive")
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val n = math.max(1, r.media.length / frameBytes)
-      (0 until n).iterator.map { i =>
-        FrameRow(r.doc_id, i, i * frameIntervalMs,
-          java.util.Arrays.copyOfRange(r.media, i * frameBytes,
-            math.min(r.media.length, (i + 1) * frameBytes)))
+      decodeFrames(r.media) match {
+        case Some(frames) =>
+          sampleByInterval(frames, frameIntervalMs).iterator
+            .map(f => FrameRow(r.doc_id, f.frame_idx, f.frame_ts_ms, f.png))
+        case None =>
+          val n = math.max(1, r.media.length / frameBytes)
+          (0 until n).iterator.map { i =>
+            FrameRow(r.doc_id, i, i * frameIntervalMs,
+              java.util.Arrays.copyOfRange(r.media, i * frameBytes,
+                math.min(r.media.length, (i + 1) * frameBytes)))
+          }
       }
     }
   }
+
+  /** One decoded animation frame: index, cumulative presentation time,
+    * PNG re-encoding.
+    */
+  final case class DecodedFrame(frame_idx: Int, frame_ts_ms: Long,
+                                png: Array[Byte])
+
+  /** Frame-count ceiling for [[decodeFrames]]: an adversarial GIF
+    * declaring millions of frames is truncated, not materialized.
+    */
+  val MaxDecodeFrames: Int = 4096
+
+  /** REAL multi-frame decode for animation payloads the JVM can read
+    * (animated GIF via `javax.imageio` — no native codecs): every frame
+    * decodes to a PNG with its cumulative presentation timestamp from
+    * the per-frame GIF delay metadata. Returns None for opaque payloads
+    * and single-frame images (those aren't animations — [[decodeImage]]
+    * is their path), so [[sampleFrames]] can fall back to the byte-stub
+    * contract. Same hardening discipline as [[readImage]]: header-first
+    * dimension guard per frame, frame-count cap, stream closed on every
+    * path, all decoder throws contained.
+    *
+    * Frames are decoded as stored (no disposal-method compositing) —
+    * the right trade for feature extraction, where per-frame content,
+    * not faithful playback, is the product; real video (mp4/webm) needs
+    * native codecs the sandbox lacks and stays on the stub path.
+    */
+  def decodeFrames(media: Array[Byte]): Option[Vector[DecodedFrame]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      if (iis == null) None
+      else {
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val reader = readers.next()
+            try {
+              // seekForwardOnly=false: counting frames needs the search
+              reader.setInput(iis, false, false)
+              val n = math.min(reader.getNumImages(true), MaxDecodeFrames)
+              if (n <= 1) None
+              else {
+                val out = Vector.newBuilder[DecodedFrame]
+                var ts = 0L
+                var i = 0
+                var ok = true
+                while (i < n && ok) {
+                  val (w, h) = (reader.getWidth(i), reader.getHeight(i))
+                  if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
+                    ok = false
+                  else {
+                    val bos = new java.io.ByteArrayOutputStream()
+                    ok = javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+                    if (ok) {
+                      out += DecodedFrame(i, ts, bos.toByteArray)
+                      ts += frameDelayMs(reader, i)
+                    }
+                  }
+                  i += 1
+                }
+                if (ok) Some(out.result()) else None
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame presentation delay from the GIF GraphicControlExtension
+    * (`delayTime`, 1/100 s units); 100 ms when absent/unparseable — the
+    * common player default for unspecified delays.
+    */
+  private def frameDelayMs(reader: javax.imageio.ImageReader, i: Int): Long =
+    try {
+      val tree = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      if (gce.getLength > 0)
+        gce.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime").toLong * 10L
+      else 100L
+    } catch { case scala.util.control.NonFatal(_) => 100L }
+
+  /** Greedy earliest-first interval sampling over the decoded timeline:
+    * keep the first frame, then the next frame at least `intervalMs`
+    * after the last kept one. interval 0 keeps everything.
+    */
+  private[graft] def sampleByInterval(frames: Seq[DecodedFrame],
+                                      intervalMs: Long): Seq[DecodedFrame] = {
+    var next = Long.MinValue
+    frames.filter { f =>
+      if (f.frame_ts_ms >= next) { next = f.frame_ts_ms + intervalMs; true }
+      else false
+    }
+  }
+
+  // --- audio ------------------------------------------------------------
+
+  /** A really-decoded audio payload: true stream geometry + signal
+    * statistics + a normalized amplitude histogram (the audio analogue
+    * of [[DecodedImage]]'s luminance histogram).
+    */
+  final case class DecodedAudio(sample_rate: Float, channels: Int,
+                                n_frames: Long, duration_ms: Long,
+                                rms: Float, zero_cross_rate: Float,
+                                features: Array[Float])
+
+  /** Sample-count ceiling for [[decodeAudio]]: header-declared
+    * frames×channels above this (≈128 MB of 16-bit PCM) are rejected
+    * before the sample buffer is read.
+    */
+  val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** REAL pure-JVM audio decode for formats `javax.sound.sampled` reads
+    * without native codecs (PCM WAV/AIFF/AU, any bit depth the JDK
+    * converts): bytes → stream geometry + RMS energy + zero-crossing
+    * rate + a `bins`-bucket amplitude histogram. The input is
+    * normalized to signed 16-bit PCM first so 8-bit/unsigned variants
+    * share one sample loop. Returns None for non-audio payloads —
+    * [[decode]] falls through to the image decoder and then the byte
+    * stub, one signature across modalities.
+    *
+    * Hardening mirrors [[readImage]]: the frame count comes from the
+    * HEADER (read before any sample data) and is checked against
+    * [[MaxDecodeSamples]]; all decoder throws are contained.
+    */
+  def decodeAudio(media: Array[Byte], bins: Int = 16): Option[DecodedAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val channels = fmt.getChannels
+        if (frames <= 0 || channels <= 0 || fmt.getSampleRate <= 0 ||
+          frames * channels > MaxDecodeSamples) None
+        else {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, channels, 2 * channels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, ais)
+          try {
+            val bytes = pcm.readAllBytes()
+            val n = bytes.length / 2
+            if (n == 0) None
+            else {
+              val hist = new Array[Float](bins)
+              var sumSq = 0.0
+              var crossings = 0L
+              var prevSign = 0
+              var i = 0
+              while (i < n) {
+                val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+                val a = math.abs(s.toInt)
+                hist(math.min(bins - 1, a * bins / 32768)) += 1f
+                sumSq += s.toDouble * s
+                // zero-crossing over channel 0 only
+                if (i % channels == 0) {
+                  val sign = Integer.signum(s)
+                  if (sign != 0) {
+                    if (prevSign != 0 && sign != prevSign) crossings += 1
+                    prevSign = sign
+                  }
+                }
+                i += 1
+              }
+              var j = 0
+              while (j < bins) { hist(j) /= n; j += 1 }
+              val nFrames = n / channels
+              Some(DecodedAudio(fmt.getSampleRate, channels, nFrames.toLong,
+                math.round(nFrames * 1000.0 / fmt.getSampleRate),
+                (math.sqrt(sumSq / n) / 32768.0).toFloat,
+                if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0f,
+                hist))
+            }
+          } finally pcm.close()
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

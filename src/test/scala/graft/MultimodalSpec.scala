@@ -194,4 +194,153 @@ class MultimodalSpec extends SparkSpec {
     // a payload smaller than one frame still yields exactly one row
     assert(byDoc(8L).length == 1 && byDoc(8L).head.frame.toSeq == Seq[Byte](1, 2))
   }
+
+  /** In-memory animated GIF: one solid 4×4 frame per rgb value, a
+    * shared inter-frame delay in centiseconds (GIF's native unit).
+    */
+  private def gifBytes(rgbs: Seq[Int], delayCs: Int): Array[Byte] = {
+    val ios = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = javax.imageio.ImageIO.createImageOutputStream(ios)
+    try {
+      writer.setOutput(out)
+      val params = writer.getDefaultWriteParam
+      writer.prepareWriteSequence(null)
+      rgbs.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+        val md = writer.getDefaultImageMetadata(
+          javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img), params)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val existing = tree.getElementsByTagName("GraphicControlExtension")
+        val gce =
+          if (existing.getLength > 0)
+            existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            n.setAttribute("disposalMethod", "none")
+            n.setAttribute("userInputFlag", "FALSE")
+            n.setAttribute("transparentColorFlag", "FALSE")
+            n.setAttribute("transparentColorIndex", "0")
+            tree.appendChild(n)
+            n
+          }
+        gce.setAttribute("delayTime", delayCs.toString)
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), params)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    ios.toByteArray
+  }
+
+  test("decodeFrames reads an animated GIF: per-frame PNGs with " +
+      "cumulative delay timestamps") {
+    val gif = gifBytes(Seq(0x000000, 0xFFFFFF, 0x000000), delayCs = 5)
+    val frames = Multimodal.decodeFrames(gif).get
+    assert(frames.map(_.frame_idx) == Vector(0, 1, 2))
+    assert(frames.map(_.frame_ts_ms) == Vector(0L, 50L, 100L),
+      "delayTime=5cs accumulates as 50 ms steps")
+    // every frame re-decodes as a real image at the true geometry
+    val decoded = frames.map(f => Multimodal.decodeImage(f.png).get)
+    assert(decoded.forall(d => d.width == 4 && d.height == 4))
+    assert(decoded(0).features(0) == 1.0f, "frame 0 is black")
+    assert(decoded(1).features(15) == 1.0f, "frame 1 is white")
+    // single-frame images are NOT animations — decodeImage's domain
+    assert(Multimodal.decodeFrames(pngBytes(4, 4, 0x000000)).isEmpty)
+    // non-image payloads fall through to the stub contract
+    assert(Multimodal.decodeFrames("plain text".getBytes("UTF-8")).isEmpty)
+    // truncated mid-stream: contained, degrades to None
+    assert(Multimodal.decodeFrames(gif.take(gif.length / 2)).isEmpty)
+  }
+
+  test("sampleFrames routes animated GIFs through the real decoder with " +
+      "interval sampling; opaque payloads keep the stub contract") {
+    import spark.implicits._
+    // 5 frames at 40 ms: interval 80 keeps ts 0, 80, 160
+    val gif = gifBytes(
+      Seq(0x000000, 0xFFFFFF, 0x000000, 0xFFFFFF, 0x000000), delayCs = 4)
+    val src = Seq(
+      Multimodal.MediaRow(1L, gif, "image/gif", 4, 4),
+      Multimodal.MediaRow(2L, Array.tabulate(8)(_.toByte), "video", 2, 2))
+      .toDS()
+    val byDoc = Multimodal.sampleFrames(src, frameIntervalMs = 80,
+      frameBytes = 4).collect().groupBy(_.doc_id)
+    val real = byDoc(1L).sortBy(_.frame_idx)
+    assert(real.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(real.map(_.frame_ts_ms).toSeq == Seq(0L, 80L, 160L))
+    assert(real.forall(f => Multimodal.decodeImage(f.frame).get.width == 4),
+      "sampled frames are true PNGs")
+    // opaque payload: unchanged stub slicing (2 windows of 4 bytes)
+    assert(byDoc(2L).length == 2)
+    // interval 0 keeps every frame
+    assert(Multimodal.sampleByInterval(
+      Multimodal.decodeFrames(gif).get, 0).length == 5)
+  }
+
+  /** In-memory mono 16-bit PCM WAV of a sine at `freqHz`. */
+  private def wavBytes(freqHz: Double, ms: Int,
+                       rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / rate) * 16384).toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads a real WAV: geometry, RMS, zero-crossing rate, " +
+      "amplitude histogram") {
+    // 400 Hz sine, 1 s at 8 kHz: rms = (16384/32768)/√2, zcr = 2·f/rate
+    val wav = wavBytes(400.0, 1000)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sample_rate == 8000f && a.channels == 1)
+    assert(a.n_frames == 8000L && a.duration_ms == 1000L)
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms=${a.rms}")
+    assert(math.abs(a.zero_cross_rate - 2 * 400.0 / 8000) < 0.01,
+      s"zcr=${a.zero_cross_rate}")
+    assert(math.abs(a.features.sum - 1.0f) < 1e-3)
+    // silence: degenerate but valid
+    val silent = Multimodal.decodeAudio(wavBytes(0.0, 100)).get
+    assert(silent.rms == 0f && silent.zero_cross_rate == 0f)
+    assert(silent.features(0) == 1.0f, "all samples in the zero bin")
+    // non-audio payloads are None; decode() routes WAVs for real
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decode(wav).toSeq == a.features.toSeq)
+    assert(Multimodal.decode(wav).toSeq != Multimodal.decodeStub(wav).toSeq)
+  }
+
+  test("a WAV header declaring an absurd stream is rejected before the " +
+      "sample buffer is read") {
+    // patch the data-chunk and RIFF sizes of a tiny valid WAV to claim
+    // ~2 GB of samples: the header-first frame-count guard must reject
+    // without attempting to materialize them
+    val wav = wavBytes(400.0, 10)
+    def indexOf(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      (0 until wav.length - p.length).find(i =>
+        p.indices.forall(j => wav(i + j) == p(j))).get
+    }
+    def patchLe(at: Int, v: Long): Unit =
+      for (j <- 0 until 4) wav(at + j) = ((v >> (8 * j)) & 0xFF).toByte
+    patchLe(indexOf("RIFF") + 4, 0x7FFFFFF0L)
+    patchLe(indexOf("data") + 4, 0x7FFFFF00L)
+    assert(Multimodal.decodeAudio(wav).isEmpty,
+      "declared 2 GB stream must fail the MaxDecodeSamples gate")
+    // truncated WAV (header cut mid-fmt): contained, None
+    assert(Multimodal.decodeAudio(wavBytes(400.0, 10).take(16)).isEmpty)
+  }
 }
