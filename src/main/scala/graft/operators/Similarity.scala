@@ -609,4 +609,103 @@ object Similarity {
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")
   }
+
+  // --- SemDeDup ---------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over embeddings — cluster the corpus with the IVF
+    * coarse quantizer, call same-cluster pairs with cosine ≥
+    * `minCosine` semantic duplicates, connect them into groups, and
+    * keep ONE representative per group: the member LEAST similar to
+    * its cluster centroid (the paper's keep-outliers policy —
+    * centroid-typical members carry the redundant information).
+    *
+    * Scale shape: candidate pairs are bounded to within-cell joins
+    * (the paper's trick for avoiding corpus², same as this file's
+    * sign-bucket near-dup), so `nlist` must grow with the corpus to
+    * keep cells ~|corpus|/nlist-sized; a skew-collapsed cell would
+    * reintroduce the quadratic blowup, so cell occupancy is counted
+    * (one map-side-combinable agg over the pinned assignment) and a
+    * cell above `maxCellSize` fails loudly rather than letting one
+    * task fan out — the Skyline/LSH-guard discipline.
+    *
+    * Returns the kept corpus rows (all columns). The trained-quantizer
+    * form has no SQL oracle (KMeans); the fixed-centroid form
+    * ([[semDedupWithCentroids]]) is hash-matched against a DuckDB
+    * recursive-CTE replica, and the keep policy is pinned in
+    * SemDedupSpec.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, minCosine: Double, seed: Long = 42L,
+               maxTrain: Int = 1 << 16,
+               maxCellSize: Long = 1L << 20): DataFrame = {
+    val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
+      vecCol, nlist, seed)
+    semDedupFrom(corpus, idCol, vecCol, centDf, minCosine, maxCellSize)
+  }
+
+  /** [[semDedup]] with caller-supplied centroids (no KMeans): the
+    * fully-deterministic, oracle-checkable form, and the form an
+    * incremental pipeline uses to dedup new batches against the SAME
+    * partitioning the stored vector index was built with.
+    */
+  def semDedupWithCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: Seq[Seq[Float]], minCosine: Double,
+                            maxCellSize: Long = 1L << 20): DataFrame = {
+    val centDf = corpus.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    semDedupFrom(corpus, idCol, vecCol, centDf, minCosine, maxCellSize)
+  }
+
+  private def semDedupFrom(corpus: DataFrame, idCol: String, vecCol: String,
+                           centDf: DataFrame, minCosine: Double,
+                           maxCellSize: Long): DataFrame =
+    corpus.join(
+      semDedupKeepIds(corpus, idCol, vecCol, centDf, minCosine, maxCellSize),
+      col(idCol) === col("keep_id"), "left_semi")
+
+  /** The SemDeDup core: (keep_id) — one row per kept document. The
+    * cell assignment is pinned across its three consumers (skew guard,
+    * pair generation, keep selection); the returned frame is
+    * checkpoint-detached so no cache entry outlives the call.
+    */
+  private[graft] def semDedupKeepIds(corpus: DataFrame, idCol: String,
+                                     vecCol: String, centDf: DataFrame,
+                                     minCosine: Double,
+                                     maxCellSize: Long): DataFrame = {
+    val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf).persist()
+    try {
+      val biggest = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      if (biggest > maxCellSize)
+        throw new IllegalStateException(
+          s"semDedup: largest cell holds $biggest rows (> $maxCellSize) — " +
+            "within-cell pairing would fan out quadratically on one task; " +
+            "raise nlist so cells stay ~|corpus|/nlist-sized (or raise " +
+            "maxCellSize if the skew is intended)")
+      val withSim = cells.join(broadcast(centDf), Seq("cell"))
+        .withColumn("csim", cosine(col("cv"), col("centroid")))
+        .drop("centroid")
+      val a = withSim.select(col("cell"), col("cand_id").as("id_a"),
+        col("cv").as("va"))
+      val b = withSim.select(col("cell"), col("cand_id").as("id_b"),
+        col("cv").as("vb"))
+      val pairs = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosine(col("va"), col("vb")) >= minCosine)
+        .select("id_a", "id_b")
+      val labels = DedupCluster.components(cells.select(col("cand_id")),
+        "cand_id", pairs)
+      val keep = withSim.select(col("cand_id"), col("csim"))
+        .join(labels, col("cand_id") === col("id"))
+        .groupBy(col("cluster_id"))
+        .agg(min_by(col("cand_id"), struct(col("csim"), col("cand_id")))
+          .as("keep_id"))
+        .select(col("keep_id"))
+      val out = Dedup.materializeDetached(keep)
+      labels.unpersist(blocking = false)
+      out
+    } finally cells.unpersist(blocking = false)
+  }
 }

@@ -515,7 +515,18 @@ object Extensions {
       val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
         LshBits, 0.4)
       DedupCluster.canonicalize(e, "vec_id", pairs).orderBy("vec_id")
-    }))
+    }),
+
+    // SemDeDup (Abbas et al. 2023) with FIXED dyadic centroids so the
+    // whole arc — cell argmin, within-cell cosine pairs, connected
+    // components, keep-the-least-centroid-similar — gets a hash-matched
+    // recursive-CTE oracle row (the trained-KMeans form is recall/
+    // policy-tested in SemDedupSpec instead, same split as
+    // pq_adc_fixed vs ivfPqTopK).
+    "sem_dedup_fixed" -> ((s, dir) =>
+      Similarity.semDedupWithCentroids(t(s, dir, "embeddings"), "vec_id",
+        "embedding", SemCents, 0.4)
+        .select("vec_id").orderBy("vec_id")))
 
   // --- DuckDB oracle SQL, generated from the same constants -----------
 
@@ -564,6 +575,32 @@ object Extensions {
       |  (SELECT sum(qv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
       |  (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
       |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
+
+  // --- sem_dedup_fixed centroids ------------------------------------
+  // Two 64-dim dyadic centroids (k/32 values: exact in float and
+  // double, shortest-decimal round-trips in DuckDB) so the cell argmin
+  // and both cosine folds are bit-identical across engines.
+  private[queries] val SemCents: Seq[Seq[Float]] =
+    Seq.tabulate(2, 64)((c, d) =>
+      ((((c * 7 + d) % 15) - 7) * (if (c == 0) 1 else -1)) / 32.0f)
+
+  private def semCentArray(c: Int): String =
+    SemCents(c).map(_.toDouble.toString).mkString("[", ", ", "]")
+
+  /** Σcᵢ² — exact (dyadic terms), so inlining the Scala-computed sum
+    * matches Spark's runtime fold bit-for-bit.
+    */
+  private def semCentSumSq(c: Int): Double =
+    SemCents(c).map(v => v.toDouble * v.toDouble).sum
+
+  /** Cosine of two named DOUBLE[]/FLOAT[] columns, pround(6) — the
+    * generic form of [[cosineExpr]] for arbitrary operand names.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""floor((
+       |  (SELECT sum($a[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
+       |  (sqrt((SELECT sum($a[i]::DOUBLE * $a[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
+       |   sqrt((SELECT sum($b[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
 
   // --- pq_adc_fixed codebooks ---------------------------------------
   // Dyadic values (k/32) are exactly representable in float AND double,
@@ -1344,5 +1381,47 @@ object Extensions {
          |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
          |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT cluster_id AS vec_id, count(*) AS n_members
-         |FROM cc GROUP BY cluster_id ORDER BY vec_id""".stripMargin)
+         |FROM cc GROUP BY cluster_id ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup replica: fixed-centroid cell argmin (the -2·dot + Σc²
+    // form withCellDist evaluates, ties to the smaller cell), pround(6)
+    // cosines, recursive-CTE components, keep = least-centroid-similar
+    // per cluster (ties to the smaller id).
+    "sem_dedup_fixed" ->
+      s"""WITH RECURSIVE cents AS (
+         |  SELECT 0 AS cell, ${semCentArray(0)}::DOUBLE[] AS cv, ${semCentSumSq(0)} AS ss
+         |  UNION ALL
+         |  SELECT 1, ${semCentArray(1)}::DOUBLE[], ${semCentSumSq(1)}),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ((SELECT sum(e.embedding[i]::DOUBLE * c.cv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+         |        c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |sims AS (
+         |  SELECT a.vec_id, a.cell, ${cosSql("a.embedding", "c.cv")} AS csim
+         |  FROM assign a JOIN cents c ON a.cell = c.cell),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           ${cosSql("a.embedding", "b.embedding")} AS score
+         |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |  WHERE score >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e2.src AS id, r.lbl FROM reach r JOIN edges e2 ON e2.dst = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |keep AS (
+         |  SELECT id FROM (
+         |    SELECT cc.id, row_number() OVER (PARTITION BY cc.cluster_id
+         |                                     ORDER BY s.csim, cc.id) AS rn
+         |    FROM cc JOIN sims s ON s.vec_id = cc.id)
+         |  WHERE rn = 1)
+         |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Similarity
+
+/** SemDeDup (cluster-scoped semantic dedup): keep policy, grouping
+  * semantics, trained-quantizer form, and the hot-cell loud guard.
+  * The fixed-centroid form is additionally hash-matched against a
+  * DuckDB recursive-CTE replica (`sem_dedup_fixed`).
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight semantic groups plus two loners, in 4 dims:
+  //   a1/a2/a3 mutually ≥0.95-cosine (one dup group, cell 0)
+  //   b1 alone in cell 1; c1 near the 45° boundary, below threshold
+  private val vecs = Seq(
+    1L -> Array(1f, 0f, 0f, 0f),
+    2L -> Array(0.96f, 0.28f, 0f, 0f),
+    3L -> Array(0.98f, 0.199f, 0f, 0f),
+    4L -> Array(0f, 1f, 0f, 0f),
+    5L -> Array(0.7f, 0.714f, 0f, 0f))
+  private def df = vecs.toDF("vec_id", "embedding")
+
+  private val cents: Seq[Seq[Float]] =
+    Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+
+  test("fixed-centroid semDedup keeps one representative per semantic " +
+      "group — the member LEAST similar to its cell centroid") {
+    val kept = Similarity.semDedupWithCentroids(df, "vec_id", "embedding",
+      cents, 0.95).select("vec_id").as[Long].collect().sorted
+    // group {1,2,3} collapses; csim(2)≈0.96 < csim(3)≈0.98 < csim(1)=1.0
+    // → the outlier (id 2) survives; 4 and 5 have no ≥0.95 edges
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
+
+  test("pairs below the threshold never merge: a high threshold keeps " +
+      "everything") {
+    val kept = Similarity.semDedupWithCentroids(df, "vec_id", "embedding",
+      cents, 0.9999).select("vec_id").as[Long].collect()
+    assert(kept.length == vecs.length)
+  }
+
+  test("trained-quantizer semDedup (KMeans cells) finds the same group " +
+      "structure: one survivor from the dup group, loners intact") {
+    val kept = Similarity.semDedup(df, "vec_id", "embedding", nlist = 2,
+      minCosine = 0.95).select("vec_id").as[Long].collect().toSet
+    assert(kept.size == 3)
+    assert(kept.count(Set(1L, 2L, 3L)) == 1, "exactly one of the dup group")
+    assert(kept(4L) && kept(5L), "sub-threshold members all survive")
+  }
+
+  test("a skew-collapsed cell fails loudly instead of fanning out " +
+      "quadratically on one task") {
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedupWithCentroids(df, "vec_id", "embedding",
+        cents, 0.95, maxCellSize = 2).collect()
+    }
+    assert(e.getMessage.contains("nlist"), "the error must say what to raise")
+  }
+
+  test("kept rows carry ALL corpus columns (left-semi, no projection loss)") {
+    val withExtra = df.withColumn("label",
+      org.apache.spark.sql.functions.col("vec_id") * 10)
+    val kept = Similarity.semDedupWithCentroids(withExtra, "vec_id",
+      "embedding", cents, 0.95)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(kept.filter("label = vec_id * 10").count() == 3)
+  }
+}
