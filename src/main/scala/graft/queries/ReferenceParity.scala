@@ -689,7 +689,232 @@ object ReferenceParity {
         .agg(count(lit(1)).as("numcust"),
           sum(bal).cast("double").as("totacctbal"))
         .orderBy("c_nationkey")
+    }),
+
+    // TPC-H q2 shape: minimum-cost supplier per part — the correlated
+    // MIN subquery becomes a per-part aggregate over the (part-filtered)
+    // regional supply joined back on (partkey, cost == min). Filtering
+    // to the interesting parts BEFORE the min-agg bounds both the agg
+    // and its broadcast to the filtered-part cardinality, not the whole
+    // supply relation. `supply` is the derived partsupp stand-in
+    // ([[supplyView]]) — identical in both engines by construction.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val p = t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+      val rs = supplyView(s, dir)
+        .join(broadcast(p), col("ps_partkey") === p("p_partkey"))
+        .join(sup, col("ps_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("ps_partkey"), col("ps_supplycost"), col("s_acctbal"),
+          col("s_name"), col("n_name"), col("p_name"))
+      val minCost = rs.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      rs.join(broadcast(minCost), col("ps_partkey") === col("mk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H q9 shape: product-type profit — lineitem enriched with the
+    // derived per-(part,supplier) supply cost on a two-key equi-join,
+    // every dimension broadcast, profit as exact decimal arithmetic
+    // (ext·(1−disc) − cost·qty) so the grouped sums are
+    // accumulation-order independent.
+    "q9_product_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = supplyView(s, dir)
+      val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) -
+        col("ps_supplycost") * col("l_quantity").cast("decimal(18,2)")
+      li.join(sup, li("l_partkey") === col("ps_partkey") &&
+          li("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(su, li("l_suppkey") === su("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(Rounding.pround(sum(amount).cast("double"), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H q11 shape: important stock — per-part value share against a
+    // one-row global total carried as an exact cross-multiplication
+    // (value·1000 > total), the q17/q22 no-division trick; the total
+    // rides a one-row broadcast.
+    "q11_important_stock" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val n = t(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === r("r_regionkey"))
+      val filtered = supplyView(s, dir)
+        .join(su, col("ps_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .withColumn("val",
+          (col("ps_supplycost") * col("ps_availqty")).cast("decimal(28,4)"))
+      val total = filtered.agg(sum(col("val")).as("tot"))
+      filtered.groupBy("ps_partkey")
+        .agg(sum(col("val")).cast("decimal(28,4)").as("value"))
+        .crossJoin(broadcast(total))
+        .filter(col("value") * 1000 > col("tot"))
+        .select(col("ps_partkey"),
+          Rounding.pround(col("value").cast("double"), 2).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H q12 shape (fixture-adapted: no l_shipmode/l_commitdate —
+    // return-flag classes stand in for ship modes, ship-lag > 60 days
+    // for the late-receipt predicate): one fact-fact join with two
+    // conditional BIGINT counts grouped by a fact attribute.
+    "q12_shipclass_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(count(when(high, 1)).as("high_line_count"),
+          count(when(!high, 1)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+
+    // TPC-H q15 shape: top supplier — the view + scalar-MAX subquery
+    // becomes one revenue aggregate, a one-row MAX broadcast, and an
+    // exact-decimal equality (revenue sums are DECIMAL(18,2)-exact, so
+    // "equals the max" draws the same boundary in both engines).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      val winners = rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_rev"))
+      t(s, dir, "supplier")
+        .join(broadcast(winners), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          Rounding.pround(col("total_revenue").cast("double"), 2)
+            .as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H q16 shape: parts/supplier relationship — NOT IN over a
+    // never-null key is a broadcast LEFT ANTI join (negative-balance
+    // suppliers stand in for the comment-flagged complainers), then a
+    // COUNT DISTINCT per (brand, type, size) over the derived supply.
+    "q16_supplier_relationship" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 25))
+      val complainers = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      supplyView(s, dir)
+        .join(broadcast(complainers), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("ps_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H q20 shape (fixture-adapted): promotable-part suppliers —
+    // the nested INs become a semi-join chain; the correlated
+    // "availqty > half of that year's shipped quantity" threshold is an
+    // exact cross-multiplication (2·availqty > qty) on the two-key join
+    // of derived supply vs the year's per-(part,supplier) quantities.
+    "q20_promotable_parts" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val yq = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_partkey").as("yq_partkey"),
+          col("l_suppkey").as("yq_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val qualified = supplyView(s, dir)
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(yq, col("ps_partkey") === col("yq_partkey") &&
+          col("ps_suppkey") === col("yq_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
+    // TPC-H q21 shape (fixture-adapted: ship-lag > 90 days stands in
+    // for receipt-after-commit): suppliers who kept orders waiting —
+    // the EXISTS/NOT-EXISTS pair collapses into one per-order aggregate
+    // (distinct suppliers, distinct LATE suppliers); a late line
+    // qualifies iff the order has other suppliers (n_supp > 1) and the
+    // only late supplier is this one (n_late_supp = 1). Both sides of
+    // the per-order join shuffle on l_orderkey — no correlated re-scan
+    // of lineitem.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val li = t(s, dir, "lineitem")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = joined.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .select("po_orderkey")
+      val su = t(s, dir, "supplier")
+      joined.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }))
+
+  /** Derived partsupp stand-in (the fixture has no partsupp table):
+    * per-(part, supplier) supply cost = MIN line price, available
+    * quantity = total shipped quantity — exact DECIMAL(18,2) aggregates
+    * over lineitem, so both engines derive the identical relation and
+    * the q2/q9/q11/q16/q20 join shapes are preserved.
+    */
+  private def supplyView(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("ps_supplycost"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("ps_availqty"))
+
+  /** The DuckDB spelling of [[supplyView]], shared by the q2/q9/q11/
+    * q16/q20 oracles.
+    */
+  private val SupplySql =
+    """supply AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "s2_scan_projection" ->
@@ -1032,5 +1257,114 @@ object ReferenceParity {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""WITH $SupplySql,
+        |rs AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_name
+        |  FROM supply
+        |  JOIN part ON ps_partkey = p_partkey
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'LARGE')
+        |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_name
+        |FROM rs
+        |WHERE ps_supplycost = (SELECT min(rs2.ps_supplycost) FROM rs rs2
+        |                       WHERE rs2.ps_partkey = rs.ps_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH $SupplySql
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                      - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_profit
+        |FROM lineitem
+        |JOIN supply ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $SupplySql,
+        |filtered AS (
+        |  SELECT ps_partkey,
+        |         CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)) AS val
+        |  FROM supply
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT ps_partkey,
+        |       floor(CAST(value AS DOUBLE) * 100 + 0.5) / 100 AS value
+        |FROM (SELECT ps_partkey, CAST(sum(val) AS DECIMAL(28,4)) AS value
+        |      FROM filtered GROUP BY 1)
+        |WHERE value * 1000 > (SELECT sum(val) FROM filtered)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q12_shipclass_priority" ->
+      """SELECT l_returnflag AS ship_class,
+        |       count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','N')
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |       floor(CAST(total_revenue AS DOUBLE) * 100 + 0.5) / 100 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_relationship" ->
+      s"""WITH $SupplySql
+        |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM supply JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_promotable_parts" ->
+      s"""WITH $SupplySql,
+        |year_qty AS (
+        |  SELECT l_partkey AS yq_partkey, l_suppkey AS yq_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM supply
+        |    JOIN year_qty ON ps_partkey = yq_partkey AND ps_suppkey = yq_suppkey
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND ps_availqty * 2 > qty)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
 }
