@@ -273,4 +273,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(optimized.toString.contains("array_intersect"),
       "exact verify should use per-pair array_intersect")
   }
+
+  test("q9 supply-cost profit: dimensions broadcast, no cartesian product") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q21 collapses EXISTS/NOT-EXISTS into per-order aggregates — " +
+    "lineitem is never re-scanned per correlated predicate") {
+    val p = plan("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the fixture lineitem scan appears at most twice (the joined fact
+    // and the per-order aggregate), not once per EXISTS branch
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"lineitem scanned $scans times:\n${p.take(3000)}")
+  }
+
+  test("q2 min-cost supplier: the per-part MIN joins back as a broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("semDedup keep set never rescans the corpus: the kept-id side is " +
+    "checkpoint-detached (scan of an RDD, not a second corpus read)") {
+    val kept = graft.operators.Similarity.semDedupWithCentroids(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      Seq(Seq.tabulate(64)(i => if (i < 32) 1f else 0f),
+        Seq.tabulate(64)(i => if (i < 32) 0f else 1f)), 0.4)
+    val p = kept.queryExecution.executedPlan.toString
+    // exactly one embeddings scan (the left-semi probe side); the keep
+    // ids come from the materialized checkpoint
+    val scans = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"embeddings scanned $scans times:\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "keep ids are not checkpoint-materialized:\n" + p.take(2000))
+  }
 }
