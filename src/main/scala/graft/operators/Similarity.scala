@@ -684,8 +684,15 @@ object Similarity {
             "within-cell pairing would fan out quadratically on one task; " +
             "raise nlist so cells stay ~|corpus|/nlist-sized (or raise " +
             "maxCellSize if the skew is intended)")
+      // the fused native cosine (one array pass, whole-stage codegen)
+      // is bit-equal to the HOF form after pround — proven by
+      // ann_brute_topk_native sharing ann_brute_topk's oracle — and the
+      // pair join is the hot path here
+      val spark = corpus.sparkSession
+      val cosN = (x: Column, y: Column) => Rounding.pround(
+        graft.functions.CosineSimilarity.column(spark, x, y), 6)
       val withSim = cells.join(broadcast(centDf), Seq("cell"))
-        .withColumn("csim", cosine(col("cv"), col("centroid")))
+        .withColumn("csim", cosN(col("cv"), col("centroid")))
         .drop("centroid")
       val a = withSim.select(col("cell"), col("cand_id").as("id_a"),
         col("cv").as("va"))
@@ -693,7 +700,7 @@ object Similarity {
         col("cv").as("vb"))
       val pairs = a.join(b, Seq("cell"))
         .filter(col("id_a") < col("id_b"))
-        .filter(cosine(col("va"), col("vb")) >= minCosine)
+        .filter(cosN(col("va"), col("vb")) >= minCosine)
         .select("id_a", "id_b")
       val labels = DedupCluster.components(cells.select(col("cand_id")),
         "cand_id", pairs)

@@ -577,12 +577,23 @@ object Extensions {
       |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
 
   // --- sem_dedup_fixed centroids ------------------------------------
-  // Two 64-dim dyadic centroids (k/32 values: exact in float and
+  // Eight 64-dim dyadic centroids (k/32 values: exact in float and
   // double, shortest-decimal round-trips in DuckDB) so the cell argmin
-  // and both cosine folds are bit-identical across engines.
-  private[queries] val SemCents: Seq[Seq[Float]] =
-    Seq.tabulate(2, 64)((c, d) =>
-      ((((c * 7 + d) % 15) - 7) * (if (c == 0) 1 else -1)) / 32.0f)
+  // and both cosine folds are bit-identical across engines. Fitted once
+  // offline to the fixture embedding distribution and snapped to the
+  // /32 grid, so cells stay balanced (~1/8 of the corpus each) and the
+  // within-cell pair count — the term that scales as sum(cell_i^2) —
+  // stays bounded; the values themselves are arbitrary constants as far
+  // as correctness goes.
+  private[queries] val SemCents: Seq[Seq[Float]] = Seq(
+    Seq(0f, -0.03125f, 0f, 0f, 0f, 0.03125f, 0f, 0.03125f, 0f, 0.09375f, 0f, 0.03125f, 0f, -0.0625f, 0.0625f, -0.0625f, 0.0625f, 0f, 0.03125f, 0.03125f, 0.03125f, 0f, -0.0625f, 0.03125f, 0.03125f, 0.03125f, 0f, 0f, -0.03125f, 0.03125f, -0.03125f, 0.03125f, 0.09375f, -0.03125f, -0.03125f, 0f, 0f, -0.03125f, 0f, -0.0625f, 0.03125f, -0.0625f, -0.0625f, 0f, 0f, -0.03125f, 0f, 0f, 0f, -0.0625f, 0.03125f, -0.03125f, 0.03125f, -0.03125f, -0.03125f, 0f, 0.03125f, 0.03125f, 0.0625f, 0f, 0f, 0.03125f, -0.0625f, -0.03125f),
+    Seq(0.0625f, 0.03125f, 0.03125f, 0f, 0.03125f, 0.03125f, -0.0625f, 0.03125f, -0.0625f, -0.03125f, 0.0625f, -0.0625f, 0f, -0.03125f, 0f, 0.0625f, 0f, 0.0625f, 0f, -0.0625f, 0.03125f, 0f, 0.03125f, 0f, 0f, -0.03125f, 0.03125f, 0.03125f, 0.0625f, 0.03125f, 0.03125f, -0.03125f, 0f, 0.03125f, 0.03125f, -0.03125f, -0.0625f, 0.0625f, 0f, -0.03125f, -0.03125f, -0.03125f, 0f, 0f, -0.0625f, 0.03125f, -0.03125f, 0.03125f, 0.03125f, -0.0625f, 0.03125f, -0.03125f, -0.0625f, 0f, 0f, 0f, 0f, 0.03125f, 0f, 0.0625f, 0f, -0.03125f, 0f, 0.09375f),
+    Seq(0.03125f, -0.0625f, 0f, 0f, 0.0625f, 0.03125f, -0.09375f, 0f, 0f, 0f, 0f, 0.03125f, 0.03125f, 0f, 0.03125f, 0f, -0.0625f, -0.03125f, -0.0625f, 0f, 0.03125f, 0f, 0.03125f, -0.03125f, -0.0625f, 0.0625f, 0f, 0.03125f, -0.0625f, 0f, 0f, 0f, -0.03125f, 0.03125f, 0.0625f, 0f, -0.0625f, 0.0625f, 0.03125f, 0f, -0.0625f, -0.03125f, 0f, 0.03125f, 0.03125f, 0f, -0.03125f, 0f, 0.03125f, 0f, 0.03125f, 0f, 0f, 0.03125f, 0f, 0f, 0f, -0.03125f, 0f, 0f, 0f, 0f, 0f, -0.09375f),
+    Seq(0f, 0f, 0f, -0.0625f, 0f, 0f, -0.0625f, 0.03125f, 0.03125f, -0.0625f, -0.03125f, -0.03125f, -0.03125f, -0.0625f, -0.0625f, 0.03125f, 0f, 0f, 0.0625f, 0.03125f, -0.03125f, 0.03125f, 0.03125f, 0f, 0.03125f, -0.03125f, 0.03125f, 0f, 0f, 0.03125f, -0.03125f, 0.03125f, 0f, 0f, -0.03125f, -0.03125f, 0.03125f, 0f, 0.03125f, 0f, 0f, 0f, 0f, 0.03125f, -0.0625f, 0.0625f, -0.03125f, -0.0625f, -0.03125f, 0f, 0f, 0f, 0.0625f, 0f, 0.0625f, 0f, 0f, 0f, -0.0625f, -0.0625f, 0f, 0f, 0.03125f, 0f),
+    Seq(-0.03125f, 0f, -0.0625f, 0.03125f, -0.0625f, -0.03125f, -0.03125f, -0.03125f, 0f, -0.03125f, 0.03125f, 0f, -0.03125f, 0.0625f, -0.03125f, -0.03125f, -0.03125f, 0f, -0.03125f, 0f, -0.03125f, 0.0625f, 0.03125f, 0.0625f, 0f, 0.03125f, -0.03125f, 0f, 0.03125f, 0f, -0.03125f, -0.03125f, 0.03125f, -0.0625f, 0f, 0f, 0f, -0.0625f, -0.0625f, 0.03125f, 0f, 0f, 0.03125f, -0.03125f, 0.03125f, 0.0625f, 0f, 0.03125f, 0.03125f, 0f, 0.03125f, -0.0625f, 0.03125f, -0.03125f, -0.09375f, -0.03125f, -0.03125f, -0.03125f, 0.03125f, 0f, 0f, 0.0625f, 0f, 0f),
+    Seq(-0.03125f, 0.03125f, 0.03125f, 0.03125f, 0f, 0.03125f, 0.03125f, 0.03125f, 0.03125f, -0.03125f, -0.03125f, 0.09375f, 0f, 0f, 0f, 0f, 0.0625f, -0.03125f, -0.03125f, 0f, -0.0625f, 0f, 0f, -0.09375f, 0.03125f, 0f, 0.03125f, -0.03125f, 0.03125f, -0.03125f, 0.03125f, 0f, 0f, 0f, 0f, 0.09375f, -0.03125f, 0f, 0.03125f, -0.03125f, 0f, 0.03125f, 0f, -0.0625f, 0f, -0.09375f, -0.03125f, 0.0625f, 0f, -0.03125f, -0.0625f, 0f, -0.03125f, 0f, 0f, -0.03125f, -0.03125f, 0.03125f, -0.0625f, -0.09375f, -0.03125f, 0f, 0.03125f, -0.03125f),
+    Seq(-0.03125f, -0.03125f, 0.0625f, 0f, 0.03125f, -0.0625f, 0.0625f, 0f, 0f, -0.03125f, 0f, -0.0625f, -0.03125f, 0.03125f, 0f, 0.03125f, 0.03125f, 0.0625f, 0.03125f, 0.03125f, 0.03125f, 0f, 0.03125f, -0.09375f, -0.0625f, 0f, -0.03125f, 0f, 0f, -0.03125f, 0f, -0.03125f, 0f, 0.03125f, 0.03125f, 0f, 0.0625f, -0.03125f, -0.0625f, 0.03125f, 0.09375f, -0.03125f, 0f, 0f, 0f, 0f, 0.03125f, 0.03125f, -0.03125f, 0.03125f, -0.03125f, 0.09375f, 0.03125f, 0f, 0.0625f, -0.03125f, 0.03125f, -0.03125f, 0f, 0.03125f, 0f, 0f, -0.03125f, -0.03125f),
+    Seq(0f, 0.03125f, -0.0625f, -0.03125f, 0.0625f, 0.0625f, 0.03125f, 0f, -0.03125f, 0.0625f, 0.03125f, 0f, -0.03125f, 0.09375f, 0f, 0f, 0.03125f, 0.03125f, 0f, -0.03125f, -0.03125f, -0.03125f, -0.03125f, 0.03125f, 0f, 0f, -0.03125f, 0.0625f, 0f, -0.03125f, 0.09375f, 0f, 0f, -0.03125f, 0f, 0f, 0f, -0.03125f, 0f, 0.03125f, -0.0625f, 0.03125f, 0.03125f, 0.03125f, 0f, -0.03125f, 0.0625f, 0f, -0.03125f, 0.03125f, 0.03125f, 0f, 0.03125f, 0f, 0.03125f, 0.03125f, -0.03125f, -0.03125f, -0.03125f, 0f, 0.03125f, -0.0625f, 0f, 0f))
 
   private def semCentArray(c: Int): String =
     SemCents(c).map(_.toDouble.toString).mkString("[", ", ", "]")
@@ -1389,9 +1400,9 @@ object Extensions {
     // per cluster (ties to the smaller id).
     "sem_dedup_fixed" ->
       s"""WITH RECURSIVE cents AS (
-         |  SELECT 0 AS cell, ${semCentArray(0)}::DOUBLE[] AS cv, ${semCentSumSq(0)} AS ss
-         |  UNION ALL
-         |  SELECT 1, ${semCentArray(1)}::DOUBLE[], ${semCentSumSq(1)}),
+         |  ${SemCents.indices.map(c =>
+             s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS cv, ${semCentSumSq(c)} AS ss")
+             .mkString("\n  UNION ALL\n  ")}),
          |assign AS (
          |  SELECT vec_id, embedding, cell FROM (
          |    SELECT e.vec_id, e.embedding, c.cell,
