@@ -138,6 +138,29 @@ object ScaleStress {
         .select("event_id", "user_id", "ts", "value"),
         s"$tmp/events_z", Seq("user_id", "value"))
     }
+
+    // round-7 tier at the same amplification
+    time("SemDeDup over 20k vectors (KMeans 64 cells, 10-cliques)") {
+      operators.Similarity.semDedup(bigEmb, "vec_id", "embedding",
+        nlist = 64, minCosine = 0.95)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("BPE: learn 200 merges (one word-count pass) + tokenize 50k docs") {
+      val merges = operators.Bpe.learn(bigDocs, "text", nMerges = 200,
+        maxWords = 20000)
+      operators.Bpe.tokenize(bigDocs, "doc_id", "text", merges)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("t-digest p50/p95/p99 of 2M event values (delta=100)") {
+      bigEv.agg(functions.TDigestQuantiles.column(spark, $"value", 100,
+        Seq(0.5, 0.95, 0.99)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sliding 64/48 chunking of 50k docs (explode, no shuffle)") {
+      bigDocs.select($"doc_id",
+        posexplode(functions.TextFunctions.slidingChunks($"text", 64, 48)))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

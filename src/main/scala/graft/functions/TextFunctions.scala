@@ -129,6 +129,27 @@ object TextFunctions {
       i => array_join(slice(ws, (i - lit(1)) * lit(n) + lit(1), lit(n)), " "))
   }
 
+  /** Overlapping sliding-window chunks (the retrieval/RAG shape): chunk
+    * i covers words [(i−1)·stride+1, (i−1)·stride+n], so consecutive
+    * chunks share n−stride words of context. Chunk count is
+    * ⌈(len−(n−stride))/stride⌉ (min 1), in integer arithmetic so the
+    * DuckDB replica computes the identical boundary; the tail chunk is
+    * short rather than padded. Pure codegen'd array work — explode the
+    * result to get one row per chunk at corpus scale, no UDF.
+    */
+  def slidingChunks(c: Column, n: Int, stride: Int): Column = {
+    require(stride >= 1 && stride <= n,
+      s"stride must be in [1, n]: n=$n stride=$stride")
+    val ws = tokens(c)
+    val overlap = n - stride
+    // int-div spelled as truncating double division, the wordChunks
+    // idiom (numerator +stride−1 makes truncation equal ceil)
+    val nChunks = greatest(lit(1),
+      ((size(ws) - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"))
+    transform(sequence(lit(1), nChunks),
+      i => array_join(slice(ws, (i - lit(1)) * lit(stride) + lit(1), lit(n)), " "))
+  }
+
   // --- PII scrubbing ----------------------------------------------------
 
   /** Regexes restricted to the Java-regex ∩ RE2 common dialect so the

@@ -26,6 +26,8 @@ object Extensions {
   private val ShingleN = 5
   private val Bands = 4
   private val RowsPerBand = 3
+  private val ChunkN = 64
+  private val ChunkStride = 48
   private val AnnK = 5
   private val LshBits = 8
   // stored-vector-index build/query parameters (graft_vec_index)
@@ -124,6 +126,18 @@ object Extensions {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
           " +", " ")).as("norm_text"))
         .orderBy("doc_id")),
+
+    // Retrieval/RAG-style sliding-window chunking: one row per
+    // overlapping 64-word window (stride 48 → 16 words of shared
+    // context). Pure array codegen + posexplode — the shape that turns
+    // a 100 TB corpus into retrieval units without a UDF or shuffle.
+    "text_chunking" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextFunctions.slidingChunks(col("text"), ChunkN,
+          ChunkStride)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
 
     // Corpus statistics: exact interpolated length percentiles per
     // language (both engines use linear interpolation on sorted values).
@@ -891,6 +905,16 @@ object Extensions {
     "text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |n_ck AS (
+         |  SELECT doc_id, ws,
+         |         greatest(1, (len(ws) - ${ChunkN - ChunkStride} + ${ChunkStride - 1}) // $ChunkStride) AS n
+         |  FROM toks)
+         |SELECT doc_id, i AS chunk_idx,
+         |       array_to_string(ws[(i-1)*$ChunkStride+1 : (i-1)*$ChunkStride+$ChunkN], ' ') AS chunk
+         |FROM n_ck, unnest(generate_series(1, n)) t(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "doc_len_percentiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
