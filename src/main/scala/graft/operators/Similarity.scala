@@ -246,17 +246,30 @@ object Similarity {
               seed: Long = 42L): Seq[Seq[Seq[Float]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val pinned = corpus.persist()
     try {
       val dim = pinned.select(size(col(vecCol))).head().getInt(0)
       require(dim % nsub == 0, s"dim $dim not divisible by nsub=$nsub")
       val subDim = dim / nsub
-      (0 until nsub).map { j =>
-        val train = pinned.select(array_to_vector(
-          slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
-          .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      // the nsub sub-quantizer fits are independent (disjoint feature
+      // slices, per-fit seeds) — submit them as concurrent Spark jobs.
+      // The training frame is bounded (trainView) and pinned, so each
+      // fit is tens of tiny jobs; run sequentially the build pays
+      // nsub× the per-job scheduling latency for no reason. Results
+      // are unchanged: determinism lives in (data, seed+j), not in
+      // submission order.
+      val fits = (0 until nsub).map { j =>
+        Future {
+          val train = pinned.select(array_to_vector(
+            slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
+          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
+            .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+        }
       }
+      Await.result(Future.sequence(fits), Duration.Inf)
     } finally pinned.unpersist(blocking = false)
   }
 
