@@ -678,6 +678,82 @@ object Similarity {
       semDedupKeepIds(corpus, idCol, vecCol, centDf, minCosine, maxCellSize),
       col(idCol) === col("keep_id"), "left_semi")
 
+  /** Incremental SemDeDup: admit only the semantically-novel rows of a
+    * new batch against an already-deduplicated corpus — the semantic
+    * tier's version of the per-batch-cost-∝-batch discipline the
+    * minhash signature index ([[graft.operators.Dedup]]) and
+    * [[appendVectors]] follow. The kept corpus is NEVER re-paired with
+    * itself (it is already deduplicated); candidate pairs are bounded
+    * to batch×(kept∪batch) within shared cells, so a daily batch costs
+    * |batch|·cell-occupancy, not corpus².
+    *
+    * Semantics: a batch row whose duplicate component touches ANY kept
+    * row is redundant (its information is already in the corpus); a
+    * batch-only component keeps its least-centroid-similar member
+    * (same keep-outliers policy as [[semDedup]]). Transitivity runs
+    * through batch rows: new→new→kept chains drop all three.
+    *
+    * `centroids` must be the ones the corpus was deduplicated with —
+    * pass the stored quantizer's centroids so batch and corpus agree
+    * on cells (the same stored-model contract as [[appendVectors]]).
+    * Returns the admitted batch rows (all columns).
+    */
+  def semDedupIncrement(kept: DataFrame, newBatch: DataFrame, idCol: String,
+                        vecCol: String, centroids: Seq[Seq[Float]],
+                        minCosine: Double,
+                        maxCellSize: Long = 1L << 20): DataFrame = {
+    val spark = newBatch.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    val cosN = (x: Column, y: Column) => Rounding.pround(
+      graft.functions.CosineSimilarity.column(spark, x, y), 6)
+    val newCells = corpusCellAssignment(newBatch, idCol, vecCol, centDf)
+      .persist()
+    try {
+      val biggest = newCells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      if (biggest > maxCellSize)
+        throw new IllegalStateException(
+          s"semDedupIncrement: largest batch cell holds $biggest rows " +
+            s"(> $maxCellSize) — raise nlist/maxCellSize (see semDedup)")
+      val keptCells = corpusCellAssignment(kept, idCol, vecCol, centDf)
+      val a = newCells.select(col("cell"), col("cand_id").as("id_a"),
+        col("cv").as("va"))
+      // batch↔batch edges (undirected via id_a<id_b) + batch→kept edges
+      val b = newCells.select(col("cell"), col("cand_id").as("id_b"),
+        col("cv").as("vb"))
+      val newPairs = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(cosN(col("va"), col("vb")) >= minCosine)
+        .select("id_a", "id_b")
+      val k = keptCells.select(col("cell"), col("cand_id").as("id_b"),
+        col("cv").as("vb"))
+      val keptHits = a.join(k, Seq("cell"))
+        .filter(cosN(col("va"), col("vb")) >= minCosine)
+        .select(col("id_a").as("hit_id")).distinct()
+      // components among batch rows only; kept-attachment then flows
+      // along them: a component is redundant iff any member hit kept
+      val labels = DedupCluster.components(newCells.select(col("cand_id")),
+        "cand_id", newPairs)
+      val tainted = labels.join(keptHits, col("id") === col("hit_id"))
+        .select(col("cluster_id").as("bad_cluster")).distinct()
+      val csims = newCells.join(broadcast(centDf), Seq("cell"))
+        .select(col("cand_id"), cosN(col("cv"), col("centroid")).as("csim"))
+      val keep = csims
+        .join(labels, col("cand_id") === col("id"))
+        .join(broadcast(tainted), col("cluster_id") === col("bad_cluster"),
+          "left_anti")
+        .groupBy(col("cluster_id"))
+        .agg(min_by(col("cand_id"), struct(col("csim"), col("cand_id")))
+          .as("keep_id"))
+        .select(col("keep_id"))
+      val out = Dedup.materializeDetached(keep)
+      labels.unpersist(blocking = false)
+      newBatch.join(out, col(idCol) === col("keep_id"), "left_semi")
+    } finally newCells.unpersist(blocking = false)
+  }
+
   /** The SemDeDup core: (keep_id) — one row per kept document. The
     * cell assignment is pinned across its three consumers (skew guard,
     * pair generation, keep selection); the returned frame is

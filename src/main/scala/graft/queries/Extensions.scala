@@ -540,7 +540,23 @@ object Extensions {
     "sem_dedup_fixed" -> ((s, dir) =>
       Similarity.semDedupWithCentroids(t(s, dir, "embeddings"), "vec_id",
         "embedding", SemCents, 0.4)
-        .select("vec_id").orderBy("vec_id")))
+        .select("vec_id").orderBy("vec_id")),
+
+    // Incremental SemDeDup: the corpus below vec_id 400 is deduplicated
+    // once (stage 1), then the remaining rows arrive as a batch and
+    // only the semantically-novel ones are admitted — kept×kept is
+    // never re-paired, so the per-batch cost is |batch|·cell-occupancy
+    // (the dedup_minhash_incremental shape on the embedding modality).
+    // Same fixed centroids → fully hash-matched two-stage DuckDB
+    // replica.
+    "sem_dedup_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kept = Similarity.semDedupWithCentroids(
+        e.filter(col("vec_id") < 400), "vec_id", "embedding", SemCents, 0.4)
+      Similarity.semDedupIncrement(kept, e.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", SemCents, 0.4)
+        .select("vec_id").orderBy("vec_id")
+    }))
 
   // --- DuckDB oracle SQL, generated from the same constants -----------
 
@@ -1458,5 +1474,78 @@ object Extensions {
          |                                     ORDER BY s.csim, cc.id) AS rn
          |    FROM cc JOIN sims s ON s.vec_id = cc.id)
          |  WHERE rn = 1)
-         |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin)
+         |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin,
+
+    // Two-stage replica: stage 1 = sem_dedup_fixed over vec_id<400;
+    // stage 2 = batch components + kept-attachment + keep-outlier rule.
+    "sem_dedup_incremental" ->
+      s"""WITH RECURSIVE cents AS (
+         |  ${SemCents.indices.map(c =>
+             s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS cv, ${semCentSumSq(c)} AS ss")
+             .mkString("\n  UNION ALL\n  ")}),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ((SELECT sum(e.embedding[i]::DOUBLE * c.cv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+         |        c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |sims AS (
+         |  SELECT a.vec_id, a.cell, ${cosSql("a.embedding", "c.cv")} AS csim
+         |  FROM assign a JOIN cents c ON a.cell = c.cell),
+         |b_pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           ${cosSql("a.embedding", "b.embedding")} AS score
+         |    FROM assign a JOIN assign b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    WHERE a.vec_id < 400 AND b.vec_id < 400)
+         |  WHERE score >= 0.4),
+         |b_edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM b_pairs
+         |  UNION SELECT id_b, id_a FROM b_pairs),
+         |b_reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings WHERE vec_id < 400
+         |  UNION
+         |  SELECT e2.src AS id, r.lbl FROM b_reach r JOIN b_edges e2 ON e2.dst = r.id),
+         |b_cc AS (SELECT id, min(lbl) AS cluster_id FROM b_reach GROUP BY id),
+         |kept AS (
+         |  SELECT id FROM (
+         |    SELECT b_cc.id, row_number() OVER (PARTITION BY b_cc.cluster_id
+         |                                       ORDER BY s.csim, b_cc.id) AS rn
+         |    FROM b_cc JOIN sims s ON s.vec_id = b_cc.id)
+         |  WHERE rn = 1),
+         |n_pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |           ${cosSql("a.embedding", "b.embedding")} AS score
+         |    FROM assign a JOIN assign b
+         |      ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    WHERE a.vec_id >= 400 AND b.vec_id >= 400)
+         |  WHERE score >= 0.4),
+         |hits AS (
+         |  SELECT DISTINCT a.vec_id FROM assign a
+         |  JOIN kept ON TRUE
+         |  JOIN assign k ON k.vec_id = kept.id AND k.cell = a.cell
+         |  WHERE a.vec_id >= 400
+         |    AND ${cosSql("a.embedding", "k.embedding")} >= 0.4),
+         |n_edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM n_pairs
+         |  UNION SELECT id_b, id_a FROM n_pairs),
+         |n_reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings WHERE vec_id >= 400
+         |  UNION
+         |  SELECT e2.src AS id, r.lbl FROM n_reach r JOIN n_edges e2 ON e2.dst = r.id),
+         |n_cc AS (SELECT id, min(lbl) AS cluster_id FROM n_reach GROUP BY id),
+         |tainted AS (
+         |  SELECT DISTINCT n_cc.cluster_id FROM n_cc JOIN hits ON n_cc.id = hits.vec_id),
+         |n_keep AS (
+         |  SELECT id FROM (
+         |    SELECT n_cc.id, row_number() OVER (PARTITION BY n_cc.cluster_id
+         |                                       ORDER BY s.csim, n_cc.id) AS rn
+         |    FROM n_cc JOIN sims s ON s.vec_id = n_cc.id
+         |    WHERE n_cc.cluster_id NOT IN (SELECT cluster_id FROM tainted))
+         |  WHERE rn = 1)
+         |SELECT id AS vec_id FROM n_keep ORDER BY vec_id""".stripMargin)
 }

@@ -58,6 +58,32 @@ class SemDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("nlist"), "the error must say what to raise")
   }
 
+  test("incremental SemDeDup admits only semantically-novel batch rows — " +
+      "direct kept-hits, transitive chains, and in-batch dups all drop") {
+    // kept corpus: one representative per direction (unit-ish 2D layout
+    // inside 4 dims); threshold 0.98 ≈ an 11.5° cone
+    val kept = Seq(
+      2L -> Array(0.96f, 0.28f, 0f, 0f),
+      4L -> Array(0f, 1f, 0f, 0f)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      // 11° from kept-2 → direct hit, drops
+      10L -> Array(0.9957f, 0.0924f, 0f, 0f),
+      // 2° from kept-4 → direct hit, drops
+      11L -> Array(0.035f, 0.9994f, 0f, 0f),
+      // mutual near-dups in a novel direction → exactly one survives
+      12L -> Array(0.7f, -0.7f, 0f, 0f),
+      13L -> Array(0.71f, -0.7f, 0f, 0f),
+      // novel singleton (cell tie-breaks deterministically) → survives
+      14L -> Array(0f, 0f, 1f, 0f),
+      // 11° from id 10 but 22° from kept-2: no direct kept edge, drops
+      // TRANSITIVELY through 10 (new→new→kept)
+      15L -> Array(0.995f, -0.0993f, 0f, 0f)).toDF("vec_id", "embedding")
+    val admitted = Similarity.semDedupIncrement(kept, batch, "vec_id",
+      "embedding", cents, 0.98).select("vec_id").as[Long].collect().sorted
+    // 12 beats 13 on the keep-outlier rule (lower centroid cosine)
+    assert(admitted.toSeq == Seq(12L, 14L))
+  }
+
   test("kept rows carry ALL corpus columns (left-semi, no projection loss)") {
     val withExtra = df.withColumn("label",
       org.apache.spark.sql.functions.col("vec_id") * 10)
