@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Rounding, TextFunctions}
-import graft.operators.{Contamination, Dedup, DedupCluster, Packing, Profile, Similarity}
+import graft.operators.{Contamination, Dedup, DedupCluster, Packing, Profile, Similarity, TextEmbedding}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -28,6 +28,7 @@ object Extensions {
   private val RowsPerBand = 3
   private val ChunkN = 64
   private val ChunkStride = 48
+  private val HashDim = 64
   private val AnnK = 5
   private val LshBits = 8
   // stored-vector-index build/query parameters (graft_vec_index)
@@ -126,6 +127,26 @@ object Extensions {
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
           " +", " ")).as("norm_text"))
         .orderBy("doc_id")),
+
+    // Feature-hashed document embeddings (hashing trick): the
+    // text→vector bridge with zero trained state. Exploded to scalar
+    // rows (doc, dim, weight) because the gate compares scalar cells.
+    "text_hash_embedding" -> ((s, dir) =>
+      TextEmbedding.hashedEmbeddings(
+        t(s, dir, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", HashDim)
+        .select(col("doc_id"), posexplode(col("vec")))
+        .select(col("doc_id"), col("pos").cast("long").as("dim_idx"),
+          col("col").as("weight"))
+        .orderBy("doc_id", "dim_idx")),
+
+    // Text similarity search with no model: hash both sides, exact
+    // cosine top-k — the raw-text twin of ann_brute_topk.
+    "text_hash_ann" -> ((s, dir) =>
+      TextEmbedding.hashedTopK(t(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") < 5, 5, HashDim)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
 
     // Retrieval/RAG-style sliding-window chunking: one row per
     // overlapping 64-word window (stride 48 → 16 words of shared
@@ -634,6 +655,31 @@ object Extensions {
   private def semCentSumSq(c: Int): Double =
     SemCents(c).map(v => v.toDouble * v.toDouble).sum
 
+  /** Shared CTE fragment for the hashed-embedding oracles: token →
+    * (bucket, ±1 sign) via the same md5 arithmetic the Spark side
+    * evaluates, per-doc bucket sums, exact integer norms, pround(6)
+    * normalized weights.
+    */
+  private val hashDenseCte =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |         CAST(${hex8ToInt("substr(md5(w),1,8)")} % $HashDim AS INT) AS bucket,
+       |         CASE WHEN (strpos('0123456789abcdef', substr(md5(w),9,1)) - 1) % 2 = 0
+       |              THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM tok WHERE len(w) > 0),
+       |sums AS (SELECT doc_id, bucket, sum(sgn) AS v FROM hb GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM sums GROUP BY 1),
+       |dense AS (
+       |  SELECT d.doc_id, g.i AS dim_idx,
+       |         CASE WHEN coalesce(n.nrm, 0) > 0
+       |              THEN floor(coalesce(s.v, 0.0) / n.nrm * 1000000 + 0.5) / 1000000
+       |              ELSE 0.0 END AS weight
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN generate_series(0, ${HashDim - 1}) g(i)
+       |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = g.i
+       |  LEFT JOIN norms n ON n.doc_id = d.doc_id)""".stripMargin
+
   /** Cosine of two named DOUBLE[]/FLOAT[] columns, pround(6) — the
     * generic form of [[cosineExpr]] for arbitrary operand names.
     */
@@ -921,6 +967,24 @@ object Extensions {
     "text_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_hash_embedding" ->
+      s"""WITH $hashDenseCte
+         |SELECT doc_id, dim_idx, weight FROM dense
+         |WHERE doc_id < 50 ORDER BY doc_id, dim_idx""".stripMargin,
+    "text_hash_ann" ->
+      s"""WITH $hashDenseCte,
+         |vecs AS (SELECT doc_id, list(weight ORDER BY dim_idx) AS vec
+         |         FROM dense GROUP BY doc_id),
+         |scored AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         |         ${cosSql("q.vec", "c.vec")} AS score
+         |  FROM vecs q JOIN vecs c ON c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < 5)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT query_id, cand_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_chunking" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |n_ck AS (
