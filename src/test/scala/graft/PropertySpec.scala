@@ -215,4 +215,90 @@ class PropertySpec extends SparkSpec {
       assert(plain.exceptAll(salted).count() == 0)
     }
   }
+
+  // --- round-7 operator invariants (driver-side, no Spark jobs) --------
+
+  private val valuesGen: Gen[List[Double]] =
+    Gen.listOfN(400, Gen.choose(-1000.0, 1000.0))
+
+  test("t-digest: quantiles are monotone in q, bounded by [min,max], " +
+      "and rank error stays within 5% for arbitrary inputs") {
+    import graft.functions.TDigestQuantiles
+    forAll(valuesGen, n = 8) { vs =>
+      whenever(vs.nonEmpty) {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+        vs.foreach(v => buf += ((v, 1L)))
+        TDigestQuantiles.compress(buf, 50)
+        val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+        val ests = qs.map(TDigestQuantiles.quantile(buf, _))
+        // monotone in q
+        ests.sliding(2).foreach { case Seq(a, b) => assert(a <= b) }
+        // bounded by the data range
+        assert(ests.head >= vs.min && ests.last <= vs.max)
+        // rank-error bound at delta=50
+        val sorted = vs.sorted
+        qs.zip(ests).foreach { case (q, est) =>
+          val rank = sorted.count(_ <= est).toDouble / vs.length
+          assert(math.abs(rank - q) <= 0.05,
+            s"q=$q est=$est rank=$rank n=${vs.length}")
+        }
+      }
+    }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("ab".toSeq)).map(_.mkString).map(_.take(8))
+  private val vocabGen: Gen[List[(String, Long)]] =
+    Gen.listOfN(12, for {
+      w <- wordGen
+      n <- Gen.choose(1L, 50L)
+    } yield (w, n)).map(_.groupBy(_._1).map { case (w, xs) =>
+      (w, xs.map(_._2).sum) }.toList.sortBy(_._1))
+
+  test("BPE: learning is permutation-invariant over the frequency table " +
+      "and tokenization always detokenizes back to the word") {
+    import graft.operators.Bpe
+    forAll(vocabGen, n = 8) { vocab =>
+      whenever(vocab.nonEmpty) {
+        val merges = Bpe.learnMerges(vocab, 20)
+        assert(Bpe.learnMerges(vocab.reverse, 20) == merges,
+          "merge list depends on frequency-table row order")
+        val ranks = merges.map(m => ((m.left, m.right), m.rank)).toMap
+        vocab.foreach { case (w, _) =>
+          val toks = Bpe.encodeWord(w, ranks)
+          assert(toks.mkString("") == w + Bpe.Eow,
+            s"'$w' did not round-trip: $toks")
+        }
+      }
+    }
+  }
+
+  test("slidingChunks: stripped-overlap reassembly reproduces the text " +
+      "for arbitrary word counts, window sizes, and strides") {
+    import graft.functions.TextFunctions
+    val gen = for {
+      nWords <- Gen.choose(1, 120)
+      n <- Gen.choose(2, 20)
+      stride <- Gen.choose(1, n)
+    } yield (nWords, n, stride)
+    forAll(gen, n = 12) { case (nWords, n, stride) =>
+      val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+      val chunks = Seq(text).toDF("t")
+        .select(TextFunctions.slidingChunks(col("t"), n, stride).as("c"))
+        .as[Seq[String]].head()
+      // every chunk except (possibly) the last is exactly n words;
+      // dropping each chunk's leading overlap reassembles the text
+      chunks.init.foreach(c => assert(c.split(" ").length == n))
+      val rebuilt = (chunks.head.split(" ") ++
+        chunks.tail.zipWithIndex.flatMap { case (c, i) =>
+          // chunk i+1 starts at (i+1)*stride+1; the previous chunk
+          // covered through min(i*stride+n, len) — drop the overlap
+          val prevEnd = math.min(i * stride + n, nWords)
+          val start = (i + 1) * stride
+          c.split(" ").drop(prevEnd - start)
+        }).mkString(" ")
+      assert(rebuilt == text,
+        s"nWords=$nWords n=$n stride=$stride: reassembly mismatch")
+    }
+  }
 }
