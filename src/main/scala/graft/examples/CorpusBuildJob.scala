@@ -15,16 +15,27 @@ import graft.operators._
   *   3. line-level boilerplate removal (`LineDedup`) — 1 line-key shuffle
   *   4. document near-dup removal: MinHash-LSH pairs → connected
   *      components → keep each cluster's canonical (min-id) doc
-  *   5. eval-set decontamination (`Contamination.overlapPrefiltered`
+  *   5. SEMANTIC dedup (`Similarity.semDedup` over feature-hashed
+  *      embeddings): catches bag-of-words near-dups the shingle pass
+  *      can't see (reordered boilerplate, light paraphrase) — with
+  *      zero trained state, since the vectors are hashing-trick BoW
+  *   6. eval-set decontamination (`Contamination.overlapPrefiltered`
   *      anti-join — broadcast-bloom prefilter, exact verify)
-  *   6. train/val/test split (`Sampling.splitLabel`) — map-only
-  *   7. shuffle-then-pack per language (`Packing.packBins`)
-  *   8. mixture stats + τ-flattening rates (`Profile`)
+  *   7. train/val/test split (`Sampling.splitLabel`) — map-only
+  *   8. BPE vocabulary learned from the train split (`Bpe.learn` —
+  *      one word-count pass + bounded driver loop), then
+  *      shuffle-then-pack per language with BPE token budgets
+  *      (`Packing.packBins`) — budgets in the tokens a model trains
+  *      on, not whitespace splits
+  *   9. mixture stats + τ-flattening rates (`Profile`)
+  *  10. sliding-window retrieval chunks of the train split
+  *      (`TextFunctions.slidingChunks`)
   *
-  * Outputs: the corpus (partitioned by split), the packing manifest, and
-  * the mixture table. Per-stage row counts are returned so operators
-  * (human or scheduler) can alert on anomalous drop rates — the
-  * observability a production corpus build needs.
+  * Outputs: the corpus (partitioned by split), the BPE merge table, the
+  * packing manifest, the mixture table, and the retrieval chunks.
+  * Per-stage row counts are returned so operators (human or scheduler)
+  * can alert on anomalous drop rates — the observability a production
+  * corpus build needs.
   *
   * Stage order matters and is the standard one: line-level cleanup
   * changes document text, so it runs BEFORE document fingerprinting;
@@ -35,6 +46,7 @@ object CorpusBuildJob {
 
   final case class StageCounts(raw: Long, afterQuality: Long,
                                afterLineDedup: Long, afterDocDedup: Long,
+                               afterSemDedup: Long,
                                afterDecontamination: Long, train: Long,
                                eval_ : Long)
 
@@ -49,6 +61,8 @@ object CorpusBuildJob {
           shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 2,
           lineChunk: Int = 10, maxLineDocs: Int = 2,
           minContainment: Double = 0.2, budget: Int = 2048,
+          hashDim: Int = 64, semNlist: Int = 8, semMinCosine: Double = 0.95,
+          bpeMerges: Int = 200, chunkN: Int = 64, chunkStride: Int = 48,
           seed: String = "s42"): StageCounts = {
     val raw = docs.count()
     val eval_ = docs.filter(evalPredicate).persist()
@@ -83,50 +97,79 @@ object CorpusBuildJob {
     labels.unpersist(blocking = false)
     val afterDocDedup = deduped.count()
 
-    // 5: decontamination against the eval set — through the broadcast
+    // 5: semantic dedup over feature-hashed embeddings — reordered or
+    // lightly-paraphrased boilerplate shares a bag of words even when
+    // no 5-shingle survives, so this pass catches what MinHash cannot;
+    // the hashing trick means no model and no training pass
+    val hashed = TextEmbedding.hashedEmbeddings(deduped, "doc_id", "text",
+      hashDim)
+    val semKeep = Similarity.semDedup(hashed, "doc_id", "vec",
+      nlist = semNlist, minCosine = semMinCosine).select("doc_id")
+    val semDeduped = deduped.join(semKeep, Seq("doc_id"), "left_semi")
+      .persist()
+    val afterSemDedup = semDeduped.count()
+
+    // 6: decontamination against the eval set — through the broadcast
     // bloom prefilter, so at corpus scale only documents that might
     // share a shingle with the eval set ever reach the exact
     // containment join (identical result: no false negatives)
-    val together = deduped.select(col("doc_id"), col("text"), lit(false).as("is_eval"))
+    val together = semDeduped.select(col("doc_id"), col("text"), lit(false).as("is_eval"))
       .unionByName(eval_.select(col("doc_id"), col("text"), lit(true).as("is_eval")))
     val flagged = Contamination.overlapPrefiltered(together, "doc_id", "text",
       shingleN, col("is_eval"), minContainment)
       .select(col("train_id").as("doc_id")).distinct()
-    val decontaminated = deduped.join(flagged, Seq("doc_id"), "left_anti")
+    val decontaminated = semDeduped.join(flagged, Seq("doc_id"), "left_anti")
       .persist()
     val afterDecontamination = decontaminated.count()
 
-    // 6: split assignment (train/val/test), membership-stable
+    // 7: split assignment (train/val/test), membership-stable
     val withSplit = decontaminated.withColumn("split",
       Sampling.splitLabel(col("doc_id"), 16, 32))
+    val trainDf = withSplit.filter(col("split") === "train")
 
-    // 7: shuffle-then-pack the training split per language
+    // 8: BPE vocabulary from the train split (bounded learn), then
+    // shuffle-then-pack with budgets in BPE tokens — the unit a model
+    // actually trains on
+    val merges = Bpe.learn(trainDf, "text", bpeMerges)
+    val bpeCounts = Bpe.tokenize(trainDf, "doc_id", "text", merges)
+      .toDF().select(col("doc_id"), col("n_tokens").cast("long").as("bpe_tokens"))
     val manifest = Packing.packBins(
-      withSplit.filter(col("split") === "train"), "doc_id", "lang",
-      TextFunctions.tokenCount(col("text")), budget,
+      trainDf.join(bpeCounts, Seq("doc_id")), "doc_id", "lang",
+      col("bpe_tokens"), budget,
       Seq(Sampling.shuffleKey(col("doc_id"), seed), col("doc_id")))
 
-    // 8: mixture table with τ=0.5 flattening rates
+    // 9: mixture table with τ=0.5 flattening rates
     val mix = Profile.temperatureRates(
-      Profile.mixSummary(withSplit.filter(col("split") === "train"),
+      Profile.mixSummary(trainDf,
         "lang", TextFunctions.tokenCount(col("text")))
         .select("lang", "n_tokens"),
       "lang", "n_tokens", tau = 0.5)
 
+    // 10: sliding-window retrieval chunks of the final train split
+    val chunks = trainDf.select(col("doc_id"),
+      posexplode(TextFunctions.slidingChunks(col("text"), chunkN,
+        chunkStride)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"))
+
     withSplit.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
     eval_.write.mode("overwrite").parquet(s"$outDir/eval")
+    spark.createDataFrame(merges).write.mode("overwrite")
+      .parquet(s"$outDir/bpe_merges")
     manifest.write.mode("overwrite").parquet(s"$outDir/pack_manifest")
     mix.write.mode("overwrite").parquet(s"$outDir/mixture")
+    chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
 
     val trainN = spark.read.parquet(s"$outDir/corpus")
       .filter(col("split") === "train").count()
     val evalN = eval_.count()
     relined.unpersist(blocking = false)
     deduped.unpersist(blocking = false)
+    semDeduped.unpersist(blocking = false)
     decontaminated.unpersist(blocking = false)
     eval_.unpersist(blocking = false)
     StageCounts(raw, afterQuality, afterLineDedup, afterDocDedup,
-      afterDecontamination, trainN, evalN)
+      afterSemDedup, afterDecontamination, trainN, evalN)
   }
 }

@@ -24,7 +24,8 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(counts.afterQuality <= counts.raw - counts.eval_)
     assert(counts.afterLineDedup <= counts.afterQuality)
     assert(counts.afterDocDedup <= counts.afterLineDedup)
-    assert(counts.afterDecontamination <= counts.afterDocDedup)
+    assert(counts.afterSemDedup <= counts.afterDocDedup)
+    assert(counts.afterDecontamination <= counts.afterSemDedup)
     assert(counts.afterDocDedup > 0, "pipeline must not drop everything")
 
     val corpus = spark.read.parquet(s"$out/corpus")
@@ -61,5 +62,16 @@ class CorpusBuildJobSpec extends SparkSpec {
       assert(keep > 0.0 && keep <= 1.0)
     }
     assert(mix.map(_.getAs[Double]("p_tau")).sum > 0.99)
+
+    // BPE merge table: learned, ranked contiguously from 0
+    val merges = spark.read.parquet(s"$out/bpe_merges").collect()
+    assert(merges.nonEmpty)
+    assert(merges.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      (0 until merges.length))
+
+    // retrieval chunks: at least one per train doc, ids from the corpus
+    val chunks = spark.read.parquet(s"$out/chunks")
+    assert(chunks.select("doc_id").distinct().count() == counts.train)
+    assert(chunks.filter($"chunk_idx" === 0).count() == counts.train)
   }
 }
