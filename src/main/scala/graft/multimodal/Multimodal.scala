@@ -373,6 +373,87 @@ object Multimodal {
     }
   }
 
+  // --- perceptual image hashing ----------------------------------------
+
+  /** 64-bit average hash (aHash): decode → bilinear 8×8 luminance grid
+    * → bit i set iff cell i's luminance ≥ the grid mean. Survives
+    * re-encoding, scaling, and small edits — the perceptual property
+    * that makes it the image twin of MinHash for near-dup detection.
+    * None for payloads that don't decode (they have no perceptual
+    * content to hash).
+    */
+  def aHash(media: Array[Byte]): Option[Long] =
+    readImage(media).flatMap { img =>
+      try {
+        val out = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        val lums = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val rgb = out.getRGB(i % 8, i / 8)
+          lums(i) = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          i += 1
+        }
+        val mean = lums.sum / 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) { if (lums(i) >= mean) h |= 1L << i; i += 1 }
+        Some(h)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  final case class ImageHashRow(doc_id: Long, hash: Long)
+
+  /** Map pass: one perceptual hash per decodable payload; opaque rows
+    * drop (no hash ⇒ no perceptual dedup claim).
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHashRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap(r => aHash(r.media).map(ImageHashRow(r.doc_id, _)))
+  }
+
+  /** Near-duplicate image pairs by hamming distance over the 64-bit
+    * perceptual hashes — banded exactly like MinHash-LSH: the hash
+    * splits into `maxHamming+1` bands, and by pigeonhole two hashes
+    * within `maxHamming` bits share at least one unchanged band, so
+    * the band equi-join loses NO true pair (it is a lossless candidate
+    * generator, unlike probabilistic LSH); `bit_count(xor)` then
+    * verifies exactly. One shuffle on (band, key); never all-pairs.
+    */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming in [0,16] required, got $maxHamming")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val banded = hashes.select(col("doc_id"), col("hash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          // band b = bits [b*width, (b+1)*width) — the last band keeps
+          // the remainder bits so all 64 participate
+          (if (b == bands - 1) shiftrightunsigned(col("hash"), b * width)
+           else shiftrightunsigned(col("hash"), b * width)
+             .bitwiseAND(lit((1L << width) - 1))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("hash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("hash").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("hash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // --- audio ------------------------------------------------------------
 
   /** A really-decoded audio payload: true stream geometry + signal

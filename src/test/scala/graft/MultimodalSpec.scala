@@ -323,6 +323,72 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(wav).toSeq != Multimodal.decodeStub(wav).toSeq)
   }
 
+  /** Gradient test image with optional per-pixel perturbation. */
+  private def gradientPng(w: Int, h: Int, tweak: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, (x * 256 / w + tweak).max(0))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash is perceptual: stable across scaling and small edits, far " +
+      "for different content, None for opaque payloads") {
+    val base = Multimodal.aHash(gradientPng(64, 64)).get
+    // the same content at a different resolution hashes identically
+    assert(Multimodal.aHash(gradientPng(32, 32)).get == base)
+    // a small brightness tweak stays within a few bits
+    val tweaked = Multimodal.aHash(gradientPng(64, 64, tweak = 6)).get
+    assert(java.lang.Long.bitCount(base ^ tweaked) <= 3,
+      s"small edit moved ${java.lang.Long.bitCount(base ^ tweaked)} bits")
+    // reversed gradient is far away
+    val reversed = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = 255 - x * 256 / 64
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      Multimodal.aHash(out.toByteArray).get
+    }
+    assert(java.lang.Long.bitCount(base ^ reversed) > 16)
+    assert(Multimodal.aHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageDupPairs: banded hamming join finds near-dup images, " +
+      "lossless for distance <= maxHamming") {
+    import spark.implicits._
+    val src = Seq(
+      Multimodal.MediaRow(1L, gradientPng(64, 64), "image/png", 64, 64),
+      Multimodal.MediaRow(2L, gradientPng(32, 32), "image/png", 32, 32),
+      Multimodal.MediaRow(3L, gradientPng(64, 64, tweak = 6), "image/png", 64, 64),
+      Multimodal.MediaRow(4L, pngBytes(16, 16, 0xFFFFFF), "image/png", 16, 16),
+      Multimodal.MediaRow(5L, "opaque".getBytes("UTF-8"), "bin", 0, 0))
+      .toDS()
+    val hashes = Multimodal.imageHashes(src)
+    assert(hashes.count() == 4, "opaque payload contributes no hash")
+    val pairs = Multimodal.imageDupPairs(hashes.toDF(), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical content at two scales")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "small edit within the hamming budget")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated image must not pair")
+    // losslessness vs the exact all-pairs ground truth
+    val hs = hashes.collect().map(h => h.doc_id -> h.hash)
+    val exact = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == exact, s"banded join disagreed with exact: $pairs vs $exact")
+  }
+
   test("a WAV header declaring an absurd stream is rejected before the " +
       "sample buffer is read") {
     // patch the data-chunk and RIFF sizes of a tiny valid WAV to claim
