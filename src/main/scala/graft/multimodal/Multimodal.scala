@@ -484,7 +484,69 @@ object Multimodal {
     * HEADER (read before any sample data) and is checked against
     * [[MaxDecodeSamples]]; all decoder throws are contained.
     */
-  def decodeAudio(media: Array[Byte], bins: Int = 16): Option[DecodedAudio] =
+  /** One analysis window of an audio payload: index, start time,
+    * per-window RMS energy and zero-crossing rate.
+    */
+  final case class AudioWindowRow(doc_id: Long, window_idx: Int,
+                                  window_ts_ms: Long, rms: Float,
+                                  zero_cross_rate: Float)
+
+  /** Windowed audio features — the audio twin of [[sampleFrames]]'s
+    * row explosion: decode once, then one row per `windowMs` window
+    * with its own RMS/ZCR, so downstream stages (silence trimming,
+    * segment dedup, energy filtering) treat windows as first-class
+    * rows. Real for the PCM formats [[decodeAudio]] reads; payloads
+    * that don't decode contribute no rows (no fake windows — the
+    * honest analogue of [[imageHashes]] dropping opaque rows). Pure
+    * flatMap: windows stay in their source row's partition.
+    */
+  def sampleAudioWindows(media: Dataset[MediaRow],
+                         windowMs: Long): Dataset[AudioWindowRow] = {
+    require(windowMs > 0, "windowMs must be positive")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      decodeAudioSamples(r.media) match {
+        case None => Iterator.empty
+        case Some((rate, channels, samples)) =>
+          val perWindow = math.max(1,
+            (rate * windowMs / 1000).toInt) * channels
+          val n = samples.length
+          (0 until (n + perWindow - 1) / perWindow).iterator.map { wi =>
+            val from = wi * perWindow
+            val until = math.min(n, from + perWindow)
+            var sumSq = 0.0
+            var crossings = 0L
+            var frames = 0L
+            var prevSign = 0
+            var i = from
+            while (i < until) {
+              val s = samples(i)
+              sumSq += s.toDouble * s
+              if ((i - from) % channels == 0) {
+                frames += 1
+                val sign = Integer.signum(s)
+                if (sign != 0) {
+                  if (prevSign != 0 && sign != prevSign) crossings += 1
+                  prevSign = sign
+                }
+              }
+              i += 1
+            }
+            AudioWindowRow(r.doc_id, wi, wi * windowMs,
+              (math.sqrt(sumSq / (until - from)) / 32768.0).toFloat,
+              if (frames > 1) crossings.toFloat / (frames - 1) else 0f)
+          }
+      }
+    }
+  }
+
+  /** Shared hardened decode-to-PCM16: (sampleRate, channels, samples)
+    * with the header-first [[MaxDecodeSamples]] guard; None for
+    * non-audio payloads. Backs [[decodeAudio]] and
+    * [[sampleAudioWindows]].
+    */
+  private def decodeAudioSamples(
+      media: Array[Byte]): Option[(Float, Int, Array[Short])] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(media))
@@ -506,37 +568,50 @@ object Multimodal {
             val n = bytes.length / 2
             if (n == 0) None
             else {
-              val hist = new Array[Float](bins)
-              var sumSq = 0.0
-              var crossings = 0L
-              var prevSign = 0
+              val samples = new Array[Short](n)
               var i = 0
               while (i < n) {
-                val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
-                val a = math.abs(s.toInt)
-                hist(math.min(bins - 1, a * bins / 32768)) += 1f
-                sumSq += s.toDouble * s
-                // zero-crossing over channel 0 only
-                if (i % channels == 0) {
-                  val sign = Integer.signum(s)
-                  if (sign != 0) {
-                    if (prevSign != 0 && sign != prevSign) crossings += 1
-                    prevSign = sign
-                  }
-                }
+                samples(i) =
+                  ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
                 i += 1
               }
-              var j = 0
-              while (j < bins) { hist(j) /= n; j += 1 }
-              val nFrames = n / channels
-              Some(DecodedAudio(fmt.getSampleRate, channels, nFrames.toLong,
-                math.round(nFrames * 1000.0 / fmt.getSampleRate),
-                (math.sqrt(sumSq / n) / 32768.0).toFloat,
-                if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0f,
-                hist))
+              Some((fmt.getSampleRate, channels, samples))
             }
           } finally pcm.close()
         }
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeAudio(media: Array[Byte], bins: Int = 16): Option[DecodedAudio] =
+    decodeAudioSamples(media).map { case (rate, channels, samples) =>
+      val n = samples.length
+      val hist = new Array[Float](bins)
+      var sumSq = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        val a = math.abs(s.toInt)
+        hist(math.min(bins - 1, a * bins / 32768)) += 1f
+        sumSq += s.toDouble * s
+        // zero-crossing over channel 0 only
+        if (i % channels == 0) {
+          val sign = Integer.signum(s)
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) crossings += 1
+            prevSign = sign
+          }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < bins) { hist(j) /= n; j += 1 }
+      val nFrames = n / channels
+      DecodedAudio(rate, channels, nFrames.toLong,
+        math.round(nFrames * 1000.0 / rate),
+        (math.sqrt(sumSq / n) / 32768.0).toFloat,
+        if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0f,
+        hist)
+    }
 }

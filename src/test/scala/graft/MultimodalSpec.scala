@@ -389,6 +389,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == exact, s"banded join disagreed with exact: $pairs vs $exact")
   }
 
+  test("sampleAudioWindows explodes real audio into per-window energy " +
+      "rows; non-audio payloads contribute none") {
+    import spark.implicits._
+    // 400 ms at 8 kHz: first 200 ms a 400 Hz sine, then silence
+    val n = 3200
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val s = (math.sin(2 * math.Pi * 400 * i / 8000.0) * 16384).toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val src = Seq(
+      Multimodal.MediaRow(1L, bos.toByteArray, "audio/wav", 0, 0),
+      Multimodal.MediaRow(2L, "not audio".getBytes("UTF-8"), "bin", 0, 0))
+      .toDS()
+    val windows = Multimodal.sampleAudioWindows(src, windowMs = 100)
+      .collect().sortBy(w => (w.doc_id, w.window_idx))
+    assert(windows.forall(_.doc_id == 1L), "opaque payload yields no rows")
+    assert(windows.length == 4, "400 ms / 100 ms windows")
+    assert(windows.map(_.window_ts_ms).toSeq == Seq(0L, 100L, 200L, 300L))
+    // energy boundary: first two windows loud, last two silent
+    assert(windows(0).rms > 0.3f && windows(1).rms > 0.3f)
+    assert(windows(2).rms == 0f && windows(3).rms == 0f)
+    assert(windows(0).zero_cross_rate > 0.05f)
+    assert(windows(3).zero_cross_rate == 0f)
+  }
+
   test("a WAV header declaring an absurd stream is rejected before the " +
       "sample buffer is read") {
     // patch the data-chunk and RIFF sizes of a tiny valid WAV to claim
