@@ -572,9 +572,13 @@ object Extensions {
     // replica.
     "sem_dedup_incremental" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val kept = Similarity.semDedupWithCentroids(
-        e.filter(col("vec_id") < 400), "vec_id", "embedding", SemCents, 0.4)
-      Similarity.semDedupIncrement(kept, e.filter(col("vec_id") >= 400),
+      // build-once/query-many split (the indexed-query convention):
+      // the deduped base comes from the persisted table when present,
+      // so the benched cost is the increment — stage 1 runs inline
+      // only when no build preceded (correctness runs)
+      if (!s.catalog.tableExists("graft_sem_base")) buildSemBase(s, dir)
+      Similarity.semDedupIncrement(s.table("graft_sem_base"),
+        e.filter(col("vec_id") >= 400),
         "vec_id", "embedding", SemCents, 0.4)
         .select("vec_id").orderBy("vec_id")
     }))
@@ -835,7 +839,8 @@ object Extensions {
   val benchBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "text_bm25_index_build" -> ((s, dir) => buildBm25Index(s, dir)),
     "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)),
-    "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)))
+    "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)),
+    "sem_dedup_base_build" -> ((s, dir) => buildSemBase(s, dir)))
 
   /** One corpus pass trains + encodes + persists the IVF-PQ index the
     * ann_ivfpq_indexed query reads back. Residual encoding (FAISS
@@ -872,6 +877,20 @@ object Extensions {
     * (doc_id % 4 != 0), persisted as the bucketed physical index the
     * incremental band join reads back.
     */
+  /** The incremental-SemDeDup base: the vec_id<400 corpus deduped once
+    * with the fixed centroids and persisted (id + embedding) — the
+    * "already-deduplicated corpus" a daily increment runs against, so
+    * the sem_dedup_incremental query prices the increment, not a
+    * re-dedup of history.
+    */
+  private def buildSemBase(s: SparkSession, dir: String): Unit =
+    graft.sources.IO.writeBucketedTable(
+      Similarity.semDedupWithCentroids(
+        t(s, dir, "embeddings").filter(col("vec_id") < 400),
+        "vec_id", "embedding", SemCents, 0.4)
+        .select("vec_id", "embedding"),
+      "graft_sem_base", "vec_id", buckets = 4)
+
   private def buildSigIndex(s: SparkSession, dir: String): Unit =
     graft.sources.IO.writeBucketedTable(
       Dedup.minHashSignatures(
