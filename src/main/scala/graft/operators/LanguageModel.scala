@@ -84,4 +84,82 @@ object LanguageModel {
       crossEntropy(docs, idCol, textCol, lm, alpha)
         .filter(col("xent") <= maxXent).select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** (id, prev, token) per token position; prev is null at position 1.
+    * The shared sequence view bigram training and scoring both read —
+    * one posexplode, no self-join (the classic n-gram trap of joining a
+    * corpus to itself on position is never needed: the previous token
+    * is an `element_at` away inside the same row).
+    */
+  private def tokenPositions(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), posexplode(col("ws")))
+      .select(col(idCol),
+        when(col("pos") === 0, lit(null))
+          .otherwise(element_at(col("ws"), col("pos"))).as("prev"),
+        col("col").as("token"))
+
+  /** Train: bigram counts over the reference corpus — (prev, token,
+    * cnt2). Document boundaries are respected (the first token of a doc
+    * has no predecessor), context totals derive from this table itself
+    * (Σ_w cnt2(prev,·)), so the conditional is proper by construction.
+    */
+  def bigramLm(reference: DataFrame, textCol: String): DataFrame =
+    tokenPositions(reference.select(lit(0L).as("_id"),
+      col(textCol)), "_id", textCol)
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "token").agg(count(lit(1)).as("cnt2"))
+
+  /** Score under the interpolated bigram LM (Jelinek–Mercer mixing —
+    * the first rung of the ladder CCNet's 5-gram KenLM sits on):
+    *
+    *   p(w | prev) = λ·cnt2(prev,w)/ctx(prev) + (1−λ)·p_uni(w)
+    *
+    * with p_uni the add-α unigram of [[crossEntropy]]. The bigram term
+    * is 0 for unseen contexts/pairs and for position 1, so the mixture
+    * stays a proper distribution (the unigram floor carries it). At
+    * λ=0 this is BIT-IDENTICAL to the unigram scorer (0·x + 1·p = p in
+    * IEEE double) — pinned in TrainingPipelineSpec.
+    *
+    * Scale shape: three one-row-per-key LEFT joins (bigram, context,
+    * unigram) against the token sequence — no pair fan-out on hot
+    * tokens, output ∝ corpus token count; scalar stats one-row
+    * broadcast. Same float discipline as the unigram scorer: log2
+    * rounded at 9, exact DECIMAL(38,12) sums. (1−λ) is computed ONCE
+    * in Scala and injected as the same double literal into both
+    * engines — `1.0 - 0.7` is not the literal `0.3` in IEEE, and the
+    * oracle must mix with the identical constant.
+    */
+  def crossEntropyBigram(docs: DataFrame, idCol: String, textCol: String,
+                         uniLm: DataFrame, bigLm: DataFrame,
+                         lambda: Double = 0.7,
+                         alpha: Double = 0.5): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    val oneMinus = 1.0 - lambda
+    val ctx = bigLm.groupBy(col("prev")).agg(sum(col("cnt2")).as("ctx"))
+    val stats = uniLm.agg(sum(col("cnt")).cast("double").as("lm_total"),
+      count(lit(1)).cast("double").as("lm_vocab"))
+    val pUni = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("lm_total") + lit(alpha) * (col("lm_vocab") + lit(1.0)))
+    val pBig = when(col("cnt2").isNotNull && col("ctx").isNotNull,
+      col("cnt2").cast("double") / col("ctx").cast("double"))
+      .otherwise(lit(0.0))
+    tokenPositions(docs, idCol, textCol)
+      .join(bigLm, Seq("prev", "token"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uniLm, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        Rounding.pround(log2(lit(lambda) * pBig + lit(oneMinus) * pUni), 9)
+          .cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
+      .withColumn("xent",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .withColumn("perplexity",
+        Rounding.pround(pow(lit(2.0), col("xent")), 4))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
 }

@@ -91,6 +91,18 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Interpolated bigram LM (Jelinek–Mercer λ-mix with the add-α
+    // unigram floor) — one rung up the KenLM ladder, same exact-decimal
+    // discipline. (1−λ) is the Scala-computed double injected into both
+    // engines; see crossEntropyBigram.
+    "text_bigram_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.crossEntropyBigram(d, "doc_id", "text",
+        graft.operators.LanguageModel.unigramLm(d, "text"),
+        graft.operators.LanguageModel.bigramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
     // The filter arc: keep documents at or under 4.95 bits/token (the
     // fixture corpus sits at ~4.88–5.33, so the gate is non-vacuous).
     "corpus_perplexity_filter" -> ((s, dir) => {
@@ -963,6 +975,39 @@ object Extensions {
         |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
         |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_perplexity" -> {
+      val lambda = 0.7
+      val oneMinus = 1.0 - lambda // the exact double λ-complement both engines mix with
+      s"""WITH lm AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+        |              CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT doc_id, ws[i] AS token,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev
+        |        FROM pos),
+        |big AS (SELECT prev, token, count(*) AS cnt2 FROM seq
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cnt2) AS ctx FROM big GROUP BY 1),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |         CAST(floor(log2($lambda * (CASE WHEN b.cnt2 IS NOT NULL AND c.ctx IS NOT NULL
+        |                                         THEN CAST(b.cnt2 AS DOUBLE) / CAST(c.ctx AS DOUBLE)
+        |                                         ELSE 0.0 END)
+        |                         + $oneMinus * ((COALESCE(u.cnt, 0) + 0.5) / (t_total + 0.5 * (v + 1)))) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM seq s
+        |  LEFT JOIN big b ON b.prev = s.prev AND b.token = s.token
+        |  LEFT JOIN ctx c ON c.prev = s.prev
+        |  LEFT JOIN lm u ON u.token = s.token
+        |  CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
+        |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "corpus_perplexity_filter" ->
       """WITH lm AS (
         |  SELECT token, count(*) AS cnt FROM (

@@ -265,4 +265,36 @@ class TrainingPipelineSpec extends SparkSpec {
     val out = LanguageModel.crossEntropy(cand, "doc_id", "text", lm)
     assert(out.count() == out.select("doc_id").distinct().count())
   }
+
+  test("interpolated bigram LM: λ=0 is bit-identical to the unigram " +
+      "scorer; sequence structure lowers xent when λ>0") {
+    import graft.operators.LanguageModel
+    val ref = Seq((1L, "a b a b a b a b"), (2L, "a b a b")).toDF("doc_id", "text")
+    val uni = LanguageModel.unigramLm(ref, "text")
+    val big = LanguageModel.bigramLm(ref, "text")
+    val cand = Seq((10L, "a b a b a b"), (11L, "b a b a")).toDF("doc_id", "text")
+
+    // λ=0: the mixture collapses to the unigram floor exactly (0·x+1·p)
+    val viaBigram = LanguageModel.crossEntropyBigram(cand, "doc_id", "text",
+      uni, big, lambda = 0.0)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    val viaUnigram = LanguageModel.crossEntropy(cand, "doc_id", "text", uni)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(viaBigram == viaUnigram)
+
+    // λ>0 on text whose bigrams the LM has seen: the conditional is
+    // sharper than the marginal, so xent strictly drops
+    val mixed = LanguageModel.crossEntropyBigram(cand, "doc_id", "text",
+      uni, big, lambda = 0.7)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(mixed(10L) < viaUnigram(10L),
+      s"bigram structure not captured: ${mixed(10L)} vs ${viaUnigram(10L)}")
+
+    // document boundaries: no bigram spans two reference docs — the
+    // count of (b,a) comes only from within-doc adjacency
+    val cnt = big.filter($"prev" === "b" && $"token" === "a")
+      .select("cnt2").as[Long].collect()
+    assert(cnt.headOption.getOrElse(0L) == 4L,
+      "expected 3 within-doc (b,a) pairs in doc 1 + 1 in doc 2")
+  }
 }
