@@ -161,6 +161,17 @@ object ScaleStress {
         posexplode(functions.TextFunctions.slidingChunks($"text", 64, 48)))
         .write.format("noop").mode("overwrite").save()
     }
+    time("interpolated bigram LM: train + score 50k docs") {
+      operators.LanguageModel.crossEntropyBigram(bigDocs, "doc_id", "text",
+        operators.LanguageModel.unigramLm(bigDocs, "text"),
+        operators.LanguageModel.bigramLm(bigDocs, "text"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("hashed-embedding ANN: 10 queries over 50k docs (hash + cosine)") {
+      operators.TextEmbedding.hashedTopK(bigDocs, "doc_id", "text",
+        $"doc_id" < 10, 5, 64)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
