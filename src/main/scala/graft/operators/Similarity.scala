@@ -134,15 +134,23 @@ object Similarity {
   }
 
   /** `cdist` = squared L2 distance to each centroid up to the per-row
-    * constant ||v||² (constant per vector → argmin-equivalent).
+    * constant ||v||² (constant per vector → argmin-equivalent). The
+    * dot products run as the fused codegen'd [[graft.functions.DotProduct]]
+    * — this is a corpus×nlist scan, the widest row set the IVF tier
+    * touches — with the HOF fold's exact accumulation order, so cell
+    * assignments (and every oracle row derived from them) are
+    * unchanged bit-for-bit.
     */
   private[graft] def withCellDist(centDf: DataFrame)(df: DataFrame,
-                                              vec: String): DataFrame =
+                                              vec: String): DataFrame = {
+    val spark = df.sparkSession
+    val dotN = (a: Column, b: Column) =>
+      graft.functions.VectorExprs.dot(spark, a, b)
     df.crossJoin(broadcast(centDf))
-      .withColumn("cdist", dot(col(vec), col("centroid")) * -2 +
-        aggregate(transform(col("centroid"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (a, v) => a + v))
+      .withColumn("cdist", dotN(col(vec), col("centroid")) * -2 +
+        dotN(col("centroid"), col("centroid")))
       .drop("centroid")
+  }
 
   /** Corpus side (the big one): nearest cell via min_by aggregation, NOT
     * a row_number window — the agg gets map-side partial aggregation
@@ -200,14 +208,16 @@ object Similarity {
     * codebook of `ksub` centroids (train on a sample at 100 TB — the
     * codebook only needs distribution coverage). Encode: every corpus
     * vector becomes `nsub` small codes — here a PURE map pass: the
-    * codebooks are literal arrays inside a codegen'd least-of-structs
-    * argmin, no join, no shuffle, and the encoded corpus is
-    * nsub·log2(ksub) bits per vector (64-dim float → 8 bytes = 32×
-    * smaller — the memory factor that lets an index fit a cluster).
-    * Query (asymmetric distance computation): the query stays exact;
-    * each candidate's distance is the sum over subvectors of
-    * ||q_j − centroid[code_j]||², evaluated by indexing the literal
-    * codebook with the candidate's stored code — again map-only over a
+    * codebooks ride the codegen'd [[graft.functions.PqEncodeCodes]]
+    * expression as a referenced float[] (constant-size generated code
+    * at any codebook size), no join, no shuffle, and the encoded
+    * corpus is nsub·log2(ksub) bits per vector (64-dim float → 8
+    * bytes = 32× smaller — the memory factor that lets an index fit a
+    * cluster). Query (asymmetric distance computation): the query
+    * stays exact; each candidate's distance is the sum over
+    * subvectors of ||q_j − centroid[code_j]||², evaluated by indexing
+    * the referenced codebook with the candidate's stored code
+    * ([[graft.functions.PqAdcDistance]]) — again map-only over a
     * broadcast query set.
     *
     * Recall is validated against exact L2 brute force in
@@ -216,24 +226,10 @@ object Similarity {
     * IVF-PQ shape: cells bound the candidates, codes bound the bytes.
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val nsub = codebooks.size
-    val subDim = codebooks.head.head.size
-    val codeCols = (0 until nsub).map { j =>
-      val sub = slice(col(vecCol), j * subDim + 1, subDim)
-      // argmin over the codebook = lexicographic least of
-      // struct(distance, index) — ties break to the smaller code
-      val cands = codebooks(j).zipWithIndex.map { case (cent, i) =>
-        val d = cent.zipWithIndex.map { case (c, dIdx) =>
-          val diff = element_at(sub, dIdx + 1).cast("double") - lit(c.toDouble)
-          diff * diff
-        }.reduce(_ + _)
-        struct(d.as("d"), lit(i).as("i"))
-      }
-      least(cands: _*).getField("i")
-    }
-    corpus.select(col(idCol).as("cand_id"), array(codeCols: _*).as("codes"))
-  }
+               codebooks: Seq[Seq[Seq[Float]]]): DataFrame =
+    corpus.select(col(idCol).as("cand_id"),
+      graft.functions.PqCodec.encode(corpus.sparkSession, col(vecCol),
+        codebooks).as("codes"))
 
   /** Train `nsub` sub-quantizers of `ksub` centroids each. The training
     * frame (callers pass the [[trainView]]-bounded sample, never the
@@ -247,8 +243,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Success, Try}
     val pinned = corpus.persist()
     try {
       val dim = pinned.select(size(col(vecCol))).head().getInt(0)
@@ -261,15 +258,23 @@ object Similarity {
       // nsub× the per-job scheduling latency for no reason. Results
       // are unchanged: determinism lives in (data, seed+j), not in
       // submission order.
-      val fits = (0 until nsub).map { j =>
+      //
+      // Failure discipline: each future is wrapped in Try so the await
+      // waits for EVERY fit to settle — a failed fit must not let the
+      // `finally` unpersist the pinned frame out from under siblings
+      // still scanning it. The first failure rethrows only after all
+      // have finished, and the bounded timeout turns a hung fit into a
+      // loud error instead of blocking the build forever.
+      val fits: Seq[Future[Try[Seq[Seq[Float]]]]] = (0 until nsub).map { j =>
         Future {
           val train = pinned.select(array_to_vector(
             slice(col(vecCol), j * subDim + 1, subDim)).as("features"))
           new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).fit(train)
             .clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-        }
+        }.transform(Success(_))
       }
-      Await.result(Future.sequence(fits), Duration.Inf)
+      val settled = Await.result(Future.sequence(fits), 2.hours)
+      settled.map(_.get)
     } finally pinned.unpersist(blocking = false)
   }
 
@@ -279,18 +284,9 @@ object Similarity {
   def pqTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int,
              codebooks: Seq[Seq[Seq[Float]]]): DataFrame = {
-    val nsub = codebooks.size
-    val subDim = codebooks.head.head.size
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val dist = (0 until nsub).map { j =>
-      val cent = element_at(typedLit(codebooks(j)),
-        element_at(col("codes"), j + 1) + 1)
-      val qsub = slice(col("qv"), j * subDim + 1, subDim)
-      aggregate(zip_with(qsub, cent, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }), lit(0.0), (acc, v) => acc + v)
-    }.reduce(_ + _)
+    val dist = graft.functions.PqCodec.adc(encoded.sparkSession,
+      col("codes"), col("qv"), codebooks)
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("approx_dist", Rounding.pround(dist, 6))
@@ -370,8 +366,7 @@ object Similarity {
                                  overquery: Int,
                                  residualCentroids: Option[DataFrame] = None)
       : DataFrame = {
-    val nsub = books.size
-    val subDim = books.head.head.size
+    val spark = indexed.sparkSession
     val (probeSide, adcQueryVec) = residualCentroids match {
       case Some(centDf) =>
         (probes.join(broadcast(centDf), Seq("cell"))
@@ -380,15 +375,12 @@ object Similarity {
           .drop("centroid"), "qres")
       case None => (probes, "qv")
     }
-    val adc = (0 until nsub).map { j =>
-      val cent = element_at(typedLit(books(j)),
-        element_at(col("codes"), j + 1) + 1)
-      val qsub = slice(col(adcQueryVec), j * subDim + 1, subDim)
-      aggregate(zip_with(qsub, cent, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }), lit(0.0), (acc, v) => acc + v)
-    }.reduce(_ + _)
+    // both scorers are the fused codegen'd forms: the ADC carries the
+    // codebooks as a float[] reference (constant-size generated code at
+    // any nsub/ksub — the typedLit spelling blew the 64 KB method limit
+    // and fell back to interpreted), the exact re-rank is the fused L2
+    val adc = graft.functions.PqCodec.adc(spark,
+      col("codes"), col(adcQueryVec), books)
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_dist"), col("cand_id"))
@@ -397,10 +389,8 @@ object Similarity {
       .withColumn("adc_dist", adc)
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * overquery)
-    val exactDist = aggregate(zip_with(col("qv"), col("cv"), (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }), lit(0.0), (acc, v) => acc + v)
+    val exactDist = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qv"), col("cv"))
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("dist"), col("cand_id"))
     shortlist
@@ -422,8 +412,9 @@ object Similarity {
     *   - `table_centroids`    (cell, centroid) — nlist rows, broadcast
     *     at query time for the query-side probe
     *   - `table_codebooks`    (sub, code, centroid) — nsub·ksub rows,
-    *     collected to the driver at query time and inlined as ADC
-    *     literals (same literal-codebook codegen as the in-memory path)
+    *     collected to the driver at query time and carried by the ADC
+    *     expression as a referenced float[] (same codegen'd codec as
+    *     the in-memory path)
     *
     * At 100 TB: training runs on a bounded deterministic sample
     * ([[trainView]], ≈`maxTrain` rows — codebooks only need
@@ -476,7 +467,7 @@ object Similarity {
   /** Rehydrate the PQ codebooks (and the residual-encoding flag) from
     * the stored index: nsub·ksub rows — driver-side metadata, same
     * class of bounded collect as partition listings — back into the
-    * literal nested-Seq form the ADC codegen inlines.
+    * nested-Seq form the ADC codec expression references.
     */
   def readCodebooksAndMode(spark: SparkSession,
                            table: String): (Seq[Seq[Seq[Float]]], Boolean) = {
@@ -591,10 +582,8 @@ object Similarity {
       codebooks).select("query_id", "cand_id")
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val exactDist = aggregate(zip_with(col("qv"), col("cv"), (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }), lit(0.0), (acc, v) => acc + v)
+    val exactDist = graft.functions.VectorExprs.l2DistSq(corpus.sparkSession,
+      col("qv"), col("cv"))
     val scored = cv.join(broadcast(shortlist), Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("dist", Rounding.pround(exactDist, 6))
@@ -710,6 +699,8 @@ object Similarity {
       graft.functions.CosineSimilarity.column(spark, x, y), 6)
     val newCells = corpusCellAssignment(newBatch, idCol, vecCol, centDf)
       .persist()
+    val keptCells = corpusCellAssignment(kept, idCol, vecCol, centDf)
+      .persist()
     try {
       val biggest = newCells.groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(max(col("n"))).head().getLong(0)
@@ -717,7 +708,20 @@ object Similarity {
         throw new IllegalStateException(
           s"semDedupIncrement: largest batch cell holds $biggest rows " +
             s"(> $maxCellSize) — raise nlist/maxCellSize (see semDedup)")
-      val keptCells = corpusCellAssignment(kept, idCol, vecCol, centDf)
+      // the KEPT side is guarded too: dedup at minCosine does NOT bound
+      // cell occupancy (many mutually-dissimilar vectors share a coarse
+      // cell), so a kept hot cell × daily batch would fan out the
+      // batch×kept candidate join just as quadratically. The count is
+      // one map-side-combinable agg over the assignment we compute for
+      // the join anyway — same cost class, loud instead of silent.
+      val keptBig = keptCells.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      if (keptBig > maxCellSize)
+        throw new IllegalStateException(
+          s"semDedupIncrement: largest KEPT-corpus cell holds $keptBig " +
+            s"rows (> $maxCellSize) — the batch×kept candidate join " +
+            "would fan out on it; raise nlist (re-partition the corpus " +
+            "with more cells) or maxCellSize if the skew is intended")
       val a = newCells.select(col("cell"), col("cand_id").as("id_a"),
         col("cv").as("va"))
       // batch↔batch edges (undirected via id_a<id_b) + batch→kept edges
@@ -751,7 +755,10 @@ object Similarity {
       val out = Dedup.materializeDetached(keep)
       labels.unpersist(blocking = false)
       newBatch.join(out, col(idCol) === col("keep_id"), "left_semi")
-    } finally newCells.unpersist(blocking = false)
+    } finally {
+      newCells.unpersist(blocking = false)
+      keptCells.unpersist(blocking = false)
+    }
   }
 
   /** The SemDeDup core: (keep_id) — one row per kept document. The

@@ -296,6 +296,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("PQ codec stays codegen'd at PRODUCTION codebook size (nsub=16, " +
+    "ksub=256, d=768) — no interpreted fallback on the ANN hot path") {
+    // Regression pin for the round-7 defect: typedLit-inlined codebooks
+    // blew the JVM's 64 KB generated-method limit at production sizes
+    // and Catalyst silently degraded the ADC inner loop to interpreted
+    // evaluation. Under CODEGEN_ONLY + fallback=false a compile failure
+    // THROWS, so this test fails if the referenced-array codec ever
+    // regresses to size-dependent generated code.
+    val nsub = 16; val ksub = 256; val subDim = 48 // 768-dim vectors
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] =
+      Array.fill(nsub * subDim)(rnd.nextFloat() * 2f - 1f)
+    val books = Seq.tabulate(nsub)(_ =>
+      Seq.tabulate(ksub)(_ => Seq.fill(subDim)(rnd.nextFloat() * 2f - 1f)))
+    val centroids = Seq.fill(2)(Seq.fill(nsub * subDim)(rnd.nextFloat() * 2f - 1f))
+    import spark.implicits._
+    val corpus = (0 until 64).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // encode + ADC + exact re-rank, residual mode: exercises
+      // PqEncodeCodes, PqAdcDistance, DotProduct (cell assignment) and
+      // L2DistanceSq (re-rank) in one executed query
+      val indexed = graft.operators.Similarity.encodeForIndex(
+        corpus, "vec_id", "embedding", centDf, books, residual = true)
+      val out = graft.operators.Similarity.ivfPqTopKOverRows(
+        indexed, centDf, (books, true), queries, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      // collect() executes THIS frame's QueryExecution, so the AQE plan
+      // below is the final one (count() would plan a separate query)
+      assert(out.collect().length == 3 * 5)
+      // the final AQE plan renders WholeStageCodegen spans as "*(n)"
+      // operator prefixes — assert the scoring Projects sit inside one
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("semDedup keep set never rescans the corpus: the kept-id side is " +
     "checkpoint-detached (scan of an RDD, not a second corpus read)") {
     val kept = graft.operators.Similarity.semDedupWithCentroids(

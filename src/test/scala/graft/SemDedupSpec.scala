@@ -84,6 +84,24 @@ class SemDedupSpec extends SparkSpec {
     assert(admitted.toSeq == Seq(12L, 14L))
   }
 
+  test("incremental SemDeDup fails loudly on a KEPT-side hot cell — " +
+      "dedup at minCosine does not bound cell occupancy") {
+    // three kept rows land in cell 0 (mutually < 0.98-cosine, so a
+    // legitimately deduplicated corpus), one batch row probes that cell
+    val kept = Seq(
+      2L -> Array(0.96f, 0.28f, 0f, 0f),
+      3L -> Array(0.8f, 0.6f, 0f, 0f),
+      6L -> Array(0.9f, -0.436f, 0f, 0f)).toDF("vec_id", "embedding")
+    val batch = Seq(10L -> Array(0.99f, 0.141f, 0f, 0f))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedupIncrement(kept, batch, "vec_id", "embedding",
+        cents, 0.98, maxCellSize = 2).collect()
+    }
+    assert(e.getMessage.contains("KEPT"), e.getMessage)
+    assert(e.getMessage.contains("nlist"), "the error must say what to raise")
+  }
+
   test("kept rows carry ALL corpus columns (left-semi, no projection loss)") {
     val withExtra = df.withColumn("label",
       org.apache.spark.sql.functions.col("vec_id") * 10)
