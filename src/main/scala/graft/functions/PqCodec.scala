@@ -41,6 +41,7 @@ case class PqAdcDistance(left: Expression, right: Expression,
   override def nullSafeEval(codesAny: Any, queryAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val q = queryAny.asInstanceOf[ArrayData]
+    val qd = VecElem.isDouble(right.dataType)
     var s = 0.0
     var j = 0
     while (j < nsub) {
@@ -50,7 +51,7 @@ case class PqAdcDistance(left: Expression, right: Expression,
       var sj = 0.0
       var d = 0
       while (d < subDim) {
-        val diff = q.getFloat(qb + d).toDouble - books(cb + d).toDouble
+        val diff = VecElem.read(q, qb + d, qd) - books(cb + d).toDouble
         sj += diff * diff
         d += 1
       }
@@ -62,6 +63,7 @@ case class PqAdcDistance(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bk = ctx.addReferenceObj("pqBooks", books, "float[]")
+    val gq = VecElem.accessor(right.dataType)
     nullSafeCodeGen(ctx, ev, (codes, q) => {
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
@@ -79,7 +81,7 @@ case class PqAdcDistance(left: Expression, right: Expression,
          |  int $cb = ($j * $ksub + $code) * $subDim;
          |  double $sj = 0.0;
          |  for (int $d = 0; $d < $subDim; $d++) {
-         |    double $diff = (double) $q.getFloat($qb + $d) - (double) $bk[$cb + $d];
+         |    double $diff = (double) $q.$gq($qb + $d) - (double) $bk[$cb + $d];
          |    $sj += $diff * $diff;
          |  }
          |  $s += $sj;
@@ -114,6 +116,7 @@ case class PqEncodeCodes(child: Expression, books: Array[Float],
 
   override def nullSafeEval(vecAny: Any): Any = {
     val v = vecAny.asInstanceOf[ArrayData]
+    val vd = VecElem.isDouble(child.dataType)
     val out = new Array[Int](nsub)
     var j = 0
     while (j < nsub) {
@@ -126,7 +129,7 @@ case class PqEncodeCodes(child: Expression, books: Array[Float],
         var d2 = 0.0
         var d = 0
         while (d < subDim) {
-          val diff = v.getFloat(qb + d).toDouble - books(cb + d).toDouble
+          val diff = VecElem.read(v, qb + d, vd) - books(cb + d).toDouble
           d2 += diff * diff
           d += 1
         }
@@ -141,6 +144,7 @@ case class PqEncodeCodes(child: Expression, books: Array[Float],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bk = ctx.addReferenceObj("pqBooks", books, "float[]")
+    val gv = VecElem.accessor(child.dataType)
     nullSafeCodeGen(ctx, ev, v => {
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
@@ -162,7 +166,7 @@ case class PqEncodeCodes(child: Expression, books: Array[Float],
          |    int $cb = ($j * $ksub + $c) * $subDim;
          |    double $d2 = 0.0;
          |    for (int $d = 0; $d < $subDim; $d++) {
-         |      double $diff = (double) $v.getFloat($qb + $d) - (double) $bk[$cb + $d];
+         |      double $diff = (double) $v.$gv($qb + $d) - (double) $bk[$cb + $d];
          |      $d2 += $diff * $diff;
          |    }
          |    if ($d2 < $bestD) { $bestD = $d2; $best = $c; }

@@ -5,7 +5,28 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Element accessor selection for the fused vector expressions: the
+  * engine's vector columns are `array<float>` (stored embeddings) OR
+  * `array<double>` (the feature-hashed text embeddings) — reading a
+  * double-backed ArrayData through getFloat silently returns garbage,
+  * so the accessor is resolved from the child's dataType at plan time
+  * and baked into both eval and the generated code.
+  */
+private[functions] object VecElem {
+  def isDouble(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** The ArrayData accessor name for codegen. */
+  def accessor(dt: DataType): String =
+    if (isDouble(dt)) "getDouble" else "getFloat"
+
+  @inline def read(a: ArrayData, i: Int, dbl: Boolean): Double =
+    if (dbl) a.getDouble(i) else a.getFloat(i).toDouble
+}
 
 /** Fused, codegen'd vector primitives over `array<float>` columns.
   *
@@ -33,11 +54,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (VecElem.isDouble(left.dataType),
+      VecElem.isDouble(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      s += VecElem.read(x, i, xd) * VecElem.read(y, i, yd)
       i += 1
     }
     s
@@ -45,6 +68,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ga, gb) = (VecElem.accessor(left.dataType),
+        VecElem.accessor(right.dataType))
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -52,7 +77,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += (double) $a.$ga($i) * (double) $b.$gb($i);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -77,11 +102,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (VecElem.isDouble(left.dataType),
+      VecElem.isDouble(right.dataType))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      val d = VecElem.read(x, i, xd) - VecElem.read(y, i, yd)
       s += d * d
       i += 1
     }
@@ -90,6 +117,8 @@ case class L2DistanceSq(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (ga, gb) = (VecElem.accessor(left.dataType),
+        VecElem.accessor(right.dataType))
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -98,7 +127,7 @@ case class L2DistanceSq(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  double $d = (double) $a.$ga($i) - (double) $b.$gb($i);
          |  $s += $d * $d;
          |}
          |${ev.value} = $s;

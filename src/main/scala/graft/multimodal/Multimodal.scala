@@ -426,8 +426,29 @@ object Multimodal {
     * the band equi-join loses NO true pair (it is a lossless candidate
     * generator, unlike probabilistic LSH); `bit_count(xor)` then
     * verifies exactly. One shuffle on (band, key); never all-pairs.
+    *
+    * Hot-bucket guard (the [[graft.operators.Dedup]] LSH star
+    * discipline): a real crawl's blank/solid-color images all hash to
+    * the same degenerate aHash (`0x0`/`0xFFFF…`), identical in EVERY
+    * band — one such class of n rows would emit n²/2 pairs on one join
+    * task. A (band, key) bucket above `maxBucket` occupancy therefore
+    * emits a spanning STAR rooted at the bucket's minimum doc_id
+    * instead of all-pairs: n−1 edges, same connected components, so
+    * downstream cluster/canonical consumers ([[graft.operators.DedupCluster]])
+    * are unchanged for the degenerate identical-hash classes that
+    * cause the blow-up. Star edges still pass the exact hamming
+    * verify; in a MIXED over-cap bucket (a coincidental band
+    * collision at extreme scale) far-from-hub members lose their
+    * within-bucket pairs — recall loss confined to pathological
+    * buckets, the same trade the text-LSH guard makes. The occupancy
+    * agg is map-side combinable and the over-cap list is tiny by
+    * definition (each entry represents > maxBucket rows), so both the
+    * exclusion and the star join are broadcast-side. `maxBucket <= 0`
+    * disables the guard.
     */
-  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = graft.operators.Dedup.DefaultMaxDf)
+      : DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming in [0,16] required, got $maxHamming")
     val bands = maxHamming + 1
@@ -442,12 +463,35 @@ object Multimodal {
              .bitwiseAND(lit((1L << width) - 1))).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("hash"), col("bk.band"), col("bk.key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_a"), col("hash").as("ha"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("id_b"), col("hash").as("hb"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    def allPairs(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("band"), col("key"),
+        col("doc_id").as("id_a"), col("hash").as("ha"))
+      val b = rows.select(col("band"), col("key"),
+        col("doc_id").as("id_b"), col("hash").as("hb"))
+      a.join(b, Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+    }
+    val candidates =
+      if (maxBucket <= 0) allPairs(banded)
+      else {
+        val hot = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n"),
+            min_by(struct(col("doc_id"), col("hash")), col("doc_id"))
+              .as("hubrow"))
+          .filter(col("n") > maxBucket)
+          .select(col("band"), col("key"),
+            col("hubrow.doc_id").as("hub"), col("hubrow.hash").as("hub_hash"))
+        val cold = banded.join(broadcast(hot.select("band", "key")),
+          Seq("band", "key"), "left_anti")
+        // hub = bucket min id ⇒ (hub, member) already satisfies a < b
+        val star = banded.join(broadcast(hot), Seq("band", "key"))
+          .filter(col("doc_id") =!= col("hub"))
+          .select(col("hub").as("id_a"), col("doc_id").as("id_b"),
+            col("hub_hash").as("ha"), col("hash").as("hb"))
+        allPairs(cold).unionByName(star)
+      }
+    candidates
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
       .distinct()

@@ -117,10 +117,16 @@ object LanguageModel {
     *   p(w | prev) = λ·cnt2(prev,w)/ctx(prev) + (1−λ)·p_uni(w)
     *
     * with p_uni the add-α unigram of [[crossEntropy]]. The bigram term
-    * is 0 for unseen contexts/pairs and for position 1, so the mixture
-    * stays a proper distribution (the unigram floor carries it). At
-    * λ=0 this is BIT-IDENTICAL to the unigram scorer (0·x + 1·p = p in
-    * IEEE double) — pinned in TrainingPipelineSpec.
+    * is 0 for unseen contexts/pairs and for position 1; in those cases
+    * the mass sums to (1−λ) < 1, i.e. the mixture is DELIBERATELY
+    * deficient there (the classic fixed-weight Jelinek–Mercer trade:
+    * unseen contexts and document-initial tokens are systematically
+    * penalized relative to a backoff model that would re-weight the
+    * unigram to 1 — acceptable for a quality FILTER, where the penalty
+    * direction is consistent across documents). Within a seen context
+    * the conditional is proper. At λ=0 this is BIT-IDENTICAL to the
+    * unigram scorer (0·x + 1·p = p in IEEE double) — pinned in
+    * TrainingPipelineSpec.
     *
     * Scale shape: three one-row-per-key LEFT joins (bigram, context,
     * unigram) against the token sequence — no pair fan-out on hot

@@ -31,9 +31,16 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity, rounded for cross-engine determinism. */
-  def cosine(a: Column, b: Column, scale: Int = 6): Column =
-    Rounding.pround(dot(a, b) / (l2Norm(a) * l2Norm(b)), scale)
+  /** Cosine similarity, rounded for cross-engine determinism.
+    * Zero-norm operands (a token-free doc's hashed embedding is the
+    * zero vector) score 0.0 — never the NaN of 0/0, which would poison
+    * top-k ordering and diverge between engines. The SQL oracles carry
+    * the same CASE guard.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column = {
+    val den = l2Norm(a) * l2Norm(b)
+    Rounding.pround(when(den > 0, dot(a, b) / den).otherwise(lit(0.0)), scale)
+  }
 
   /** Sign-pattern bucket over the first `bits` dimensions — a
     * deterministic LSH family (hyperplanes = coordinate axes). Vectors in

@@ -26,7 +26,12 @@ import graft.functions.{Rounding, TextFunctions}
 object TextEmbedding {
 
   /** (idCol, vec) — `vec` is the `dim`-length L2-normalized double
-    * array; an all-zero (token-free) doc stays the zero vector.
+    * array; a token-free doc KEEPS its row as the zero vector (the
+    * left join from the full id set below — an inner explode pipeline
+    * would silently delete empty documents from every downstream
+    * consumer, and the SQL oracle's dense CTE builds from
+    * `SELECT DISTINCT doc_id`, so the two engines would disagree on
+    * the first empty-text doc a corpus contains).
     */
   def hashedEmbeddings(docs: DataFrame, idCol: String, textCol: String,
                        dim: Int): DataFrame = {
@@ -45,11 +50,16 @@ object TextEmbedding {
     val asMap = sums.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("v"))))
         .as("m"))
+    // token-free docs have no rows in `sums`; the left join restores
+    // them with a null map, which densifies to the zero vector (both
+    // shuffles key on the doc id, so this adds no new exchange shape)
+    val allIds = docs.select(col(idCol)).distinct()
     val dense = transform(sequence(lit(0), lit(dim - 1)),
       i => coalesce(element_at(col("m"), i), lit(0.0)))
     val norm = sqrt(aggregate(
       transform(col("raw"), x => x * x), lit(0.0), (a, x) => a + x))
-    asMap.select(col(idCol), dense.as("raw"))
+    allIds.join(asMap, Seq(idCol), "left")
+      .select(col(idCol), dense.as("raw"))
       .withColumn("n", norm)
       .select(col(idCol), transform(col("raw"),
         x => when(col("n") > 0, Rounding.pround(x / col("n"), 6))

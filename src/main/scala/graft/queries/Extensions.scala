@@ -637,11 +637,16 @@ object Extensions {
        |         ELSE array_to_string(ws, ' ') END AS shingle
        |  FROM idx)""".stripMargin
 
+  // zero-norm operands score 0.0 (CASE guard) — mirrors the Spark
+  // side's rule in Similarity.cosine / functions.CosineSimilarity
   private val cosineExpr =
-    """floor((
+    """floor((CASE WHEN
+      |  (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
+      |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i)))) > 0 THEN
       |  (SELECT sum(qv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
       |  (sqrt((SELECT sum(qv[i]::DOUBLE * qv[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
-      |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
+      |   sqrt((SELECT sum(cv[i]::DOUBLE * cv[i]::DOUBLE) FROM generate_series(1, 64) t(i))))
+      |  ELSE 0.0 END) * 1000000 + 0.5) / 1000000""".stripMargin
 
   // --- sem_dedup_fixed centroids ------------------------------------
   // Eight 64-dim dyadic centroids (k/32 values: exact in float and
@@ -697,13 +702,17 @@ object Extensions {
        |  LEFT JOIN norms n ON n.doc_id = d.doc_id)""".stripMargin
 
   /** Cosine of two named DOUBLE[]/FLOAT[] columns, pround(6) — the
-    * generic form of [[cosineExpr]] for arbitrary operand names.
+    * generic form of [[cosineExpr]] for arbitrary operand names, with
+    * the same zero-norm → 0.0 CASE guard.
     */
   private def cosSql(a: String, b: String): String =
-    s"""floor((
+    s"""floor((CASE WHEN
+       |  (sqrt((SELECT sum($a[i]::DOUBLE * $a[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
+       |   sqrt((SELECT sum($b[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i)))) > 0 THEN
        |  (SELECT sum($a[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i)) /
        |  (sqrt((SELECT sum($a[i]::DOUBLE * $a[i]::DOUBLE) FROM generate_series(1, 64) t(i))) *
-       |   sqrt((SELECT sum($b[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000""".stripMargin
+       |   sqrt((SELECT sum($b[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i))))
+       |  ELSE 0.0 END) * 1000000 + 0.5) / 1000000""".stripMargin
 
   // --- pq_adc_fixed codebooks ---------------------------------------
   // Dyadic values (k/32) are exactly representable in float AND double,

@@ -151,6 +151,48 @@ class FanoutGuardSpec extends SparkSpec {
       s"guarded drop decision diverged: $dropsGuarded")
   }
 
+  test("image-dedup hot-bucket guard: planted solid-color images " +
+      "(identical aHash) produce a linear star, unchanged clusters") {
+    // blank/solid-color crawl images all hash to the same degenerate
+    // aHash (here 0x0), identical in EVERY band — the image twin of the
+    // planted-identical-docs LSH case. 10k rows unguarded = ~50M pairs
+    // per band on one join task.
+    val n = 10000
+    val planted = (1 to n).map(i => (i.toLong, 0L)).toDF("doc_id", "hash")
+    val pairs = graft.multimodal.Multimodal.imageDupPairs(planted,
+      maxHamming = 3, maxBucket = 100)
+    assert(pairs.count() == (n - 1).toLong,
+      "hot hash class must emit a spanning star (n−1 edges), not all pairs")
+    assert(pairs.select("id_a").distinct().count() == 1 &&
+      pairs.agg(min($"id_a")).head().getLong(0) == 1L,
+      "star must be rooted at the class's min doc_id")
+    assert(pairs.filter($"hamming" =!= 0).count() == 0)
+    // canonical manifest identical to what the all-pairs clique gives:
+    // one cluster rooted at doc 1 containing every planted image
+    val manifest = DedupCluster.canonicalize(
+      planted.select($"doc_id"), "doc_id", pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSeq
+    assert(manifest == Seq((1L, n.toLong)),
+      s"expected one cluster (canonical=1, members=$n), got $manifest")
+  }
+
+  test("image-dedup guard leaves sub-cap results byte-identical and " +
+      "keeps true near-dups across distinct sub-cap classes") {
+    // two near-dup pairs (hamming 1 and 2) + one far hash: guarded and
+    // unguarded agree exactly while the cap is not binding
+    val hashes = Seq(
+      (1L, 0x0123456789ABCDEFL), (2L, 0x0123456789ABCDEEL), // hamming 1
+      (3L, 0x7777000011112222L), (4L, 0x7777000011113222L), // hamming 2
+      (5L, -1L)).toDF("doc_id", "hash")
+    val guarded = graft.multimodal.Multimodal.imageDupPairs(hashes, 3)
+      .collect().toSet
+    val unguarded = graft.multimodal.Multimodal.imageDupPairs(hashes, 3,
+      maxBucket = 0).collect().toSet
+    assert(guarded == unguarded, "default cap must not bind below DefaultMaxDf")
+    assert(guarded.map(r => (r.getLong(0), r.getLong(1))) ==
+      Set((1L, 2L), (3L, 4L)))
+  }
+
   test("skyline raises loudly when anti-correlated criteria make the " +
       "phase-1 survivor set exceed the single-task bound") {
     // b = a with one minimized and one maximized → EVERY row is locally
