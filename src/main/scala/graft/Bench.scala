@@ -78,8 +78,22 @@ object Bench {
     val builds = buildResults.map { case (n, _, ok) => "\"" + n + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Opt-in 100×-shape evidence (SPARK_GRAFT_STRESS=1): amplified-
+    // fixture throughput stages + pass/fail bounds on the guard paths
+    // (hot-bucket stars, df-cap, hot-cell loud failure), appended to
+    // the metric line so each round's BENCH.json carries the proof.
+    val stressSection =
+      if (!sys.env.get("SPARK_GRAFT_STRESS").contains("1")) ""
+      else {
+        val stress = ScaleStress.run(spark, sfDir)
+        val entries = stress.map(r =>
+          "\"" + r.label.replace("\"", "'") + "\":" + r.sec).mkString("{", ",", "}")
+        val allOk = stress.forall(_.ok)
+        s""","stress_ok":$allOk,"stress":$entries"""
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"build_ok":$builds,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"build_ok":$builds,"queries":$qs,"sf":"$sfDir"$stressSection}"""
     println(line)
     // Also land the metric line as a file: the driver's stdout tail
     // capture truncates long JSON, leaving BENCH_r{N}.json unparsed.

@@ -1,26 +1,91 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale sanity: amplifies the fixtures (20x events = 2M rows, 10x
-  * embeddings = 20k vectors) into a temp dir and times the flagship
-  * paths, to check the operators scale with data — results recorded in
-  * PLANS.md. Not part of the driver contract.
+  * embeddings = 20k vectors, 10x documents = 50k docs in 10-near-dup
+  * cliques) into a temp dir and times the flagship paths, to check the
+  * operators scale with data — plus PASS/FAIL bounds on the guard
+  * paths (LSH hot-bucket star, image hot-bucket star, df-cap): the
+  * 100×-shape evidence, reproducible with one command each round.
+  *
+  * Two entry points: [[main]] for ad-hoc runs, and [[run]] which the
+  * bench invokes when `SPARK_GRAFT_STRESS=1` so the per-round
+  * BENCH.json carries a `stress` section with the same numbers.
   */
 object ScaleStress {
+
+  final case class StressResult(label: String, sec: Double, ok: Boolean)
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(32, "scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    val results = run(spark, "/root/testdata/sf0.1")
+    results.foreach(r =>
+      println(f"STRESS ${if (r.ok) "ok " else "FAIL"} ${r.label} ${r.sec}%.2f s"))
+    if (results.exists(!_.ok)) sys.exit(1)
+    spark.stop()
+  }
+
+  /** Runs every stress stage; a stage is ok=false if it throws OR (for
+    * the guard stages) its explicit bound is violated.
+    */
+  def run(spark: SparkSession, base: String): Seq[StressResult] = {
     import spark.implicits._
-
-    val base = "/root/testdata/sf0.1"
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[StressResult]
 
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"STRESS $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    /** Time a stage whose body returns its own pass/fail verdict. */
+    def check(label: String)(f: => Boolean): Unit = {
+      val t0 = System.nanoTime()
+      val ok = try f catch {
+        case e: Throwable =>
+          System.err.println(s"[stress] $label FAILED: ${e.getMessage}")
+          false
+      }
+      out += StressResult(label, (System.nanoTime() - t0) / 1e9, ok)
     }
+    /** Time a throughput stage: ok = completed. */
+    def time(label: String)(f: => Unit): Unit = check(label) { f; true }
+
+    // ---- guard bounds: the planted pathologies a 100 TB crawl WILL
+    // contain, asserted to stay linear ---------------------------------
+
+    check("guard: LSH hot bucket emits a star (10k identical docs)") {
+      val n = 10000
+      val planted = (1 to n).map(i =>
+        (i.toLong, "exactly the same duplicated text in every document"))
+        .toDF("doc_id", "text")
+      operators.Dedup.minHashLshPairs(planted, "doc_id", "text", 3, 4, 3,
+        maxBucket = 100, materialize = false).count() == (n - 1).toLong
+    }
+    check("guard: image hot bucket emits a star (10k identical hashes)") {
+      val n = 10000
+      val hashes = (1 to n).map(i => (i.toLong, 0L)).toDF("doc_id", "hash")
+      multimodal.Multimodal.imageDupPairs(hashes, maxHamming = 3,
+        maxBucket = 100).count() == (n - 1).toLong
+    }
+    check("guard: df-cap drops a planted stop-shingle (no pair fan-out)") {
+      val n = 5000
+      val boiler = (1 to n).map(i =>
+        (i.toLong, s"common header words repeated everywhere u$i v$i w$i x$i y$i"))
+        .toDF("doc_id", "text")
+      operators.Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 5, 0.0,
+        maxDf = 100).count() == 0L
+    }
+    check("guard: semDedup hot cell fails loudly (all vectors one cell)") {
+      val vecs = (1 to 2000).map(i => (i.toLong, Array.fill(64)(1f)))
+        .toDF("vec_id", "embedding")
+      val cents = Seq(Seq.fill(64)(1f), Seq.fill(64)(-1f))
+      try {
+        operators.Similarity.semDedupWithCentroids(vecs, "vec_id",
+          "embedding", cents, 0.99, maxCellSize = 500).count()
+        false // the guard must throw, not fan out
+      } catch { case _: IllegalStateException => true }
+    }
+
+    // ---- throughput stages (amplified fixtures) -----------------------
 
     // 20x events with disjoint ids and shifted timestamps (6 months span)
     val ev = Tables.load(spark, base, "events")
@@ -33,8 +98,6 @@ object ScaleStress {
         overwritePartitions = false)
     }
     val bigEv = spark.read.parquet(s"$tmp/events").drop("month")
-    println("rows=" + bigEv.count() + " months=" +
-      sources.IO.listMonthPartitions(spark, s"$tmp/events").size)
 
     time("flagship incremental load (cold start, 2M rows)") {
       val cfg = pipeline.IncrementalLoad.Config(
@@ -60,7 +123,6 @@ object ScaleStress {
     val bigEmb = (0 until 10).map(i => emb
       .withColumn("vec_id", $"vec_id" + lit(i.toLong * 1_000_000L)))
       .reduce(_.unionByName(_)).cache()
-    println("vecs=" + bigEmb.count())
     time("brute-force ANN: 10 queries x 20k vectors (native expr)") {
       operators.Similarity.bruteForceTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
         "vec_id", "embedding", 5,
@@ -72,17 +134,26 @@ object ScaleStress {
         "vec_id", "embedding", 5, 8)
         .write.format("noop").mode("overwrite").save()
     }
+    time("IVF-PQ top-5: 10 queries x 20k vectors (nlist=32, 8x16 codes)") {
+      operators.Similarity.ivfPqTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
+        "vec_id", "embedding", 5, nlist = 32, nprobe = 4,
+        nsub = 8, ksub = 16)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("SemDeDup over 20k vectors (KMeans 64 cells, 10-cliques)") {
+      operators.Similarity.semDedup(bigEmb, "vec_id", "embedding",
+        nlist = 64, minCosine = 0.95)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // 10x documents (50k docs, each base doc in a 10-near-dup clique) —
-    // the training-tier paths. Copies get a
-    // distinct tail so they are near-dups (shared shingles) rather than
-    // exact dups, exercising the realistic LSH load.
+    // copies get a distinct tail so they are near-dups (shared
+    // shingles) rather than exact dups: the realistic LSH load.
     val docs = Tables.load(spark, base, "documents")
     val bigDocs = (0 until 10).map(i => docs
       .withColumn("doc_id", $"doc_id" + lit(i.toLong * 10_000_000L))
       .withColumn("text", concat($"text", lit(s" stress tail marker $i"))))
       .reduce(_.unionByName(_)).cache()
-    println("docs=" + bigDocs.count())
     time("quality verdict over 50k docs (map-only pass)") {
       operators.Quality.verdict(bigDocs, "doc_id", "text",
         operators.Quality.Thresholds())
@@ -104,10 +175,7 @@ object ScaleStress {
         Seq(operators.Sampling.shuffleKey($"doc_id", "stress"), $"doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
-
-    // round-4 tier at the same 10x amplification
-    time("bm25 top-3 for 25 queries over 50k docs (inverted index, " +
-      "persisted tf)") {
+    time("bm25 top-3 for 25 queries over 50k docs (inverted index)") {
       operators.Retrieval.bm25TopK(bigDocs, "doc_id", "text",
         $"doc_id" < 25, 3)
         .write.format("noop").mode("overwrite").save()
@@ -127,23 +195,10 @@ object ScaleStress {
         1000, "stress")
         .write.format("noop").mode("overwrite").save()
     }
-    time("IVF-PQ top-5: 10 queries x 20k vectors (nlist=32, 8x16 codes)") {
-      operators.Similarity.ivfPqTopK(bigEmb, bigEmb.filter($"vec_id" < 10),
-        "vec_id", "embedding", 5, nlist = 32, nprobe = 4,
-        nsub = 8, ksub = 16)
-        .write.format("noop").mode("overwrite").save()
-    }
     time("z-order write of 2M events on (user_id, value)") {
       sources.IO.writeZOrdered(bigEv
         .select("event_id", "user_id", "ts", "value"),
         s"$tmp/events_z", Seq("user_id", "value"))
-    }
-
-    // round-7 tier at the same amplification
-    time("SemDeDup over 20k vectors (KMeans 64 cells, 10-cliques)") {
-      operators.Similarity.semDedup(bigEmb, "vec_id", "embedding",
-        nlist = 64, minCosine = 0.95)
-        .write.format("noop").mode("overwrite").save()
     }
     time("BPE: learn 200 merges (one word-count pass) + tokenize 50k docs") {
       val merges = operators.Bpe.learn(bigDocs, "text", nMerges = 200,
@@ -172,6 +227,8 @@ object ScaleStress {
         $"doc_id" < 10, 5, 64)
         .write.format("noop").mode("overwrite").save()
     }
-    spark.stop()
+    bigEmb.unpersist(blocking = false)
+    bigDocs.unpersist(blocking = false)
+    out.toSeq
   }
 }

@@ -50,6 +50,72 @@ object CorpusBuildJob {
                                afterDecontamination: Long, train: Long,
                                eval_ : Long)
 
+  final case class MediaCounts(rawMedia: Long, hashedImages: Long,
+                               canonicalRows: Long, audioWindowRows: Long)
+
+  /** The MEDIA side of the corpus build — the multimodal tier composed
+    * end-to-end the same way [[run]] composes the text tier:
+    *
+    *   1. typed feature extraction (`Multimodal.extractFeatures`) —
+    *      checksum + decoded features per payload, map-only
+    *   2. perceptual image dedup: aHash → banded hamming pairs (with
+    *      the hot-bucket star guard) → connected components → keep
+    *      each cluster's canonical (min-id) payload — the image twin
+    *      of [[run]]'s stage 4; payloads that don't decode carry no
+    *      perceptual-dup claim and pass through untouched
+    *   3. windowed audio features (`Multimodal.sampleAudioWindows`)
+    *      over the kept rows — one row per energy window, the unit
+    *      silence-trimming / segment-level stages consume
+    *
+    * Outputs: `media_features`, `media_canonical` (the deduped payload
+    * set), `media_audio_windows`. Returns per-stage counts, same
+    * observability contract as [[StageCounts]].
+    */
+  def runMedia(spark: SparkSession,
+               media: org.apache.spark.sql.Dataset[
+                 graft.multimodal.Multimodal.MediaRow],
+               outDir: String, maxHamming: Int = 3,
+               audioWindowMs: Long = 250): MediaCounts = {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val m = media.persist()
+    val hashes = Multimodal.imageHashes(m).toDF().persist()
+    try {
+      val rawMedia = m.count()
+      val features = Multimodal.extractFeatures(m).toDF()
+      val hashedImages = hashes.count()
+      val pairs = Multimodal.imageDupPairs(hashes, maxHamming)
+        .select("id_a", "id_b")
+      val labels = DedupCluster.components(
+        hashes.select(col("doc_id")), "doc_id", pairs)
+      val canonicalImages = m.toDF().join(
+        labels.filter(col("id") === col("cluster_id"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // no hash ⇒ no perceptual-dup claim ⇒ the payload passes through
+      val opaque = m.toDF()
+        .join(hashes.select("doc_id"), Seq("doc_id"), "left_anti")
+      val kept = canonicalImages.unionByName(opaque)
+      val audioWin = Multimodal.sampleAudioWindows(
+        kept.as[Multimodal.MediaRow], audioWindowMs).toDF()
+
+      features.write.mode("overwrite").parquet(s"$outDir/media_features")
+      kept.write.mode("overwrite").parquet(s"$outDir/media_canonical")
+      audioWin.write.mode("overwrite")
+        .parquet(s"$outDir/media_audio_windows")
+      labels.unpersist(blocking = false)
+
+      val canonicalRows = spark.read
+        .parquet(s"$outDir/media_canonical").count()
+      val audioWindowRows = spark.read
+        .parquet(s"$outDir/media_audio_windows").count()
+      MediaCounts(rawMedia, hashedImages, canonicalRows, audioWindowRows)
+    } finally {
+      hashes.unpersist(blocking = false)
+      m.unpersist(blocking = false)
+    }
+  }
+
   /** @param evalPredicate rows of `docs` that are the held-out eval set
     *                      (they skip the pipeline and are written
     *                      separately; training docs are cleaned against

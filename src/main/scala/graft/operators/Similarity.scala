@@ -457,6 +457,17 @@ object Similarity {
       .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
     graft.sources.IO.writeBucketedTable(indexed, table, "cell", buckets)
     pinned.foreach(_.unpersist(blocking = false))
+    writeModelTables(spark, table, centDf, books, residual)
+  }
+
+  /** Persist the centroid + codebook side tables of a vector index —
+    * shared by the trained build ([[writeVectorIndex]]) and the
+    * bring-your-own-model build ([[writeVectorIndexWithModel]]).
+    */
+  private def writeModelTables(spark: SparkSession, table: String,
+                               centDf: DataFrame,
+                               books: Seq[Seq[Seq[Float]]],
+                               residual: Boolean): Unit = {
     graft.sources.IO.writeBucketedTable(centDf, table + "_centroids",
       "cell", 1)
     // the residual flag rides the codebook rows so the query side can
@@ -469,6 +480,32 @@ object Similarity {
       spark.createDataFrame(bookRows)
         .toDF("sub", "code", "centroid", "residual"),
       table + "_codebooks", "sub", 1)
+  }
+
+  /** Persist an IVF-PQ index from a CALLER-SUPPLIED model (coarse
+    * centroids + PQ codebooks) — FAISS's `train` elsewhere / `add`
+    * here split, and the fully-deterministic form: with a fixed model
+    * the whole stored index (cells, codes, side tables) is a pure
+    * function of the corpus, so the stored-index QUERY path gets a
+    * hash-matched SQL oracle (`ann_ivfpq_indexed_fixed`) — the trained
+    * build can't (KMeans has no SQL equivalent). Also the entry point
+    * for models trained offline or imported from another system. One
+    * map/broadcast encode pass + the bucketed write, no training scan.
+    */
+  def writeVectorIndexWithModel(corpus: DataFrame, idCol: String,
+                                vecCol: String, table: String,
+                                centroids: Seq[Seq[Float]],
+                                books: Seq[Seq[Seq[Float]]],
+                                residual: Boolean = false,
+                                buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    graft.sources.IO.writeBucketedTable(
+      encodeForIndex(corpus, idCol, vecCol, centDf, books, residual),
+      table, "cell", buckets)
+    writeModelTables(spark, table, centDf, books, residual)
   }
 
   /** Rehydrate the PQ codebooks (and the residual-encoding flag) from

@@ -37,6 +37,9 @@ object Extensions {
   private val AnnNsub = 8
   private val AnnKsub = 16
   private val AnnOverquery = 5
+  // nprobe for the FIXED-model stored indexes (8 SemCents cells, vs
+  // the trained index's AnnNlist=16)
+  private val FixedNprobe = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ------------------------------------------------
@@ -546,6 +549,42 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ against a STORED index built from a FIXED model
+    // (writeVectorIndexWithModel: SemCents coarse cells + PqBooks
+    // codebooks — no KMeans anywhere): every stage (cell argmin,
+    // encode argmin, ADC shortlist, exact re-rank) is a pure function
+    // of the corpus, so the stored-index QUERY path itself gets a
+    // hash-matched DuckDB replica — closing the gate's last
+    // `no_oracle` hole (ann_ivfpq_indexed/append stay rows-only
+    // because trained KMeans has no SQL equivalent; their result
+    // equality with this exact code path is pinned in SimilaritySpec).
+    "ann_ivfpq_indexed_fixed" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_vec_index_fixed"))
+        buildFixedVecIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKFromIndex(s, "graft_vec_index_fixed",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
+        nprobe = FixedNprobe, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The text→stored-ANN bridge END-TO-END: feature-hashed embeddings
+    // (model-free text→vector) → fixed-model stored IVF-PQ index →
+    // indexed query — raw text in, approximate neighbors out, one
+    // oracle-checked pipeline (text_hash_ann is the brute-force twin;
+    // this is the scale path a 100 TB corpus would actually run).
+    "text_hash_ann_indexed" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_text_vec_index"))
+        buildTextVecIndex(s, dir)
+      val q = TextEmbedding.hashedEmbeddings(
+        t(s, dir, "documents").filter(col("doc_id") < 5),
+        "doc_id", "text", HashDim)
+      Similarity.ivfPqTopKFromIndex(s, "graft_text_vec_index", q,
+        "doc_id", "vec", AnnK, nprobe = FixedNprobe,
+        overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // threshold 0.4: the fixture corpus has no planted vector near-dups
     // (max pairwise cosine ≈0.51), so a production-style 0.9 threshold
     // would make the check vacuous.
@@ -714,6 +753,77 @@ object Extensions {
        |   sqrt((SELECT sum($b[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i))))
        |  ELSE 0.0 END) * 1000000 + 0.5) / 1000000""".stripMargin
 
+  /** Σ(a−b)² over the 64 dims, pround(6) — the exact-re-rank distance
+    * (same ascending correlated-subquery fold as [[cosSql]], so it is
+    * bit-equal to the fused L2DistanceSq expression's loop).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"""floor(((SELECT sum(($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)) FROM generate_series(1, 64) t(i))) * 1000000 + 0.5) / 1000000"""
+
+  /** The COMPLETE fixed-model stored-index IVF-PQ replica over
+    * relation `rel` (id column `id`, 64-dim vector column `vec`,
+    * query-side predicate on alias `v`): SemCents cell argmin for both
+    * corpus and queries, PqBooks encode argmin, raw-double ADC
+    * shortlist cut at k·overquery, exact-L2 re-rank to k — stage for
+    * stage what writeVectorIndexWithModel + ivfPqTopKFromIndex
+    * execute, so the stored-index query path is hash-matched
+    * end-to-end. Emitted as the body of a WITH (callers prepend
+    * `WITH ` and any upstream CTEs).
+    */
+  private def ivfPqFixedSql(rel: String, id: String, vec: String,
+                            queryPred: String): String = {
+    val cdistCols = (for (j <- 0 until PqSub; c <- 0 until PqKsub)
+      yield s"(${pqCentDist(vec, j, c)}) AS d${j}_$c").mkString(",\n  ")
+    val codeCols = (0 until PqSub)
+      .map(j => s"${pqCodeCase(j)} AS code$j").mkString(",\n  ")
+    val adc = (0 until PqSub).map(j => s"(${pqAdcCase(j)})").mkString(" + ")
+    val centsRows = SemCents.indices.map(c =>
+      s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS ccv, ${semCentSumSq(c)} AS ss")
+      .mkString("\n  UNION ALL\n  ")
+    s"""cents AS (
+       |  $centsRows),
+       |assign AS (
+       |  SELECT $id, $vec, cell FROM (
+       |    SELECT e.$id, e.$vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.$id ORDER BY
+       |        ((SELECT sum(e.$vec[i]::DOUBLE * c.ccv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+       |        c.cell) AS rn
+       |    FROM $rel e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |cdist AS (
+       |  SELECT $id AS cand_id,
+       |  $cdistCols
+       |  FROM $rel),
+       |enc AS (
+       |  SELECT cand_id,
+       |  $codeCols
+       |  FROM cdist),
+       |idx AS (
+       |  SELECT a.$id AS cand_id, a.cell, a.$vec AS cv,
+       |         x.code0, x.code1, x.code2, x.code3
+       |  FROM assign a JOIN enc x ON x.cand_id = a.$id),
+       |qd AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT v.$id AS query_id, v.$vec AS qv, c.cell,
+       |      row_number() OVER (PARTITION BY v.$id ORDER BY
+       |        ((SELECT sum(v.$vec[i]::DOUBLE * c.ccv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+       |        c.cell) AS rn
+       |    FROM $rel v CROSS JOIN cents c WHERE $queryPred)
+       |  WHERE rn <= $FixedNprobe),
+       |shortl AS (
+       |  SELECT query_id, cand_id, qv, cv FROM (
+       |    SELECT q.query_id, e.cand_id, q.qv, e.cv,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ($adc), e.cand_id) AS r
+       |    FROM idx e JOIN qd q ON e.cell = q.cell AND e.cand_id <> q.query_id)
+       |  WHERE r <= ${AnnK * AnnOverquery}),
+       |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM shortl)
+       |SELECT query_id, cand_id, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- pq_adc_fixed codebooks ---------------------------------------
   // Dyadic values (k/32) are exactly representable in float AND double,
   // and their shortest decimal form parses back to the same double in
@@ -861,6 +971,8 @@ object Extensions {
     "text_bm25_index_build" -> ((s, dir) => buildBm25Index(s, dir)),
     "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)),
     "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)),
+    "ann_fixed_index_build" -> ((s, dir) => buildFixedVecIndex(s, dir)),
+    "text_ann_index_build" -> ((s, dir) => buildTextVecIndex(s, dir)),
     "sem_dedup_base_build" -> ((s, dir) => buildSemBase(s, dir)))
 
   /** One corpus pass trains + encodes + persists the IVF-PQ index the
@@ -889,6 +1001,25 @@ object Extensions {
     Similarity.appendVectors(s, "graft_vec_index_inc",
       emb.filter(col("vec_id") < cut), "vec_id", "embedding")
   }
+
+  /** Fixed-model stored index (no KMeans): SemCents coarse cells +
+    * PqBooks codebooks over the raw embeddings — the fully-
+    * deterministic build whose query path ann_ivfpq_indexed_fixed
+    * hash-matches against DuckDB.
+    */
+  private def buildFixedVecIndex(s: SparkSession, dir: String): Unit =
+    Similarity.writeVectorIndexWithModel(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "graft_vec_index_fixed", SemCents, PqBooks)
+
+  /** The text-modality stored index: feature-hashed document
+    * embeddings encoded under the same fixed model — the build half of
+    * text_hash_ann_indexed.
+    */
+  private def buildTextVecIndex(s: SparkSession, dir: String): Unit =
+    Similarity.writeVectorIndexWithModel(
+      TextEmbedding.hashedEmbeddings(t(s, dir, "documents"), "doc_id",
+        "text", HashDim),
+      "doc_id", "vec", "graft_text_vec_index", SemCents, PqBooks)
 
   private def buildBm25Index(s: SparkSession, dir: String): Unit =
     graft.operators.Retrieval.writeIndex(t(s, dir, "documents"),
@@ -1542,6 +1673,17 @@ object Extensions {
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
     },
+
+    // stored-index IVF-PQ, fixed model: the full build+query replica
+    "ann_ivfpq_indexed_fixed" ->
+      s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}""",
+
+    // text→ANN bridge: hashed dense vectors feed the same replica
+    "text_hash_ann_indexed" ->
+      s"""WITH $hashDenseCte,
+         |vecs AS (SELECT doc_id, list(weight ORDER BY dim_idx) AS vec
+         |         FROM dense GROUP BY doc_id),
+         |${ivfPqFixedSql("vecs", "doc_id", "vec", "v.doc_id < 5")}""".stripMargin,
 
     "emb_near_dup" ->
       s"""WITH v AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),

@@ -74,4 +74,82 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(chunks.select("doc_id").distinct().count() == counts.train)
     assert(chunks.filter($"chunk_idx" === 0).count() == counts.train)
   }
+
+  /** Solid-color PNG (every solid color aHashes to the same degenerate
+    * value — the planted near-dup class). */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 2×2-checkered PNG — a structured image whose aHash differs from
+    * the solid-color class. */
+  private def checkerPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, if (((x / 2) + (y / 2)) % 2 == 0) 0xFFFFFF else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** In-memory mono 16-bit PCM WAV sine. */
+  private def wavBytes(freqHz: Double, ms: Int,
+                       rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / rate) * 16384).toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("media build: near-dup images collapse to one canonical row; " +
+      "audio windows and opaque payloads survive") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      // three near-dup images (solid colors share the degenerate
+      // aHash) → ONE canonical row (min id 1)
+      Multimodal.MediaRow(1L, pngBytes(8, 8, 0x000000), "image/png", 8, 8),
+      Multimodal.MediaRow(2L, pngBytes(8, 8, 0xFFFFFF), "image/png", 8, 8),
+      Multimodal.MediaRow(3L, pngBytes(8, 8, 0x808080), "image/png", 8, 8),
+      // a structurally different image → its own cluster, kept
+      Multimodal.MediaRow(4L, checkerPng(8, 8), "image/png", 8, 8),
+      // real audio → kept (no aHash) + contributes energy windows
+      Multimodal.MediaRow(5L, wavBytes(400.0, 500), "audio/wav", 0, 0),
+      // opaque payload → kept, no perceptual-dup claim, no windows
+      Multimodal.MediaRow(6L, "not media".getBytes("UTF-8"), "bin", 0, 0)
+    ).toDS()
+    val out = tempDir("media_build")
+    val counts = CorpusBuildJob.runMedia(spark, media, out)
+    assert(counts.rawMedia == 6 && counts.hashedImages == 4)
+    // 6 payloads − 2 collapsed near-dups = 4 canonical rows
+    assert(counts.canonicalRows == 4, counts.toString)
+    val kept = spark.read.parquet(s"$out/media_canonical")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L),
+      s"canonical set wrong: $kept")
+    // windowed audio: 500 ms / 250 ms windows from doc 5 only
+    val win = spark.read.parquet(s"$out/media_audio_windows")
+    assert(counts.audioWindowRows == 2)
+    assert(win.select("doc_id").distinct().as[Long].collect().toSeq
+      == Seq(5L))
+    // features cover every payload (checksum per row)
+    val feats = spark.read.parquet(s"$out/media_features")
+    assert(feats.count() == 6)
+    assert(feats.select("checksum").distinct().count() == 6)
+  }
 }
