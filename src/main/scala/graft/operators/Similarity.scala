@@ -5,13 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Rounding
 
-/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+/** Similarity search over an embedding column (`array<float>`, or
+  * `array<double>` for the feature-hashed text embeddings).
   *
-  * Vector math uses higher-order functions (`zip_with` + `aggregate`)
-  * with explicit float→double casts: a sequential left-to-right fold,
-  * bit-identical to the oracle's per-element SQL sum, and fully inside
-  * whole-stage codegen (no UDF, no boxing of the array elements beyond
-  * the codegen'd ArrayData access).
+  * Vector math on the HOT paths (cell assignment, PQ encode, ADC,
+  * exact re-rank, pair cosine) runs as fused codegen'd expressions
+  * ([[graft.functions.DotProduct]], [[graft.functions.L2DistanceSq]],
+  * [[graft.functions.PqAdcDistance]], [[graft.functions.PqEncodeCodes]],
+  * [[graft.functions.CosineSimilarity]]) — Spark's higher-order
+  * functions are CodegenFallback (interpreted row-at-a-time even
+  * inside a WholeStageCodegen stage), so the HOF spellings
+  * ([[dot]]/[[l2Norm]]/[[cosine]]) remain only on the brute-force
+  * oracle-parity paths. Both forms share one numeric contract — a
+  * sequential left-to-right double fold with per-element casts,
+  * bit-identical to the oracle's per-element SQL sum — so they are
+  * interchangeable without moving a hash.
   *
   * Scale design: the brute-force path broadcasts the (small) query set
   * against the full corpus — a map-only scan that parallelizes over

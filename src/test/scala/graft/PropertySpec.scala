@@ -301,4 +301,74 @@ class PropertySpec extends SparkSpec {
         s"nWords=$nWords n=$n stride=$stride: reassembly mismatch")
     }
   }
+
+  private val pqCaseGen: Gen[(List[Array[Float]], List[List[List[Float]]])] =
+    for {
+      nsub <- Gen.oneOf(2, 4)
+      subDim <- Gen.oneOf(2, 4)
+      ksub <- Gen.oneOf(2, 4)
+      dim = nsub * subDim
+      vecs <- Gen.listOfN(12,
+        Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 32.0f))
+          .map(_.toArray))
+      books <- Gen.listOfN(nsub, Gen.listOfN(ksub,
+        Gen.listOfN(subDim, Gen.choose(-100, 100).map(_ / 32.0f))))
+    } yield (vecs, books.map(_.map(_.toList)))
+
+  /** Reference (driver-side) PQ encode: argmin per sub-quantizer, ties
+    * to the smaller code — the contract PqEncodeCodes implements.
+    */
+  private def refEncode(v: Array[Float],
+                        books: Seq[Seq[Seq[Float]]]): Seq[Int] =
+    books.zipWithIndex.map { case (book, j) =>
+      val subDim = book.head.size
+      book.zipWithIndex.map { case (cent, c) =>
+        val d = cent.zipWithIndex.map { case (cv, di) =>
+          val diff = v(j * subDim + di).toDouble - cv.toDouble
+          diff * diff
+        }.sum
+        (d, c)
+      }.minBy(identity)._2
+    }
+
+  /** Reference ADC: Σ_j ||q_j − book_j[code_j]||². */
+  private def refAdc(q: Array[Float], codes: Seq[Int],
+                     books: Seq[Seq[Seq[Float]]]): Double =
+    books.zipWithIndex.map { case (book, j) =>
+      val subDim = book.head.size
+      val cent = book(codes(j))
+      cent.zipWithIndex.map { case (cv, di) =>
+        val diff = q(j * subDim + di).toDouble - cv.toDouble
+        diff * diff
+      }.sum
+    }.sum
+
+  test("PQ codec: distributed encode/ADC match the driver-side " +
+      "reference argmin and distance on random dyadic cases") {
+    forAll(pqCaseGen, n = 6) { case (vecs, books) =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val enc = graft.operators.Similarity.pqEncode(df, "vec_id",
+        "embedding", books)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(enc(i.toLong) == refEncode(v, books),
+          s"encode mismatch for vec $i")
+      }
+      // ADC of every vector against its own codes (dyadic inputs: the
+      // reference .sum and the expression's fold are both exact here)
+      val adc = graft.functions.PqCodec.adc(spark,
+        col("codes"), col("embedding"), books)
+      val got = graft.operators.Similarity.pqEncode(df, "vec_id",
+        "embedding", books)
+        .join(df.select(col("vec_id").as("cand_id"), col("embedding")),
+          Seq("cand_id"))
+        .select(col("cand_id"), adc.as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val want = refAdc(v, enc(i.toLong).map(identity), books)
+        assert(got(i.toLong) == want, s"adc mismatch for vec $i")
+      }
+    }
+  }
 }
