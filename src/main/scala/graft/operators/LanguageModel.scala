@@ -111,6 +111,31 @@ object LanguageModel {
       .filter(col("prev").isNotNull)
       .groupBy("prev", "token").agg(count(lit(1)).as("cnt2"))
 
+  /** (id, prev2, prev, token) per position — [[tokenPositions]] plus
+    * the second-order context, still one posexplode and two
+    * `element_at`s inside the same row (never a position self-join).
+    * prev2 is null at positions 1–2.
+    */
+  private def tokenPositions3(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), posexplode(col("ws")))
+      .select(col(idCol),
+        when(col("pos") < 2, lit(null))
+          .otherwise(element_at(col("ws"), col("pos") - 1)).as("prev2"),
+        when(col("pos") === 0, lit(null))
+          .otherwise(element_at(col("ws"), col("pos"))).as("prev"),
+        col("col").as("token"))
+
+  /** Train: trigram counts — (prev2, prev, token, cnt3); document
+    * boundaries respected (positions 1–2 contribute no trigram).
+    */
+  def trigramLm(reference: DataFrame, textCol: String): DataFrame =
+    tokenPositions3(reference.select(lit(0L).as("_id"),
+      col(textCol)), "_id", textCol)
+      .filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "token").agg(count(lit(1)).as("cnt3"))
+
   /** Score under the interpolated bigram LM (Jelinek–Mercer mixing —
     * the first rung of the ladder CCNet's 5-gram KenLM sits on):
     *
@@ -160,6 +185,67 @@ object LanguageModel {
       .withColumn("logp",
         Rounding.pround(log2(lit(lambda) * pBig + lit(oneMinus) * pUni), 9)
           .cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
+      .withColumn("xent",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .withColumn("perplexity",
+        Rounding.pround(pow(lit(2.0), col("xent")), 4))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
+
+  /** Score under the interpolated TRIGRAM LM — the next rung of the
+    * Jelinek–Mercer ladder toward CCNet's 5-gram KenLM:
+    *
+    *   p(w | prev2, prev) = λ₃·cnt3/ctx3 + λ₂·cnt2/ctx2 + (1−λ₃−λ₂)·p_uni
+    *
+    * Each higher-order term is 0 when its context is unseen or the
+    * position lacks it (same deliberately-deficient fixed-weight trade
+    * as [[crossEntropyBigram]] — consistent penalty direction is what
+    * a quality filter needs). At λ₃=0 this is BIT-IDENTICAL to the
+    * bigram scorer with λ=λ₂ (0·p₃ + x = x in IEEE for the
+    * non-negative mixture terms, and 1.0−0.0−λ₂ ≡ 1.0−λ₂) — pinned in
+    * TrainingPipelineSpec.
+    *
+    * Scale shape: FIVE one-row-per-key LEFT joins (trigram, its
+    * context, bigram, its context, unigram) against the token
+    * sequence — still no pair fan-out on hot tokens, output ∝ corpus
+    * token count. λ complements are computed once in Scala and the
+    * printed doubles injected into both engines.
+    */
+  def crossEntropyTrigram(docs: DataFrame, idCol: String, textCol: String,
+                          uniLm: DataFrame, bigLm: DataFrame,
+                          triLm: DataFrame,
+                          lambda3: Double = 0.5, lambda2: Double = 0.3,
+                          alpha: Double = 0.5): DataFrame = {
+    require(lambda3 >= 0 && lambda2 >= 0 && lambda3 + lambda2 <= 1,
+      s"lambdas must be non-negative with sum <= 1: $lambda3, $lambda2")
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    val uniWeight = 1.0 - lambda3 - lambda2
+    val ctx2 = bigLm.groupBy(col("prev")).agg(sum(col("cnt2")).as("ctx2"))
+    val ctx3 = triLm.groupBy(col("prev2"), col("prev"))
+      .agg(sum(col("cnt3")).as("ctx3"))
+    val stats = uniLm.agg(sum(col("cnt")).cast("double").as("lm_total"),
+      count(lit(1)).cast("double").as("lm_vocab"))
+    val pUni = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("lm_total") + lit(alpha) * (col("lm_vocab") + lit(1.0)))
+    val pBig = when(col("cnt2").isNotNull && col("ctx2").isNotNull,
+      col("cnt2").cast("double") / col("ctx2").cast("double"))
+      .otherwise(lit(0.0))
+    val pTri = when(col("cnt3").isNotNull && col("ctx3").isNotNull,
+      col("cnt3").cast("double") / col("ctx3").cast("double"))
+      .otherwise(lit(0.0))
+    tokenPositions3(docs, idCol, textCol)
+      .join(triLm, Seq("prev2", "prev", "token"), "left")
+      .join(ctx3, Seq("prev2", "prev"), "left")
+      .join(bigLm, Seq("prev", "token"), "left")
+      .join(ctx2, Seq("prev"), "left")
+      .join(uniLm, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        Rounding.pround(log2(
+          lit(lambda3) * pTri + lit(lambda2) * pBig + lit(uniWeight) * pUni),
+          9).cast(DecimalType(38, 12)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
       .withColumn("xent",

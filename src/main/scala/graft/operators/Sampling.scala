@@ -147,4 +147,29 @@ object Sampling {
         weightedPriority(col(keyCol), col(weightCol), seed))
       .orderBy(col("priority").desc, col(keyCol))
       .limit(n)
+
+  /** Per-group quota cap — the domain-cap stage of a pretraining
+    * pipeline (Gopher / RefinedWeb keep at most N documents per
+    * domain so no single site dominates the mixture): at most
+    * `maxPerGroup` rows per `groupCol`, the survivors chosen by the
+    * deterministic [[shuffleKey]] priority (ties → key), so "which N
+    * of this domain live" is pseudo-random yet replays byte-identical
+    * on any engine and any partitioning.
+    *
+    * Scale shape: one hash shuffle on the group key, and Spark 4's
+    * WindowGroupLimit pushes the `rn <= N` bound BELOW the exchange
+    * (a partial per-partition top-N before the shuffle), so a
+    * mega-domain with 10⁸ pages ships ~N·partitions rows, not 10⁸ —
+    * the cap bounds exactly the skew it exists to remove.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  maxPerGroup: Int, seed: String): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(shuffleKey(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
 }

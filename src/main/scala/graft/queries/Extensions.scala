@@ -106,6 +106,26 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // One more rung: the interpolated TRIGRAM (λ₃ tri + λ₂ bi + uni
+    // floor) — same exact-decimal discipline, five one-row-per-key
+    // left joins, no position self-join.
+    "text_trigram_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.crossEntropyTrigram(d, "doc_id", "text",
+        graft.operators.LanguageModel.unigramLm(d, "text"),
+        graft.operators.LanguageModel.bigramLm(d, "text"),
+        graft.operators.LanguageModel.trigramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quota cap (Gopher/RefinedWeb domain caps): at most 10
+    // docs per source survive, chosen by the deterministic shuffle-key
+    // priority — replayable "which N of this domain live".
+    "source_quota_cap" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(t(s, dir, "documents"),
+        "doc_id", "source", 10, "s42")
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // The filter arc: keep documents at or under 4.95 bits/token (the
     // fixture corpus sits at ~4.88–5.33, so the gate is non-vacuous).
     "corpus_perplexity_filter" -> ((s, dir) => {
@@ -1148,6 +1168,55 @@ object Extensions {
         |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "text_trigram_perplexity" -> {
+      val l3 = 0.5
+      val l2 = 0.3
+      val uniW = 1.0 - l3 - l2 // the exact double complement both engines mix with
+      s"""WITH lm AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+        |              CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT doc_id, ws[i] AS token,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev,
+        |               CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS prev2
+        |        FROM pos),
+        |big AS (SELECT prev, token, count(*) AS cnt2 FROM seq
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cnt2) AS ctx FROM big GROUP BY 1),
+        |tri AS (SELECT prev2, prev, token, count(*) AS cnt3 FROM seq
+        |        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT prev2, prev, sum(cnt3) AS ctx3 FROM tri GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |         CAST(floor(log2($l3 * (CASE WHEN t3.cnt3 IS NOT NULL AND c3.ctx3 IS NOT NULL
+        |                                     THEN CAST(t3.cnt3 AS DOUBLE) / CAST(c3.ctx3 AS DOUBLE)
+        |                                     ELSE 0.0 END)
+        |                         + $l2 * (CASE WHEN b.cnt2 IS NOT NULL AND c.ctx IS NOT NULL
+        |                                       THEN CAST(b.cnt2 AS DOUBLE) / CAST(c.ctx AS DOUBLE)
+        |                                       ELSE 0.0 END)
+        |                         + $uniW * ((COALESCE(u.cnt, 0) + 0.5) / (t_total + 0.5 * (v + 1)))) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM seq s
+        |  LEFT JOIN tri t3 ON t3.prev2 = s.prev2 AND t3.prev = s.prev AND t3.token = s.token
+        |  LEFT JOIN ctx3 c3 ON c3.prev2 = s.prev2 AND c3.prev = s.prev
+        |  LEFT JOIN big b ON b.prev = s.prev AND b.token = s.token
+        |  LEFT JOIN ctx c ON c.prev = s.prev
+        |  LEFT JOIN lm u ON u.token = s.token
+        |  CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
+        |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "source_quota_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "corpus_perplexity_filter" ->
       """WITH lm AS (
         |  SELECT token, count(*) AS cnt FROM (

@@ -297,4 +297,75 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(cnt.headOption.getOrElse(0L) == 4L,
       "expected 3 within-doc (b,a) pairs in doc 1 + 1 in doc 2")
   }
+
+  test("interpolated trigram LM: λ₃=0 is bit-identical to the bigram " +
+      "scorer; trigram structure sharpens further when λ₃>0") {
+    import graft.operators.LanguageModel
+    val ref = Seq((1L, "a b c a b c a b c"), (2L, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val uni = LanguageModel.unigramLm(ref, "text")
+    val big = LanguageModel.bigramLm(ref, "text")
+    val tri = LanguageModel.trigramLm(ref, "text")
+    val cand = Seq((10L, "a b c a b c"), (11L, "c b a c b a"))
+      .toDF("doc_id", "text")
+
+    // λ₃=0: 0·p₃ + x = x and 1.0−0.0−λ₂ ≡ 1.0−λ₂ in IEEE → the
+    // trigram scorer collapses to the bigram scorer exactly
+    val viaTri = LanguageModel.crossEntropyTrigram(cand, "doc_id", "text",
+      uni, big, tri, lambda3 = 0.0, lambda2 = 0.7)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    val viaBig = LanguageModel.crossEntropyBigram(cand, "doc_id", "text",
+      uni, big, lambda = 0.7)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(viaTri == viaBig)
+
+    // second-order structure: where the bigram is AMBIGUOUS
+    // (p(c|b) = 0.5 — b is followed by c or y depending on what came
+    // before) but the trigram is deterministic (p(c|a,b) = 1), a
+    // floor-matched mix (λ₃+λ₂ = 0.7 vs bigram λ = 0.7, same 0.3
+    // unigram weight) must score strictly sharper
+    val ref2 = Seq((1L, "a b c a b c a b c"), (2L, "x b y x b y x b y"))
+      .toDF("doc_id", "text")
+    val (uni2, big2, tri2) = (LanguageModel.unigramLm(ref2, "text"),
+      LanguageModel.bigramLm(ref2, "text"),
+      LanguageModel.trigramLm(ref2, "text"))
+    val cand2 = Seq((20L, "a b c a b c")).toDF("doc_id", "text")
+    val triSharp = LanguageModel.crossEntropyTrigram(cand2, "doc_id",
+      "text", uni2, big2, tri2, lambda3 = 0.35, lambda2 = 0.35)
+      .select($"xent").as[Double].head()
+    val bigAmbig = LanguageModel.crossEntropyBigram(cand2, "doc_id",
+      "text", uni2, big2, lambda = 0.7)
+      .select($"xent").as[Double].head()
+    assert(triSharp < bigAmbig,
+      s"trigram structure not captured: $triSharp vs $bigAmbig")
+
+    // boundaries: no trigram spans reference docs — (a,b,c) appears
+    // 3+2 times, all within-doc
+    val c3 = tri.filter($"prev2" === "a" && $"prev" === "b" &&
+      $"token" === "c").select("cnt3").as[Long].collect()
+    assert(c3.headOption.getOrElse(0L) == 5L)
+  }
+
+  test("per-source quota cap: deterministic, bounded per group, " +
+      "identity when the cap does not bind") {
+    import graft.operators.Sampling
+    val docs = (1 to 100).map(i => (i.toLong, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(docs, "doc_id", "source", 10, "s42")
+    // bound holds per group, total = groups × cap when every group is over
+    val per = capped.groupBy("source").count()
+      .select("count").as[Long].collect()
+    assert(per.length == 4 && per.forall(_ == 10L))
+    // deterministic: same seed replays the identical survivor set
+    val again = Sampling.capPerGroup(docs, "doc_id", "source", 10, "s42")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // a different seed draws a different set (overwhelmingly likely)
+    val other = Sampling.capPerGroup(docs, "doc_id", "source", 10, "zz")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other != again)
+    // sub-cap: identity (row set unchanged)
+    assert(Sampling.capPerGroup(docs, "doc_id", "source", 25, "s42")
+      .count() == 100)
+  }
 }
