@@ -588,6 +588,21 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // The RESIDUAL-encoded fixed-model stored index (codes quantize
+    // v − centroid[cell], the FAISS refinement the trained build uses
+    // by default): the float32 residual subtraction is replicated in
+    // DuckDB (FLOAT−FLOAT is true float32 there too), so the exact
+    // residual ADC arc the production index runs is hash-matched.
+    "ann_ivfpq_indexed_fixed_residual" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_vec_index_fixed_res"))
+        buildFixedResVecIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopKFromIndex(s, "graft_vec_index_fixed_res",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
+        nprobe = FixedNprobe, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // The text→stored-ANN bridge END-TO-END: feature-hashed embeddings
     // (model-free text→vector) → fixed-model stored IVF-PQ index →
     // indexed query — raw text in, approximate neighbors out, one
@@ -791,14 +806,28 @@ object Extensions {
     * `WITH ` and any upstream CTEs).
     */
   private def ivfPqFixedSql(rel: String, id: String, vec: String,
-                            queryPred: String): String = {
+                            queryPred: String,
+                            residual: Boolean = false): String = {
+    // residual mode subtracts the row's OWN cell centroid in FLOAT
+    // precision before the PQ math (Spark's zip_with(cv, centroid,
+    // x − y) is float32; DuckDB FLOAT−FLOAT is too) — the query side
+    // subtracts the PROBED cell's centroid the same way
+    val corpusElem: Int => String =
+      if (residual) i => s"a.$vec[$i] - ct.fcv[$i]" else i => s"a.$vec[$i]"
+    val queryElem: Int => String =
+      if (residual) i => s"q.qv[$i] - ct.fcv[$i]" else i => s"q.qv[$i]"
     val cdistCols = (for (j <- 0 until PqSub; c <- 0 until PqKsub)
-      yield s"(${pqCentDist(vec, j, c)}) AS d${j}_$c").mkString(",\n  ")
+      yield s"(${pqCentDistExpr(corpusElem, j, c)}) AS d${j}_$c")
+      .mkString(",\n  ")
     val codeCols = (0 until PqSub)
       .map(j => s"${pqCodeCase(j)} AS code$j").mkString(",\n  ")
-    val adc = (0 until PqSub).map(j => s"(${pqAdcCase(j)})").mkString(" + ")
+    val adc = (0 until PqSub).map(j => s"(${pqAdcCaseExpr(queryElem, j)})")
+      .mkString(" + ")
+    val shortlistCentJoin =
+      if (residual) "\n    JOIN cents ct ON ct.cell = q.cell" else ""
     val centsRows = SemCents.indices.map(c =>
-      s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS ccv, ${semCentSumSq(c)} AS ss")
+      s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS ccv, " +
+        s"${semCentArray(c)}::FLOAT[] AS fcv, ${semCentSumSq(c)} AS ss")
       .mkString("\n  UNION ALL\n  ")
     s"""cents AS (
        |  $centsRows),
@@ -811,9 +840,9 @@ object Extensions {
        |    FROM $rel e CROSS JOIN cents c)
        |  WHERE rn = 1),
        |cdist AS (
-       |  SELECT $id AS cand_id,
+       |  SELECT a.$id AS cand_id,
        |  $cdistCols
-       |  FROM $rel),
+       |  FROM assign a JOIN cents ct ON ct.cell = a.cell),
        |enc AS (
        |  SELECT cand_id,
        |  $codeCols
@@ -835,7 +864,7 @@ object Extensions {
        |    SELECT q.query_id, e.cand_id, q.qv, e.cv,
        |      row_number() OVER (PARTITION BY q.query_id
        |        ORDER BY ($adc), e.cand_id) AS r
-       |    FROM idx e JOIN qd q ON e.cell = q.cell AND e.cand_id <> q.query_id)
+       |    FROM idx e JOIN qd q ON e.cell = q.cell AND e.cand_id <> q.query_id$shortlistCentJoin)
        |  WHERE r <= ${AnnK * AnnOverquery}),
        |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM shortl)
        |SELECT query_id, cand_id, dist, rank FROM (
@@ -856,16 +885,23 @@ object Extensions {
     Seq.tabulate(PqSub, PqKsub, PqSubDim)((j, c, d) =>
       (((j * 5 + c * 3 + d) % 17) - 8) / 32.0f)
 
-  /** Left-assoc chain of squared diffs of `vec`'s j-th subvector against
-    * codebook centroid (j,c) — the exact fold order Similarity.pqEncode
-    * and pqTopK evaluate, so sums are bit-equal across engines.
+  /** Left-assoc chain of squared diffs of a vector's j-th subvector
+    * against codebook centroid (j,c) — the exact fold order
+    * Similarity.pqEncode and pqTopK evaluate, so sums are bit-equal
+    * across engines. `elem` builds the SQL for the 1-based vector
+    * element BEFORE the ::DOUBLE cast — the residual replica passes a
+    * FLOAT-precision subtraction (DuckDB FLOAT−FLOAT computes in
+    * float32, matching Spark's zip_with float arithmetic exactly).
     */
-  private def pqCentDist(vec: String, j: Int, c: Int): String =
+  private def pqCentDistExpr(elem: Int => String, j: Int, c: Int): String =
     (0 until PqSubDim).map { d =>
       val cent = PqBooks(j)(c)(d).toDouble
-      val x = s"$vec[${j * PqSubDim + d + 1}]::DOUBLE - ($cent)"
+      val x = s"(${elem(j * PqSubDim + d + 1)})::DOUBLE - ($cent)"
       s"($x) * ($x)"
     }.mkString(" + ")
+
+  private def pqCentDist(vec: String, j: Int, c: Int): String =
+    pqCentDistExpr(i => s"$vec[$i]", j, c)
 
   /** Argmin over the 4 centroid distances, ties to the smaller code —
     * same semantics as pqEncode's least(struct(dist, idx)).
@@ -877,9 +913,12 @@ object Extensions {
       s"WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END"
   }
 
-  private def pqAdcCase(j: Int): String =
+  private def pqAdcCaseExpr(elem: Int => String, j: Int): String =
     s"CASE e.code$j " + (0 until PqKsub).map(c =>
-      s"WHEN $c THEN (${pqCentDist("q.qv", j, c)})").mkString(" ") + " END"
+      s"WHEN $c THEN (${pqCentDistExpr(elem, j, c)})").mkString(" ") + " END"
+
+  private def pqAdcCase(j: Int): String =
+    pqAdcCaseExpr(i => s"q.qv[$i]", j)
 
   private def bucketExpr(v: String): String =
     (1 to LshBits).map(i =>
@@ -992,6 +1031,7 @@ object Extensions {
     "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)),
     "ann_index_build" -> ((s, dir) => buildVecIndex(s, dir)),
     "ann_fixed_index_build" -> ((s, dir) => buildFixedVecIndex(s, dir)),
+    "ann_fixed_res_index_build" -> ((s, dir) => buildFixedResVecIndex(s, dir)),
     "text_ann_index_build" -> ((s, dir) => buildTextVecIndex(s, dir)),
     "sem_dedup_base_build" -> ((s, dir) => buildSemBase(s, dir)))
 
@@ -1030,6 +1070,15 @@ object Extensions {
   private def buildFixedVecIndex(s: SparkSession, dir: String): Unit =
     Similarity.writeVectorIndexWithModel(t(s, dir, "embeddings"), "vec_id",
       "embedding", "graft_vec_index_fixed", SemCents, PqBooks)
+
+  /** Same fixed model, residual-encoded — the FAISS refinement the
+    * trained build defaults to, oracle-checked via DuckDB's
+    * float32-exact FLOAT arithmetic.
+    */
+  private def buildFixedResVecIndex(s: SparkSession, dir: String): Unit =
+    Similarity.writeVectorIndexWithModel(t(s, dir, "embeddings"), "vec_id",
+      "embedding", "graft_vec_index_fixed_res", SemCents, PqBooks,
+      residual = true)
 
   /** The text-modality stored index: feature-hashed document
     * embeddings encoded under the same fixed model — the build half of
@@ -1746,6 +1795,11 @@ object Extensions {
     // stored-index IVF-PQ, fixed model: the full build+query replica
     "ann_ivfpq_indexed_fixed" ->
       s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}""",
+
+    // residual-encoded variant: float32 centroid subtraction on both
+    // the encode and the query side, then the same ADC + re-rank
+    "ann_ivfpq_indexed_fixed_residual" ->
+      s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10", residual = true)}""",
 
     // text→ANN bridge: hashed dense vectors feed the same replica
     "text_hash_ann_indexed" ->

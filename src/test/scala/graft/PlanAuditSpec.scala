@@ -344,6 +344,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-source quota cap pushes a partial group limit below the " +
+    "exchange (WindowGroupLimit) — a mega-domain never ships all its rows") {
+    val p = plan("source_quota_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // partial (pre-shuffle) + final: two occurrences
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "group limit is not applied map-side before the exchange:\n" +
+        p.take(2000))
+  }
+
   test("semDedup keep set never rescans the corpus: the kept-id side is " +
     "checkpoint-detached (scan of an RDD, not a second corpus read)") {
     val kept = graft.operators.Similarity.semDedupWithCentroids(
