@@ -647,6 +647,77 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** Per-dimension SQ8 quantization bounds: `(mins, deltas)` with
+    * `delta_d = (max_d − min_d) / 255`, from ONE corpus scan of `dim`
+    * min/max aggregates (map-side-combinable partials — no explode, no
+    * shuffle beyond the single-row final agg). Training IS this
+    * aggregate: unlike PQ there is no KMeans, which is why the whole
+    * SQ8 arc is SQL-oracle-checkable. Bounds are global (not sampled)
+    * so every corpus value encodes clamp-free; one pass over 100 TB is
+    * the floor for any codec build anyway.
+    */
+  def sq8Stats(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val aggs = (1 to dim).flatMap(d => Seq(
+      min(element_at(col(vecCol), d)).cast("double").as(s"mn$d"),
+      max(element_at(col(vecCol), d)).cast("double").as(s"mx$d")))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    val mins = Array.tabulate(dim)(d => row.getDouble(2 * d))
+    val deltas = Array.tabulate(dim)(d => (row.getDouble(2 * d + 1) - mins(d)) / 255.0)
+    (mins, deltas)
+  }
+
+  /** SQ8-encode the corpus: one map pass, 4× smaller than float32
+    * (byte-range codes; stored as `array<int>` — the plan shape, not
+    * the storage encoding, is what the engine controls).
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String, vecCol: String,
+                mins: Array[Double], deltas: Array[Double]): DataFrame =
+    corpus.select(col(idCol).as("cand_id"),
+      graft.functions.Sq8Codec.encode(corpus.sparkSession, col(vecCol),
+        mins, deltas).as("codes"))
+
+  /** SQ8 ANN: train (min/max scan) → encode (map pass) → ADC scan of
+    * the 8-bit codes against the broadcast query set → k·`overquery`
+    * shortlist → exact L2 re-rank of shortlisted raw vectors. Same
+    * production arc as [[pqTopKRefined]] with the scalar codec: ~4×
+    * byte reduction at near-lossless recall (8 bits/dim vs PQ's
+    * ~1-2 bits/dim), the standard first compression rung before PQ.
+    *
+    * Deterministic end-to-end — `ann_sq8_topk`'s DuckDB replica
+    * hash-checks training, encode, ADC ordering and re-rank. Shortlist
+    * cuts compare RAW ADC doubles (every term IEEE-identical across
+    * engines); only the reported exact distance is rounded.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, overquery: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val (mins, deltas) = sq8Stats(corpus, vecCol)
+    val encoded = sq8Encode(corpus, idCol, vecCol, mins, deltas)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val adc = graft.functions.Sq8Codec.adc(spark, col("codes"), col("qv"),
+      mins, deltas)
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    val shortlist = encoded.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("approx_dist", adc)
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id")
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val exactDist = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qv"), col("cv"))
+    val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    cv.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", Rounding.pround(exactDist, 6))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

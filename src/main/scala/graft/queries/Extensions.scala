@@ -521,6 +521,17 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar-quantized ANN: per-dim min/max train → affine 8-bit
+    // encode → ADC shortlist → exact re-rank. Unlike PQ there is no
+    // KMeans anywhere, so the WHOLE arc — training included — is
+    // hash-matched against the DuckDB replica.
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ encode + ADC scoring with FIXED hand-set codebooks (no KMeans)
     // so the quantization arithmetic itself gets a hash-matched oracle
     // row — the trained paths (pqTrain/ivfPqTopK) are recall-tested in
@@ -1753,6 +1764,45 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    // SQ8 replica, training included: per-dim min/max arrays → double
+    // deltas → half-up affine codes → decoded ADC (sum in dimension
+    // order — generate_series sums sequentially like l2Sql) → raw-
+    // double shortlist cut → rounded exact-L2 re-rank. Every term is
+    // an IEEE-exact double op shared with the Spark expressions.
+    "ann_sq8_topk" ->
+      s"""WITH stats AS (
+         |  SELECT [${(1 to 64).map(d => s"min(embedding[$d])::DOUBLE").mkString(", ")}] AS mnl,
+         |         [${(1 to 64).map(d => s"max(embedding[$d])::DOUBLE").mkString(", ")}] AS mxl
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT mnl AS mn,
+         |    list_transform(generate_series(1, 64), d -> (mxl[d] - mnl[d]) / 255.0) AS dl
+         |  FROM stats),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |enc AS (
+         |  SELECT e.vec_id AS cand_id, e.embedding AS cv,
+         |    list_transform(generate_series(1, 64), d ->
+         |      CASE WHEN s.dl[d] = 0 THEN 0
+         |        ELSE CAST(least(255.0, greatest(0.0,
+         |          floor((e.embedding[d]::DOUBLE - s.mn[d]) / s.dl[d] + 0.5))) AS INTEGER)
+         |      END) AS codes
+         |  FROM embeddings e CROSS JOIN st s),
+         |shortl AS (
+         |  SELECT query_id, cand_id, qv, cv FROM (
+         |    SELECT q.query_id, e.cand_id, q.qv, e.cv,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (SELECT sum((q.qv[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i]))
+         |                  * (q.qv[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i])))
+         |         FROM generate_series(1, 64) t(i)), e.cand_id) AS r
+         |    FROM enc e CROSS JOIN q CROSS JOIN st s
+         |    WHERE e.cand_id <> q.query_id)
+         |  WHERE r <= ${AnnK * AnnOverquery}),
+         |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM shortl)
+         |SELECT query_id, cand_id, dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+
     "ann_lsh_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |           ${bucketExpr("embedding")} AS bucket

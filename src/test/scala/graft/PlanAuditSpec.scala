@@ -344,6 +344,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 codec stays codegen'd at PRODUCTION dimensionality (d=768) — " +
+    "no interpreted fallback on the encode/ADC hot path") {
+    // Same 64 KB-limit discipline as the PQ pin: bounds ride the
+    // expressions as referenced double[]s, so generated code must be a
+    // constant-size loop at any d. CODEGEN_ONLY + fallback=false makes
+    // a compile failure throw instead of silently interpreting.
+    val dim = 768
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val corpus = (0 until 64).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = graft.operators.Similarity.sq8TopK(corpus, queries,
+        "vec_id", "embedding", k = 5, overquery = 3)
+      assert(out.collect().length == 3 * 5)
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("per-source quota cap pushes a partial group limit below the " +
     "exchange (WindowGroupLimit) — a mega-domain never ships all its rows") {
     val p = plan("source_quota_cap")

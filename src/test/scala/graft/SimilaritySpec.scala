@@ -130,6 +130,62 @@ class SimilaritySpec extends SparkSpec {
     enc.unpersist()
   }
 
+  test("SQ8: codes bounded, constant dims collapse to 0, clamp totalizes " +
+      "out-of-range vectors, near-lossless recall vs exact L2") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 10
+    val (mins, deltas) = Similarity.sq8Stats(emb, "embedding")
+    assert(mins.length == 64 && deltas.forall(_ >= 0.0))
+
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding", mins, deltas)
+    val codes = enc.select(explode($"codes").as("c"))
+    assert(codes.filter($"c" < 0 || $"c" >= 256).count() == 0)
+    assert(enc.filter(size($"codes") =!= 64).count() == 0)
+    // deterministic re-encode
+    assert(enc.exceptAll(
+      Similarity.sq8Encode(emb, "vec_id", "embedding", mins, deltas))
+      .count() == 0)
+
+    // a constant dimension has delta 0 and must encode to code 0, not NaN
+    val const = Seq((1L, Array.fill(4)(3f)), (2L, Array.fill(4)(3f)))
+      .toDF("vec_id", "embedding")
+    val (cm, cd) = Similarity.sq8Stats(const, "embedding")
+    assert(cd.forall(_ == 0.0))
+    val constCodes = Similarity.sq8Encode(const, "vec_id", "embedding", cm, cd)
+      .select(explode($"codes").as("c")).as[Int].collect()
+    assert(constCodes.forall(_ == 0))
+
+    // encoding a vector OUTSIDE the trained bounds clamps into [0, 255]
+    val wild = emb.limit(1).select($"vec_id",
+      transform($"embedding", x => x * 100f).as("embedding"))
+    val wildCodes = Similarity.sq8Encode(wild, "vec_id", "embedding",
+      mins, deltas).select(explode($"codes").as("c")).as[Int].collect()
+    assert(wildCodes.forall(c => c >= 0 && c <= 255))
+
+    // exact L2 ground truth: 8 bits/dim + exact re-rank should be
+    // near-lossless (PQ at 8 bytes/vector only manages ~0.8 here)
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+
+    val sq8 = Similarity.sq8TopK(emb, queries, "vec_id", "embedding", k,
+      overquery = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = sq8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 refined recall@$k = $recall")
+  }
+
   test("stored IVF-PQ index: from-index results equal the in-memory path " +
       "and keep useful recall vs exact L2") {
     val emb = Tables.load(spark, sf, "embeddings")
