@@ -194,4 +194,39 @@ object Retrieval {
       .select(col(idCol).as("query_id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol))))
           .as("term"))
+
+  /** Reciprocal-rank fusion of two rankers — the standard hybrid-
+    * retrieval combiner (Cormack et al., SIGIR'09): sparse BM25 and a
+    * dense embedding ranker each contribute `1/(k0 + rank)` and the
+    * fused score needs no score calibration between systems, only the
+    * ranks. `k0` (classically 60) damps the head so a single system's
+    * #1 can't drown agreement deeper in the lists.
+    *
+    * Inputs are two `(query_id, cand_id, .., rank)` frames (any extra
+    * columns ignored). A candidate surfaced by only one ranker keeps
+    * its one contribution (full-outer join) — the fusion can promote
+    * BOTH agreement and a strong single-system hit.
+    *
+    * Determinism: the two contributions are combined by one `+` of
+    * coalesced doubles — commutative, so no accumulation-order hazard —
+    * and every term is closed-form IEEE arithmetic replicated verbatim
+    * in the oracle SQL. Scale: both inputs are k-bounded per query
+    * (tiny relative to the corpora that produced them); the fusion join
+    * keys on (query_id, cand_id) and never touches corpus-scale data.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    def contrib(df: DataFrame, as: String): DataFrame =
+      df.select(col("query_id"), col("cand_id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as(as))
+    val fused = contrib(a, "ca")
+      .join(contrib(b, "cb"), Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("score", Rounding.pround(
+        coalesce(col("ca"), lit(0.0)) + coalesce(col("cb"), lit(0.0)), 9))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
 }

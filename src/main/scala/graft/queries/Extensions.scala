@@ -263,6 +263,19 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval: the sparse (BM25) and dense (hashed-embedding
+    // cosine) rankers fused by reciprocal rank — the standard RAG
+    // retrieval combiner; needs no cross-system score calibration.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sparse = graft.operators.Retrieval.bm25TopK(d, "doc_id", "text",
+        col("doc_id") < 25, 10)
+      val dense = TextEmbedding.hashedTopK(d, "doc_id", "text",
+        col("doc_id") < 25, 10, HashDim)
+      graft.operators.Retrieval.rrfFuse(sparse, dense, 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Deterministic arg-max per group (longest doc per language,
     // ties -> smallest id).
     "agg_argmax_doc" -> ((s, dir) => {
@@ -998,11 +1011,12 @@ object Extensions {
        |WHERE floor((i.n_common::DOUBLE / s.n_eval_shingles) * 10000 + 0.5) / 10000 >= 0.2
        |ORDER BY i.eval_id, i.train_id""".stripMargin
 
-  /** Shared by the direct and stored-index BM25 rows — the indexed
-    * path must produce byte-identical results.
+  /** BM25 ranked-list CTE chain (terminal CTE `out`: query_id,
+    * cand_id, score, rank ≤ `k`) — shared by the direct/indexed oracle
+    * rows and the RRF hybrid, which fuses it at a different k.
     */
-  private val bm25Oracle =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+  private def bm25RankedSql(k: Int, out: String): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -1020,14 +1034,43 @@ object Extensions {
        |  JOIN dfreq f ON f.term = q.term
        |  JOIN dl d ON d.doc_id = c.doc_id
        |  CROSS JOIN stats s),
-       |scored AS (
+       |bscored AS (
        |  SELECT query_id, cand_id,
        |         ${Rounding.sqlPround("CAST(sum(part) AS DOUBLE)", 4)} AS score
-       |  FROM contrib GROUP BY 1, 2)
-       |SELECT query_id, cand_id, score, rank FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY score DESC, cand_id) AS rank FROM scored)
-       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |  FROM contrib GROUP BY 1, 2),
+       |$out AS (
+       |  SELECT query_id, cand_id, score, rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, cand_id) AS rank FROM bscored)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** Shared by the direct and stored-index BM25 rows — the indexed
+    * path must produce byte-identical results.
+    */
+  private val bm25Oracle =
+    s"""WITH ${bm25RankedSql(3, "bmr")}
+       |SELECT query_id, cand_id, score, rank FROM bmr ORDER BY query_id, rank""".stripMargin
+
+  /** Hashed-embedding cosine ranked list (terminal CTE `out`: rank ≤
+    * `k`, queries doc_id < `maxQueryId`) — the dense half of the RRF
+    * hybrid; `text_hash_ann` is this fragment selected directly.
+    */
+  private def hashAnnRankedSql(maxQueryId: Int, k: Int, out: String): String =
+    s"""$hashDenseCte,
+       |vecs AS (SELECT doc_id, list(weight ORDER BY dim_idx) AS vec
+       |         FROM dense GROUP BY doc_id),
+       |hscored AS (
+       |  SELECT qv.doc_id AS query_id, c.doc_id AS cand_id,
+       |         ${cosSql("qv.vec", "c.vec")} AS score
+       |  FROM vecs qv JOIN vecs c ON c.doc_id <> qv.doc_id
+       |  WHERE qv.doc_id < $maxQueryId),
+       |$out AS (
+       |  SELECT query_id, cand_id, score, rank FROM (
+       |    SELECT query_id, cand_id, score,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, cand_id) AS rank
+       |    FROM hscored)
+       |  WHERE rank <= $k)""".stripMargin
 
   /** Stored-index builders, exposed separately so the bench times build
     * and query independently — "build once, query many" is these
@@ -1305,19 +1348,27 @@ object Extensions {
          |SELECT doc_id, dim_idx, weight FROM dense
          |WHERE doc_id < 50 ORDER BY doc_id, dim_idx""".stripMargin,
     "text_hash_ann" ->
-      s"""WITH $hashDenseCte,
-         |vecs AS (SELECT doc_id, list(weight ORDER BY dim_idx) AS vec
-         |         FROM dense GROUP BY doc_id),
-         |scored AS (
-         |  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
-         |         ${cosSql("q.vec", "c.vec")} AS score
-         |  FROM vecs q JOIN vecs c ON c.doc_id <> q.doc_id
-         |  WHERE q.doc_id < 5)
+      s"""WITH ${hashAnnRankedSql(5, 5, "hr")}
+         |SELECT query_id, cand_id, score, rank FROM hr ORDER BY query_id, rank""".stripMargin,
+
+    // Hybrid sparse+dense retrieval: BM25 and hashed-cosine ranked
+    // lists (k=10 each) fused by reciprocal rank, 1/(60 + rank) per
+    // system — two coalesced closed-form doubles, one commutative
+    // addition, so the fused scores hash-match exactly.
+    "hybrid_rrf_topk" ->
+      s"""WITH ${bm25RankedSql(10, "bmr")},
+         |${hashAnnRankedSql(25, 10, "hr")},
+         |fused AS (
+         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |         coalesce(a.cand_id, b.cand_id) AS cand_id,
+         |         ${Rounding.sqlPround(
+               "coalesce(1.0 / (60.0 + a.rank), 0.0) + coalesce(1.0 / (60.0 + b.rank), 0.0)", 9)} AS score
+         |  FROM bmr a FULL OUTER JOIN hr b
+         |    ON b.query_id = a.query_id AND b.cand_id = a.cand_id)
          |SELECT query_id, cand_id, score, rank FROM (
-         |  SELECT query_id, cand_id, score,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY score DESC, cand_id) AS rank
-         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, cand_id) AS rank FROM fused)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "text_chunking" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          |n_ck AS (

@@ -76,4 +76,25 @@ class RetrievalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 4L))
   }
+
+  test("rrf fusion: agreement beats a single #1; one-sided candidates " +
+      "survive; scores are the closed-form 1/(k0+rank) sums") {
+    // ranker A: c1 #1, c2 #2; ranker B: c2 #1, c3 #2.
+    // c2 (ranks 2+1) must beat c1 (rank 1 only) and c3 (rank 1 only... )
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("query_id", "cand_id", "rank")
+    val b = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("query_id", "cand_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, k = 3)
+      .select("cand_id", "score", "rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    // c2: 1/62 + 1/61; c1: 1/61; c3: 1/62 — exact closed forms
+    def r9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    assert(out(0)._2 == r9(1.0 / 62 + 1.0 / 61))
+    assert(out(1)._2 == r9(1.0 / 61))
+    assert(out(2)._2 == r9(1.0 / 62))
+    // k bounds the fused list; ties break on cand_id
+    val tied = Retrieval.rrfFuse(a, a, k = 1)
+      .select("cand_id").as[Long].collect()
+    assert(tied.toSeq == Seq(10L))
+  }
 }
