@@ -718,6 +718,50 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** IVF-SQ8: coarse cells bound WHICH candidates each query scores
+    * (~nprobe/nlist of the corpus), SQ8 codes bound the BYTES per
+    * scored candidate (8 bits/dim vs float32's 32), and the exact
+    * re-rank restores precision on the shortlist — the same
+    * billion-scale composition as [[ivfPqTopK]] with the scalar codec
+    * swapped in (FAISS `IVF…,SQ8`). Centroids are bring-your-own (the
+    * train-elsewhere/add-here split), so with fixed cells the ENTIRE
+    * path — SQ8 min/max training included — is closed-form arithmetic
+    * and `ann_ivf_sq8_topk` hash-checks it end-to-end; no other
+    * IVF variant can oracle its own training.
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, centroids: Seq[Seq[Float]],
+                 nprobe: Int, overquery: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val centDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    val (mins, deltas) = sq8Stats(corpus, vecCol)
+    val encoded = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+      .withColumn("codes", graft.functions.Sq8Codec.encode(spark,
+        col("cv"), mins, deltas))
+    val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
+    val adc = graft.functions.Sq8Codec.adc(spark, col("codes"), col("qv"),
+      mins, deltas)
+    import org.apache.spark.sql.expressions.Window
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("approx_dist", adc)
+      .withColumn("r", row_number().over(wAdc))
+      .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id", "qv", "cv")
+    val exactDist = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qv"), col("cv"))
+    val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
+    shortlist
+      .withColumn("dist", Rounding.pround(exactDist, 6))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

@@ -545,6 +545,18 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // The full IVF-SQ8 composition with fixed coarse cells: cells
+    // bound candidates, 8-bit scalar codes bound bytes, exact re-rank
+    // restores precision — and with the cells fixed the whole path
+    // including SQ8 training is hash-matched.
+    "ann_ivf_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, SemCents, nprobe = FixedNprobe,
+        overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ encode + ADC scoring with FIXED hand-set codebooks (no KMeans)
     // so the quantization arithmetic itself gets a hash-matched oracle
     // row — the trained paths (pqTrain/ivfPqTopK) are recall-tested in
@@ -755,7 +767,7 @@ object Extensions {
   // within-cell pair count — the term that scales as sum(cell_i^2) —
   // stays bounded; the values themselves are arbitrary constants as far
   // as correctness goes.
-  private[queries] val SemCents: Seq[Seq[Float]] = Seq(
+  private[graft] val SemCents: Seq[Seq[Float]] = Seq(
     Seq(0f, -0.03125f, 0f, 0f, 0f, 0.03125f, 0f, 0.03125f, 0f, 0.09375f, 0f, 0.03125f, 0f, -0.0625f, 0.0625f, -0.0625f, 0.0625f, 0f, 0.03125f, 0.03125f, 0.03125f, 0f, -0.0625f, 0.03125f, 0.03125f, 0.03125f, 0f, 0f, -0.03125f, 0.03125f, -0.03125f, 0.03125f, 0.09375f, -0.03125f, -0.03125f, 0f, 0f, -0.03125f, 0f, -0.0625f, 0.03125f, -0.0625f, -0.0625f, 0f, 0f, -0.03125f, 0f, 0f, 0f, -0.0625f, 0.03125f, -0.03125f, 0.03125f, -0.03125f, -0.03125f, 0f, 0.03125f, 0.03125f, 0.0625f, 0f, 0f, 0.03125f, -0.0625f, -0.03125f),
     Seq(0.0625f, 0.03125f, 0.03125f, 0f, 0.03125f, 0.03125f, -0.0625f, 0.03125f, -0.0625f, -0.03125f, 0.0625f, -0.0625f, 0f, -0.03125f, 0f, 0.0625f, 0f, 0.0625f, 0f, -0.0625f, 0.03125f, 0f, 0.03125f, 0f, 0f, -0.03125f, 0.03125f, 0.03125f, 0.0625f, 0.03125f, 0.03125f, -0.03125f, 0f, 0.03125f, 0.03125f, -0.03125f, -0.0625f, 0.0625f, 0f, -0.03125f, -0.03125f, -0.03125f, 0f, 0f, -0.0625f, 0.03125f, -0.03125f, 0.03125f, 0.03125f, -0.0625f, 0.03125f, -0.03125f, -0.0625f, 0f, 0f, 0f, 0f, 0.03125f, 0f, 0.0625f, 0f, -0.03125f, 0f, 0.09375f),
     Seq(0.03125f, -0.0625f, 0f, 0f, 0.0625f, 0.03125f, -0.09375f, 0f, 0f, 0f, 0f, 0.03125f, 0.03125f, 0f, 0.03125f, 0f, -0.0625f, -0.03125f, -0.0625f, 0f, 0.03125f, 0f, 0.03125f, -0.03125f, -0.0625f, 0.0625f, 0f, 0.03125f, -0.0625f, 0f, 0f, 0f, -0.03125f, 0.03125f, 0.0625f, 0f, -0.0625f, 0.0625f, 0.03125f, 0f, -0.0625f, -0.03125f, 0f, 0.03125f, 0.03125f, 0f, -0.03125f, 0f, 0.03125f, 0f, 0.03125f, 0f, 0f, 0.03125f, 0f, 0f, 0f, -0.03125f, 0f, 0f, 0f, 0f, 0f, -0.09375f),
@@ -829,6 +841,69 @@ object Extensions {
     * end-to-end. Emitted as the body of a WITH (callers prepend
     * `WITH ` and any upstream CTEs).
     */
+  /** IVF-SQ8 replica with the SemCents fixed cells: cell argmin for
+    * corpus and probes (the ivfPqFixedSql spelling), global per-dim
+    * min/max → double deltas → half-up affine codes, decoded-ADC
+    * shortlist on raw doubles, exact-L2 re-rank — stage for stage what
+    * [[graft.operators.Similarity.ivfSq8TopK]] executes, training
+    * included.
+    */
+  private def ivfSq8FixedSql(rel: String, id: String, vec: String,
+                             queryPred: String): String = {
+    val centsRows = SemCents.indices.map(c =>
+      s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS ccv, ${semCentSumSq(c)} AS ss")
+      .mkString("\n  UNION ALL\n  ")
+    s"""cents AS (
+       |  $centsRows),
+       |assign AS (
+       |  SELECT $id, $vec, cell FROM (
+       |    SELECT e.$id, e.$vec, c.cell,
+       |      row_number() OVER (PARTITION BY e.$id ORDER BY
+       |        ((SELECT sum(e.$vec[i]::DOUBLE * c.ccv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+       |        c.cell) AS rn
+       |    FROM $rel e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |stats AS (
+       |  SELECT [${(1 to 64).map(d => s"min($vec[$d])::DOUBLE").mkString(", ")}] AS mnl,
+       |         [${(1 to 64).map(d => s"max($vec[$d])::DOUBLE").mkString(", ")}] AS mxl
+       |  FROM $rel),
+       |st AS (
+       |  SELECT mnl AS mn,
+       |    list_transform(generate_series(1, 64), d -> (mxl[d] - mnl[d]) / 255.0) AS dl
+       |  FROM stats),
+       |enc AS (
+       |  SELECT a.$id AS cand_id, a.cell, a.$vec AS cv,
+       |    list_transform(generate_series(1, 64), d ->
+       |      CASE WHEN s.dl[d] = 0 THEN 0
+       |        ELSE CAST(least(255.0, greatest(0.0,
+       |          floor((a.$vec[d]::DOUBLE - s.mn[d]) / s.dl[d] + 0.5))) AS INTEGER)
+       |      END) AS codes
+       |  FROM assign a CROSS JOIN st s),
+       |qd AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT v.$id AS query_id, v.$vec AS qv, c.cell,
+       |      row_number() OVER (PARTITION BY v.$id ORDER BY
+       |        ((SELECT sum(v.$vec[i]::DOUBLE * c.ccv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+       |        c.cell) AS rn
+       |    FROM $rel v CROSS JOIN cents c WHERE $queryPred)
+       |  WHERE rn <= $FixedNprobe),
+       |shortl AS (
+       |  SELECT query_id, cand_id, qv, cv FROM (
+       |    SELECT q.query_id, e.cand_id, q.qv, e.cv,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        (SELECT sum((q.qv[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i]))
+       |                  * (q.qv[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i])))
+       |         FROM generate_series(1, 64) t(i)), e.cand_id) AS r
+       |    FROM enc e JOIN qd q ON e.cell = q.cell AND e.cand_id <> q.query_id
+       |    CROSS JOIN st s)
+       |  WHERE r <= ${AnnK * AnnOverquery}),
+       |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM shortl)
+       |SELECT query_id, cand_id, dist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+       |  FROM rer)
+       |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfPqFixedSql(rel: String, id: String, vec: String,
                             queryPred: String,
                             residual: Boolean = false): String = {
@@ -1896,6 +1971,12 @@ object Extensions {
     // stored-index IVF-PQ, fixed model: the full build+query replica
     "ann_ivfpq_indexed_fixed" ->
       s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}""",
+
+    // IVF-SQ8 with fixed cells: the SemCents argmin routes corpus and
+    // probes; global per-dim min/max bounds quantize; decoded ADC cuts
+    // the shortlist; exact L2 re-ranks — every stage closed-form.
+    "ann_ivf_sq8_topk" ->
+      s"""WITH ${ivfSq8FixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}""",
 
     // residual-encoded variant: float32 centroid subtraction on both
     // the encode and the query side, then the same ADC + re-rank

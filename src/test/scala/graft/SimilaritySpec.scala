@@ -186,6 +186,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 refined recall@$k = $recall")
   }
 
+  test("IVF-SQ8: probed-cell routing bounds candidates; recall tracks " +
+      "exact L2 despite 4x byte compression") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 10
+    // exact L2 ground truth
+    val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+    val l2 = org.apache.spark.sql.functions.aggregate(
+      zip_with($"qv", $"cv", (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (a, v) => a + v)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+    val exact = c.crossJoin(broadcast(q))
+      .filter($"cand_id" =!= $"query_id")
+      .withColumn("d", l2)
+      .withColumn("r", row_number().over(w)).filter($"r" <= k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+
+    // 8 fixed cells, probe 4 → about half the corpus per query; with
+    // near-lossless 8-bit codes the loss is cell routing, not the codec
+    val cents = graft.queries.Extensions.SemCents
+    val got = Similarity.ivfSq8TopK(emb, queries, "vec_id", "embedding",
+      k, cents, nprobe = 4, overquery = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-SQ8 recall@$k = $recall")
+    assert(got.size <= exact.size)
+
+    // full probe (nprobe = nlist) removes the routing loss: the codec
+    // alone should track exact L2 almost perfectly
+    val full = Similarity.ivfSq8TopK(emb, queries, "vec_id", "embedding",
+      k, cents, nprobe = cents.size, overquery = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val fullRecall = full.intersect(exact).size.toDouble / exact.size
+    assert(fullRecall >= 0.9, s"full-probe IVF-SQ8 recall@$k = $fullRecall")
+  }
+
   test("stored IVF-PQ index: from-index results equal the in-memory path " +
       "and keep useful recall vs exact L2") {
     val emb = Tables.load(spark, sf, "embeddings")
