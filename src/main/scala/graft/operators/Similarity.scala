@@ -50,6 +50,19 @@ object Similarity {
     Rounding.pround(when(den > 0, dot(a, b) / den).otherwise(lit(0.0)), scale)
   }
 
+  /** The fused single-pass codegen'd cosine
+    * ([[graft.functions.CosineSimilarity]]) with the same rounding and
+    * zero-norm rule — bit-identical to [[cosine]] (same per-element
+    * double fold; `ann_brute_topk` vs `ann_brute_topk_native` pin the
+    * equality against one oracle), but it compiles to one loop instead
+    * of interpreting three HOF folds per row, so every internal hot
+    * path scores with THIS form.
+    */
+  def cosineFused(spark: SparkSession, a: Column, b: Column,
+                  scale: Int = 6): Column =
+    Rounding.pround(graft.functions.CosineSimilarity.column(spark, a, b),
+      scale)
+
   /** Sign-pattern bucket over the first `bits` dimensions — a
     * deterministic LSH family (hyperplanes = coordinate axes). Vectors in
     * the same orthant of the leading subspace share a bucket.
@@ -73,9 +86,14 @@ object Similarity {
                      scoreFn: (Column, Column) => Column = cosine(_, _)): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // the window shuffle carries only (query_id, cand_id, score) —
+    // dropping qv/cv before the exchange cuts its row width from
+    // ~2·dim·8 bytes to 24, the difference between shuffling the
+    // corpus's vectors and shuffling its ids
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("score", scoreFn(col("qv"), col("cv")))
+      .select("query_id", "cand_id", "score")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
@@ -96,7 +114,9 @@ object Similarity {
       signBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        cosineFused(corpus.sparkSession, col("qv"), col("cv")))
+      .select("query_id", "cand_id", "score")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
@@ -208,7 +228,9 @@ object Similarity {
     val queryCells = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("qv"), col("cv")))
+      .withColumn("score",
+        cosineFused(corpus.sparkSession, col("qv"), col("cv")))
+      .select("query_id", "cand_id", "score")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cand_id"))
@@ -305,6 +327,7 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("approx_dist", Rounding.pround(dist, 6))
+      .select("query_id", "cand_id", "approx_dist")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("cand_id"))
@@ -363,7 +386,8 @@ object Similarity {
     val indexed = cells.join(codes(books), Seq("cand_id"))
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     adcShortlistRerank(indexed, probes, books, k, overquery,
-      if (residual) Some(centDf) else None)
+      if (residual) Some(centDf) else None,
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
   }
 
   /** The shared IVF-PQ query tail: ADC over the (cell-joined) candidate
@@ -375,11 +399,22 @@ object Similarity {
     * `residualCentroids`: when the codes quantize cell residuals, the
     * query side must subtract the SAME probed-cell centroid before the
     * ADC — the (tiny) centroid table rides the broadcast probe join.
+    *
+    * `vectors` is the (cand_id, cv) source for the exact re-rank. The
+    * ADC pass never touches it: the shortlist window exchange carries
+    * only (query_id, cand_id, adc_dist) — at d=768 a raw float vector
+    * is ~100× the 8-byte code, so dragging cv/qv through that
+    * corpus-fraction shuffle would cost more than the ADC scan itself —
+    * and in the stored path column pruning drops the vector column
+    * from the ADC scan's parquet read entirely. Only the k·overquery
+    * survivors fetch vectors, via broadcast joins against this
+    * map-only scan.
     */
   private def adcShortlistRerank(indexed: DataFrame, probes: DataFrame,
                                  books: Seq[Seq[Seq[Float]]], k: Int,
                                  overquery: Int,
-                                 residualCentroids: Option[DataFrame] = None)
+                                 residualCentroids: Option[DataFrame],
+                                 vectors: DataFrame)
       : DataFrame = {
     val spark = indexed.sparkSession
     val (probeSide, adcQueryVec) = residualCentroids match {
@@ -399,16 +434,21 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_dist"), col("cand_id"))
-    val shortlist = indexed.join(broadcast(probeSide), Seq("cell"))
+    val shortIds = indexed.join(broadcast(probeSide), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("adc_dist", adc)
+      .select("query_id", "cand_id", "adc_dist")
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id")
+    val qvs = probes.select(col("query_id"), col("qv"))
+      .dropDuplicates("query_id")
     val exactDist = graft.functions.VectorExprs.l2DistSq(spark,
       col("qv"), col("cv"))
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("dist"), col("cand_id"))
-    shortlist
+    vectors.join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(qvs), Seq("query_id"))
       .withColumn("dist", Rounding.pround(exactDist, 6))
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .filter(col("rank") <= k)
@@ -570,7 +610,8 @@ object Similarity {
     val (books, residual) = model
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     adcShortlistRerank(indexed, probes, books, k, overquery,
-      if (residual) Some(centDf) else None)
+      if (residual) Some(centDf) else None,
+      indexed.select(col("cand_id"), col("cv")))
   }
 
   /** Encode rows into stored-index form — (cell, cand_id, codes, cv) —
@@ -703,6 +744,7 @@ object Similarity {
     val shortlist = encoded.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("approx_dist", adc)
+      .select("query_id", "cand_id", "approx_dist")
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * overquery)
       .select("query_id", "cand_id")
@@ -746,16 +788,25 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_dist"), col("cand_id"))
-    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+    // slim shortlist window (ids + approx distance only), then the
+    // k*overquery survivors fetch raw vectors back via broadcast joins
+    // — same discipline as adcShortlistRerank: the probed-fraction
+    // shuffle moves 24-byte rows, never dim-wide vectors
+    val shortIds = encoded.join(broadcast(probes), Seq("cell"))
       .filter(col("cand_id") =!= col("query_id"))
       .withColumn("approx_dist", adc)
+      .select("query_id", "cand_id", "approx_dist")
       .withColumn("r", row_number().over(wAdc))
       .filter(col("r") <= k * overquery)
-      .select("query_id", "cand_id", "qv", "cv")
+      .select("query_id", "cand_id")
+    val qvs = probes.select(col("query_id"), col("qv"))
+      .dropDuplicates("query_id")
     val exactDist = graft.functions.VectorExprs.l2DistSq(spark,
       col("qv"), col("cv"))
     val wK = Window.partitionBy("query_id").orderBy(col("dist"), col("cand_id"))
-    shortlist
+    corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(qvs), Seq("query_id"))
       .withColumn("dist", Rounding.pround(exactDist, 6))
       .withColumn("rank", row_number().over(wK).cast("long"))
       .filter(col("rank") <= k)
@@ -774,7 +825,8 @@ object Similarity {
     val b = v.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      .withColumn("score",
+        cosineFused(corpus.sparkSession, col("va"), col("vb")))
       .filter(col("score") >= minCosine)
       .select("id_a", "id_b", "score")
   }

@@ -74,6 +74,9 @@ object TextEmbedding {
   def hashedTopK(docs: DataFrame, idCol: String, textCol: String,
                  queryPred: Column, k: Int, dim: Int): DataFrame = {
     val emb = hashedEmbeddings(docs, idCol, textCol, dim)
-    Similarity.bruteForceTopK(emb, emb.filter(queryPred), idCol, "vec", k)
+    // score with the fused codegen'd cosine (bit-identical to the HOF
+    // form, one compiled loop instead of three interpreted folds)
+    Similarity.bruteForceTopK(emb, emb.filter(queryPred), idCol, "vec", k,
+      Similarity.cosineFused(docs.sparkSession, _, _))
   }
 }

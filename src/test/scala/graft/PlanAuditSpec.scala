@@ -9,6 +9,41 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Every non-catalog (raw parquet) scan in `plan` must be the
+    * FILTERED query side: a `Filter` on the query id (`vec_id`) sitting
+    * directly over the relation (modulo projections). The query side
+    * may legitimately appear several times — probe routing and the
+    * re-rank's qv fetch — but a corpus-scale scan can never satisfy the
+    * shape, because pushdown only plants that filter over the frame the
+    * query predicate was applied to.
+    */
+  private def assertRawScansAllQuerySide(
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def rawLeaves(p: LogicalPlan): Seq[LogicalRelation] = p.collect {
+      case l: LogicalRelation if l.catalogTable.isEmpty => l
+    }
+    assert(rawLeaves(optimized).nonEmpty,
+      "expected at least the query-side raw scan:\n" +
+        optimized.treeString.take(3000))
+    def check(p: LogicalPlan): Unit = p match {
+      case l: LogicalRelation if l.catalogTable.isEmpty =>
+        fail("raw scan with no query-id filter over it (corpus leak?):\n" +
+          optimized.treeString.take(3000))
+      case Filter(cond, child)
+          if cond.references.exists(_.name == "vec_id") &&
+            child.collectFirst {
+              case n if !n.isInstanceOf[Project] &&
+                !n.isInstanceOf[LogicalRelation] => n
+            }.isEmpty =>
+        () // a pushed query-side filter directly over its scan
+      case other => other.children.foreach(check)
+    }
+    check(optimized)
+  }
+
   test("dictionary enrichment joins broadcast (J1)") {
     val p = plan("j1_enrich_users")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
@@ -102,13 +137,11 @@ class PlanAuditSpec extends SparkSpec {
         optimized.treeString.take(3000))
     // every NON-catalog file scan is the query side (vec_id < 10 pushed
     // down); the corpus itself arrives only through the index tables —
-    // no retrain, no re-encode, no full-corpus embedding scan
-    val rawScans = optimized.collect {
-      case l: LogicalRelation if l.catalogTable.isEmpty => l
-    }
-    assert(rawScans.length == 1,
-      s"expected exactly one raw scan (the query side), got " +
-        s"${rawScans.length}:\n" + optimized.treeString.take(3000))
+    // no retrain, no re-encode, no full-corpus embedding scan. The
+    // query side may appear more than once (probe routing + the
+    // re-rank's qv fetch), but each appearance MUST carry the query
+    // filter — an unfiltered corpus-scale scan has no such parent.
+    assertRawScansAllQuerySide(optimized)
   }
 
   test("appended index queries read only index tables; the append write " +
@@ -121,12 +154,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(optimized.treeString.contains("graft_vec_index_inc"),
       "appended index missing from the plan:\n" +
         optimized.treeString.take(3000))
-    val rawScans = optimized.collect {
-      case l: LogicalRelation if l.catalogTable.isEmpty => l
-    }
-    assert(rawScans.length == 1,
-      s"expected exactly one raw scan (the query side), got " +
-        s"${rawScans.length}:\n" + optimized.treeString.take(3000))
+    assertRawScansAllQuerySide(optimized)
 
     // the append's WRITE-side plan: encoding the new batch against the
     // stored model touches the batch + the tiny centroid table — never
