@@ -29,6 +29,10 @@ object Extensions {
   private val ChunkN = 64
   private val ChunkStride = 48
   private val HashDim = 64
+  // DSIR: hashed-ngram feature buckets, selection size, draw seed
+  private val DsirDim = 1024
+  private val DsirN = 50
+  private val DsirSeed = "dsir-r8"
   private val AnnK = 5
   private val LshBits = 8
   // stored-vector-index build/query parameters (graft_vec_index)
@@ -274,6 +278,28 @@ object Extensions {
         col("doc_id") < 25, 10, HashDim)
       graft.operators.Retrieval.rrfFuse(sparse, dense, 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // DSIR (Xie et al. 2023): per-doc log importance weight of every
+    // document under a target-domain (lang='en') vs raw bag-of-hashed-
+    // ngrams model — the "which crawl pages look like the quality
+    // domain" scorer. Both models, the md5 bucketing, the 9-digit ln
+    // rounding, and the decimal sums replicate in DuckDB.
+    "dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dsir.importanceWeights(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), DsirDim)
+        .orderBy("doc_id")
+    }),
+
+    // The paper's selection step: Gumbel top-n over the importance
+    // weights — a without-replacement draw ∝ w(x), derandomized via
+    // the md5 uniform so both engines draw the identical sample.
+    "dsir_resample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Dsir.resample(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), DsirDim, DsirN, DsirSeed)
+        .orderBy(col("key").desc, col("doc_id"))
     }),
 
     // Deterministic arg-max per group (longest doc per language,
@@ -1072,6 +1098,41 @@ object Extensions {
       s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
     }.mkString("(", " + ", ")")
 
+  /** DSIR oracle CTE chain through `w` = (doc_id, n_grams, logw): the
+    * hashed gram stream (unigrams + adjacent bigrams, no filtering),
+    * dense α-smoothed bucket models for target (lang='en') and raw,
+    * and the per-doc decimal log-ratio sum — the DuckDB replica of
+    * [[graft.operators.Dsir.importanceWeights]] at dim=[[DsirDim]],
+    * α=0.5. Callers prepend `WITH `.
+    */
+  private def dsirCte: String = {
+    val dim = DsirDim
+    s"""toks AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang, unnest(ws) AS gram FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM toks),
+       |gb AS (SELECT doc_id, lang,
+       |         CAST(${hex8ToInt("md5(gram)")} AS BIGINT) % $dim AS bucket FROM g),
+       |buckets AS (SELECT range AS bucket FROM range($dim)),
+       |tcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE lang = 'en' GROUP BY bucket),
+       |tden AS (SELECT b.bucket, COALESCE(cnt, 0) AS cnt FROM buckets b LEFT JOIN tcnt USING (bucket)),
+       |tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM tden),
+       |tmod AS (SELECT bucket, CAST(floor(ln((cnt + 0.5) / (t + 0.5 * $dim)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp_t
+       |         FROM tden CROSS JOIN tt),
+       |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb GROUP BY bucket),
+       |rden AS (SELECT b.bucket, COALESCE(cnt, 0) AS cnt FROM buckets b LEFT JOIN rcnt USING (bucket)),
+       |rt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM rden),
+       |rmod AS (SELECT bucket, CAST(floor(ln((cnt + 0.5) / (t + 0.5 * $dim)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp_r
+       |         FROM rden CROSS JOIN rt),
+       |w AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |         floor(CAST(sum(logp_t) - sum(logp_r) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS logw
+       |  FROM gb JOIN tmod USING (bucket) JOIN rmod USING (bucket)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   private val contaminationOracle =
     s"""WITH $shingleCte,
        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 20 = 0),
@@ -1395,6 +1456,25 @@ object Extensions {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance weights: hashed unigram+bigram buckets, two
+    // add-α bucket models (target = lang='en', raw = all), per-doc
+    // decimal-exact Σ(ln p_t − ln p_r) — stage for stage what
+    // operators.Dsir executes.
+    "dsir_weights" ->
+      s"""WITH $dsirCte
+         |SELECT doc_id, n_grams, logw FROM w ORDER BY doc_id""".stripMargin,
+
+    // Gumbel top-n over the weights: the same md5-uniform the sampling
+    // tier uses, g = −ln(−ln u) rounded at 9, key = logw + g.
+    "dsir_resample" ->
+      s"""WITH $dsirCte,
+         |r AS (
+         |  SELECT doc_id, logw,
+         |    logw + floor((-ln(-ln((${hex8ToInt(s"md5(CAST(doc_id AS VARCHAR) || ':$DsirSeed')")} + 0.5) / 4294967296.0))) * 1000000000 + 0.5) / 1000000000 AS key
+         |  FROM w)
+         |SELECT doc_id, logw, key FROM r
+         |ORDER BY key DESC, doc_id LIMIT $DsirN""".stripMargin,
     "corpus_perplexity_filter" ->
       """WITH lm AS (
         |  SELECT token, count(*) AS cnt FROM (

@@ -368,4 +368,46 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(Sampling.capPerGroup(docs, "doc_id", "source", 25, "s42")
       .count() == 100)
   }
+
+  test("DSIR: importance weights separate target-like from raw-like " +
+      "documents; Gumbel resample is deterministic and weight-biased") {
+    import graft.operators.Dsir
+    // two disjoint vocabularies: "science" docs are the target domain,
+    // "spam" docs the raw-crawl noise; mixed docs sit between
+    val sci = (1L to 20L).map(i =>
+      (i, s"the experiment measured quantum decay rates sample $i", "sci"))
+    val spam = (21L to 40L).map(i =>
+      (i, s"click here buy cheap pills winner prize $i", "spam"))
+    val docs = (sci ++ spam).toDF("doc_id", "text", "kind")
+    val target = docs.filter($"kind" === "sci")
+
+    val w = Dsir.importanceWeights(docs, "doc_id", "text", target, 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 40)
+    val sciMin = (1L to 20L).map(w).min
+    val spamMax = (21L to 40L).map(w).max
+    // every target-vocabulary doc outscores every spam doc: the two
+    // vocabularies are disjoint, so the log-ratio separates them fully
+    assert(sciMin > spamMax,
+      s"weights failed to separate: sci min $sciMin <= spam max $spamMax")
+
+    // resample: deterministic for a seed, different across seeds, and
+    // the weight bias pulls the draw toward target-like docs
+    val a = Dsir.resample(docs, "doc_id", "text", target, 256, 10, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Dsir.resample(docs, "doc_id", "text", target, 256, 10, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same seed must replay the identical draw")
+    val c = Dsir.resample(docs, "doc_id", "text", target, 256, 10, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != c, "a new seed should draw a different sample")
+    assert(a.count(_ <= 20L) > 5,
+      s"draw should lean target-like, got ${a.count(_ <= 20L)}/10 sci")
+
+    // token-free doc: still scored (one empty-string unigram), finite
+    val empty = Seq((99L, "", "spam")).toDF("doc_id", "text", "kind")
+    val we = Dsir.importanceWeights(docs.union(empty), "doc_id", "text",
+      target, 256).filter($"doc_id" === 99L).collect()
+    assert(we.length == 1 && !we(0).getDouble(2).isNaN)
+  }
 }
