@@ -227,6 +227,16 @@ object ScaleStress {
         $"doc_id" < 10, 5, 64)
         .write.format("noop").mode("overwrite").save()
     }
+    time("DSIR: weights + Gumbel resample 1000 of 50k docs (dim=1024)") {
+      operators.Dsir.resample(bigDocs, "doc_id", "text",
+        bigDocs.filter($"lang" === "en"), 1024, 1000, "stress")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("IVF-SQ8 top-5: 10 queries x 20k vectors (8 fixed cells, probe 4)") {
+      operators.Similarity.ivfSq8TopK(bigEmb, bigEmb.filter($"vec_id" < 10),
+        "vec_id", "embedding", 5, queries.Extensions.SemCents, nprobe = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
     bigEmb.unpersist(blocking = false)
     bigDocs.unpersist(blocking = false)
     out.toSeq

@@ -411,6 +411,33 @@ class PlanAuditSpec extends SparkSpec {
         p.take(2000))
   }
 
+  test("ANN rank windows shuffle slim rows: no vector/code column rides " +
+    "a query-id window exchange") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // every window in these plans partitions on query_id over a
+    // corpus-fraction candidate set — its input exchange must carry
+    // (ids, score) only; a dim-wide vector there multiplies the
+    // shuffle by ~100x at d=768
+    // only the CORPUS-SCALE windows (ordered by the candidate score)
+    // must be slim; the nprobe probe window and the k·overquery exact
+    // re-rank window are query-bounded and may carry vectors
+    val corpusOrder = Set("score", "approx_dist", "adc_dist")
+    val fat = Set("qv", "cv", "vec", "embedding", "codes", "rv", "qres")
+    for (name <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_sq8_topk",
+      "ann_ivf_sq8_topk", "ann_ivfpq_indexed_fixed", "text_hash_ann")) {
+      val frame = SparkEntry.queries(name)(spark, sf)
+      val wins = frame.queryExecution.optimizedPlan.collect {
+        case w: Window if w.orderSpec.exists(_.references.exists(a =>
+          corpusOrder.contains(a.name))) => w
+      }
+      assert(wins.nonEmpty, s"$name: expected a candidate-rank window")
+      for (w <- wins; c <- w.child.output.map(_.name) if fat.contains(c))
+        fail(s"$name: window shuffles fat column '$c' — slim the " +
+          s"projection before the rank exchange:\n" +
+          w.treeString.take(1500))
+    }
+  }
+
   test("semDedup keep set never rescans the corpus: the kept-id side is " +
     "checkpoint-detached (scan of an RDD, not a second corpus read)") {
     val kept = graft.operators.Similarity.semDedupWithCentroids(
