@@ -813,6 +813,48 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** Matryoshka / truncated-dimension two-stage ANN (Kusupati et al.,
+    * NeurIPS 2022, arXiv:2205.13147): MRL-trained embeddings front-load
+    * coarse semantics into the leading dimensions, so stage 1 ranks
+    * every candidate by L2 over only the first `dPrefix` dims —
+    * dPrefix/d of the bytes and flops of a full scan, no trained
+    * state at all — and stage 2 re-ranks the k·overquery shortlist
+    * with full-dimension exact L2. The no-codebook sibling of the
+    * PQ/SQ8 shortlist paths, sharing their slim-window discipline
+    * (the corpus-scale exchange carries ids + one double); being pure
+    * closed-form arithmetic the WHOLE arc is oracle-checkable.
+    */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          dPrefix: Int, overquery: Int = 5): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix >= 1 required: $dPrefix")
+    val spark = corpus.sparkSession
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val approx = graft.functions.VectorExprs.l2DistSq(spark,
+      slice(col("qv"), 1, dPrefix), slice(col("cv"), 1, dPrefix))
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    val shortIds = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("approx_dist", approx)
+      .select("query_id", "cand_id", "approx_dist")
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id")
+    val exact = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qv"), col("cv"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("cand_id"))
+    c.join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dist", Rounding.pround(exact, 6))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

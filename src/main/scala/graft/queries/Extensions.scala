@@ -571,6 +571,17 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Matryoshka two-stage ANN: leading-16-dim L2 prefilter over the
+    // whole corpus, exact full-dim re-rank of the k·overquery
+    // shortlist — no trained state, so the whole arc hash-matches.
+    "ann_matryoshka_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.truncatedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, dPrefix = 16,
+        overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // The full IVF-SQ8 composition with fixed coarse cells: cells
     // bound candidates, 8-bit scalar codes bound bytes, exact re-rank
     // restores precision — and with the cells fixed the whole path
@@ -1972,6 +1983,25 @@ object Extensions {
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
     // SQ8 replica, training included: per-dim min/max arrays → double
     // deltas → half-up affine codes → decoded ADC (sum in dimension
+    // Matryoshka: leading-16-dim L2 prefilter (raw-double cut, same
+    // sequential fold as the Spark expression), full-dim exact re-rank.
+    "ann_matryoshka_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |s AS (
+         |  SELECT query_id, cand_id, qv, cv FROM (
+         |    SELECT q.query_id, c.cand_id, q.qv, c.cv,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (SELECT sum((q.qv[i]::DOUBLE - c.cv[i]::DOUBLE) * (q.qv[i]::DOUBLE - c.cv[i]::DOUBLE))
+         |         FROM generate_series(1, 16) t(i)), c.cand_id) AS r
+         |    FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id)
+         |  WHERE r <= ${AnnK * AnnOverquery}),
+         |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM s)
+         |SELECT query_id, cand_id, dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+
     // order — generate_series sums sequentially like l2Sql) → raw-
     // double shortlist cut → rounded exact-L2 re-rank. Every term is
     // an IEEE-exact double op shared with the Spark expressions.

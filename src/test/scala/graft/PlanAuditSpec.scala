@@ -424,7 +424,8 @@ class PlanAuditSpec extends SparkSpec {
     val corpusOrder = Set("score", "approx_dist", "adc_dist")
     val fat = Set("qv", "cv", "vec", "embedding", "codes", "rv", "qres")
     for (name <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_sq8_topk",
-      "ann_ivf_sq8_topk", "ann_ivfpq_indexed_fixed", "text_hash_ann")) {
+      "ann_ivf_sq8_topk", "ann_ivfpq_indexed_fixed", "ann_matryoshka_topk",
+      "text_hash_ann")) {
       val frame = SparkEntry.queries(name)(spark, sf)
       val wins = frame.queryExecution.optimizedPlan.collect {
         case w: Window if w.orderSpec.exists(_.references.exists(a =>

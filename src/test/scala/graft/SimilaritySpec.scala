@@ -225,6 +225,56 @@ class SimilaritySpec extends SparkSpec {
     assert(fullRecall >= 0.9, s"full-probe IVF-SQ8 recall@$k = $fullRecall")
   }
 
+  test("Matryoshka truncated-rerank: full-width prefix IS exact L2; " +
+      "16-dim prefix keeps high recall at a quarter of the scan bytes") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 10
+    // dPrefix = full dimension: stage 1 ranks by the exact distance,
+    // so the output must EQUAL the brute-force L2 top-k
+    val exact = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
+      "embedding", k, dPrefix = 64, overquery = 1)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = {
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+      val l2 = org.apache.spark.sql.functions.aggregate(
+        zip_with($"qv", $"cv", (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (a, v) => a + v)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+      c.crossJoin(broadcast(q))
+        .filter($"cand_id" =!= $"query_id")
+        .withColumn("d", l2)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(exact == brute,
+      "full-prefix truncated rerank must equal brute-force L2 exactly")
+
+    // 16 of 64 dims: the prefilter reads a quarter of the bytes. The
+    // fixture embeddings are isotropic (no MRL training front-loads
+    // semantics into the prefix), so this is the WORST case for
+    // truncation — a real MRL model concentrates variance in the
+    // leading dims and recall approaches 1. Assert the worst-case
+    // floor and that the overquery lever recovers recall monotonely.
+    def recallAt(oq: Int): Double = {
+      val got = Similarity.truncatedRerankTopK(emb, queries, "vec_id",
+        "embedding", k, dPrefix = 16, overquery = oq)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    }
+    val r5 = recallAt(5)
+    val r20 = recallAt(20)
+    assert(r5 >= 0.4, s"matryoshka recall@$k (oq=5) = $r5")
+    assert(r20 >= r5, s"overquery must not lose recall: $r20 < $r5")
+    assert(r20 >= 0.7, s"matryoshka recall@$k (oq=20) = $r20")
+  }
+
   test("stored IVF-PQ index: from-index results equal the in-memory path " +
       "and keep useful recall vs exact L2") {
     val emb = Tables.load(spark, sf, "embeddings")
