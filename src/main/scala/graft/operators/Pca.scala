@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Rounding
+
+/** PCA rotation for embedding columns — the classic variance
+  * front-loading pass (Pearson 1901; Jolliffe, "Principal Component
+  * Analysis") that makes prefix-truncation ANN work on embeddings that
+  * were NOT Matryoshka-trained: after rotating onto the eigenbasis of
+  * the covariance, the leading dimensions carry the most variance by
+  * construction, so [[Similarity.truncatedRerankTopK]]'s
+  * leading-`dPrefix` prefilter discards the least informative
+  * coordinates first. L2 distances are invariant under the (orthogonal)
+  * rotation, so the exact re-rank stage is unchanged — only the
+  * prefilter gets sharper.
+  *
+  * Scale split, mirroring the IVF/PQ training discipline: TRAINING is
+  * one bounded-sample pass that reduces to a d(d+1)/2-cell
+  * second-moment table (map-side-combinable decimal sums — at d=64
+  * that is 2,080 aggregate cells regardless of corpus size) plus a
+  * d-cell mean table; the O(d³) eigensolve runs on the driver over a
+  * 64×64 matrix (microseconds — this is the part Spark should NOT
+  * distribute). APPLY is a pure map: one fused codegen'd dot product
+  * per output component against a broadcast-literal loading row.
+  *
+  * Cross-engine determinism: per-term products round at 9 digits and
+  * sum as DECIMAL(38,12) (partition-order independent), so the gram
+  * table — the distributed part of training — hash-matches DuckDB
+  * (`emb_pca_gram`); projection against FIXED loadings hash-matches
+  * too (`emb_pca_project`). The eigensolve itself is deterministic
+  * (cyclic Jacobi, fixed sweep order, sign-canonical eigenvectors) but
+  * driver-local, so it is spec-tested rather than SQL-oracled — the
+  * same verification split as KMeans-trained models.
+  */
+object Pca {
+
+  /** (id, i, x): one row per vector element of the bounded training
+    * sample, 0-based dimension index, element cast to double.
+    */
+  private def elements(df: DataFrame, idCol: String, vecCol: String,
+                       maxTrain: Int): DataFrame =
+    Similarity.trainView(df, idCol, maxTrain)
+      .select(col(idCol).as("_id"), posexplode(col(vecCol)))
+      .select(col("_id"), col("pos").as("i"), col("col").cast("double").as("x"))
+
+  /** Upper-triangle second-moment table over the training sample:
+    * (i, j, gram, n) with i ≤ j, `gram = Σ_rows x_i·x_j` (per-term
+    * 9-digit rounding, decimal-exact accumulation, reported at 6) and
+    * `n` the sample size. d(d+1)/2 rows — broadcastable at any d the
+    * engine would store as an array column. The self-join keys on the
+    * row id (d-row groups), so the shuffle moves d doubles per sample
+    * row; the aggregation collapses map-side to ≤ 2,080 partial cells
+    * per partition.
+    */
+  def gram(df: DataFrame, idCol: String, vecCol: String,
+           maxTrain: Int = 1 << 16): DataFrame = {
+    val el = elements(df, idCol, vecCol, maxTrain)
+    val a = el
+    val b = el.select(col("_id"), col("i").as("j"), col("x").as("y"))
+    a.join(b, Seq("_id"))
+      .filter(col("j") >= col("i"))
+      .withColumn("p",
+        Rounding.pround(col("x") * col("y"), 9).cast(DecimalType(38, 12)))
+      .groupBy("i", "j")
+      .agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+      .select(col("i"), col("j"),
+        Rounding.pround(col("s").cast("double"), 6).as("gram"), col("n"))
+  }
+
+  /** Per-dimension means over the training sample: (i, mean). */
+  def colMeans(df: DataFrame, idCol: String, vecCol: String,
+               maxTrain: Int = 1 << 16): DataFrame =
+    elements(df, idCol, vecCol, maxTrain)
+      .withColumn("p", Rounding.pround(col("x"), 9).cast(DecimalType(38, 12)))
+      .groupBy("i")
+      .agg((sum(col("p")).cast("double") / count(lit(1))).as("mean"))
+
+  /** Deterministic cyclic-Jacobi eigendecomposition of a symmetric
+    * matrix: returns (eigenvalues, eigenvectors-as-rows), eigenvalue-
+    * descending, each vector sign-canonicalized (its largest-magnitude
+    * component is positive) so the basis is unique and reproducible.
+    * O(d³) per sweep on the driver — for the d ≤ ~1k of any embedding
+    * column this is microseconds, far below the cost of shipping the
+    * problem anywhere.
+    */
+  private[graft] def jacobiEig(sym: Array[Array[Double]],
+                               maxSweeps: Int = 64,
+                               tol: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > tol) {
+      for (p <- 0 until n; q <- p + 1 until n if a(p)(q) != 0.0) {
+        val theta = 0.5 * (a(q)(q) - a(p)(p)) / a(p)(q)
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        var k = 0
+        while (k < n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val vec = Array.tabulate(n)(k => v(k)(i))
+      val m = vec.indices.maxBy(k => math.abs(vec(k)))
+      if (vec(m) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Train: top-`nComponents` covariance eigenvectors (rows, variance-
+    * descending) of the vector column over a bounded sample. Collects
+    * only the d(d+1)/2 gram cells + d means (KB-scale metadata, like
+    * PQ codebooks), eigensolves on the driver, returns the loadings to
+    * broadcast into [[project]].
+    */
+  def loadings(df: DataFrame, idCol: String, vecCol: String,
+               nComponents: Int,
+               maxTrain: Int = 1 << 16): Seq[Seq[Double]] = {
+    val g = gram(df, idCol, vecCol, maxTrain)
+      .select("i", "j", "gram", "n").collect()
+    require(g.nonEmpty, "empty training frame")
+    val n = g.head.getLong(3).toDouble
+    val d = g.map(_.getInt(0)).max + 1
+    require(nComponents >= 1 && nComponents <= d,
+      s"nComponents must be in [1, $d]: $nComponents")
+    val mu = new Array[Double](d)
+    colMeans(df, idCol, vecCol, maxTrain).collect()
+      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val cov = Array.ofDim[Double](d, d)
+    g.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val c = s / n - mu(i) * mu(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    val (_, evecs) = jacobiEig(cov)
+    evecs.take(nComponents).map(_.toSeq).toSeq
+  }
+
+  /** Apply: (id, vec) with `vec(c) = Σ_i v_i · loadings(c)(i)` rounded
+    * at `scale` — one fused codegen'd dot product per component
+    * against a literal loading row (a single array literal each: no
+    * codegen blow-up at any d). Pure map, no shuffle; works for
+    * trained loadings and for any fixed rotation alike.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+              loadings: Seq[Seq[Double]], scale: Int = 6): DataFrame = {
+    require(loadings.nonEmpty, "at least one loading row required")
+    val spark = df.sparkSession
+    val comps: Seq[Column] = loadings.map { l =>
+      Rounding.pround(
+        graft.functions.VectorExprs.dot(spark, col(vecCol),
+          typedLit(l.toArray)), scale)
+    }
+    df.select(col(idCol), array(comps: _*).as("vec"))
+  }
+}

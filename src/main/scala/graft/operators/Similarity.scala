@@ -147,7 +147,8 @@ object Similarity {
     * stable row order, so the learned model — hence the whole index —
     * is reproducible for the same data regardless of partitioning.
     */
-  private def trainView(df: DataFrame, idCol: String, maxTrain: Int): DataFrame =
+  private[graft] def trainView(df: DataFrame, idCol: String,
+                               maxTrain: Int): DataFrame =
     Sampling.boundedSample(df, idCol, maxTrain.toLong, "vec-train")
       .orderBy(idCol)
 

@@ -571,6 +571,28 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // PCA training's distributed half: the d(d+1)/2 upper-triangle
+    // second-moment table (per-term 9-digit rounding, decimal-exact
+    // sums). The driver-side eigensolve consumes exactly these cells.
+    "emb_pca_gram" -> ((s, dir) =>
+      graft.operators.Pca.gram(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("gram"), col("n"))
+        .orderBy("i", "j")),
+
+    // PCA apply with FIXED loadings (the SemCents dyadic rows): one
+    // fused dot product per component, exploded to scalar rows so the
+    // projection arithmetic itself is hash-matched.
+    "emb_pca_project" -> ((s, dir) =>
+      graft.operators.Pca.project(t(s, dir, "embeddings"), "vec_id",
+        "embedding", SemCents.map(_.map(_.toDouble)))
+        .select(col("vec_id"), posexplode(col("vec")))
+        .toDF("vec_id", "dim", "value")
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("value"))
+        .orderBy("vec_id", "dim")),
+
     // Matryoshka two-stage ANN: leading-16-dim L2 prefilter over the
     // whole corpus, exact full-dim re-rank of the k·overquery
     // shortlist — no trained state, so the whole arc hash-matches.
@@ -1983,6 +2005,36 @@ object Extensions {
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
     // SQ8 replica, training included: per-dim min/max arrays → double
     // deltas → half-up affine codes → decoded ADC (sum in dimension
+    // PCA gram: same per-term rounding + decimal accumulation as the
+    // Spark side; generate_series is 1-based, posexplode 0-based.
+    "emb_pca_gram" ->
+      """WITH el AS (
+        |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |  FROM embeddings, generate_series(1, 64) t(i)),
+        |g AS (
+        |  SELECT a.i - 1 AS i, b.i - 1 AS j,
+        |         sum(CAST(floor(a.x * b.x * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12))) AS s,
+        |         count(*) AS n
+        |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT i, j, floor(CAST(s AS DOUBLE) * 1000000 + 0.5) / 1000000 AS gram, n
+        |FROM g ORDER BY i, j""".stripMargin,
+
+    // PCA projection against the fixed SemCents loadings: one
+    // sequential-fold dot per component, rounded at 6.
+    "emb_pca_project" -> {
+      val centsRows = SemCents.indices.map(c =>
+        s"SELECT CAST($c AS BIGINT) AS dim, ${semCentArray(c)}::DOUBLE[] AS arr")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH cents AS (
+         |  $centsRows)
+         |SELECT e.vec_id, c.dim,
+         |  floor((SELECT sum(e.embedding[i]::DOUBLE * c.arr[i])
+         |         FROM generate_series(1, 64) t(i)) * 1000000 + 0.5) / 1000000 AS value
+         |FROM embeddings e CROSS JOIN cents c
+         |ORDER BY vec_id, dim""".stripMargin
+    },
+
     // Matryoshka: leading-16-dim L2 prefilter (raw-double cut, same
     // sequential fold as the Spark expression), full-dim exact re-rank.
     "ann_matryoshka_topk" ->

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pca, Similarity}
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEig: known 2x2 and 3x3 spectra, eigenvalue-descending, " +
+      "sign-canonical") {
+    val (e2, v2) = Pca.jacobiEig(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(e2(0) - 3.0) < 1e-12 && math.abs(e2(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(v2(0)(0) - r) < 1e-12 && math.abs(v2(0)(1) - r) < 1e-12)
+    // diagonal matrix: eigenvalues sort, vectors are (sign-canonical)
+    // coordinate axes
+    val (e3, v3) = Pca.jacobiEig(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(e3.toSeq == Seq(5.0, 3.0, 1.0))
+    assert(v3(0).toSeq == Seq(0.0, 1.0, 0.0))
+    assert(v3(1).toSeq == Seq(0.0, 0.0, 1.0))
+  }
+
+  test("trained loadings are orthonormal and variance-ordered on the " +
+      "fixture embeddings") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val l = Pca.loadings(emb, "vec_id", "embedding", 8)
+    assert(l.size == 8 && l.forall(_.size == 64))
+    for (i <- l.indices; j <- i until l.size) {
+      val d = l(i).zip(l(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-8, s"<l$i, l$j> = $d")
+    }
+    // component variances (lᵀ C l) decrease along the returned order:
+    // project the corpus and check the per-component variance ordering
+    val proj = Pca.project(emb, "vec_id", "embedding", l, scale = 9)
+      .select(posexplode($"vec")).toDF("dim", "v")
+      .groupBy("dim").agg(var_pop($"v").as("s2"))
+      .orderBy("dim").select("s2").as[Double].collect()
+    for (i <- 1 until proj.length)
+      assert(proj(i) <= proj(i - 1) + 1e-9,
+        s"variance not descending at $i: ${proj.toSeq}")
+  }
+
+  test("PCA rotation front-loads variance: Matryoshka prefix recall on " +
+      "anisotropic vectors jumps from near-random to near-exact") {
+    // planted corpus: ALL signal lives in dims 48..63; dims 0..47 are
+    // 1e-3 noise — the worst case for a raw leading-dim prefilter
+    val n = 200
+    val planted = (1 to n).map { id =>
+      val v = Array.tabulate(64) { d =>
+        if (d >= 48) ((id * 7 + d * 13) % 23 - 11).toFloat
+        else (((id * 31 + d * 17) % 5) - 2) * 0.001f
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = planted.filter($"vec_id" <= 5)
+    val k = 10
+
+    // ground truth: exact L2 (rotation-invariant, so it serves both)
+    val exact = Similarity.truncatedRerankTopK(planted, queries, "vec_id",
+      "embedding", k, dPrefix = 64, overquery = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.truncatedRerankTopK(df, df.filter($"vec_id" <= 5),
+        "vec_id", "vec", k, dPrefix = 16, overquery = 2)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // raw vectors: identity "rotation" — prefix dims are pure noise
+    val eye = Seq.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    val rawRecall = recallOf(
+      Pca.project(planted, "vec_id", "embedding", eye, scale = 9))
+    // PCA-rotated: the 16 signal directions move to the front
+    val l = Pca.loadings(planted, "vec_id", "embedding", 64)
+    val pcaRecall = recallOf(
+      Pca.project(planted, "vec_id", "embedding", l, scale = 9))
+    assert(rawRecall < 0.6, s"planted corpus not anisotropic? $rawRecall")
+    assert(pcaRecall >= 0.95,
+      s"PCA prefix recall $pcaRecall (raw was $rawRecall)")
+  }
+}
