@@ -142,22 +142,19 @@ object Pca {
     (evals, evecs)
   }
 
-  /** Train: top-`nComponents` covariance eigenvectors (rows, variance-
-    * descending) of the vector column over a bounded sample. Collects
-    * only the d(d+1)/2 gram cells + d means (KB-scale metadata, like
-    * PQ codebooks), eigensolves on the driver, returns the loadings to
-    * broadcast into [[project]].
+  /** The full covariance eigendecomposition over a bounded sample:
+    * (eigenvalues, eigenvectors-as-rows), variance-descending.
+    * Collects only the d(d+1)/2 gram cells + d means (KB-scale
+    * metadata, like PQ codebooks) and eigensolves on the driver.
     */
-  def loadings(df: DataFrame, idCol: String, vecCol: String,
-               nComponents: Int,
-               maxTrain: Int = 1 << 16): Seq[Seq[Double]] = {
+  private[graft] def covEig(df: DataFrame, idCol: String, vecCol: String,
+                            maxTrain: Int)
+      : (Array[Double], Array[Array[Double]]) = {
     val g = gram(df, idCol, vecCol, maxTrain)
       .select("i", "j", "gram", "n").collect()
     require(g.nonEmpty, "empty training frame")
     val n = g.head.getLong(3).toDouble
     val d = g.map(_.getInt(0)).max + 1
-    require(nComponents >= 1 && nComponents <= d,
-      s"nComponents must be in [1, $d]: $nComponents")
     val mu = new Array[Double](d)
     colMeans(df, idCol, vecCol, maxTrain).collect()
       .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
@@ -168,8 +165,58 @@ object Pca {
       cov(i)(j) = c
       cov(j)(i) = c
     }
-    val (_, evecs) = jacobiEig(cov)
+    jacobiEig(cov)
+  }
+
+  /** Train: top-`nComponents` covariance eigenvectors (rows, variance-
+    * descending) — the loadings to broadcast into [[project]].
+    */
+  def loadings(df: DataFrame, idCol: String, vecCol: String,
+               nComponents: Int,
+               maxTrain: Int = 1 << 16): Seq[Seq[Double]] = {
+    val (_, evecs) = covEig(df, idCol, vecCol, maxTrain)
+    require(nComponents >= 1 && nComponents <= evecs.length,
+      s"nComponents must be in [1, ${evecs.length}]: $nComponents")
     evecs.take(nComponents).map(_.toSeq).toSeq
+  }
+
+  /** OPQ-P loadings (Ge et al., CVPR 2013 §4 "optimized product
+    * quantization", non-parametric/eigenvalue-allocation variant):
+    * PCA-rotate, then PERMUTE the principal directions so that each of
+    * the `nsub` PQ subspaces receives a balanced eigenvalue PRODUCT —
+    * greedy: walk dims variance-descending, assign each to the
+    * open subspace with the smallest running Σlog λ. Plain PQ on
+    * raw anisotropic vectors wastes whole codebooks on near-constant
+    * dims while one overloaded subspace eats the distortion; after
+    * this rotation+permutation every sub-quantizer carries comparable
+    * information, so the same nsub·log2(ksub) bits buy strictly
+    * tighter codes. Feed the result to [[project]], then train/encode
+    * PQ on the rotated vectors exactly as before — the rotation is
+    * just more metadata next to the codebooks, and L2 is invariant
+    * under it, so ADC semantics are unchanged.
+    */
+  def opqLoadings(df: DataFrame, idCol: String, vecCol: String, nsub: Int,
+                  maxTrain: Int = 1 << 16): Seq[Seq[Double]] = {
+    val (evals, evecs) = covEig(df, idCol, vecCol, maxTrain)
+    val d = evecs.length
+    require(nsub >= 1 && d % nsub == 0,
+      s"nsub must divide the dimension $d: $nsub")
+    val cap = d / nsub
+    val logSum = Array.fill(nsub)(0.0)
+    val fill = Array.fill(nsub)(0)
+    val slots = Array.ofDim[Int](nsub, cap)
+    // dims arrive variance-descending already (jacobiEig sorts);
+    // eigenvalues can be ~0 (planted noise) — floor the log argument
+    for (dim <- 0 until d) {
+      val s = (0 until nsub).filter(fill(_) < cap)
+        .minBy(s => (logSum(s), s))
+      slots(s)(fill(s)) = dim
+      fill(s) += 1
+      logSum(s) += math.log(math.max(evals(dim), 1e-300))
+    }
+    // subspace-grouped row order: PQ's dimension split [s*cap, (s+1)*cap)
+    // then reads each balanced group as one sub-quantizer
+    slots.flatten.map(dim => evecs(dim).toSeq).toSeq
   }
 
   /** Apply: (id, vec) with `vec(c) = Σ_i v_i · loadings(c)(i)` rounded

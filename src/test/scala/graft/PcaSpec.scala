@@ -81,4 +81,55 @@ class PcaSpec extends SparkSpec {
     assert(pcaRecall >= 0.95,
       s"PCA prefix recall $pcaRecall (raw was $rawRecall)")
   }
+
+  test("OPQ eigenvalue allocation: a valid balanced permutation, and " +
+      "PQ-ADC recall on rotated anisotropic vectors beats raw PQ") {
+    val n = 300
+    val planted = (1 to n).map { id =>
+      val v = Array.tabulate(64) { d =>
+        if (d >= 48) ((id * 7 + d * 13) % 23 - 11).toFloat
+        else (((id * 31 + d * 17) % 5) - 2) * 0.001f
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val nsub = 8
+    val l = Pca.opqLoadings(planted, "vec_id", "embedding", nsub)
+    assert(l.size == 64 && l.forall(_.size == 64))
+    // rows are a permutation of an orthonormal basis
+    for (i <- l.indices; j <- i until l.size) {
+      val d = l(i).zip(l(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    // the 16 high-variance directions spread across ALL subspaces (2
+    // each), instead of concentrating in the first two PCA-order groups
+    val rotated = Pca.project(planted, "vec_id", "embedding", l, scale = 9)
+    val subVar = rotated.select(posexplode($"vec")).toDF("dim", "v")
+      .withColumn("sub", ($"dim" / 8).cast("int"))
+      .groupBy("sub").agg(sum($"v" * $"v").as("e"))
+      .orderBy("sub").select("e").as[Double].collect()
+    assert(subVar.forall(_ > 1.0),
+      s"some subspace got only noise: ${subVar.toSeq}")
+
+    // the payoff: same PQ budget, strictly better recall than raw PQ
+    val k = 10
+    val exact = Similarity.truncatedRerankTopK(planted,
+      planted.filter($"vec_id" <= 5), "vec_id", "embedding", k,
+      dPrefix = 64, overquery = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def pqRecall(df: org.apache.spark.sql.DataFrame, vecCol: String)
+        : Double = {
+      val books = Similarity.pqTrain(df.select(col("vec_id"), col(vecCol)),
+        vecCol, nsub, 16, seed = 7L)
+      val enc = Similarity.pqEncode(df, "vec_id", vecCol, books)
+      val got = Similarity.pqTopK(enc, df.filter($"vec_id" <= 5), "vec_id",
+        vecCol, k, books)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val raw = pqRecall(planted, "embedding")
+    val opq = pqRecall(rotated, "vec")
+    assert(opq >= raw,
+      s"OPQ rotation must not lose recall: opq=$opq raw=$raw")
+    assert(opq >= 0.5, s"OPQ recall too low: $opq (raw $raw)")
+  }
 }
