@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Rounding, TextFunctions}
-import graft.operators.{Contamination, Dedup, DedupCluster, Packing, Profile, Similarity, TextEmbedding}
+import graft.operators.{Classifier, Contamination, Dedup, DedupCluster, Packing, Profile, Similarity, TextEmbedding}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -44,6 +44,10 @@ object Extensions {
   // nprobe for the FIXED-model stored indexes (8 SemCents cells, vs
   // the trained index's AnnNlist=16)
   private val FixedNprobe = 3
+  // fixed dyadic logistic-regression model for the hash-matched
+  // classifier-inference row (training is spec-pinned, not oracled)
+  private val LrFixedModel = Classifier.LogRegModel(
+    (0 until HashDim).map(i => ((i * 37) % 21 - 10) / 16.0), bias = 0.1875)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ------------------------------------------------
@@ -186,6 +190,18 @@ object Extensions {
         "doc_id", "text", col("doc_id") < 5, 5, HashDim)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")),
+
+    // Trained-classifier corpus scoring (fastText/CCNet-style quality
+    // filter) with FIXED dyadic weights so the whole inference path —
+    // hashed features → fused-dot logit → rounded verdict — is
+    // hash-matched. Training itself is iterative driver state (like
+    // KMeans) and is pinned by ClassifierSpec instead.
+    "text_lr_score" -> ((s, dir) =>
+      Classifier.score(
+        TextEmbedding.hashedEmbeddings(t(s, dir, "documents"),
+          "doc_id", "text", HashDim),
+        "doc_id", "vec", LrFixedModel)
+        .orderBy("doc_id")),
 
     // Retrieval/RAG-style sliding-window chunking: one row per
     // overlapping 64-word window (stride 48 → 16 words of shared
@@ -1538,6 +1554,24 @@ object Extensions {
     "text_hash_ann" ->
       s"""WITH ${hashAnnRankedSql(5, 5, "hr")}
          |SELECT query_id, cand_id, score, rank FROM hr ORDER BY query_id, rank""".stripMargin,
+
+    // Classifier inference with the fixed dyadic model: same hashed
+    // features, same ascending-fold dot, same pround(6), verdict on
+    // the ROUNDED logit in both engines.
+    "text_lr_score" -> {
+      val wArr = LrFixedModel.weights.mkString("[", ", ", "]")
+      s"""WITH $hashDenseCte,
+         |vecs AS (SELECT doc_id, list(weight ORDER BY dim_idx) AS vec
+         |         FROM dense GROUP BY doc_id),
+         |lg AS (
+         |  SELECT v.doc_id,
+         |    ${Rounding.sqlPround(
+             s"${LrFixedModel.bias} + (SELECT sum(v.vec[i] * w.arr[i]) " +
+               s"FROM generate_series(1, $HashDim) t(i))", 6)} AS logit
+         |  FROM vecs v CROSS JOIN (SELECT $wArr::DOUBLE[] AS arr) w)
+         |SELECT doc_id, logit, logit > 0 AS pred FROM lg
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Hybrid sparse+dense retrieval: BM25 and hashed-cosine ranked
     // lists (k=10 each) fused by reciprocal rank, 1/(60 + rank) per
