@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link-analysis over edge lists — the graph mate of
+  * [[DedupCluster]]'s connected components. PageRank weights nodes by
+  * citation mass; a corpus pipeline uses it to score crawl documents
+  * by link authority (the Common-Crawl-style quality prior) before
+  * sampling, the same place [[Classifier]] supplies a content prior.
+  *
+  * Scale shape: the edge frame (with out-degrees pre-joined) is
+  * computed ONCE, persisted, and re-read every iteration; an iteration
+  * is join(ranks on src) → map-side-combinable sum on dst → left join
+  * back to the node set — three key-partitioned exchanges, no
+  * broadcast of anything unbounded, no driver-side data beyond the
+  * node COUNT. Rank-frame lineage is cut every `checkpointEvery`
+  * rounds exactly like [[DedupCluster.componentsWithStatus]] (reliable
+  * checkpoint when a dir is set, else localCheckpoint), so a 50-round
+  * run does not build a 150-stage plan.
+  *
+  * Cross-engine exactness (the property the `graph_pagerank` oracle
+  * hash-checks): per-edge contributions `damping · rank / deg` are
+  * quantized to INTEGER 10⁻¹⁴ units — `floor(x · 1e14 + 0.5)` is a
+  * chain of individually-exact IEEE ops, so every engine computes the
+  * same long — and the incoming-edge reduction is an exact,
+  * order-independent integer sum (total mass ≲ 0.85·10¹⁴ per
+  * iteration, so per-node sums sit far below both 2⁵³ and the int64
+  * range). A decimal CAST would not be safe here: Spark rounds the
+  * double's shortest decimal rendering while DuckDB rounds the exact
+  * binary value, and at scale 14 those can double-round apart.
+  *
+  * Dangling nodes (no out-edges) leak their mass rather than
+  * redistributing it — the standard simplification (Spark's own
+  * PageRank example does the same); feed a bidirected edge list (e.g.
+  * [[undirect]]) when conservation matters.
+  */
+object Graph {
+
+  /** Contribution quantum: 10⁻¹⁴ rank units per integer step. */
+  val Unit14: Double = 1.0e14
+
+  /** Symmetrize a directed edge list: distinct pairs plus their
+    * reversals — every node then has out-degree ≥ 1, so no mass leaks.
+    */
+  def undirect(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val p = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** PageRank with a FIXED iteration count (deterministic, and what
+    * the unrolled-CTE oracle replays): returns (id, rank) for every
+    * node appearing as src or dst. `edges` should be pre-deduplicated
+    * (parallel edges count double — sometimes wanted, usually not).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85,
+               checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one persisted (src, dst, deg) frame feeds every iteration
+    val ed = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty edge frame")
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var pinned: DataFrame = null
+    for (k <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(ed("dst"),
+          floor(lit(damping) * col("rank") / col("deg") * lit(Unit14)
+            + lit(0.5)).as("c"))
+      val inc = contrib.groupBy("dst").agg(sum(col("c")).as("inc"))
+      val next = nodes.join(inc, nodes("id") === inc("dst"), "left")
+        .select(nodes("id"),
+          (lit((1.0 - damping) / n) +
+            coalesce(col("inc").cast("double") / lit(Unit14), lit(0.0)))
+            .as("rank"))
+      ranks =
+        if (k % checkpointEvery == 0 || k == iters) {
+          val cut = if (reliable) next.checkpoint()
+                    else next.localCheckpoint()
+          if (!reliable) { // see DedupCluster on why the cut stays pinned
+            if (pinned != null) pinned.unpersist()
+            pinned = cut
+          }
+          cut
+        } else next
+    }
+    ed.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+}

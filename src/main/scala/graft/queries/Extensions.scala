@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Rounding, TextFunctions}
-import graft.operators.{Classifier, Contamination, Dedup, DedupCluster, Packing, Profile, Similarity, TextEmbedding}
+import graft.operators.{Classifier, Contamination, Dedup, DedupCluster, Graph, Packing, Profile, Similarity, TextEmbedding}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -48,6 +48,8 @@ object Extensions {
   // classifier-inference row (training is spec-pinned, not oracled)
   private val LrFixedModel = Classifier.LogRegModel(
     (0 until HashDim).map(i => ((i * 37) % 21 - 10) / 16.0), bias = 0.1875)
+  private val PageRankIters = 5
+  private val PageRankDamping = 0.85
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ------------------------------------------------
@@ -202,6 +204,23 @@ object Extensions {
           "doc_id", "text", HashDim),
         "doc_id", "vec", LrFixedModel)
         .orderBy("doc_id")),
+
+    // PageRank link authority over the bidirected customer↔supplier
+    // purchase graph (node ids disjointly encoded as 2·cust / 2·supp+1).
+    // Fixed 5-iteration run; per-edge contributions quantize to
+    // DECIMAL(28,14) before the incoming sum so the reduction is
+    // order-independent and the unrolled-CTE DuckDB replica
+    // hash-matches every rank.
+    "graph_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.pageRank(Graph.undirect(pairs, "src", "dst"), "src", "dst",
+        iters = PageRankIters, damping = PageRankDamping)
+        .orderBy("id")
+    }),
 
     // Retrieval/RAG-style sliding-window chunking: one row per
     // overlapping 64-word window (stride 48 → 16 words of shared
@@ -1554,6 +1573,41 @@ object Extensions {
     "text_hash_ann" ->
       s"""WITH ${hashAnnRankedSql(5, 5, "hr")}
          |SELECT query_id, cand_id, score, rank FROM hr ORDER BY query_id, rank""".stripMargin,
+
+    // PageRank replayed as an UNROLLED chain of per-iteration CTEs —
+    // recursive CTEs disallow the aggregation each step needs, so the
+    // fixed iteration count is spelled out. Same integer-quantized
+    // contributions (floor(x·1e14 + 0.5): all-IEEE, exact long sums),
+    // same teleport spelling, same graph derivation.
+    "graph_pagerank" -> {
+      val d = PageRankDamping
+      val u = "100000000000000.0"
+      val its = (1 to PageRankIters).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst,
+           |    CAST(floor($d * r.rank / deg.deg * $u + 0.5) AS BIGINT) AS c
+           |  FROM e JOIN r${k - 1} r ON r.id = e.src
+           |  JOIN deg ON deg.src = e.src),
+           |i$k AS (SELECT dst, sum(c) AS inc FROM c$k GROUP BY dst),
+           |r$k AS (
+           |  SELECT nodes.id,
+           |    CAST(${1.0 - d} AS DOUBLE) / nn.n
+           |      + coalesce(CAST(i$k.inc AS DOUBLE) / $u, 0.0) AS rank
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN i$k ON i$k.dst = nodes.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |$its
+         |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
+    },
 
     // Classifier inference with the fixed dyadic model: same hashed
     // features, same ascending-fold dot, same pround(6), verdict on

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory reference simulation of the operator's exact contract
+    * (integer 1e-14-unit quantized contributions — the same IEEE op
+    * chain the Spark expressions evaluate), for EQUALITY checks.
+    */
+  private def simulate(edges: Seq[(Long, Long)], iters: Int,
+                       damping: Double): Map[Long, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val n = nodes.size
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val inc = edges
+        .map { case (s, t) =>
+          t -> math.floor(
+            damping * rank(s) / deg(s) * Graph.Unit14 + 0.5).toLong }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).sum }
+      rank = nodes.map(v =>
+        v -> ((1.0 - damping) / n +
+          inc.get(v).map(_.toDouble / Graph.Unit14).getOrElse(0.0))).toMap
+    }
+    rank
+  }
+
+  test("pageRank equals the quantized reference simulation exactly on " +
+      "a hand graph, hub outranks leaves, ranks conserve mass") {
+    // hub 1 linked by 2,3,4; chain 4->5; bidirected
+    val raw = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val e = Graph.undirect(raw.toDF("src", "dst"), "src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 7)
+      .as[(Long, Double)].collect().toMap
+    val want = simulate(
+      raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct,
+      iters = 7, damping = 0.85)
+    assert(got.keySet == want.keySet)
+    for ((id, r) <- want)
+      assert(got(id) == r, s"node $id: got ${got(id)} want $r")
+    assert(got(1L) > got(2L) && got(1L) > got(5L), s"hub must win: $got")
+    // bidirected graph has no dangling mass; conservation up to the
+    // per-edge 1e-14 quantization
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank is deterministic across runs and sensitive to the " +
+      "iteration count; parallel edges are caller-controlled") {
+    val e = Graph.undirect(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"),
+      "src", "dst")
+    val a = Graph.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Graph.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    val one = Graph.pageRank(e, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(one != a)
+    // undirect dedups: a doubled input edge changes nothing
+    val dup = Graph.undirect(
+      Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .toDF("src", "dst"), "src", "dst")
+    val c = Graph.pageRank(dup, "src", "dst", iters = 5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(c == a)
+  }
+
+  test("lineage cuts: a 12-iteration run completes and matches the " +
+      "reference simulation with checkpointEvery=3") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val e = Graph.undirect(raw.toDF("src", "dst"), "src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 12,
+      checkpointEvery = 3).as[(Long, Double)].collect().toMap
+    val want = simulate(
+      raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct,
+      iters = 12, damping = 0.85)
+    for ((id, r) <- want) assert(got(id) == r, s"node $id")
+  }
+}
