@@ -51,6 +51,47 @@ object Graph {
       .distinct()
   }
 
+  /** Mutual-k-nearest-neighbor edges over a vector corpus: (id_a,
+    * id_b) with id_a < id_b, kept iff each endpoint ranks in the
+    * other's cosine top-k. The mutuality filter is the standard
+    * spurious-hub cut — a vector near a cluster it doesn't belong to
+    * picks cluster members as neighbors, but they don't reciprocate.
+    *
+    * `knn` supplies the directed top-k lists; default is the exact
+    * [[Similarity.bruteForceTopK]] with every vector as a query
+    * (quadratic — fine for bounded slices and oracles). At corpus
+    * scale pass an ANN front-end with the same output shape
+    * (query_id, cand_id, rank ≤ k): e.g. ivfPqTopKFromIndex over the
+    * stored index — the mutual join and everything downstream is
+    * candidate-bounded either way (≤ k·N directed edges).
+    */
+  def mutualKnnEdges(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int,
+                     knn: Option[DataFrame] = None): DataFrame = {
+    val directed = knn.getOrElse(
+      Similarity.bruteForceTopK(vectors, vectors, idCol, vecCol, k,
+        Similarity.cosineFused(vectors.sparkSession, _, _)))
+      .select(col("query_id"), col("cand_id"))
+    val rev = directed.select(col("cand_id").as("query_id"),
+      col("query_id").as("cand_id"))
+    directed.intersect(rev)
+      .filter(col("query_id") < col("cand_id"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"))
+  }
+
+  /** Embedding-space clustering with zero trained state: mutual-kNN
+    * edges → connected components (min-label propagation, loud
+    * non-convergence). Returns (id, cluster_id) for every vector;
+    * vectors with no mutual neighbor are singleton clusters. The
+    * density-based corpus-organization pass (topic/near-domain
+    * grouping) that SemDeDup's fixed cells approximate.
+    */
+  def knnClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                  k: Int, maxRounds: Int = 20,
+                  knn: Option[DataFrame] = None): DataFrame =
+    DedupCluster.components(vectors, idCol,
+      mutualKnnEdges(vectors, idCol, vecCol, k, knn), maxRounds)
+
   /** PageRank with a FIXED iteration count (deterministic, and what
     * the unrolled-CTE oracle replays): returns (id, rank) for every
     * node appearing as src or dst. `edges` should be pre-deduplicated

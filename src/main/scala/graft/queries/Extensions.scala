@@ -50,6 +50,10 @@ object Extensions {
     (0 until HashDim).map(i => ((i * 37) % 21 - 10) / 16.0), bias = 0.1875)
   private val PageRankIters = 5
   private val PageRankDamping = 0.85
+  // mutual-kNN clustering: neighbor count and bounded slice for the
+  // quadratic oracle replica
+  private val KnnK = 4
+  private val KnnSlice = 300
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis ------------------------------------------------
@@ -220,6 +224,19 @@ object Extensions {
       Graph.pageRank(Graph.undirect(pairs, "src", "dst"), "src", "dst",
         iters = PageRankIters, damping = PageRankDamping)
         .orderBy("id")
+    }),
+
+    // Embedding clustering with zero trained state: mutual-kNN edges
+    // (each endpoint in the other's cosine top-k) → connected
+    // components. Bounded slice so the DuckDB replica's quadratic
+    // scoring stays cheap; at corpus scale the kNN front-end is the
+    // stored ANN index (same output shape), everything downstream is
+    // candidate-bounded.
+    "emb_knn_clusters" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < KnnSlice)
+      Graph.knnClusters(sub, "vec_id", "embedding", k = KnnK)
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
     }),
 
     // Retrieval/RAG-style sliding-window chunking: one row per
@@ -1608,6 +1625,38 @@ object Extensions {
          |$its
          |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
     },
+
+    // Mutual-kNN clustering: quadratic cosine scoring on the bounded
+    // slice, reciprocal top-k join, then the same recursive min-label
+    // reachability the dedup-cluster oracle uses.
+    "emb_knn_clusters" ->
+      s"""WITH RECURSIVE sub AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $KnnSlice),
+         |sc AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |         ${cosSql("q.embedding", "c.embedding")} AS score
+         |  FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+         |knn AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY score DESC, cid) AS r
+         |    FROM sc)
+         |  WHERE r <= $KnnK),
+         |mut AS (
+         |  SELECT a.qid AS id_a, a.cid AS id_b FROM knn a
+         |  JOIN knn b ON b.qid = a.cid AND b.cid = a.qid
+         |  WHERE a.qid < a.cid),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mut
+         |  UNION SELECT id_b, id_a FROM mut),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM sub
+         |  UNION
+         |  SELECT e.dst AS id, r.lbl FROM reach r
+         |  JOIN edges e ON e.src = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS vec_id, cluster_id FROM cc ORDER BY vec_id""".stripMargin,
 
     // Classifier inference with the fixed dyadic model: same hashed
     // features, same ascending-fold dot, same pround(6), verdict on

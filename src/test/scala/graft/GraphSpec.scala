@@ -71,6 +71,32 @@ class GraphSpec extends SparkSpec {
     assert(c == a)
   }
 
+  test("mutualKnnEdges + knnClusters: planted blobs separate, the " +
+      "outlier stays a singleton, and non-reciprocal neighbors are cut") {
+    // two tight 5-point blobs on orthogonal axes + one far outlier;
+    // jitter in a third dimension keeps within-blob neighbors distinct
+    def blob(ids: Range, axis: Int) = ids.map { id =>
+      val v = Array.fill(4)(0.01f * (id % 3))
+      v(axis) = 1f
+      v(3) = 0.001f * id
+      (id.toLong, v)
+    }
+    val vecs = (blob(1 to 5, 0) ++ blob(11 to 15, 1) ++
+      Seq((99L, Array(-1f, -1f, -1f, 0f)))).toDF("vec_id", "embedding")
+    val edges = Graph.mutualKnnEdges(vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().toSet
+    // no edge crosses the blobs or touches the outlier
+    assert(edges.forall { case (a, b) =>
+      (a <= 5 && b <= 5) || (a >= 11 && b <= 15 && a != 99 && b != 99) })
+    assert(edges.nonEmpty && !edges.exists(e => e._1 == 99L || e._2 == 99L))
+    val clusters = Graph.knnClusters(vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert((1 to 5).map(i => clusters(i.toLong)).toSet.size == 1)
+    assert((11 to 15).map(i => clusters(i.toLong)).toSet.size == 1)
+    assert(clusters(1L) != clusters(11L))
+    assert(clusters(99L) == 99L, "outlier must be its own singleton")
+  }
+
   test("lineage cuts: a 12-iteration run completes and matches the " +
       "reference simulation with checkpointEvery=3") {
     val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
