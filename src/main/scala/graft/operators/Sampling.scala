@@ -71,6 +71,32 @@ object Sampling {
       .otherwise("train")
   }
 
+  /** Leakage-safe three-way split: [[splitLabel]] keyed on the
+    * duplicate-CLUSTER id rather than the document id, so a document
+    * and all its near-duplicates land in the SAME split — splitting by
+    * doc id leaks eval content into train through every surviving
+    * near-dup (the classic contamination path a dedup pass alone
+    * doesn't close, because dedup keeps one member per cluster and the
+    * split must also be stable if the kept member changes). `pairs` is
+    * any near-dup pair frame (id_a, id_b) — MinHash-LSH, SimHash,
+    * embedding near-dup; clusters come from min-label components, and
+    * singleton documents key on their own id as 1-element clusters.
+    * One extra shuffle over the plain split (the label join); the
+    * split column itself stays a pure hash of the cluster key, so
+    * membership is reproducible and corpus-growth-stable exactly like
+    * [[splitLabel]].
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       val256: Int, test256: Int): DataFrame = {
+    val labels = DedupCluster.components(docs, idCol, pairs)
+    val out = Dedup.materializeDetached(
+      docs.join(labels, docs(idCol) === labels("id"))
+        .select(docs(idCol), col("cluster_id"),
+          splitLabel(col("cluster_id"), val256, test256).as("split")))
+    labels.unpersist(blocking = false)
+    out
+  }
+
   /** Bounded deterministic sample: ≈`maxRows` rows (binomial around the
     * target, concentrated within ±O(√maxRows)) chosen by a 32-bit md5
     * gate on the key — membership is a pure function of (key, seed), so

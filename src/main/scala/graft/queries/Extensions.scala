@@ -226,6 +226,19 @@ object Extensions {
         .orderBy("id")
     }),
 
+    // Leakage-safe split: train/val/test keyed on the duplicate-
+    // cluster id, so near-duplicate documents can never straddle an
+    // eval boundary — the contamination path a doc-id split leaves
+    // open through every surviving near-dup.
+    "corpus_split_leakage_safe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      graft.operators.Sampling
+        .leakageSafeSplit(d, "doc_id", pairs, 16, 32)
+        .orderBy("doc_id")
+    }),
+
     // Embedding clustering with zero trained state: mutual-kNN edges
     // (each endpoint in the other's cosine top-k) → connected
     // components. Bounded slice so the DuckDB replica's quadratic
@@ -1625,6 +1638,33 @@ object Extensions {
          |$its
          |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
     },
+
+    // Leakage-safe split: the dedup-cluster reachability chain, then
+    // the same one-md5-byte split CASE keyed on the cluster id.
+    "corpus_split_leakage_safe" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, cc.cluster_id,
+         |  CASE WHEN substr(md5(CAST(cc.cluster_id AS VARCHAR)), 1, 2) < '10' THEN 'val'
+         |       WHEN substr(md5(CAST(cc.cluster_id AS VARCHAR)), 1, 2) < '30' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM documents d JOIN cc ON cc.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Mutual-kNN clustering: quadratic cosine scoring on the bounded
     // slice, reciprocal top-k join, then the same recursive min-label

@@ -128,6 +128,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("leakageSafeSplit: near-duplicates always share a split; " +
+      "singletons match the plain doc-id split") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = ((1L to 40L).map(i => (i, s"unique document number $i " +
+      s"with its own words ${"w" + i} ${"x" + i} ${"y" + i}")) ++
+      Seq((101L, dup), (102L, dup), (103L, dup + " tail")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((101L, 102L), (102L, 103L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 16, 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // the whole dup cluster keys on min id 101 and shares one split
+    assert(Set(101L, 102L, 103L).map(out(_)._1) == Set(101L))
+    assert(Set(101L, 102L, 103L).map(out(_)._2).size == 1)
+    // singletons: cluster key = own id, so label ≡ plain splitLabel
+    val plain = docs.filter($"doc_id" <= 40)
+      .select($"doc_id", Sampling.splitLabel($"doc_id", 16, 32).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (i <- 1L to 40L) assert(out(i)._2 == plain(i), s"doc $i")
+  }
+
   test("quality verdict applies checks in precedence order; clean keeps " +
     "exactly the keep rows") {
     val docs = Seq(
