@@ -92,6 +92,49 @@ object Graph {
     DedupCluster.components(vectors, idCol,
       mutualKnnEdges(vectors, idCol, vecCol, k, knn), maxRounds)
 
+  /** Per-vector silhouette score of a clustering — the standard
+    * cluster-quality QA gate (s(i) = (b−a)/max(a,b) with a = mean
+    * cosine distance to own cluster, b = min over other clusters of
+    * the mean distance; s ∈ [−1, 1], higher = better-separated).
+    * Singletons and single-cluster corpora score 0 by the usual
+    * convention. Quadratic in the evaluated slice — run it on the
+    * bounded sample you valuate, not the corpus (the metric is a
+    * diagnostic, not a pipeline stage).
+    *
+    * Cross-engine exactness: pairwise distances quantize to integer
+    * 10⁻⁶ units before any mean (the PageRank trick — all-IEEE floor,
+    * exact integer sums), the 1e6 unit CANCELS in the (b−a)/max(a,b)
+    * ratio, and only the final score rounds (pround 6).
+    */
+  def silhouette(vectors: DataFrame, idCol: String, vecCol: String,
+                 labels: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    val v = vectors.join(labels, vectors(idCol) === labels("id"))
+      .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
+    val a = v.select(col("id").as("ida"), col("cluster_id").as("ca"),
+      col("v").as("va"))
+    val b = v.select(col("id").as("idb"), col("cluster_id").as("cb"),
+      col("v").as("vb"))
+    val d6 = floor((lit(1.0) -
+      Similarity.cosineFused(spark, col("va"), col("vb"))) * lit(1.0e6)
+      + lit(0.5))
+    val means = a.crossJoin(broadcast(b))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("ca"), col("cb"), d6.as("d6"))
+      .groupBy("ida", "ca", "cb")
+      .agg((sum(col("d6")).cast("double") / count(lit(1))).as("m"))
+    val own = means.filter(col("ca") === col("cb"))
+      .select(col("ida").as("id"), col("m").as("a6"))
+    val other = means.filter(col("ca") =!= col("cb"))
+      .groupBy(col("ida").as("id")).agg(min(col("m")).as("b6"))
+    val s = when(col("a6").isNull || col("b6").isNull ||
+        greatest(col("a6"), col("b6")) <= 0, lit(0.0))
+      .otherwise((col("b6") - col("a6")) / greatest(col("a6"), col("b6")))
+    v.join(own, Seq("id"), "left").join(other, Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        graft.functions.Rounding.pround(s, 6).as("sil"))
+  }
+
   /** PageRank with a FIXED iteration count (deterministic, and what
     * the unrolled-CTE oracle replays): returns (id, rank) for every
     * node appearing as src or dst. `edges` should be pre-deduplicated

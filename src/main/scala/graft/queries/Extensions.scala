@@ -252,6 +252,17 @@ object Extensions {
         .orderBy("vec_id")
     }),
 
+    // Cluster-quality QA: per-vector silhouette of the mutual-kNN
+    // clustering on the same slice — the numeric gate a pipeline
+    // checks before trusting cluster-level decisions downstream.
+    "emb_cluster_silhouette" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < KnnSlice)
+      val labels = Graph.knnClusters(sub, "vec_id", "embedding", k = KnnK)
+      Graph.silhouette(sub, "vec_id", "embedding", labels)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("sil"))
+        .orderBy("vec_id")
+    }),
+
     // Retrieval/RAG-style sliding-window chunking: one row per
     // overlapping 64-word window (stride 48 → 16 words of shared
     // context). Pure array codegen + posexplode — the shape that turns
@@ -934,6 +945,39 @@ object Extensions {
        |  CROSS JOIN generate_series(0, ${HashDim - 1}) g(i)
        |  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = g.i
        |  LEFT JOIN norms n ON n.doc_id = d.doc_id)""".stripMargin
+
+  /** Shared CTE chain for the mutual-kNN clustering oracles: bounded
+    * slice → quadratic cosine → reciprocal top-k edges → recursive
+    * min-label components (`cc`: id, cluster_id). Callers must open
+    * with WITH RECURSIVE.
+    */
+  private lazy val knnClustersCte =
+    s"""sub AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $KnnSlice),
+       |sc AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |         ${cosSql("q.embedding", "c.embedding")} AS score
+       |  FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
+       |knn AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY score DESC, cid) AS r
+       |    FROM sc)
+       |  WHERE r <= $KnnK),
+       |mut AS (
+       |  SELECT a.qid AS id_a, a.cid AS id_b FROM knn a
+       |  JOIN knn b ON b.qid = a.cid AND b.cid = a.qid
+       |  WHERE a.qid < a.cid),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM mut
+       |  UNION SELECT id_b, id_a FROM mut),
+       |reach AS (
+       |  SELECT vec_id AS id, vec_id AS lbl FROM sub
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r
+       |  JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** Cosine of two named DOUBLE[]/FLOAT[] columns, pround(6) — the
     * generic form of [[cosineExpr]] for arbitrary operand names, with
@@ -1670,33 +1714,36 @@ object Extensions {
     // slice, reciprocal top-k join, then the same recursive min-label
     // reachability the dedup-cluster oracle uses.
     "emb_knn_clusters" ->
-      s"""WITH RECURSIVE sub AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $KnnSlice),
-         |sc AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |         ${cosSql("q.embedding", "c.embedding")} AS score
-         |  FROM sub q JOIN sub c ON c.vec_id <> q.vec_id),
-         |knn AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY score DESC, cid) AS r
-         |    FROM sc)
-         |  WHERE r <= $KnnK),
-         |mut AS (
-         |  SELECT a.qid AS id_a, a.cid AS id_b FROM knn a
-         |  JOIN knn b ON b.qid = a.cid AND b.cid = a.qid
-         |  WHERE a.qid < a.cid),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mut
-         |  UNION SELECT id_b, id_a FROM mut),
-         |reach AS (
-         |  SELECT vec_id AS id, vec_id AS lbl FROM sub
-         |  UNION
-         |  SELECT e.dst AS id, r.lbl FROM reach r
-         |  JOIN edges e ON e.src = r.id),
-         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $knnClustersCte
          |SELECT id AS vec_id, cluster_id FROM cc ORDER BY vec_id""".stripMargin,
+
+    // Silhouette over those clusters: integer-1e-6-unit pair
+    // distances (unit cancels in the ratio), per-(vector, cluster)
+    // means, min over foreign clusters, pround(6) only at the end.
+    "emb_cluster_silhouette" ->
+      s"""WITH RECURSIVE $knnClustersCte,
+         |va AS (
+         |  SELECT s.vec_id AS id, cc.cluster_id, s.embedding AS v
+         |  FROM sub s JOIN cc ON cc.id = s.vec_id),
+         |pd AS (
+         |  SELECT x.id AS ida, x.cluster_id AS ca, y.cluster_id AS cb,
+         |    CAST(floor((1.0 - ${cosSql("x.v", "y.v")}) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d6
+         |  FROM va x JOIN va y ON y.id <> x.id),
+         |mm AS (
+         |  SELECT ida, ca, cb, CAST(sum(d6) AS DOUBLE) / count(*) AS m
+         |  FROM pd GROUP BY 1, 2, 3),
+         |aa AS (SELECT ida AS id, m AS a6 FROM mm WHERE ca = cb),
+         |bb AS (SELECT ida AS id, min(m) AS b6 FROM mm WHERE ca <> cb
+         |       GROUP BY 1)
+         |SELECT va.id AS vec_id, va.cluster_id,
+         |  ${Rounding.sqlPround(
+             "CASE WHEN aa.a6 IS NULL OR bb.b6 IS NULL " +
+               "OR greatest(aa.a6, bb.b6) <= 0 THEN 0.0 " +
+               "ELSE (bb.b6 - aa.a6) / greatest(aa.a6, bb.b6) END", 6)} AS sil
+         |FROM va LEFT JOIN aa ON aa.id = va.id
+         |LEFT JOIN bb ON bb.id = va.id
+         |ORDER BY vec_id""".stripMargin,
 
     // Classifier inference with the fixed dyadic model: same hashed
     // features, same ascending-fold dot, same pround(6), verdict on

@@ -97,6 +97,30 @@ class GraphSpec extends SparkSpec {
     assert(clusters(99L) == 99L, "outlier must be its own singleton")
   }
 
+  test("silhouette: tight separated blobs score near 1, the singleton " +
+      "outlier and a single-cluster corpus score exactly 0") {
+    def blob(ids: Range, axis: Int) = ids.map { id =>
+      val v = Array.fill(4)(0.01f * (id % 3))
+      v(axis) = 1f
+      v(3) = 0.001f * id
+      (id.toLong, v)
+    }
+    val vecs = (blob(1 to 5, 0) ++ blob(11 to 15, 1) ++
+      Seq((99L, Array(-1f, -1f, -1f, 0f)))).toDF("vec_id", "embedding")
+    val labels = Graph.knnClusters(vecs, "vec_id", "embedding", k = 3)
+    val sil = Graph.silhouette(vecs, "vec_id", "embedding", labels)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    for (id <- (1 to 5) ++ (11 to 15))
+      assert(sil(id.toLong) > 0.8, s"blob member $id: ${sil(id.toLong)}")
+    assert(sil(99L) == 0.0, "singleton scores 0 by convention")
+    // one global cluster -> b(i) undefined -> all zeros
+    val one = vecs.filter($"vec_id" <= 5)
+    val oneLabels = one.select($"vec_id".as("id"), lit(1L).as("cluster_id"))
+    val allZero = Graph.silhouette(one, "vec_id", "embedding", oneLabels)
+      .as[(Long, Long, Double)].collect()
+    assert(allZero.forall(_._3 == 0.0))
+  }
+
   test("lineage cuts: a 12-iteration run completes and matches the " +
       "reference simulation with checkpointEvery=3") {
     val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
