@@ -183,4 +183,89 @@ object Graph {
     nodes.unpersist()
     ranks
   }
+  /** Hub-quantum for [[hits]]: 10⁻¹² score units per integer step.
+    * Coarser than [[Unit14]] because a HITS reduction sums QUANTIZED
+    * scores over edges (not per-edge fractions): the global integer
+    * total is ≤ maxdeg·10¹², which keeps even a 10⁶-degree crawl graph
+    * far inside int64 / exact-double territory.
+    */
+  val Unit12: Double = 1.0e12
+
+  /** HITS hubs & authorities with a FIXED iteration count over a
+    * DIRECTED edge list — the bipartite mate of [[pageRank]]: on a
+    * (customer → supplier)-style graph, hub mass scores the pointing
+    * side and authority mass the pointed-at side. Returns
+    * `(id, hub, auth)` for every node; scores are L1-normalized
+    * (each family sums to ≈1).
+    *
+    * Iteration k: `a_raw(i) = Σ_{j→i} hq_{k−1}(j)` (exact integer
+    * sum), L1-normalize and re-quantize `aq = floor(a_raw/Σa_raw ·
+    * 10¹² + 0.5)`, then symmetrically `h_raw(i) = Σ_{i→j} aq(j)`.
+    * The int64→double casts before the divide round identically
+    * (IEEE nearest) in every engine, so the unrolled-CTE oracle
+    * (`graph_hits`) hash-matches bit-for-bit. L1 (not the textbook
+    * L2) normalization is deliberate: it needs no sqrt, scales
+    * identically, and leaves the ranking unchanged.
+    *
+    * Scale shape is pageRank's: one persisted edge frame, per
+    * iteration two join→map-side-combinable-sum passes plus a
+    * broadcast one-row total; lineage cut every `checkpointEvery`
+    * half-steps.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1)
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    require(nodes.count() > 0, "empty edge frame")
+    // the final join reads BOTH families' last cuts, so two pins stay
+    // alive: unpersisting only cuts older than the previous one
+    var pinnedPrev: DataFrame = null
+    var pinnedLast: DataFrame = null
+    var cuts = 0
+    // join the raw sums back to every node, L1-normalize against the
+    // broadcast one-row total, re-quantize; cut lineage periodically
+    def normalize(raw: DataFrame, outCol: String, force: Boolean)
+        : DataFrame = {
+      val total = raw.agg(sum(col("q")).as("t"))
+      val next = nodes.join(raw, nodes("id") === raw("rid"), "left")
+        .crossJoin(broadcast(total))
+        .select(nodes("id"),
+          floor(coalesce(col("q"), lit(0L)).cast("double") /
+            col("t").cast("double") * lit(Unit12) + lit(0.5))
+            .as(outCol))
+      cuts += 1
+      if (force || cuts % checkpointEvery == 0) {
+        val cut = if (reliable) next.checkpoint() else next.localCheckpoint()
+        if (!reliable) {
+          if (pinnedPrev != null) pinnedPrev.unpersist()
+          pinnedPrev = pinnedLast
+          pinnedLast = cut
+        }
+        cut
+      } else next
+    }
+    var hq = nodes.withColumn("hq", lit(Unit12.toLong))
+    var aq: DataFrame = null
+    for (k <- 1 to iters) {
+      val araw = e.join(hq, e("src") === hq("id"))
+        .groupBy(e("dst").as("rid")).agg(sum(col("hq")).as("q"))
+      aq = normalize(araw, "aq", force = k == iters)
+      val hraw = e.join(aq, e("dst") === aq("id"))
+        .groupBy(e("src").as("rid")).agg(sum(col("aq")).as("q"))
+      hq = normalize(hraw, "hq", force = k == iters)
+    }
+    val out = hq.join(aq.withColumnRenamed("id", "aid"),
+        hq("id") === col("aid"))
+      .select(col("id"), (col("hq") / lit(Unit12)).as("hub"),
+        (col("aq") / lit(Unit12)).as("auth"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

@@ -50,6 +50,7 @@ object Extensions {
     (0 until HashDim).map(i => ((i * 37) % 21 - 10) / 16.0), bias = 0.1875)
   private val PageRankIters = 5
   private val PageRankDamping = 0.85
+  private val HitsIters = 4
   // mutual-kNN clustering: neighbor count and bounded slice for the
   // quadratic oracle replica
   private val KnnK = 4
@@ -223,6 +224,23 @@ object Extensions {
           (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.pageRank(Graph.undirect(pairs, "src", "dst"), "src", "dst",
         iters = PageRankIters, damping = PageRankDamping)
+        .orderBy("id")
+    }),
+
+    // HITS over the DIRECTED customer→supplier purchase graph: hub
+    // mass scores buyers by the authority of who they buy from,
+    // authority mass scores suppliers by the hubness of their buyers.
+    // Integer-10⁻¹²-unit quantization after each L1 normalization
+    // keeps the fixed 4-iteration run bit-identical to the
+    // unrolled-CTE DuckDB replica.
+    "graph_hits" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graph.hits(pairs, "src", "dst", iters = HitsIters)
         .orderBy("id")
     }),
 
@@ -1681,6 +1699,46 @@ object Extensions {
          |       FROM nodes CROSS JOIN nn),
          |$its
          |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
+    },
+
+    // HITS replica: exact integer sums of quantized scores over the
+    // directed edge list, one IEEE divide per L1 normalization, floor
+    // back to 1e-12 units — every intermediate is bit-identical to the
+    // Spark loop, so hub/auth hash-match without any final rounding.
+    "graph_hits" -> {
+      val u = "1000000000000.0"
+      val its = (1 to HitsIters).map { k =>
+        s"""ar$k AS (
+           |  SELECT e.dst AS rid, sum(h.hq) AS q
+           |  FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+           |at$k AS (SELECT sum(q) AS t FROM ar$k),
+           |a$k AS (
+           |  SELECT n.id,
+           |    CAST(floor(CAST(coalesce(r.q, 0) AS DOUBLE)
+           |      / CAST(t.t AS DOUBLE) * $u + 0.5) AS BIGINT) AS aq
+           |  FROM nodes n CROSS JOIN at$k t
+           |  LEFT JOIN ar$k r ON r.rid = n.id),
+           |hr$k AS (
+           |  SELECT e.src AS rid, sum(a.aq) AS q
+           |  FROM e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+           |ht$k AS (SELECT sum(q) AS t FROM hr$k),
+           |h$k AS (
+           |  SELECT n.id,
+           |    CAST(floor(CAST(coalesce(r.q, 0) AS DOUBLE)
+           |      / CAST(t.t AS DOUBLE) * $u + 0.5) AS BIGINT) AS hq
+           |  FROM nodes n CROSS JOIN ht$k t
+           |  LEFT JOIN hr$k r ON r.rid = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS hq FROM nodes),
+         |$its
+         |SELECT h.id, CAST(h.hq AS DOUBLE) / $u AS hub,
+         |       CAST(a.aq AS DOUBLE) / $u AS auth
+         |FROM h$HitsIters h JOIN a$HitsIters a ON a.id = h.id
+         |ORDER BY h.id""".stripMargin
     },
 
     // Leakage-safe split: the dedup-cluster reachability chain, then

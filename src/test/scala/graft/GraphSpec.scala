@@ -121,6 +121,53 @@ class GraphSpec extends SparkSpec {
     assert(allZero.forall(_._3 == 0.0))
   }
 
+  /** Driver-side replay of hits' exact contract: integer sums of
+    * quantized scores, one IEEE divide per L1 normalization, floor
+    * back to 1e-12 units.
+    */
+  private def simulateHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val t = raw.values.sum
+      nodes.map(v => v -> math.floor(
+        raw.getOrElse(v, 0L).toDouble / t.toDouble * Graph.Unit12 + 0.5)
+        .toLong).toMap
+    }
+    var hq = nodes.map(_ -> Graph.Unit12.toLong).toMap
+    var aq = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      aq = norm(edges.groupBy(_._2)
+        .map { case (d, es) => d -> es.map(e => hq(e._1)).sum })
+      hq = norm(edges.groupBy(_._1)
+        .map { case (s, es) => s -> es.map(e => aq(e._2)).sum })
+    }
+    nodes.map(v => v ->
+      (hq(v) / Graph.Unit12, aq(v) / Graph.Unit12)).toMap
+  }
+
+  test("hits equals the quantized reference simulation exactly on a " +
+      "bipartite hand graph; the popular authority and the busy hub " +
+      "win; each mass family sums to ~1") {
+    // buyers 2,4,6 -> sellers 1,3: seller 1 bought by all three,
+    // buyer 2 buys both sellers
+    val raw = Seq((2L, 1L), (2L, 3L), (4L, 1L), (6L, 1L))
+    val got = Graph.hits(raw.toDF("src", "dst"), "src", "dst", iters = 4)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = simulateHits(raw, iters = 4)
+    assert(got.keySet == want.keySet)
+    for ((id, ha) <- want)
+      assert(got(id) == ha, s"node $id: got ${got(id)} want $ha")
+    assert(got(1L)._2 > got(3L)._2, "seller 1 must out-rank seller 3")
+    assert(got(2L)._1 > got(4L)._1, "two-seller buyer must out-hub")
+    assert(got(4L)._1 == got(6L)._1, "symmetric buyers tie")
+    assert(got.values.forall { case (h, a) => h == 0.0 || a == 0.0 },
+      "bipartite: no node carries both masses")
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("lineage cuts: a 12-iteration run completes and matches the " +
       "reference simulation with checkpointEvery=3") {
     val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
