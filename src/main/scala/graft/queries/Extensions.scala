@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Rounding, TextFunctions}
-import graft.operators.{Classifier, Contamination, Dedup, DedupCluster, Graph, Packing, Profile, Similarity, TextEmbedding}
+import graft.operators.{Classifier, Contamination, Dedup, DedupCluster, Graph, Kmeans, Packing, Profile, Similarity, TextEmbedding}
 
 /** Oracle-checked queries for the training-data-pipeline tier
   * (BASELINE.json north star): text analysis, document dedup, and
@@ -51,6 +51,7 @@ object Extensions {
   private val PageRankIters = 5
   private val PageRankDamping = 0.85
   private val HitsIters = 4
+  private val KmeansIters = 3
   // mutual-kNN clustering: neighbor count and bounded slice for the
   // quadratic oracle replica
   private val KnnK = 4
@@ -269,6 +270,17 @@ object Extensions {
         .select(col("id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
     }),
+
+    // Lloyd k-means with pinned init (the SemCents dyadic rows) and a
+    // pinned iteration count: the one trained-model step the stored-
+    // index oracles previously had to treat as opaque, made fully
+    // hash-checkable — integer-1e-8-unit centroid means keep every
+    // assign/update round bit-identical to the unrolled replica.
+    "emb_kmeans_fixed" -> ((s, dir) =>
+      Kmeans.lloydFixed(t(s, dir, "embeddings"), "vec_id", "embedding",
+          SemCents, KmeansIters)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")),
 
     // Cluster-quality QA: per-vector silhouette of the mutual-kNN
     // clustering on the same slice — the numeric gate a pipeline
@@ -1769,6 +1781,54 @@ object Extensions {
          |ORDER BY d.doc_id""".stripMargin,
 
     // Mutual-kNN clustering: quadratic cosine scoring on the bounded
+    // Lloyd k-means replica: per round, argmin over the -2·dot(v,c) +
+    // dot(c,c) fold (ascending generate_series sums = the fused dot's
+    // sequential accumulation), then integer-1e-8-unit per-(cell, dim)
+    // means rebuilt into ordered centroid lists; empty cells coalesce
+    // to their previous centroid. Assignment after the last round is
+    // the output — hash-equal to the Spark trajectory.
+    "emb_kmeans_fixed" -> {
+      val u = "100000000.0"
+      def dotSql(a: String, b: String) =
+        s"(SELECT sum($a[i]::DOUBLE * $b[i]::DOUBLE) FROM generate_series(1, 64) t(i))"
+      val c0 = SemCents.indices.map(c =>
+        s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS c").mkString(" UNION ALL ")
+      val its = (1 to KmeansIters).map { k =>
+        val assign =
+          s"""d$k AS (
+             |  SELECT v.vec_id, c.cell,
+             |    ${dotSql("v.embedding", "c.c")} * -2
+             |      + ${dotSql("c.c", "c.c")} AS cd
+             |  FROM embeddings v CROSS JOIN c${k - 1} c),
+             |a$k AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |           row_number() OVER (PARTITION BY vec_id
+             |                              ORDER BY cd, cell) AS r
+             |    FROM d$k)
+             |  WHERE r = 1)""".stripMargin
+        val update =
+          s""",
+             |q$k AS (
+             |  SELECT a.cell, g.i AS dim,
+             |    CAST(floor(v.embedding[g.i]::DOUBLE * $u + 0.5) AS BIGINT) AS q
+             |  FROM a$k a JOIN embeddings v ON v.vec_id = a.vec_id
+             |  CROSS JOIN generate_series(1, 64) g(i)),
+             |m$k AS (
+             |  SELECT cell, dim,
+             |    CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / $u AS m
+             |  FROM q$k GROUP BY 1, 2),
+             |n$k AS (SELECT cell, list(m ORDER BY dim) AS c FROM m$k GROUP BY 1),
+             |c$k AS (
+             |  SELECT p.cell, coalesce(n.c, p.c) AS c
+             |  FROM c${k - 1} p LEFT JOIN n$k n ON n.cell = p.cell)""".stripMargin
+        if (k < KmeansIters) assign + update else assign
+      }.mkString(",\n")
+      s"""WITH c0 AS ($c0),
+         |$its
+         |SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""".stripMargin
+    },
+
     // slice, reciprocal top-k join, then the same recursive min-label
     // reachability the dedup-cluster oracle uses.
     "emb_knn_clusters" ->
