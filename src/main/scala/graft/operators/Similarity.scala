@@ -125,6 +125,33 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Recall@k of an ANN result against an exact top-k baseline — the
+    * QA gate every approximate tier should publish next to its
+    * latency. Both inputs are (query_id, cand_id, ...) frames; the
+    * output is one `(query_id, hits, recall)` row per query in
+    * `exact` (a query the ANN dropped entirely scores 0, not a
+    * missing row). Pure metric arithmetic — `hits/k` divides two
+    * exactly-converted integers, so it is hash-stable with no
+    * rounding step.
+    *
+    * Scale shape: one equi-join on (query_id, cand_id) between two
+    * k·|queries|-row frames plus a map-side-combinable count —
+    * negligible next to producing either input.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val a = ann.select(col("query_id"), col("cand_id"))
+    val e = exact.select(col("query_id"), col("cand_id"))
+    val hits = e.join(a, Seq("query_id", "cand_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("recall"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * partitions the corpus into nlist cells; each query probes only its
     * nprobe nearest cells. The trained centroids are tiny and broadcast;

@@ -804,6 +804,25 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Recall@k of the fixed-model stored IVF-PQ index against the
+    // exact L2 top-k — the published QA number an ANN tier ships with.
+    // Both sides and the metric itself are hash-checked: the oracle
+    // recomputes the whole index replica AND the brute-force baseline.
+    "ann_recall_fixed" -> ((s, dir) => {
+      if (!s.catalog.tableExists("graft_vec_index_fixed"))
+        buildFixedVecIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfPqTopKFromIndex(s, "graft_vec_index_fixed",
+        qs, "vec_id", "embedding", AnnK,
+        nprobe = FixedNprobe, overquery = AnnOverquery)
+      val exact = Similarity.bruteForceTopK(emb, qs, "vec_id",
+        "embedding", AnnK,
+        (a, b) => lit(0.0) - graft.functions.Rounding.pround(
+          graft.functions.VectorExprs.l2DistSq(s, a, b), 6))
+      Similarity.recallAtK(ann, exact, AnnK).orderBy("query_id")
+    }),
+
     // The text→stored-ANN bridge END-TO-END: feature-hashed embeddings
     // (model-free text→vector) → fixed-model stored IVF-PQ index →
     // indexed query — raw text in, approximate neighbors out, one
@@ -2475,6 +2494,35 @@ object Extensions {
     // stored-index IVF-PQ, fixed model: the full build+query replica
     "ann_ivfpq_indexed_fixed" ->
       s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}""",
+
+    // Recall replica: the full fixed-index chain as a nested CTE, the
+    // exact-L2 baseline (same pround(6) distance, same (dist, cand)
+    // tie-break as the Spark side's negated-score spelling), then the
+    // per-query overlap count over k.
+    "ann_recall_fixed" ->
+      s"""WITH ann AS (
+         |  WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |sc AS (
+         |  SELECT q.query_id, c.cand_id, ${l2Sql("qv", "cv")} AS dist
+         |  FROM c, q WHERE c.cand_id != q.query_id),
+         |ex AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY dist, cand_id) AS r
+         |    FROM sc)
+         |  WHERE r <= $AnnK),
+         |h AS (
+         |  SELECT e.query_id, count(*) AS h FROM ex e
+         |  JOIN ann a ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM ex)
+         |SELECT s.query_id, CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.h, 0) AS DOUBLE) / CAST($AnnK AS DOUBLE) AS recall
+         |FROM qs s LEFT JOIN h ON h.query_id = s.query_id
+         |ORDER BY s.query_id""".stripMargin,
 
     // IVF-SQ8 with fixed cells: the SemCents argmin routes corpus and
     // probes; global per-dim min/max bounds quantize; decoded ADC cuts

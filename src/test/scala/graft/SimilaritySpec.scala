@@ -493,4 +493,17 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bucket spec"))
   }
+
+  test("recallAtK: perfect overlap scores 1, disjoint 0, an ANN-dropped " +
+      "query still gets a row, extra ANN rows beyond exact don't inflate") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "cand_id")
+    // q1 perfect, q2 half right + a spurious extra, q3 absent entirely
+    val ann = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L), (2L, 98L))
+      .toDF("query_id", "cand_id")
+    val got = Similarity.recallAtK(ann, exact, 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (2L, 1.0), 2L -> (1L, 0.5), 3L -> (0L, 0.0)))
+  }
 }
