@@ -178,6 +178,44 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** ASYMMETRIC n-gram containment pairs — the subset-duplication
+    * detector Jaccard structurally misses: a 100-word doc fully quoted
+    * inside a 10,000-word doc has Jaccard ≈ 0.01 but containment 1.0
+    * from the small side. Emits (id_a, id_b, n_common, c_a, c_b) with
+    * `c_x = |∩| / |grams(x)|`, kept when EITHER direction clears
+    * `minContain` — c_a vs c_b tells the consumer which side is the
+    * quoted one (the higher score is the contained doc).
+    *
+    * Same inverted-index shape and df-capped shingle universe as
+    * [[ngramJaccardPairs]] (one groupBy(shingle) self-join, fan-out
+    * bounded by `maxDf`, no cross join); only the final ratio math
+    * differs, so the 100 TB cost profile is identical to the Jaccard
+    * pass it runs beside.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContain: Double,
+                       maxDf: Int = DefaultMaxDf): DataFrame = {
+    val sh0 = shingled(docs, idCol, textCol, n).persist()
+    scoped(Seq(sh0)) {
+      val sh = capDf(sh0, "shingle", maxDf)
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+      val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")), "id_b")
+        .withColumn("c_a",
+          Rounding.pround(col("n_common").cast("double") / col("n_a"), 4))
+        .withColumn("c_b",
+          Rounding.pround(col("n_common").cast("double") / col("n_b"), 4))
+        .filter(greatest(col("c_a"), col("c_b")) >= minContain)
+        .select("id_a", "id_b", "n_common", "c_a", "c_b")
+    }
+  }
+
   /** Text top-k similarity join: for each query document, the k most
     * Jaccard-similar other documents. Candidates come from the inverted
     * shingle index (only docs sharing a shingle are scored — docs with

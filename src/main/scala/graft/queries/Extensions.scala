@@ -429,6 +429,13 @@ object Extensions {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, 0.5).orderBy("id_a", "id_b")),
 
+    // Asymmetric containment: catches a short doc quoted inside a long
+    // one, where Jaccard dilutes to ~0. Either direction clearing the
+    // threshold keeps the pair; c_a vs c_b names the contained side.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, 0.6).orderBy("id_a", "id_b")),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, Bands, RowsPerBand).orderBy("id_a", "id_b")),
@@ -2216,6 +2223,24 @@ object Extensions {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE floor((n_common::DOUBLE / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    // containment replica: same inverted index, directional ratios
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT id_a, id_b, n_common,
+         |    floor((n_common::DOUBLE / sa.n) * 10000 + 0.5) / 10000 AS c_a,
+         |    floor((n_common::DOUBLE / sb.n) * 10000 + 0.5) / 10000 AS c_b
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, n_common, c_a, c_b FROM sc
+         |WHERE greatest(c_a, c_b) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,

@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment catches a short doc quoted inside a long one that " +
+      "jaccard dilutes below threshold; direction names the quoted side") {
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val d = Seq((10L, quote), (11L, s"$filler $quote"),
+      (12L, "entirely unrelated content about spark partitions and joins"))
+      .toDF("doc_id", "text")
+    // jaccard at the same threshold misses the pair entirely
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.6).count() == 0)
+    val got = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((10L, 11L)))
+    val (_, _, _, cA, cB) = got.head
+    assert(cA == 1.0, s"the short doc is fully contained: $cA")
+    assert(cB < 0.2, s"the long doc is barely covered: $cB")
+  }
+
   test("jaccard of an exact duplicate is 1.0") {
     val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
       .filter($"id_a" === 1 && $"id_b" === 2)
