@@ -178,6 +178,38 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    * shingles that appear nowhere else in the corpus (df = 1). High
+    * novelty marks original content; low novelty marks templated or
+    * heavily-quoted text even when no single pair crosses a dedup
+    * threshold — the corpus-level complement of the pairwise passes.
+    *
+    * Scale shape: the shingle explode feeds one map-side-combinable
+    * df count, joined back on the shingle key and re-aggregated per
+    * doc — two key-partitioned exchanges, no self-join at all, so this
+    * is the CHEAPEST signal in the dedup family.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sh0 = shingled(docs, idCol, textCol, n).persist()
+    scoped(Seq(sh0)) {
+      val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val per = sh0.join(df, Seq("shingle"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      docs.select(col(idCol))
+        .join(per, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          when(coalesce(col("n_shingles"), lit(0L)) > 0,
+            Rounding.pround(col("n_unique").cast("double") /
+              col("n_shingles"), 4))
+            .otherwise(lit(0.0)).as("novelty"))
+    }
+  }
+
   /** ASYMMETRIC n-gram containment pairs — the subset-duplication
     * detector Jaccard structurally misses: a 100-word doc fully quoted
     * inside a 10,000-word doc has Jaccard ≈ 0.01 but containment 1.0

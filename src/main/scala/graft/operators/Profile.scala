@@ -68,6 +68,50 @@ object Profile {
           .as("keep_rate"))
   }
 
+  /** Per-group token-distribution drift against the whole corpus:
+    * KL(P_group ‖ P_corpus) in nats — the mixture-QA number that flags
+    * a source/language whose unigram distribution has wandered from
+    * the blend (pipeline drift, a bad crawl batch, template flooding).
+    * Always ≥ 0; 0 means the group is distributionally identical.
+    *
+    * Exactness discipline is [[LanguageModel.crossEntropy]]'s: the
+    * per-occurrence log term `ln((c_gw·N)/(N_g·c_w))` rounds at 1e-9
+    * (`pround` absorbs sub-ulp engine differences in `ln`), is summed
+    * as DECIMAL(38,12) — exact, order-independent — and only the final
+    * per-group mean rounds at 1e-6. The ratio's cross-products stay
+    * below 2⁵³ for corpora up to ~10⁹ tokens per count; beyond that
+    * the number is still deterministic per engine, just not
+    * bit-promised against a replica.
+    *
+    * Scale shape: token explode → three map-side-combinable count
+    * aggregates (per (g,w), per w, per g) → the occurrence stream
+    * re-joined on its word key (hot words hash-join fine; the
+    * per-group and grand totals broadcast). One corpus scan plus one
+    * word-keyed shuffle — the text_perplexity cost profile.
+    */
+  def klDrift(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.types.DecimalType
+    val tok = docs.select(col(groupCol).as("g"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    val cgw = tok.groupBy("g", "w").agg(count(lit(1)).as("cgw"))
+    val cw = cgw.groupBy("w").agg(sum("cgw").as("cw"))
+    val ng = cgw.groupBy("g").agg(sum("cgw").as("ng"))
+    val n = cw.agg(sum("cw").as("n"))
+    val arg = (col("cgw").cast("double") * col("n").cast("double")) /
+      (col("ng").cast("double") * col("cw").cast("double"))
+    tok.join(cgw, Seq("g", "w"))
+      .join(cw, Seq("w"))
+      .join(broadcast(ng), Seq("g"))
+      .crossJoin(broadcast(n))
+      .withColumn("l9", pround(log(arg), 9).cast(DecimalType(38, 12)))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("l9")).as("s"))
+      .select(col(groupCol), col("n_tokens"),
+        pround(col("s").cast("double") / col("n_tokens"), 6).as("kl"))
+  }
+
   /** Corpus mix planning: per-group document/token totals, each group's
     * share of the token budget, and the sampling weight that would flatten
     * the mix to uniform (weight > 1 = upsample, < 1 = downsample) — the

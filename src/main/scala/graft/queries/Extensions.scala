@@ -436,6 +436,19 @@ object Extensions {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, 0.6).orderBy("id_a", "id_b")),
 
+    // Corpus-level novelty: fraction of each doc's shingles seen
+    // nowhere else — flags templated text below any pairwise threshold.
+    "text_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN).orderBy("doc_id")),
+
+    // Mixture drift QA: KL(lang ‖ corpus) over token unigrams, the
+    // number that flags a source whose distribution wandered from the
+    // blend. Same pround(9)-log → decimal-sum discipline as perplexity.
+    "mix_kl_drift" -> ((s, dir) =>
+      Profile.klDrift(t(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, Bands, RowsPerBand).orderBy("id_a", "id_b")),
@@ -2242,6 +2255,40 @@ object Extensions {
          |SELECT id_a, id_b, n_common, c_a, c_b FROM sc
          |WHERE greatest(c_a, c_b) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |         sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_unique
+         |  FROM sh s JOIN df d ON d.shingle = s.shingle GROUP BY 1)
+         |SELECT doc.doc_id,
+         |  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CASE WHEN coalesce(p.n_shingles, 0) > 0
+         |       THEN floor(p.n_unique::DOUBLE / p.n_shingles * 10000 + 0.5) / 10000
+         |       ELSE 0.0 END AS novelty
+         |FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+         |ORDER BY doc.doc_id""".stripMargin,
+    // KL drift replica: per-occurrence ln of exact count cross-ratios,
+    // rounded at 1e-9, decimal-summed, per-group mean rounded at 1e-6.
+    "mix_kl_drift" ->
+      """WITH tok AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cgw AS (SELECT g, w, count(*) AS cgw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT w, sum(cgw) AS cw FROM cgw GROUP BY 1),
+        |ng AS (SELECT g, sum(cgw) AS ng FROM cgw GROUP BY 1),
+        |nn AS (SELECT sum(cw) AS n FROM cw),
+        |sc AS (
+        |  SELECT t.g,
+        |    CAST(floor(ln((c.cgw::DOUBLE * nn.n::DOUBLE) / (g2.ng::DOUBLE * w2.cw::DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS l9
+        |  FROM tok t
+        |  JOIN cgw c ON c.g = t.g AND c.w = t.w
+        |  JOIN cw w2 ON w2.w = t.w
+        |  JOIN ng g2 ON g2.g = t.g
+        |  CROSS JOIN nn)
+        |SELECT g AS lang, count(*) AS n_tokens,
+        |       floor(CAST(sum(l9) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS kl
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |mh AS (SELECT doc_id,

@@ -252,6 +252,38 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("klDrift: an identically-distributed group scores 0, a divergent " +
+      "group scores higher the further it drifts, and KL is never negative") {
+    // en and de share one distribution; fr is token-disjoint
+    val docs = Seq(("en", "a a b c"), ("de", "a a b c"),
+      ("fr", "x y z z")).toDF("lang", "text")
+    val kl = Profile.klDrift(docs, "lang", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(kl.keySet == Set("en", "de", "fr"))
+    assert(kl("en")._1 == 4 && kl("en")._2 == kl("de")._2)
+    assert(kl.values.forall(_._2 >= 0.0), s"KL must be non-negative: $kl")
+    assert(kl("fr")._2 > kl("en")._2 + 0.5,
+      s"disjoint group must drift hardest: $kl")
+    // hand value: every fr occurrence scores ln((c·12)/(4·c)) = ln 3
+    assert(math.abs(kl("fr")._2 - math.log(3.0)) < 1e-5, kl("fr").toString)
+  }
+
+  test("ngramNovelty: corpus-unique shingles score 1, a doc duplicated " +
+      "verbatim scores 0, and a half-shared doc sits between") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),          // exact dup of 1
+      (3L, "totally fresh words never repeated anywhere else"),
+      (4L, "alpha beta gamma unique tail closes here")) // shares a prefix
+      .toDF("doc_id", "text")
+    val nov = Dedup.ngramNovelty(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0, s"dups have no unique grams: $nov")
+    assert(nov(3L) == 1.0, s"fresh doc is fully novel: $nov")
+    assert(nov(4L) > 0.0 && nov(4L) < 1.0, s"partial overlap: $nov")
+  }
+
   test("LM cross-entropy matches the hand-computed smoothed unigram " +
       "value; OOV and rare tokens score higher; filter gates on xent") {
     import graft.operators.LanguageModel
