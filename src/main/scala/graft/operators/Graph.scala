@@ -183,6 +183,45 @@ object Graph {
     nodes.unpersist()
     ranks
   }
+  /** Per-node triangle count and local clustering coefficient over a
+    * CANONICAL undirected edge list (id_a < id_b, deduplicated — the
+    * [[mutualKnnEdges]] output shape). Returns
+    * `(id, degree, triangles, lcc)` with `lcc = 2T / d(d−1)` (0 for
+    * degree < 2) — the graph-density QA that tells an embedding-space
+    * clustering how cliquish its neighborhoods actually are, and a
+    * crawl-graph auditor where link farms (lcc ≈ 1 cliques) sit.
+    *
+    * All-integer arithmetic until the final ratio (exact in every
+    * engine); the ratio itself is one IEEE divide, pround(4).
+    *
+    * Scale shape: the wedge join fans out Σ deg² — bounded by
+    * k²·N on a mutual-kNN graph (deg ≤ k by construction), which is
+    * why this ships tied to that front-end; on an arbitrary crawl
+    * graph, cap degrees first (the hot-bucket star rule) or the
+    * highest-degree hub alone emits deg² wedges. Ordering edges
+    * a < b counts each triangle exactly once with no distinct pass.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    val wed = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wed.join(
+      e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2, graft.functions.Rounding.pround(
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
   /** Hub-quantum for [[hits]]: 10⁻¹² score units per integer step.
     * Coarser than [[Unit14]] because a HITS reduction sums QUANTIZED
     * scores over edges (not per-edge fractions): the global integer

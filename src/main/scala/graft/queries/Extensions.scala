@@ -282,6 +282,16 @@ object Extensions {
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")),
 
+    // Neighborhood cliquishness: per-node triangles + local clustering
+    // coefficient on the mutual-kNN graph (degree ≤ k keeps the wedge
+    // join linear). The density QA next to the silhouette score.
+    "graph_triangles" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < KnnSlice)
+      Graph.triangles(
+        Graph.mutualKnnEdges(sub, "vec_id", "embedding", KnnK))
+        .orderBy("id")
+    }),
+
     // Cluster-quality QA: per-vector silhouette of the mutual-kNN
     // clustering on the same slice — the numeric gate a pipeline
     // checks before trusting cluster-level decisions downstream.
@@ -1020,7 +1030,11 @@ object Extensions {
     * min-label components (`cc`: id, cluster_id). Callers must open
     * with WITH RECURSIVE.
     */
-  private lazy val knnClustersCte =
+  /** Bounded slice → quadratic cosine → reciprocal top-k → canonical
+    * mutual edges (`mut`: id_a < id_b). The shared front half of every
+    * mutual-kNN-graph oracle.
+    */
+  private lazy val mutualKnnCte =
     s"""sub AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $KnnSlice),
        |sc AS (
@@ -1037,7 +1051,10 @@ object Extensions {
        |mut AS (
        |  SELECT a.qid AS id_a, a.cid AS id_b FROM knn a
        |  JOIN knn b ON b.qid = a.cid AND b.cid = a.qid
-       |  WHERE a.qid < a.cid),
+       |  WHERE a.qid < a.cid)""".stripMargin
+
+  private lazy val knnClustersCte =
+    s"""$mutualKnnCte,
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM mut
        |  UNION SELECT id_b, id_a FROM mut),
@@ -1873,6 +1890,36 @@ object Extensions {
     "emb_knn_clusters" ->
       s"""WITH RECURSIVE $knnClustersCte
          |SELECT id AS vec_id, cluster_id FROM cc ORDER BY vec_id""".stripMargin,
+
+    // Triangles replica: ordered wedge join closed by the (x, z) edge
+    // counts each triangle once; integer counts, one final divide.
+    "graph_triangles" ->
+      s"""WITH $mutualKnnCte,
+         |e AS (SELECT id_a AS a, id_b AS b FROM mut),
+         |wed AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b),
+         |tri AS (
+         |  SELECT w.x, w.y, w.z FROM wed w
+         |  JOIN e e3 ON e3.a = w.x AND e3.b = w.z),
+         |tn AS (
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT x AS id FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY 1),
+         |deg AS (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT id_a AS id FROM mut
+         |    UNION ALL SELECT id_b FROM mut)
+         |  GROUP BY 1)
+         |SELECT deg.id, deg.d AS degree,
+         |  CAST(coalesce(tn.t, 0) AS BIGINT) AS triangles,
+         |  CASE WHEN deg.d >= 2
+         |       THEN floor(2.0 * coalesce(tn.t, 0) / (deg.d * (deg.d - 1)) * 10000 + 0.5) / 10000
+         |       ELSE 0.0 END AS lcc
+         |FROM deg LEFT JOIN tn ON tn.id = deg.id
+         |ORDER BY deg.id""".stripMargin,
 
     // Silhouette over those clusters: integer-1e-6-unit pair
     // distances (unit cancels in the ratio), per-(vector, cluster)

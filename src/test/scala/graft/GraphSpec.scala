@@ -121,6 +121,19 @@ class GraphSpec extends SparkSpec {
     assert(allZero.forall(_._3 == 0.0))
   }
 
+  test("triangles: K4 nodes count 3 each with lcc 1 (0.5 for the node " +
+      "diluted by a pendant), the pendant counts 0") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Graph.triangles(e).as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
   /** Driver-side replay of hits' exact contract: integer sums of
     * quantized scores, one IEEE divide per L1 normalization, floor
     * back to 1e-12 units.
