@@ -452,6 +452,18 @@ object Extensions {
       Dedup.ngramNovelty(t(s, dir, "documents"), "doc_id", "text",
         ShingleN).orderBy("doc_id")),
 
+    // Gibberish/encoding-noise detector: codepoint-distribution
+    // Shannon entropy per doc, one codegen'd pass per row (no char
+    // explode on the Spark side — the replica explodes, the engine
+    // doesn't). Base64/mojibake ≫ prose ≫ padding.
+    "text_char_entropy" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        graft.functions.Rounding.pround(
+          graft.functions.CharEntropyFn.column(s, col("text")), 6)
+          .as("entropy"))
+        .orderBy("doc_id")),
+
     // Mixture drift QA: KL(lang ‖ corpus) over token unigrams, the
     // number that flags a source whose distribution wandered from the
     // blend. Same pround(9)-log → decimal-sum discipline as perplexity.
@@ -2317,6 +2329,28 @@ object Extensions {
          |       ELSE 0.0 END AS novelty
          |FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
          |ORDER BY doc.doc_id""".stripMargin,
+    // Char-entropy replica: exploded codepoint counts, integer
+    // nano-bit contributions c·floor(log2(c/L)·1e9+0.5) summed
+    // exactly, one final IEEE divide chain — mirrors CharEntropy
+    // .compute term for term.
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, i, 1) AS c FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+        |    FROM documents)),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, len(text) AS l FROM documents),
+        |acc AS (
+        |  SELECT cc.doc_id,
+        |    sum(cc.n * CAST(floor(log2(cc.n::DOUBLE / l.l::DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS a
+        |  FROM cc JOIN dl l ON l.doc_id = cc.doc_id GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS len,
+        |  CASE WHEN len(d.text) > 0
+        |       THEN floor((-(CAST(a.a AS DOUBLE) / 1000000000.0) / len(d.text)) * 1000000 + 0.5) / 1000000
+        |       ELSE 0.0 END AS entropy
+        |FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     // KL drift replica: per-occurrence ln of exact count cross-ratios,
     // rounded at 1e-9, decimal-summed, per-group mean rounded at 1e-6.
     "mix_kl_drift" ->

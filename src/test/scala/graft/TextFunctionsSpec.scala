@@ -75,4 +75,22 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(sh == Seq("a b c d e", "b c d e f"))
   }
+
+  test("char_entropy: uniform alphabets hit log2(k) exactly, padding " +
+      "scores 0, empty scores 0, prose sits between noise and padding") {
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""),
+      (5L, "aab"),
+      (6L, "the cat sat on the mat and the dog lay on the rug by the door"),
+      (7L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345")).toDF("id", "text")
+    val h = df.select($"id", graft.functions.Rounding.pround(
+        graft.functions.CharEntropyFn.column(spark, $"text"), 6).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(h(1L) == 0.0 && h(4L) == 0.0)
+    assert(h(2L) == 1.0 && h(3L) == 2.0)
+    // 2/3·log2(3/2) + 1/3·log2 3 = 0.918296 at the 1e-6 round
+    assert(math.abs(h(5L) - 0.918296) < 1e-6, h(5L).toString)
+    assert(h(7L) == 5.0, s"32 uniform symbols = 5 bits: ${h(7L)}")
+    assert(h(7L) > h(6L) && h(6L) > 2.5,
+      s"noise ${h(7L)} must out-score prose ${h(6L)}")
+  }
 }
