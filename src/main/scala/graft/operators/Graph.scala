@@ -201,8 +201,24 @@ object Graph {
     * highest-degree hub alone emits deg² wedges. Ordering edges
     * a < b counts each triangle exactly once with no distinct pass.
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame, maxDegree: Int = 4096): DataFrame = {
     val e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    // loud fan-out guard (the LSH hot-band discipline): one hub of
+    // degree d emits d² wedges, so refuse pathological graphs instead
+    // of silently running the quadratic join. maxDegree <= 0 disables
+    // for callers that pre-capped.
+    if (maxDegree > 0) {
+      val hot = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .filter(col("degree") > maxDegree)
+        .orderBy(col("degree").desc).limit(1).collect()
+      if (hot.nonEmpty) throw new IllegalStateException(
+        s"triangles: node ${hot(0).get(0)} has degree " +
+          s"${hot(0).getLong(1)} > maxDegree=$maxDegree — the wedge " +
+          "join would fan out quadratically; cap or star hot nodes " +
+          "first (Dedup.lshPairsFromSignatures' maxBucket rule)")
+    }
     val wed = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tri = wed.join(
@@ -249,7 +265,12 @@ object Graph {
     * Scale shape is pageRank's: one persisted edge frame, per
     * iteration two join→map-side-combinable-sum passes plus a
     * broadcast one-row total; lineage cut every `checkpointEvery`
-    * half-steps.
+    * half-steps. The iteration state carries only ACTIVE nodes (raw
+    * sum > 0): a node absent from a reduction quantizes to 0 and
+    * contributes nothing to the next one, so the all-nodes frame is
+    * joined exactly once, at the end — on a bipartite graph every
+    * half-step therefore shuffles half the nodes instead of all of
+    * them, and no per-step left join exists at all.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int, checkpointEvery: Int = 4): DataFrame = {
@@ -267,15 +288,14 @@ object Graph {
     var pinnedPrev: DataFrame = null
     var pinnedLast: DataFrame = null
     var cuts = 0
-    // join the raw sums back to every node, L1-normalize against the
-    // broadcast one-row total, re-quantize; cut lineage periodically
+    // L1-normalize the raw sums against the broadcast one-row total
+    // and re-quantize — active rows only; cut lineage periodically
     def normalize(raw: DataFrame, outCol: String, force: Boolean)
         : DataFrame = {
       val total = raw.agg(sum(col("q")).as("t"))
-      val next = nodes.join(raw, nodes("id") === raw("rid"), "left")
-        .crossJoin(broadcast(total))
-        .select(nodes("id"),
-          floor(coalesce(col("q"), lit(0L)).cast("double") /
+      val next = raw.crossJoin(broadcast(total))
+        .select(col("rid").as("id"),
+          floor(col("q").cast("double") /
             col("t").cast("double") * lit(Unit12) + lit(0.5))
             .as(outCol))
       cuts += 1
@@ -291,18 +311,29 @@ object Graph {
     }
     var hq = nodes.withColumn("hq", lit(Unit12.toLong))
     var aq: DataFrame = null
+    // each raw-sum frame is read twice (its broadcast total, then the
+    // quantized frame) and again by later steps until the next lineage
+    // cut — persist the tiny O(nodes) partials so the edge join + sum
+    // behind each runs exactly once; all dropped after the final cuts
+    val rawPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pinRaw(df: DataFrame): DataFrame = { rawPins += df.persist(); df }
     for (k <- 1 to iters) {
-      val araw = e.join(hq, e("src") === hq("id"))
-        .groupBy(e("dst").as("rid")).agg(sum(col("hq")).as("q"))
+      val araw = pinRaw(e.join(hq, e("src") === hq("id"))
+        .groupBy(e("dst").as("rid")).agg(sum(col("hq")).as("q")))
       aq = normalize(araw, "aq", force = k == iters)
-      val hraw = e.join(aq, e("dst") === aq("id"))
-        .groupBy(e("src").as("rid")).agg(sum(col("aq")).as("q"))
+      val hraw = pinRaw(e.join(aq, e("dst") === aq("id"))
+        .groupBy(e("src").as("rid")).agg(sum(col("aq")).as("q")))
       hq = normalize(hraw, "hq", force = k == iters)
     }
-    val out = hq.join(aq.withColumnRenamed("id", "aid"),
-        hq("id") === col("aid"))
-      .select(col("id"), (col("hq") / lit(Unit12)).as("hub"),
-        (col("aq") / lit(Unit12)).as("auth"))
+    rawPins.foreach(_.unpersist())
+    val out = nodes
+      .join(hq.withColumnRenamed("id", "hid"), nodes("id") === col("hid"),
+        "left")
+      .join(aq.withColumnRenamed("id", "aid"), nodes("id") === col("aid"),
+        "left")
+      .select(nodes("id"),
+        (coalesce(col("hq"), lit(0L)) / lit(Unit12)).as("hub"),
+        (coalesce(col("aq"), lit(0L)) / lit(Unit12)).as("auth"))
     e.unpersist()
     nodes.unpersist()
     out

@@ -208,4 +208,24 @@ class FanoutGuardSpec extends SparkSpec {
     assert(graft.operators.Skyline.skyline(anti, Seq("a"), Seq("b"))
       .count() == 100)
   }
+
+  test("triangles degree guard: a planted hub above maxDegree raises " +
+      "loudly; under the cap (and when disabled) results are intact") {
+    import graft.operators.Graph
+    // star: hub 0 linked to 1..50 (degree 50), plus one closed triangle
+    val star = ((1 to 50).map(i => (0L, i.toLong)) ++
+      Seq((1L, 2L))).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Graph.triangles(star, maxDegree = 16)
+    }
+    assert(e.getMessage.contains("maxDegree=16"))
+    val ok = Graph.triangles(star, maxDegree = 64)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(ok(0L) == 1L && ok(1L) == 1L && ok(2L) == 1L)
+    assert((3 to 50).forall(i => ok(i.toLong) == 0L))
+    val disabled = Graph.triangles(star, maxDegree = 0)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(disabled == ok, "disabling the guard must not change results")
+  }
 }
