@@ -178,6 +178,57 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** Signature-fidelity QA: for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (fraction of agreeing signature components)
+    * next to the exact value and their absolute error — the published
+    * number that justifies a bands/rowsPerBand choice, the dedup
+    * twin of [[Similarity.recallAtK]]. Expected |err| ~ 1/√numHashes;
+    * a drifting error distribution means the signature is too short
+    * for the corpus' similarity profile.
+    *
+    * Candidate-bounded end to end: estimates come from the already-
+    * computed signatures (one join per side, no extra corpus pass),
+    * exact Jaccard reuses the verify-stage shape.
+    */
+  def minHashEstimateError(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, bands: Int, rowsPerBand: Int)
+      : DataFrame = {
+    val n = bands * rowsPerBand
+    val sh = shingled(docs, idCol, textCol, shingleN).persist()
+    val sig = signaturesFromShingles(sh, idCol, n).persist()
+    val candidates = lshPairsFromSignatures(sig, idCol, bands, rowsPerBand)
+      .persist()
+    scoped(Seq(sh, sig, candidates)) {
+      val candIds = candidates.select(col("id_a").as(idCol))
+        .unionByName(candidates.select(col("id_b").as(idCol))).distinct()
+      val sets = sh.join(candIds, Seq(idCol), "left_semi")
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
+      val exact = candidates
+        .join(sets.select(col(idCol).as("id_a"), col("shingles").as("sh_a")),
+          "id_a")
+        .join(sets.select(col(idCol).as("id_b"), col("shingles").as("sh_b")),
+          "id_b")
+        .withColumn("n_common",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("jaccard",
+          Rounding.pround(col("n_common").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+        .select("id_a", "id_b", "jaccard")
+      val sa = sig.select(col(idCol).as("id_a") +:
+        (0 until n).map(j => col(s"h$j").as(s"a$j")): _*)
+      val sb = sig.select(col(idCol).as("id_b") +:
+        (0 until n).map(j => col(s"h$j").as(s"b$j")): _*)
+      val matches = (0 until n).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+      exact.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est",
+          Rounding.pround(matches.cast("double") / lit(n.toDouble), 4))
+        .withColumn("err",
+          Rounding.pround(abs(col("est") - col("jaccard")), 4))
+        .select("id_a", "id_b", "est", "jaccard", "err")
+    }
+  }
+
   /** Per-document n-gram novelty: the fraction of a doc's DISTINCT
     * shingles that appear nowhere else in the corpus (df = 1). High
     * novelty marks original content; low novelty marks templated or

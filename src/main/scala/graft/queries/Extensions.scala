@@ -446,6 +446,13 @@ object Extensions {
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         ShingleN, 0.6).orderBy("id_a", "id_b")),
 
+    // Signature-fidelity QA: MinHash-estimated vs exact Jaccard per
+    // LSH candidate pair, with the absolute error — the number that
+    // justifies the bands×rows choice (the dedup twin of recall@k).
+    "dedup_minhash_est_error" -> ((s, dir) =>
+      Dedup.minHashEstimateError(t(s, dir, "documents"), "doc_id", "text",
+        ShingleN, Bands, RowsPerBand).orderBy("id_a", "id_b")),
+
     // Corpus-level novelty: fraction of each doc's shingles seen
     // nowhere else — flags templated text below any pairwise threshold.
     "text_ngram_novelty" -> ((s, dir) =>
@@ -2314,6 +2321,44 @@ object Extensions {
          |SELECT id_a, id_b, n_common, c_a, c_b FROM sc
          |WHERE greatest(c_a, c_b) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+    // est-error replica: signature agreement fraction vs the exact
+    // verify-stage jaccard, both rounded at 1e-4 before the |err|.
+    "dedup_minhash_est_error" -> {
+      val n = Bands * RowsPerBand
+      val estExpr = s"floor((e.m::DOUBLE / CAST($n AS DOUBLE)) * 10000 + 0.5) / 10000"
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_common
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT c.id_a, c.id_b,
+         |    floor((coalesce(i.n_common, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.n_common, 0))) * 10000 + 0.5) / 10000 AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b),
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    (${(0 until n).map(j => s"CASE WHEN ma.h$j = mb.h$j THEN 1 ELSE 0 END").mkString(" + ")}) AS m
+         |  FROM cand c JOIN mh ma ON ma.doc_id = c.id_a
+         |  JOIN mh mb ON mb.doc_id = c.id_b)
+         |SELECT e.id_a, e.id_b, $estExpr AS est, x.jaccard,
+         |  floor(abs($estExpr - x.jaccard) * 10000 + 0.5) / 10000 AS err
+         |FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin
+    },
+
     "text_ngram_novelty" ->
       s"""WITH $shingleCte,
          |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),

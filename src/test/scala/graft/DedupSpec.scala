@@ -29,6 +29,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash estimate error: an exact-dup pair estimates 1.0 with " +
+      "zero error, every error is bounded by 1, est matches agreement") {
+    val got = Dedup.minHashEstimateError(docs, "doc_id", "text", 3, 4, 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(byPair((1L, 2L)) == ((1.0, 1.0, 0.0)), byPair.toString)
+    assert(got.forall(r => r._3 >= 0 && r._3 <= 1 && r._5 >= 0 && r._5 <= 1))
+    // err is |est - exact| at the 1e-4 round for every pair
+    assert(got.forall(r =>
+      math.abs(r._5 - math.abs(r._3 - r._4)) < 1e-9), got.mkString(","))
+  }
+
   test("containment catches a short doc quoted inside a long one that " +
       "jaccard dilutes below threshold; direction names the quoted side") {
     val filler = (1 to 60).map(i => s"w$i").mkString(" ")
