@@ -573,14 +573,25 @@ object Similarity {
                                 centroids: Seq[Seq[Float]],
                                 books: Seq[Seq[Seq[Float]]],
                                 residual: Boolean = false,
-                                buckets: Int = 8): Unit = {
+                                buckets: Int = 8,
+                                metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     val centDf = spark.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "centroid")
-    graft.sources.IO.writeBucketedTable(
-      encodeForIndex(corpus, idCol, vecCol, centDf, books, residual),
-      table, "cell", buckets)
+    val encoded = encodeForIndex(corpus, idCol, vecCol, centDf, books,
+      residual)
+    // metadata columns ride IN the index rows (a payload-carrying
+    // index, Qdrant/Milvus-style): filtered queries then push their
+    // predicate into the bucketed table's parquet scan instead of
+    // joining a side table per query. Build-time cost: one extra
+    // equi-join against a 2-column pruned scan of the corpus.
+    val rows =
+      if (metaCols.isEmpty) encoded
+      else encoded.join(
+        corpus.select(col(idCol).as("cand_id") +: metaCols.map(col): _*),
+        Seq("cand_id"))
+    graft.sources.IO.writeBucketedTable(rows, table, "cell", buckets)
     writeModelTables(spark, table, centDf, books, residual)
   }
 

@@ -75,4 +75,38 @@ object Temporal {
         r(s"r_$rightTs") <= probes(leftTs) + expr(s"INTERVAL $hiSec SECONDS"))
       .drop("__bin")
   }
+
+  /** Exponential time-decay aggregation: per key, `Σ value·2^(-Δt/h)`
+    * and the decayed event count `Σ 2^(-Δt/h)` at a fixed reference
+    * instant (`Δt` = refTs − ts, `h` = the half-life in seconds) — the
+    * recency-weighted feature a feature store derives from an event
+    * stream (an event one half-life old counts half as much as one
+    * from just now). A plain map-side-combinable groupBy: the weight
+    * is a pure per-row projection, so the shuffle carries one partial
+    * sum per (key, partition) regardless of corpus size.
+    *
+    * Cross-engine determinism: Δt is computed in integer MICROSECONDS
+    * and divided by `h·10⁶` in one double op (subtracting two
+    * per-side double conversions would differ in the last ulp between
+    * engines); each weighted term rounds at 9 and sums as an exact
+    * decimal so the fold is order-independent (the l9 discipline the
+    * perplexity/KL oracles established for libm-boundary functions).
+    */
+  def decayedAgg(events: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, halfLifeSec: Long,
+                 refTs: String): DataFrame = {
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.types.DecimalType
+    val dtUs = unix_micros(lit(refTs).cast("timestamp")) -
+      unix_micros(col(tsCol))
+    val wgt = pow(lit(0.5), dtUs / lit(halfLifeSec * 1e6))
+    events
+      .select(col(keyCol),
+        pround(col(valueCol) * wgt, 9).cast(DecimalType(38, 12)).as("__t"),
+        pround(wgt, 9).cast(DecimalType(38, 12)).as("__w"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        pround(sum(col("__t")).cast("double"), 6).as("decayed_sum"),
+        pround(sum(col("__w")).cast("double"), 6).as("decayed_count"))
+  }
 }
