@@ -20,20 +20,37 @@ object Relational {
 
   // --- A1/A2: scalar-MAX watermark ------------------------------------
 
+  /** Driver-side timestamp extraction tolerant of every external type
+    * Spark may hand back for a time-like column: `Timestamp` (classic),
+    * `LocalDateTime` (TIMESTAMP_NTZ sources — naive values are taken as
+    * UTC, matching the engine's pinned session timezone), `Instant`
+    * (java8 datetime API mode). A blind `Row.getTimestamp` ClassCastExs
+    * on the first two alternates.
+    */
+  private def rowTimestamp(v: Any): Option[java.sql.Timestamp] = v match {
+    case null                           => None
+    case t: java.sql.Timestamp          => Some(t)
+    case l: java.time.LocalDateTime     =>
+      Some(java.sql.Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC)))
+    case i: java.time.Instant           => Some(java.sql.Timestamp.from(i))
+    case other => throw new IllegalArgumentException(
+      s"watermark field is not time-typed: ${other.getClass.getName}")
+  }
+
   /** A1: `SELECT MAX(field) FROM target` — one row to the driver, the only
     * sanctioned collect in the engine. Falls back to the 2000-01-01 epoch
     * when the target is empty (cold start, v2/dag:113-114).
     */
   def watermark(target: DataFrame, field: String): java.sql.Timestamp =
-    Option(target.agg(max(col(field))).first().getTimestamp(0))
+    rowTimestamp(target.agg(max(col(field))).first().get(0))
       .getOrElse(java.sql.Timestamp.valueOf(ColdStartEpoch))
 
   /** A2: month-truncated watermark (v1/dag:64-69) so whole months reload,
     * pairing with the idempotent partition replacement (M1).
     */
   def monthWatermark(target: DataFrame, field: String): java.sql.Timestamp =
-    Option(target.agg(date_trunc("month", max(col(field)))).first()
-      .getTimestamp(0))
+    rowTimestamp(target.agg(date_trunc("month", max(col(field)))).first()
+      .get(0))
       .getOrElse(java.sql.Timestamp.valueOf(ColdStartEpoch))
 
   // --- F1/F2/F3: incremental range filters ----------------------------

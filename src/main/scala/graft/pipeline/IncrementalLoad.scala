@@ -79,7 +79,12 @@ object IncrementalLoad {
       val df = spark.read.parquet(path)
       df.drop("month")
     } catch {
+      // Missing path surfaces as AnalysisException(PATH_NOT_FOUND) or, on
+      // some Spark builds, a raw FileNotFoundException from the streaming-
+      // sink metadata probe that runs before path resolution.
       case _: org.apache.spark.sql.AnalysisException =>
+        like.filter(lit(false))
+      case _: java.io.FileNotFoundException =>
         like.filter(lit(false))
     }
 }

@@ -157,5 +157,9 @@ object DocStream {
           if e.getCondition != null &&
             EmptyIndexConditions.contains(e.getCondition) =>
         like.filter(lit(false))
+      // Some Spark builds throw this raw from the streaming-sink metadata
+      // probe before path resolution gets to raise PATH_NOT_FOUND.
+      case _: java.io.FileNotFoundException =>
+        like.filter(lit(false))
     }
 }

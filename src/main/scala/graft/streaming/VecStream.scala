@@ -97,6 +97,10 @@ object VecStream {
             Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
               .contains(e.getCondition) =>
         spark.table(indexTable).limit(0)
+      // raw form of PATH_NOT_FOUND on some Spark builds (streaming-sink
+      // metadata probe runs before path resolution)
+      case _: java.io.FileNotFoundException =>
+        spark.table(indexTable).limit(0)
     }
 
   /** Top-k over base + streamed rows uniformly. */
