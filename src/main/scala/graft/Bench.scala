@@ -64,19 +64,35 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.matches(n)))
+    // A failed query is RECORDED (query_ok=false + loud stderr), never
+    // swallowed: an exception thrown in 0.1 s would otherwise masquerade
+    // as a 5× speedup in the round-over-round comparison.
     val queryResults = names.map { name =>
+      var ok = true
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(name) catch { case _: Throwable => () }
+        try materialize(name) catch {
+          case e: Throwable =>
+            if (ok) System.err.println(
+              s"[bench] query $name FAILED: ${e.getMessage}")
+            ok = false
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, ok)
     }
-    val results = buildResults.map { case (n, t, _) => n -> t } ++ queryResults
+    val results = buildResults.map { case (n, t, _) => n -> t } ++
+      queryResults.map { case (n, t, _) => n -> t }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val builds = buildResults.map { case (n, _, ok) => "\"" + n + "\":" + ok }
       .mkString("{", ",", "}")
+    val queryOks = queryResults.map { case (n, _, ok) => "\"" + n + "\":" + ok }
+      .mkString("{", ",", "}")
+    val nFailed = buildResults.count(!_._3) + queryResults.count(!_._3)
+    if (nFailed > 0)
+      System.err.println(s"[bench] $nFailed FAILED entries — timings for " +
+        "those entries measure the exception, not the query")
     val total = results.map(_._2).sum
 
     // Opt-in 100×-shape evidence (SPARK_GRAFT_STRESS=1): amplified-
@@ -93,7 +109,7 @@ object Bench {
         s""","stress_ok":$allOk,"stress":$entries"""
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"build_ok":$builds,"queries":$qs,"sf":"$sfDir"$stressSection}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"failed":$nFailed,"build_ok":$builds,"query_ok":$queryOks,"queries":$qs,"sf":"$sfDir"$stressSection}"""
     println(line)
     // Also land the metric line as a file: the driver's stdout tail
     // capture truncates long JSON, leaving BENCH_r{N}.json unparsed.
