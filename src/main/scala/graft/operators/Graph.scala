@@ -105,12 +105,28 @@ object Graph {
     * 10⁻⁶ units before any mean (the PageRank trick — all-IEEE floor,
     * exact integer sums), the 1e6 unit CANCELS in the (b−a)/max(a,b)
     * ratio, and only the final score rounds (pround 6).
+    *
+    * `maxEval` is the loud quadratic-blowup guard (the `triangles`
+    * maxDegree discipline): the evaluated slice is broadcast whole and
+    * crossed with itself, so a caller who passes the corpus instead of
+    * a bounded sample gets an immediate actionable error, not a
+    * driver-side broadcast OOM an hour in. <= 0 disables for callers
+    * that pre-bounded.
     */
   def silhouette(vectors: DataFrame, idCol: String, vecCol: String,
-                 labels: DataFrame): DataFrame = {
+                 labels: DataFrame, maxEval: Long = 10000L): DataFrame = {
     val spark = vectors.sparkSession
     val v = vectors.join(labels, vectors(idCol) === labels("id"))
       .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
+    if (maxEval > 0) {
+      val n = v.limit(math.min(maxEval + 1, Int.MaxValue.toLong).toInt).count()
+      if (n > maxEval) throw new IllegalStateException(
+        s"silhouette: evaluated slice has > maxEval=$maxEval labeled " +
+          "vectors — the pairwise mean is quadratic and the slice is " +
+          "broadcast whole; sample the corpus first (the metric is a " +
+          "diagnostic over a bounded sample, not a pipeline stage), or " +
+          "raise maxEval deliberately")
+    }
     val a = v.select(col("id").as("ida"), col("cluster_id").as("ca"),
       col("v").as("va"))
     val b = v.select(col("id").as("idb"), col("cluster_id").as("cb"),

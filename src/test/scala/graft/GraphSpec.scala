@@ -121,6 +121,21 @@ class GraphSpec extends SparkSpec {
     assert(allZero.forall(_._3 == 0.0))
   }
 
+  test("silhouette: an over-maxEval slice fails loudly instead of " +
+      "broadcasting the corpus into the quadratic crossJoin") {
+    val big = spark.range(0, 50).select($"id".as("vec_id"),
+      array(lit(1f), lit(0f)).as("embedding"))
+    val labels = big.select($"vec_id".as("id"), ($"id" % 2).as("cluster_id"))
+    val e = intercept[IllegalStateException] {
+      Graph.silhouette(big, "vec_id", "embedding", labels, maxEval = 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxEval"))
+    // pre-bounded callers can disable explicitly
+    assert(Graph.silhouette(big, "vec_id", "embedding", labels,
+      maxEval = 0L).count() == 50L)
+  }
+
   test("triangles: K4 nodes count 3 each with lcc 1 (0.5 for the node " +
       "diluted by a pendant), the pendant counts 0") {
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
