@@ -88,9 +88,12 @@ object Scd {
     val anyDiff = attrCols
       .map(a => !(col(a) <=> col(s"__s_$a")))
       .reduce(_ || _)
+    // both interval bounds cast to timestamp: a history keyed on a
+    // date/string tsCol otherwise type-mismatches against the
+    // timestamp-typed asOf branch inside array() below
     def rowStruct(attrs: Seq[Column], from: Column, to: Column,
                   current: Column): Column =
-      struct(attrs ++ Seq(from.as("valid_from"),
+      struct(attrs ++ Seq(from.cast("timestamp").as("valid_from"),
         to.cast("timestamp").as("valid_to"),
         current.as("is_current")): _*)
     val oldAttrs = attrCols.map(col)

@@ -30,6 +30,17 @@ import graft.functions.Rounding
   */
 object Similarity {
 
+  /** The 4 columns every stored vector index row carries; anything else
+    * in a stored table is caller payload (metaCols). */
+  private[graft] val ReservedCoreIndexCols =
+    Set("cell", "cand_id", "codes", "cv")
+
+  /** Names the index build/query machinery owns end-to-end: payload
+    * metaCols may not collide with these (shadowing inside
+    * adcShortlistRerank would be silent). */
+  private[graft] val ReservedIndexCols = ReservedCoreIndexCols ++
+    Set("query_id", "qv", "adc_dist", "dist", "rank", "r")
+
   /** dot(a, b) in double, sequential fold. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -576,6 +587,13 @@ object Similarity {
                                 buckets: Int = 8,
                                 metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
+    val clash = metaCols.filter(m =>
+      ReservedIndexCols.contains(m) || m == idCol)
+    require(clash.isEmpty,
+      s"writeVectorIndexWithModel: metaCols ${clash.mkString(", ")} " +
+        "collide with reserved index/query columns " +
+        s"(${ReservedIndexCols.toSeq.sorted.mkString(", ")}) or the id " +
+        "column — rename them in the corpus before indexing")
     val centDf = spark.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
       .toDF("cell", "centroid")
@@ -694,8 +712,27 @@ object Similarity {
                     idCol: String, vecCol: String): Unit = {
     val centDf = spark.table(table + "_centroids")
     val (books, residual) = readCodebooksAndMode(spark, table)
-    graft.sources.IO.appendToBucketedTable(
-      encodeForIndex(newRows, idCol, vecCol, centDf, books, residual), table)
+    val encoded = encodeForIndex(newRows, idCol, vecCol, centDf, books,
+      residual)
+    // A payload-carrying index (built with metaCols) stores columns
+    // beyond the core 4; appended rows must carry them too or the
+    // schema-aligned append throws an opaque AnalysisException. Join
+    // them from newRows exactly like the build does — and fail with
+    // the actual contract when newRows can't supply them.
+    val metaCols = spark.table(table).columns.toSeq
+      .filterNot(ReservedCoreIndexCols.contains)
+    val missing = metaCols.filterNot(newRows.columns.contains)
+    require(missing.isEmpty,
+      s"appendVectors: stored index '$table' carries metadata columns " +
+        s"[${metaCols.mkString(", ")}] but newRows lacks " +
+        s"[${missing.mkString(", ")}] — supply them (the index is " +
+        "payload-carrying; every appended row needs its payload)")
+    val rows =
+      if (metaCols.isEmpty) encoded
+      else encoded.join(
+        newRows.select(col(idCol).as("cand_id") +: metaCols.map(col): _*),
+        Seq("cand_id"))
+    graft.sources.IO.appendToBucketedTable(rows, table)
   }
 
   /** ADC shortlist → exact re-rank: the production PQ arc. The coarse

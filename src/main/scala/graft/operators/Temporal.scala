@@ -95,6 +95,9 @@ object Temporal {
   def decayedAgg(events: DataFrame, keyCol: String, tsCol: String,
                  valueCol: String, halfLifeSec: Long,
                  refTs: String): DataFrame = {
+    require(halfLifeSec > 0,
+      s"decayedAgg: halfLifeSec must be positive, got $halfLifeSec — " +
+        "a zero/negative half-life makes every weight NaN/Infinity")
     import graft.functions.Rounding.pround
     import org.apache.spark.sql.types.DecimalType
     val dtUs = unix_micros(lit(refTs).cast("timestamp")) -

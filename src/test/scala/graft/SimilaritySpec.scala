@@ -506,4 +506,50 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == Map(1L -> (2L, 1.0), 2L -> (1L, 0.5), 3L -> (0L, 0.0)))
   }
+
+  // tiny fixed model for the payload-carrying index contract tests:
+  // 4-dim vectors, 2 coarse cells, 2 subquantizers × 2 codewords
+  private val TinyCents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+  private val TinyBooks = Seq(
+    Seq(Seq(0f, 0f), Seq(1f, 1f)),
+    Seq(Seq(0f, 0f), Seq(1f, 1f)))
+
+  private def tinyCorpus(ids: Range) = ids.map { i =>
+    (i.toLong, Array(1f - 0.01f * i, 0f, 0.01f * i, 0f),
+      if (i % 2 == 0) "en" else "de", s"src_${i % 3}")
+  }.toDF("vec_id", "embedding", "lang", "source")
+
+  test("payload-carrying index: appendVectors joins the stored metaCols " +
+      "from newRows; rows missing the payload fail actionably") {
+    val t = "graft_vec_index_meta_spec"
+    Similarity.writeVectorIndexWithModel(tinyCorpus(0 until 40), "vec_id",
+      "embedding", t, TinyCents, TinyBooks, metaCols = Seq("lang", "source"))
+    assert(spark.table(t).columns.toSet ==
+      Set("cell", "cand_id", "codes", "cv", "lang", "source"))
+    Similarity.appendVectors(spark, t, tinyCorpus(40 until 50), "vec_id",
+      "embedding")
+    val appended = spark.table(t).filter($"cand_id" >= 40)
+    assert(appended.count() == 10)
+    assert(appended.filter($"lang".isNull || $"source".isNull).count() == 0,
+      "appended rows must carry their payload")
+    assert(appended.filter($"cand_id" === 42 && $"lang" === "en" &&
+      $"source" === "src_0").count() == 1)
+    // rows without the payload columns cannot append to this index
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendVectors(spark, t,
+        tinyCorpus(50 until 55).drop("lang", "source"), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("lang") && e.getMessage.contains("payload"))
+  }
+
+  test("metaCols colliding with reserved index/query columns are " +
+      "rejected at build time") {
+    val bad = tinyCorpus(0 until 10).withColumn("dist", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writeVectorIndexWithModel(bad, "vec_id", "embedding",
+        "graft_vec_index_meta_bad", TinyCents, TinyBooks,
+        metaCols = Seq("dist"))
+    }
+    assert(e.getMessage.contains("dist") && e.getMessage.contains("reserved"))
+  }
 }

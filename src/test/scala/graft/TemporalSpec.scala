@@ -81,4 +81,25 @@ class TemporalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L),
       (4L, 2L), (4L, 6L), (2L, 6L)))
   }
+
+  test("decayedAgg halves weights per half-life and rejects " +
+      "non-positive half-lives loudly") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-02 00:00:00"), 10.0),  // dt=0  -> w=1
+      (1L, t("2024-01-01 00:00:00"), 4.0),   // dt=1d -> w=0.5
+      (2L, t("2023-12-31 00:00:00"), 8.0))   // dt=2d -> w=0.25
+      .toDF("key", "ts", "value")
+    val out = Temporal.decayedAgg(events, "key", "ts", "value",
+      halfLifeSec = 86400L, refTs = "2024-01-02 00:00:00")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 12.0, 1.5)))
+    assert(out(2L) == ((1L, 2.0, 0.25)))
+    val e = intercept[IllegalArgumentException] {
+      Temporal.decayedAgg(events, "key", "ts", "value", 0L,
+        "2024-01-02 00:00:00")
+    }
+    assert(e.getMessage.contains("halfLifeSec"))
+  }
 }
