@@ -142,6 +142,16 @@ object Extensions {
         "doc_id", "source", 10, "s42")
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // The quality-aware variant: each source keeps its TOP-N docs under
+    // an explicit ordering (here longest-first — standing in for the
+    // quality prior CorpusBuildJob.qualityPriors orders by), not a
+    // pseudo-random draw.
+    "source_quota_top" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroupTop(t(s, dir, "documents"),
+        "source", 10,
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
     // The filter arc: keep documents at or under 4.95 bits/token (the
     // fixture corpus sits at ~4.88–5.33, so the gate is non-vacuous).
     "corpus_perplexity_filter" -> ((s, dir) => {
@@ -785,37 +795,25 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-PQ against the STORED vector index: build-if-absent (the
-    // catalog is in-memory per JVM), then the query reads only the
-    // three index tables — no KMeans retrain, no re-encode, no raw
-    // corpus scan (PlanAuditSpec pins this). Not SQL-expressible
-    // (trained KMeans centroids) → rows-only driver check; result
-    // equality with the in-memory ivfPqTopK path and recall vs brute
-    // force are proven in SimilaritySpec instead.
-    "ann_ivfpq_indexed" -> ((s, dir) => {
-      if (!s.catalog.tableExists("graft_vec_index")) buildVecIndex(s, dir)
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfPqTopKFromIndex(s, "graft_vec_index",
-        emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
-        nprobe = AnnNprobe, overquery = AnnOverquery)
-        .orderBy("query_id", "rank")
-    }),
-
     // Incremental index maintenance: the base index is built from the
     // older vectors only; the newest batch arrives via appendVectors —
     // encoded with the STORED centroids/codebooks and bucket-appended,
     // no retrain, cost ∝ |batch| (the ANN analogue of
     // dedup_minhash_incremental). The query then sees old and new rows
-    // uniformly. Not SQL-expressible (trained KMeans) → rows-only
-    // check; encode-equality and full-probe exactness of the append
-    // path are proven in SimilaritySpec.
+    // uniformly. The base uses the FIXED model (SemCents + PqBooks,
+    // residual) precisely so the append path gets a hash-matched
+    // oracle: encode is a pure function of the model, so base+append ≡
+    // one full fixed build, and the DuckDB full-build replica checks
+    // the appended index EXACTLY. (The trained-KMeans stored-index
+    // path, which has no SQL equivalent, stays spec-only: result
+    // equality and recall are pinned in SimilaritySpec/PlanAuditSpec.)
     "ann_ivfpq_append" -> ((s, dir) => {
       if (!s.catalog.tableExists("graft_vec_index_inc"))
         buildIncVecIndex(s, dir)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfPqTopKFromIndex(s, "graft_vec_index_inc",
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", AnnK,
-        nprobe = AnnNprobe, overquery = AnnOverquery)
+        nprobe = FixedNprobe, overquery = AnnOverquery)
         .orderBy("query_id", "rank")
     }),
 
@@ -824,10 +822,9 @@ object Extensions {
     // codebooks — no KMeans anywhere): every stage (cell argmin,
     // encode argmin, ADC shortlist, exact re-rank) is a pure function
     // of the corpus, so the stored-index QUERY path itself gets a
-    // hash-matched DuckDB replica — closing the gate's last
-    // `no_oracle` hole (ann_ivfpq_indexed/append stay rows-only
-    // because trained KMeans has no SQL equivalent; their result
-    // equality with this exact code path is pinned in SimilaritySpec).
+    // hash-matched DuckDB replica (the trained-KMeans stored index has
+    // no SQL equivalent and is spec-only — SimilaritySpec pins its
+    // result equality with this exact code path).
     "ann_ivfpq_indexed_fixed" -> ((s, dir) => {
       if (!s.catalog.tableExists("graft_vec_index_fixed"))
         buildFixedVecIndex(s, dir)
@@ -1486,14 +1483,18 @@ object Extensions {
   /** Incremental-maintenance fixture: base index over the older ~80% of
     * vectors, newest batch appended with the stored model. The split
     * point scales with the fixture (max/5) so every sfDir exercises a
-    * non-trivial append batch.
+    * non-trivial append batch. FIXED model (SemCents + PqBooks,
+    * residual-encoded): append-time encode is model-pure, so the final
+    * index is byte-identical to a full fixed build regardless of the
+    * split — which is what lets ann_ivfpq_append hash-match the DuckDB
+    * full-build replica.
     */
   private def buildIncVecIndex(s: SparkSession, dir: String): Unit = {
     val emb = t(s, dir, "embeddings")
     val cut = emb.agg(org.apache.spark.sql.functions.max(col("vec_id"))
       .cast("long")).head().getLong(0) / 5
-    Similarity.writeVectorIndex(emb.filter(col("vec_id") >= cut), "vec_id",
-      "embedding", "graft_vec_index_inc", AnnNlist, AnnNsub, AnnKsub,
+    Similarity.writeVectorIndexWithModel(emb.filter(col("vec_id") >= cut),
+      "vec_id", "embedding", "graft_vec_index_inc", SemCents, PqBooks,
       residual = true)
     Similarity.appendVectors(s, "graft_vec_index_inc",
       emb.filter(col("vec_id") < cut), "vec_id", "embedding")
@@ -1701,6 +1702,13 @@ object Extensions {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "source_quota_top" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
@@ -2731,6 +2739,13 @@ object Extensions {
     // residual-encoded variant: float32 centroid subtraction on both
     // the encode and the query side, then the same ADC + re-rank
     "ann_ivfpq_indexed_fixed_residual" ->
+      s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10", residual = true)}""",
+
+    // append path: base(80%) + appendVectors(20%) under the fixed
+    // residual model ≡ one full fixed build (encode is model-pure), so
+    // the SAME full-build replica hash-checks the incrementally-built
+    // index — the equivalence IS the assertion
+    "ann_ivfpq_append" ->
       s"""WITH ${ivfPqFixedSql("embeddings", "vec_id", "embedding", "v.vec_id < 10", residual = true)}""",
 
     // text→ANN bridge: hashed dense vectors feed the same replica

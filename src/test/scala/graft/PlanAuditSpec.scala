@@ -129,8 +129,19 @@ class PlanAuditSpec extends SparkSpec {
   test("indexed IVF-PQ reads the STORED index; the raw corpus parquet " +
     "appears only as the (filtered) query side") {
     import org.apache.spark.sql.execution.datasources.LogicalRelation
-    // building the query also trains + writes the index tables
-    val frame = SparkEntry.queries("ann_ivfpq_indexed")(spark, sf)
+    // the TRAINED stored-index arc (KMeans centroids — no SQL oracle,
+    // so this spec is its plan-shape gate): train+write once, then
+    // query only the stored tables
+    val emb = Tables.load(spark, sf, "embeddings")
+    if (!spark.catalog.tableExists("graft_vec_index"))
+      graft.operators.Similarity.writeVectorIndex(emb, "vec_id",
+        "embedding", "graft_vec_index", nlist = 16, nsub = 8, ksub = 16,
+        residual = true)
+    val frame = graft.operators.Similarity.ivfPqTopKFromIndex(
+      spark, "graft_vec_index",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nprobe = 4, overquery = 5)
+      .orderBy("query_id", "rank")
     val optimized = frame.queryExecution.optimizedPlan
     assert(optimized.treeString.contains("graft_vec_index"),
       "stored vector index missing from the plan:\n" +
