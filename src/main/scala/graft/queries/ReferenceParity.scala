@@ -266,6 +266,62 @@ object ReferenceParity {
           col("o_totalprice").as("last_total"))
         .orderBy("event_id")),
 
+    // SCD2 history from the event change log: per-user event_type
+    // intervals — change points keep, repeats collapse, the open row is
+    // current. The write-side twin of the as-of join above.
+    "scd_build_history" -> ((s, dir) =>
+      graft.operators.Scd.buildHistory(
+        t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+        .orderBy("user_id", "valid_from", "event_type")),
+
+    // SCD2 snapshot merge: history built from the first half-month,
+    // then one full-corpus snapshot (latest event_type per user)
+    // applied at a fixed as-of — changed keys close+reopen, unchanged
+    // pass through, unseen-in-snapshot keys stay current, new keys
+    // open their first row.
+    "scd_apply_snapshot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+      val hist = graft.operators.Scd.buildHistory(
+        ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
+        "user_id", "ts", Seq("event_type"), tieBreak = Seq("event_id"))
+      val snap = graft.operators.Relational.dedupLatest(
+        ev, Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+        .select("user_id", "event_type")
+      graft.operators.Scd.applySnapshot(hist, snap, "user_id",
+        Seq("event_type"), "2024-02-01 00:00:00")
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+
+    // Snapshot CDC derivation: classify every user across the
+    // half-month vs full-corpus states (insert/delete/update/
+    // unchanged) — the full-outer diff that drives incremental
+    // re-index decisions.
+    "scd_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("user_id", "ts", "event_type", "event_id")
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Relational.dedupLatest(
+          df, Seq("user_id"), "ts", tieBreak = Seq("event_id"))
+          .select("user_id", "event_type")
+      graft.operators.Scd.snapshotDiff(
+        latest(ev.filter(
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))),
+        latest(ev), Seq("user_id"), Seq("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // Exponential time-decay aggregate: half-life-weighted sum/count
+    // per user against a fixed reference instant (the recency-weighted
+    // engagement feature; libm pow goes through the l9 term-rounding +
+    // exact decimal fold discipline).
+    "decayed_agg" -> ((s, dir) =>
+      graft.operators.Temporal.decayedAgg(
+        t(s, dir, "events"), "user_id", "ts", "value",
+        halfLifeSec = 86400L, refTs = "2024-02-01 00:00:00")
+        .orderBy("user_id")),
+
     // Binned range join: per event, how many events the same user fires
     // in the following 5 minutes (burst/velocity feature). Events with
     // no follower report 0 via the left re-join.
@@ -1024,6 +1080,113 @@ object ReferenceParity {
         | AND epoch_us(f.ts) > epoch_us(e.ts)
         | AND epoch_us(f.ts) <= epoch_us(e.ts) + 300000000
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
+    "scd_build_history" ->
+      """WITH lagd AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         lag(event_type) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cps AS (
+        |  SELECT user_id, ts, event_type, event_id FROM lagd
+        |  WHERE rn = 1 OR (prev IS DISTINCT FROM event_type))
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER w2 AS valid_to,
+        |       (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM cps
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "scd_apply_snapshot" ->
+      """WITH lagd AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         lag(event_type) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cps AS (
+        |  SELECT user_id, ts, event_type, event_id FROM lagd
+        |  WHERE rn = 1 OR (prev IS DISTINCT FROM event_type)),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |         lead(ts) OVER w2 AS valid_to
+        |  FROM cps
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |closed AS (
+        |  SELECT user_id, event_type, valid_from, valid_to,
+        |         FALSE AS is_current
+        |  FROM hist WHERE valid_to IS NOT NULL),
+        |cur AS (
+        |  SELECT user_id, event_type, valid_from
+        |  FROM hist WHERE valid_to IS NULL),
+        |snap AS (
+        |  SELECT user_id, event_type AS s_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |j AS (
+        |  SELECT c.user_id AS cu, s.user_id AS su, c.event_type,
+        |         c.valid_from, s.s_type
+        |  FROM cur c FULL OUTER JOIN snap s ON s.user_id = c.user_id),
+        |merged AS (
+        |  SELECT cu AS user_id, event_type, valid_from,
+        |         CASE WHEN su IS NOT NULL
+        |                   AND (event_type IS DISTINCT FROM s_type)
+        |              THEN TIMESTAMP '2024-02-01 00:00:00'
+        |              ELSE CAST(NULL AS TIMESTAMP) END AS valid_to,
+        |         NOT (su IS NOT NULL
+        |              AND (event_type IS DISTINCT FROM s_type)) AS is_current
+        |  FROM j WHERE cu IS NOT NULL
+        |  UNION ALL
+        |  SELECT su, s_type, TIMESTAMP '2024-02-01 00:00:00',
+        |         CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM j WHERE su IS NOT NULL
+        |    AND (cu IS NULL OR (event_type IS DISTINCT FROM s_type)))
+        |SELECT user_id, event_type, valid_from, valid_to, is_current
+        |FROM closed
+        |UNION ALL
+        |SELECT user_id, event_type, valid_from, valid_to, is_current
+        |FROM merged
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "scd_snapshot_diff" ->
+      """WITH older AS (
+        |  SELECT user_id, event_type AS old_event_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1),
+        |newer AS (
+        |  SELECT user_id, event_type AS new_event_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |       o.old_event_type, n.new_event_type,
+        |       CASE WHEN o.user_id IS NULL THEN 'insert'
+        |            WHEN n.user_id IS NULL THEN 'delete'
+        |            WHEN o.old_event_type IS DISTINCT FROM n.new_event_type
+        |              THEN 'update'
+        |            ELSE 'unchanged' END AS change
+        |FROM older o FULL OUTER JOIN newer n ON n.user_id = o.user_id
+        |ORDER BY user_id""".stripMargin,
+    "decayed_agg" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    floor((value * power(0.5,
+        |      (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |        / 86400000000.0)) * 1000000000 + 0.5) / 1000000000 AS t,
+        |    floor((power(0.5,
+        |      (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |        / 86400000000.0)) * 1000000000 + 0.5) / 1000000000 AS wg
+        |  FROM events)
+        |SELECT user_id, count(*) AS n,
+        |  floor(CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS decayed_sum,
+        |  floor(CAST(sum(CAST(wg AS DECIMAL(38,12))) AS DOUBLE)
+        |    * 1000000 + 0.5) / 1000000 AS decayed_count
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     "asof_last_order" ->
       """WITH m AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
