@@ -47,8 +47,81 @@ object CorpusBuildJob {
   final case class StageCounts(raw: Long, afterQuality: Long,
                                afterLineDedup: Long, afterDocDedup: Long,
                                afterSemDedup: Long,
-                               afterDecontamination: Long, train: Long,
+                               afterDecontamination: Long,
+                               afterQuota: Long, train: Long,
                                eval_ : Long)
+
+  /** Per-document quality prior: trained LR classifier probability ×
+    * normalized PageRank link authority — the two priors the
+    * quota/mix stage orders by.
+    *
+    * Classifier (CCNet recipe): `refDocs` is the positive class (the
+    * high-quality reference — here the held-out eval set), a
+    * same-sized deterministic corpus sample the negative; features are
+    * hashing-trick embeddings, so there is no vocabulary state. Doc
+    * ids of `docs` and `refDocs` must be disjoint (they are for a
+    * held-out split by construction). An empty `refDocs` skips the
+    * classifier (neutral p = 0.5) instead of training on one class.
+    *
+    * Link authority: PageRank over `linkEdges` (src → dst doc ids),
+    * normalized by the max rank; docs absent from the graph get the
+    * graph's MEAN normalized rank — no link evidence is neutral, not
+    * damning. `None` skips the term entirely (rank_norm = 1).
+    *
+    * Scale shape: classifier training is bounded (`Classifier.train`
+    * maxTrain) and scoring is a map stage; PageRank is the fixed-
+    * iteration persisted-edge loop; the two scalar normalizers are
+    * one-row broadcast joins. Nothing here scans pairwise.
+    */
+  def qualityPriors(spark: SparkSession, docs: DataFrame,
+                    refDocs: DataFrame, linkEdges: Option[DataFrame],
+                    hashDim: Int = 64, prIters: Int = 5,
+                    seed: String = "s42"): DataFrame = {
+    val nRef = refDocs.count()
+    val q =
+      if (nRef == 0) {
+        docs.select(col("doc_id"), lit(0.0).as("logit"),
+          lit(0.5).as("quality_p"))
+      } else {
+        val negs = docs.select(col("doc_id"), col("text"))
+          .withColumn("__k", Sampling.shuffleKey(col("doc_id"), seed))
+          .orderBy(col("__k"), col("doc_id"))
+          .limit(math.min(nRef, Int.MaxValue.toLong).toInt)
+          .drop("__k").withColumn("label", lit(0))
+        val pos = refDocs.select(col("doc_id"), col("text"))
+          .withColumn("label", lit(1))
+        val labeled = pos.unionByName(negs)
+        val feats = TextEmbedding.hashedEmbeddings(labeled, "doc_id",
+          "text", hashDim)
+          .join(labeled.select("doc_id", "label"), Seq("doc_id"))
+        val model = Classifier.train(feats, "doc_id", "vec", "label",
+          hashDim)
+        Classifier.score(
+          TextEmbedding.hashedEmbeddings(docs, "doc_id", "text", hashDim),
+          "doc_id", "vec", model)
+          .select(col("doc_id"), col("logit"),
+            (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("quality_p"))
+      }
+    val withRank = linkEdges match {
+      case None => q.withColumn("rank_norm", lit(1.0))
+      case Some(e) =>
+        val ranks = Graph.pageRank(e, "src", "dst", prIters)
+        val stats = ranks.agg(max(col("rank")).as("mx"),
+          avg(col("rank")).as("mean"))
+        val norm = ranks.crossJoin(broadcast(stats))
+          .select(col("id").as("doc_id"),
+            (col("rank") / col("mx")).as("rank_norm"))
+        q.join(norm, Seq("doc_id"), "left")
+          .crossJoin(broadcast(stats.select(
+            (col("mean") / col("mx")).as("__neutral"))))
+          .select(col("doc_id"), col("logit"), col("quality_p"),
+            coalesce(col("rank_norm"), col("__neutral")).as("rank_norm"))
+    }
+    withRank.select(col("doc_id"), col("logit"), col("quality_p"),
+      col("rank_norm"),
+      graft.functions.Rounding.pround(
+        col("quality_p") * col("rank_norm"), 6).as("prior"))
+  }
 
   final case class MediaCounts(rawMedia: Long, hashedImages: Long,
                                canonicalRows: Long, audioWindowRows: Long)
@@ -129,7 +202,9 @@ object CorpusBuildJob {
           minContainment: Double = 0.2, budget: Int = 2048,
           hashDim: Int = 64, semNlist: Int = 8, semMinCosine: Double = 0.95,
           bpeMerges: Int = 200, chunkN: Int = 64, chunkStride: Int = 48,
-          seed: String = "s42"): StageCounts = {
+          seed: String = "s42",
+          linkEdges: Option[DataFrame] = None,
+          maxPerSource: Int = 0, prIters: Int = 5): StageCounts = {
     val raw = docs.count()
     val eval_ = docs.filter(evalPredicate).persist()
     val train0 = docs.filter(!evalPredicate)
@@ -188,8 +263,28 @@ object CorpusBuildJob {
       .persist()
     val afterDecontamination = decontaminated.count()
 
+    // 6b: quality priors — trained LR classifier (eval set = the
+    // quality reference, CCNet-style) × PageRank link authority — then
+    // the QUALITY-AWARE per-source quota: a capped source keeps its
+    // highest-prior documents, not a random draw. The prior table is
+    // written either way (it is the quota/mix stage's input signal);
+    // maxPerSource <= 0 leaves the corpus uncapped.
+    val priors = qualityPriors(spark, decontaminated, eval_, linkEdges,
+      hashDim, prIters, seed).persist()
+    priors.write.mode("overwrite").parquet(s"$outDir/doc_priors")
+    val quotaed =
+      if (maxPerSource > 0)
+        Sampling.capPerGroupTop(
+          decontaminated.join(priors.select("doc_id", "prior"),
+            Seq("doc_id")),
+          "source", maxPerSource,
+          Seq(col("prior").desc, col("doc_id")))
+          .drop("prior").persist()
+      else decontaminated
+    val afterQuota = quotaed.count()
+
     // 7: split assignment (train/val/test), membership-stable
-    val withSplit = decontaminated.withColumn("split",
+    val withSplit = quotaed.withColumn("split",
       Sampling.splitLabel(col("doc_id"), 16, 32))
     val trainDf = withSplit.filter(col("split") === "train")
 
@@ -234,8 +329,10 @@ object CorpusBuildJob {
     deduped.unpersist(blocking = false)
     semDeduped.unpersist(blocking = false)
     decontaminated.unpersist(blocking = false)
+    priors.unpersist(blocking = false)
+    if (maxPerSource > 0) quotaed.unpersist(blocking = false)
     eval_.unpersist(blocking = false)
     StageCounts(raw, afterQuality, afterLineDedup, afterDocDedup,
-      afterSemDedup, afterDecontamination, trainN, evalN)
+      afterSemDedup, afterDecontamination, afterQuota, trainN, evalN)
   }
 }

@@ -198,4 +198,23 @@ object Sampling {
       .filter(col("__rn") <= maxPerGroup)
       .drop("__rn")
   }
+
+  /** Quality-aware per-group quota: keep the TOP `maxPerGroup` rows of
+    * each group under `order` (a quality prior descending, say) — the
+    * cap a curated corpus wants once per-doc quality exists: a capped
+    * source keeps its BEST documents, where [[capPerGroup]] keeps a
+    * pseudo-random draw. Same rank-window shape, same WindowGroupLimit
+    * push-below-the-exchange at scale. Caller must make `order` total
+    * (append a unique key) or survivors are nondeterministic on ties.
+    */
+  def capPerGroupTop(df: DataFrame, groupCol: String, maxPerGroup: Int,
+                     order: Seq[Column]): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    require(order.nonEmpty, "capPerGroupTop needs an ordering")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerGroup)
+      .drop("__rn")
+  }
 }

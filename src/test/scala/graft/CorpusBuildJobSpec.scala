@@ -26,15 +26,27 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(counts.afterDocDedup <= counts.afterLineDedup)
     assert(counts.afterSemDedup <= counts.afterDocDedup)
     assert(counts.afterDecontamination <= counts.afterSemDedup)
+    assert(counts.afterQuota == counts.afterDecontamination,
+      "quota disabled (maxPerSource = 0) must keep everything")
     assert(counts.afterDocDedup > 0, "pipeline must not drop everything")
+
+    // quality priors: one row per surviving doc, priors usable as an
+    // ordering signal (no link graph here -> rank term neutral 1.0)
+    val priors = spark.read.parquet(s"$out/doc_priors")
+    assert(priors.count() == counts.afterDecontamination)
+    priors.collect().foreach { r =>
+      val p = r.getAs[Double]("prior")
+      assert(p > 0.0 && p <= 1.0, s"prior out of range: $r")
+      assert(r.getAs[Double]("rank_norm") == 1.0)
+    }
 
     val corpus = spark.read.parquet(s"$out/corpus")
     // split partitions are disjoint and exhaustive over the final set
-    assert(corpus.count() == counts.afterDecontamination)
+    assert(corpus.count() == counts.afterQuota)
     val splits = corpus.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(splits.keySet.subsetOf(Set("train", "val", "test")))
-    assert(splits.values.sum == counts.afterDecontamination)
+    assert(splits.values.sum == counts.afterQuota)
     assert(counts.train == splits.getOrElse("train", 0L))
 
     // no eval doc leaked into the corpus; eval artifact is complete
@@ -73,6 +85,63 @@ class CorpusBuildJobSpec extends SparkSpec {
     val chunks = spark.read.parquet(s"$out/chunks")
     assert(chunks.select("doc_id").distinct().count() == counts.train)
     assert(chunks.filter($"chunk_idx" === 0).count() == counts.train)
+  }
+
+  test("quality priors: the classifier separates reference-like text " +
+      "from junk, link authority boosts the hub, and the per-source " +
+      "quota keeps each source's best-prior docs") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    def cleanText(i: Int) =
+      s"the quick brown fox jumps over the lazy dog number $i " +
+        "and then files clear readable documentation about the system"
+    def junkText(i: Int) = ("zq9x kj3w " * 12) + i
+    val refDocs = (1000 until 1020)
+      .map(i => (i.toLong, cleanText(i))).toDF("doc_id", "text")
+    val docs = (
+      (0 until 20).map(i => (i.toLong, cleanText(i + 50), s"src_${i % 2}")) ++
+      (20 until 40).map(i => (i.toLong, junkText(i), s"src_${i % 2}")))
+      .toDF("doc_id", "text", "source")
+    // star link graph: every doc links to doc 0
+    val edges = (1 until 40).map(i => (i.toLong, 0L)).toDF("src", "dst")
+
+    val priors = CorpusBuildJob.qualityPriors(spark, docs, refDocs,
+      Some(edges), hashDim = 64, prIters = 3)
+    val p = priors.collect().map(r => r.getLong(0) -> r).toMap
+    assert(p.size == 40)
+    val cleanAvg = (0 until 20)
+      .map(i => p(i.toLong).getAs[Double]("quality_p")).sum / 20
+    val junkAvg = (20 until 40)
+      .map(i => p(i.toLong).getAs[Double]("quality_p")).sum / 20
+    assert(cleanAvg > junkAvg,
+      s"classifier failed to separate: clean=$cleanAvg junk=$junkAvg")
+    // the hub holds the max rank; spokes are strictly below
+    assert(p(0L).getAs[Double]("rank_norm") == 1.0)
+    assert((1 until 40).forall(
+      i => p(i.toLong).getAs[Double]("rank_norm") < 1.0))
+    // prior composes both terms
+    p.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("prior") -
+        math.floor(r.getAs[Double]("quality_p") *
+          r.getAs[Double]("rank_norm") * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+
+    // quality-aware quota: each capped source keeps exactly its
+    // 5 best-prior docs — min(kept) >= max(dropped) within a source
+    val withPrior = docs.join(priors.select("doc_id", "prior"),
+      Seq("doc_id"))
+    val kept = Sampling.capPerGroupTop(withPrior, "source", 5,
+      Seq(col("prior").desc, col("doc_id")))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(kept.groupBy("source").count().collect()
+      .forall(_.getLong(1) == 5L))
+    for (src <- Seq("src_0", "src_1")) {
+      val all = withPrior.filter($"source" === src)
+        .select("doc_id", "prior").as[(Long, Double)].collect()
+      val (k, d) = all.partition(r => keptIds.contains(r._1))
+      assert(k.map(_._2).min >= d.map(_._2).max,
+        s"$src kept a worse doc than it dropped")
+    }
   }
 
   /** Solid-color PNG (every solid color aHashes to the same degenerate
