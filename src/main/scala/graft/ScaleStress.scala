@@ -24,6 +24,15 @@ object ScaleStress {
     val results = run(spark, "/root/testdata/sf0.1")
     results.foreach(r =>
       println(f"STRESS ${if (r.ok) "ok " else "FAIL"} ${r.label} ${r.sec}%.2f s"))
+    // Landed as a per-round artifact (committed STRESS.json) so every
+    // round carries machine-checkable proof the guard bounds ran — the
+    // same file-landing rule as Bench's BENCH.json.
+    val entries = results.map(r =>
+      "\"" + r.label.replace("\"", "'") + "\":{\"sec\":" + r.sec +
+        ",\"ok\":" + r.ok + "}").mkString("{", ",", "}")
+    val line = s"""{"stress_ok":${results.forall(_.ok)},"stages":$entries}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("STRESS.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (results.exists(!_.ok)) sys.exit(1)
     spark.stop()
   }
