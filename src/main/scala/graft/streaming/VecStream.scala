@@ -69,8 +69,24 @@ object VecStream {
     val spark = batch.sparkSession
     val centDf = spark.table(indexTable + "_centroids")
     val (books, residual) = Similarity.readCodebooksAndMode(spark, indexTable)
-    val encoded = Similarity.encodeForIndex(batch, "vec_id", "embedding",
-      centDf, books, residual).persist()
+    val coreEncoded = Similarity.encodeForIndex(batch, "vec_id", "embedding",
+      centDf, books, residual)
+    // payload-carrying base index (built with metaCols): streamed rows
+    // must carry the payload too or the query-side unionByName dies
+    // opaquely — same contract and same join as appendVectors
+    val metaCols = spark.table(indexTable).columns.toSeq
+      .filterNot(Similarity.ReservedCoreIndexCols.contains)
+    val missing = metaCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"ingestBatch: index '$indexTable' carries metadata columns " +
+        s"[${metaCols.mkString(", ")}] but the batch lacks " +
+        s"[${missing.mkString(", ")}] — stream the payload with the " +
+        "vectors (the index is payload-carrying)")
+    val encoded = (
+      if (metaCols.isEmpty) coreEncoded
+      else coreEncoded.join(
+        batch.select(col("vec_id").as("cand_id") +: metaCols.map(col): _*),
+        Seq("cand_id"))).persist()
     try {
       val n = encoded.count()
       if (n > 0) {

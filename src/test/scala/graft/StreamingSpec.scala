@@ -326,6 +326,38 @@ class StreamingSpec extends SparkSpec {
     assert(probe == Seq(7L), s"expected the streamed twin, got $probe")
   }
 
+  test("vector stream into a payload-carrying index: streamed rows " +
+    "carry the payload; a payload-less batch fails actionably") {
+    import graft.streaming.VecStream
+    import graft.operators.Similarity
+    val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val books = Seq(
+      Seq(Seq(0f, 0f), Seq(1f, 1f)),
+      Seq(Seq(0f, 0f), Seq(1f, 1f)))
+    def rows(ids: Range) = ids.map { i =>
+      (i.toLong, Array(1f - 0.01f * i, 0f, 0.01f * i, 0f), s"lang_${i % 2}")
+    }.toDF("vec_id", "embedding", "lang")
+    Similarity.writeVectorIndexWithModel(rows(0 until 30), "vec_id",
+      "embedding", "graft_vec_stream_meta", cents, books,
+      metaCols = Seq("lang"))
+    val streamPath = tempDir("vec_stream_meta")
+    assert(VecStream.ingestBatch(rows(30 until 40),
+      "graft_vec_stream_meta", streamPath, batchId = 1L) == 10L)
+    val streamed = VecStream.readStreamed(spark, streamPath,
+      "graft_vec_stream_meta")
+    assert(streamed.columns.contains("lang") &&
+      streamed.filter($"lang".isNull).count() == 0)
+    // the query-side union sees base and streamed rows uniformly
+    assert(VecStream.topK(spark, "graft_vec_stream_meta", streamPath,
+      rows(0 until 3), k = 3, nprobe = 2).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      VecStream.ingestBatch(rows(40 until 45).drop("lang"),
+        "graft_vec_stream_meta", streamPath, batchId = 2L)
+    }
+    assert(e.getMessage.contains("lang") &&
+      e.getMessage.contains("payload"))
+  }
+
   test("a legacy index written before the ingest_batch partition format " +
     "reads as all-prior-batches, not a crash") {
     import graft.streaming.DocStream
