@@ -75,6 +75,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${p.take(2000)}")
   }
 
+  test("SCD2 history build: the change-point filter and the interval " +
+    "assignment share one (key) exchange and one (ts, tie) sort") {
+    val p = plan("scd_build_history")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(3000)}")
+    val sorts = "\\bSort \\[".r.findAllIn(p).length
+    assert(sorts <= 2, // the shared window sort + the output orderBy
+      s"window passes stopped sharing their sort ($sorts):\n${p.take(3000)}")
+  }
+
+  test("decayed aggregate is one partial-combine aggregation: a single " +
+    "exchange carries one partial row per (key, partition)") {
+    val p = plan("decayed_agg")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange, got $hashExchanges:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      "map-side partial aggregation lost:\n" + p.take(3000))
+  }
+
   test("brute-force ANN broadcasts the query set, not the corpus") {
     val p = plan("ann_brute_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
