@@ -68,6 +68,41 @@ object Profile {
           .as("keep_rate"))
   }
 
+  /** Quality-binned curriculum mixture: map-side bin assignment by
+    * caller-supplied score edges, then the per-bin doc/token mass
+    * table a quality-curriculum sampler reads ([[temperatureRates]]
+    * runs on it with groupCol = "bin" to get per-bin keep rates —
+    * downsample the junk bins, keep the top bins whole).
+    *
+    * Edges come from the percentile machinery at scale (the t-digest
+    * sketch / doc_len_percentiles) — equal-mass bins WITHOUT the
+    * global `ntile` sort that would single-partition the corpus; bin
+    * assignment itself is a codegen'd CASE chain, zero shuffles beyond
+    * the final tiny per-bin aggregate. Bin i covers
+    * `[edges(i-1), edges(i))`; scores below `edges.head` land in bin
+    * 0, at/above `edges.last` in bin `edges.size`.
+    */
+  def scoreBinnedMix(docs: DataFrame, score: Column, edges: Seq[Double],
+                     tokens: Column): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted &&
+      edges.distinct.size == edges.size,
+      s"edges must be non-empty and strictly increasing: $edges")
+    val bin = edges.zipWithIndex
+      .foldRight(lit(edges.size).cast("int"): Column) {
+        case ((e, i), acc) => when(score < e, lit(i).cast("int"))
+          .otherwise(acc)
+      }
+    val per = docs.select(bin.as("bin"), tokens.as("__t"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val totals = per.agg(sum("n_tokens").cast("double").as("total_tokens"))
+    per.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_docs"), col("n_tokens"),
+        graft.functions.Rounding.pround(
+          col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"))
+  }
+
   /** Per-group token-distribution drift against the whole corpus:
     * KL(P_group ‖ P_corpus) in nats — the mixture-QA number that flags
     * a source/language whose unigram distribution has wandered from

@@ -644,6 +644,21 @@ object Extensions {
         "lang", "n_tokens", tau = 0.5)
         .orderBy("lang")),
 
+    // Quality-curriculum mixture: documents binned by quality score
+    // (fixed edges standing in for sketch-derived percentiles), per-bin
+    // mass + τ-flattened keep rates — downsample the junk bins, keep
+    // the top bins whole. Map-side CASE binning, no global ntile sort.
+    "corpus_quality_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val mix = Profile.scoreBinnedMix(d,
+        TextFunctions.qualityScore(col("text")),
+        Seq(0.45, 0.6, 0.75), TextFunctions.tokenCount(col("text")))
+      Profile.temperatureRates(mix, "bin", "n_tokens", tau = 0.5)
+        .join(mix.select(col("bin"), col("n_docs")), Seq("bin"))
+        .select("bin", "n_docs", "n_tokens", "share", "p_tau", "keep_rate")
+        .orderBy("bin")
+    }),
+
     // Three-way train/val/test assignment (6.25% val, 12.5% test) from
     // one md5 byte — membership-stable as the corpus grows.
     "corpus_split" -> ((s, dir) =>
@@ -2163,6 +2178,27 @@ object Extensions {
         |  floor((p_raw / z) * 1000000 + 0.5) / 1000000 AS p_tau,
         |  floor(((p_raw / share) / max_boost) * 1000000 + 0.5) / 1000000 AS keep_rate
         |FROM s, z ORDER BY lang""".stripMargin,
+    "corpus_quality_mix" ->
+      s"""WITH scored AS (
+         |  SELECT CASE WHEN q < 0.45 THEN 0 WHEN q < 0.6 THEN 1
+         |              WHEN q < 0.75 THEN 2 ELSE 3 END AS bin, ntok
+         |  FROM (SELECT $qualitySqlExpr AS q,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |        FROM documents)),
+         |mix AS (SELECT bin, count(*) AS n_docs,
+         |          CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |        FROM scored GROUP BY bin),
+         |tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM mix
+         |        WHERE n_tokens > 0),
+         |s AS (SELECT bin, n_docs, n_tokens, n_tokens / total AS share,
+         |        pow(n_tokens / total, 0.5) AS p_raw
+         |      FROM mix, tot WHERE n_tokens > 0),
+         |z AS (SELECT sum(p_raw) AS z, max(p_raw / share) AS max_boost FROM s)
+         |SELECT bin, n_docs, n_tokens,
+         |  floor(share * 1000000 + 0.5) / 1000000 AS share,
+         |  floor((p_raw / z) * 1000000 + 0.5) / 1000000 AS p_tau,
+         |  floor(((p_raw / share) / max_boost) * 1000000 + 0.5) / 1000000 AS keep_rate
+         |FROM s, z ORDER BY bin""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'val'

@@ -463,4 +463,29 @@ class TrainingPipelineSpec extends SparkSpec {
       target, 256).filter($"doc_id" === 99L).collect()
     assert(we.length == 1 && !we(0).getDouble(2).isNaN)
   }
+
+  test("scoreBinnedMix: edge boundaries are [lo, hi), empty bins are " +
+      "absent, shares sum to 1, and unsorted edges are rejected") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.{col, lit}
+    // scores 0.1 (bin 0), 0.5 twice (bin 1: boundary 0.5 is >= edge
+    // 0.5? no — bin covers [prev, edge): 0.5 < 0.7 and >= 0.5 -> bin 1),
+    // 0.7 (bin 2, at edges.last), 0.9 (bin 2); nothing in no bin
+    val rows = Seq((1L, 0.1, 10L), (2L, 0.5, 20L), (3L, 0.5, 30L),
+      (4L, 0.7, 40L), (5L, 0.9, 100L))
+      .toDF("doc_id", "score", "ntok")
+    val mix = Profile.scoreBinnedMix(rows, col("score"), Seq(0.5, 0.7),
+      col("ntok")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(mix.keySet == Set(0, 1, 2), s"got $mix")
+    assert(mix(0) == ((1L, 10L, 0.05)))
+    assert(mix(1) == ((2L, 50L, 0.25)))
+    assert(mix(2) == ((2L, 140L, 0.7)))
+    assert(math.abs(mix.values.map(_._3).sum - 1.0) < 1e-9)
+    val e = intercept[IllegalArgumentException] {
+      Profile.scoreBinnedMix(rows, col("score"), Seq(0.7, 0.5), col("ntok"))
+    }
+    assert(e.getMessage.contains("increasing"))
+  }
 }
