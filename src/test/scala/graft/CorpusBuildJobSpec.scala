@@ -126,6 +126,16 @@ class CorpusBuildJobSpec extends SparkSpec {
           r.getAs[Double]("rank_norm") * 1e6 + 0.5) / 1e6) < 1e-12)
     }
 
+    // no reference set -> classifier skipped, neutral p = 0.5, prior
+    // driven by link authority alone (never a one-class training crash)
+    val noRef = CorpusBuildJob.qualityPriors(spark, docs,
+      refDocs.limit(0), Some(edges), hashDim = 64, prIters = 3)
+    assert(noRef.count() == 40)
+    noRef.collect().foreach { r =>
+      assert(r.getAs[Double]("quality_p") == 0.5 &&
+        r.getAs[Double]("logit") == 0.0)
+    }
+
     // quality-aware quota: each capped source keeps exactly its
     // 5 best-prior docs — min(kept) >= max(dropped) within a source
     val withPrior = docs.join(priors.select("doc_id", "prior"),
