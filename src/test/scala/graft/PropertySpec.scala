@@ -371,4 +371,82 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val changeLogGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(40, for {
+      key <- Gen.choose(0, 5)
+      day <- Gen.choose(1, 28)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (key, day, attr))
+
+  test("SCD2 invariants on random change logs: intervals chain per key " +
+      "with one open row, and re-applying the final snapshot is a no-op") {
+    import graft.operators.Scd
+    forAll(changeLogGen, n = 8) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((k, d, a), i) =>
+          (k.toLong, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+            a, i.toLong)
+        }.toDF("key", "ts", "attr", "seq")
+        val h = Scd.buildHistory(df, "key", "ts", Seq("attr"),
+          tieBreak = Seq("seq"))
+        val byKey = h.as[(Long, String, java.sql.Timestamp,
+            Option[java.sql.Timestamp], Boolean)]
+          .collect().groupBy(_._1)
+        byKey.values.foreach { g =>
+          val sorted = g.sortBy(_._3.getTime)
+          // exactly one open, current row per key — the last one
+          assert(g.count(_._5) == 1 && sorted.last._4.isEmpty)
+          // intervals chain: valid_to == next valid_from
+          sorted.sliding(2).foreach {
+            case Array(a, b) => assert(a._4.contains(b._3),
+              s"interval gap in ${sorted.toSeq}")
+            case _ =>
+          }
+          // no inverted intervals; zero-length [t, t) is legitimate —
+          // it records a same-instant observation superseded by its
+          // tieBreak successor (the as-of read resolves to the later)
+          sorted.init.foreach(r =>
+            assert(r._4.get.getTime >= r._3.getTime))
+        }
+        // idempotency against the history's own current rows
+        val snap = h.filter(col("is_current"))
+          .select(col("key"), col("attr"))
+        val once = Scd.applySnapshot(h, snap, "key", Seq("attr"),
+          "2024-06-01 00:00:00")
+        val sortedRows = once.orderBy("key", "valid_from", "attr")
+          .collect().toSeq
+        assert(sortedRows == h.orderBy("key", "valid_from", "attr")
+          .collect().toSeq,
+          "applying the history's own state must change nothing")
+      }
+    }
+  }
+
+  test("capPerGroupTop: bound holds, survivors are the order's top-N, " +
+      "sub-cap groups pass through whole") {
+    import graft.operators.Sampling
+    forAll(rowsGen, n = 8) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex
+          .map { case ((g, s, _), i) => (i.toLong, g % 4, s) }
+          .toDF("id", "grp", "score")
+        val cap = 3
+        val kept = Sampling.capPerGroupTop(df, "grp", cap,
+          Seq(col("score").desc, col("id")))
+          .select("id", "grp", "score").as[(Long, Int, Int)].collect()
+        val byGrp = rows.zipWithIndex
+          .map { case ((g, s, _), i) => (i.toLong, g % 4, s) }
+          .groupBy(_._2)
+        kept.groupBy(_._2).foreach { case (g, ks) =>
+          val all = byGrp(g)
+          assert(ks.length == math.min(cap, all.length))
+          // survivors are exactly the top-N under (score desc, id)
+          val want = all.sortBy(r => (-r._3, r._1)).take(cap)
+            .map(_._1).toSet
+          assert(ks.map(_._1).toSet == want)
+        }
+      }
+    }
+  }
 }
