@@ -14,11 +14,19 @@ class CorpusBuildJobSpec extends SparkSpec {
   test("corpus build: monotone stage counts and consistent artifacts") {
     val docs = Tables.load(spark, sf, "documents")
     val out = tempDir("corpus_build")
+    // deterministic link graph (each doc endorses doc_id/7) and a
+    // BINDING per-source cap, so the e2e run exercises the priors →
+    // quality-quota stage for real, not as a disabled no-op
+    val links = docs.select(col("doc_id").as("src"),
+      (col("doc_id") / 7).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val maxPerSource = 15 // 20 sources × 25 docs; ~22/source survive → binds
     val counts = CorpusBuildJob.run(spark, docs, out,
       evalPredicate = col("doc_id") % 20 === 0,
       thresholds = Quality.Thresholds(
         minTokens = 12, maxTokens = 1 << 20,
-        allowedLangs = Seq("en", "de", "es", "fr", "unknown")))
+        allowedLangs = Seq("en", "de", "es", "fr", "unknown")),
+      linkEdges = Some(links), maxPerSource = maxPerSource)
     // every stage only removes documents
     assert(counts.raw == docs.count())
     assert(counts.afterQuality <= counts.raw - counts.eval_)
@@ -26,18 +34,18 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(counts.afterDocDedup <= counts.afterLineDedup)
     assert(counts.afterSemDedup <= counts.afterDocDedup)
     assert(counts.afterDecontamination <= counts.afterSemDedup)
-    assert(counts.afterQuota == counts.afterDecontamination,
-      "quota disabled (maxPerSource = 0) must keep everything")
+    assert(counts.afterQuota <= counts.afterDecontamination)
     assert(counts.afterDocDedup > 0, "pipeline must not drop everything")
 
-    // quality priors: one row per surviving doc, priors usable as an
-    // ordering signal (no link graph here -> rank term neutral 1.0)
+    // quality priors: one row per pre-quota doc, usable as an ordering
+    // signal, rank term live (the link graph is non-trivial)
     val priors = spark.read.parquet(s"$out/doc_priors")
     assert(priors.count() == counts.afterDecontamination)
     priors.collect().foreach { r =>
       val p = r.getAs[Double]("prior")
       assert(p > 0.0 && p <= 1.0, s"prior out of range: $r")
-      assert(r.getAs[Double]("rank_norm") == 1.0)
+      val rn = r.getAs[Double]("rank_norm")
+      assert(rn > 0.0 && rn <= 1.0, s"rank_norm out of range: $r")
     }
 
     val corpus = spark.read.parquet(s"$out/corpus")
@@ -48,6 +56,27 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(splits.keySet.subsetOf(Set("train", "val", "test")))
     assert(splits.values.sum == counts.afterQuota)
     assert(counts.train == splits.getOrElse("train", 0L))
+
+    // the quota BOUND and bound the right way: every source at most
+    // maxPerSource docs, and within each source the kept docs are the
+    // top-prior ones (min kept >= max dropped)
+    val srcCounts = corpus.groupBy("source").count().collect()
+    assert(srcCounts.forall(_.getLong(1) <= maxPerSource))
+    assert(counts.afterQuota < counts.afterDecontamination,
+      "cap chosen to bind — raise fixture attrition if this fails")
+    val pr = priors.select("doc_id", "prior")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val keptPr = pr.join(corpus.select("doc_id"), Seq("doc_id"), "left_semi")
+    val dropPr = pr.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = keptPr.groupBy("source")
+      .agg(org.apache.spark.sql.functions.min("prior").as("mn"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    dropPr.groupBy("source")
+      .agg(org.apache.spark.sql.functions.max("prior").as("mx"))
+      .collect().foreach { r =>
+        assert(minKept(r.getString(0)) >= r.getDouble(1),
+          s"source ${r.getString(0)} kept a worse doc than it dropped")
+      }
 
     // no eval doc leaked into the corpus; eval artifact is complete
     assert(corpus.filter($"doc_id" % 20 === 0).count() == 0)
