@@ -810,6 +810,24 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ quantization-error QA: ADC of each vector against its OWN
+    // codes = Σ_j min_c ||x_j − c_jc||², the per-doc reconstruction
+    // error that justifies the (nsub, ksub) byte budget — the third
+    // leg of the ANN QA triad beside recall@k and the MinHash
+    // estimate-error row. Map-only: one codegen'd encode + one ADC
+    // pass, no joins beyond the id-aligned self-join.
+    "ann_pq_reconstruction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqEncode(emb, "vec_id", "embedding", PqBooks)
+        .join(emb.select(col("vec_id").as("cand_id"), col("embedding")),
+          Seq("cand_id"))
+        .select(col("cand_id").as("vec_id"),
+          graft.functions.Rounding.pround(
+            graft.functions.PqCodec.adc(s, col("codes"), col("embedding"),
+              PqBooks), 6).as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
     // Incremental index maintenance: the base index is built from the
     // older vectors only; the newest batch arrives via appendVectors —
     // encoded with the STORED centroids/codebooks and bucket-appended,
@@ -2731,6 +2749,25 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // reconstruction error: ADC(own codes, own vector) ≡ the per-sub
+    // MINIMUM centroid distance, so the replica needs no code CASE at
+    // all — least() over the same bit-exact distance chain
+    "ann_pq_reconstruction" -> {
+      val cdistCols = (for (j <- 0 until PqSub; c <- 0 until PqKsub)
+        yield s"(${pqCentDist("embedding", j, c)}) AS d${j}_$c")
+        .mkString(",\n  ")
+      val mins = (0 until PqSub).map(j =>
+        "least(" + (0 until PqKsub).map(c => s"d${j}_$c").mkString(", ") + ")")
+        .mkString(" + ")
+      s"""WITH cdist AS (
+         |  SELECT vec_id,
+         |  $cdistCols
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  floor(($mins) * 1000000 + 0.5) / 1000000 AS recon_err
+         |FROM cdist ORDER BY vec_id""".stripMargin
     },
 
     // stored-index IVF-PQ, fixed model: the full build+query replica
