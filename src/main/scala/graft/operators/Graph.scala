@@ -199,6 +199,73 @@ object Graph {
     nodes.unpersist()
     ranks
   }
+  /** Personalized (seed-biased) PageRank: the teleport mass returns to
+    * the SEED set instead of uniformly, so rank measures link
+    * proximity to the seeds — the topic-conditioned crawl prior
+    * (seeds = known-good pages/domains; rank = how endorsed by the
+    * good region each node is; TrustRank's propagation half). Same
+    * fixed-iteration, integer-[[Unit14]]-quantized, checkpoint-cut
+    * loop as [[pageRank]] — hash-matchable against an unrolled-CTE
+    * replica. `seeds` is a one-column id frame; mass teleports only
+    * to seeds present in the graph (absent seeds dilute the
+    * normalizer, the standard convention), and non-seed nodes start
+    * at rank 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val spark = edges.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").persist()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+    val seedIds = seeds.select(col(seeds.columns.head).as("id")).distinct()
+    val ns = seedIds.count()
+    require(ns > 0, "empty seed set")
+    // per-node teleport column, persisted once: (1−d)/|S| on seeds,
+    // 0 elsewhere — the only place this loop differs from pageRank
+    val tele = nodes
+      .join(seedIds.withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s").isNotNull, lit((1.0 - damping) / ns))
+          .otherwise(lit(0.0)).as("tele"))
+      .persist()
+    require(tele.count() > 0, "empty edge frame")
+    var ranks = tele.select(col("id"),
+      when(col("tele") > 0, lit(1.0 / ns)).otherwise(lit(0.0)).as("rank"))
+    var pinned: DataFrame = null
+    for (k <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("id"))
+        .select(ed("dst"),
+          floor(lit(damping) * col("rank") / col("deg") * lit(Unit14)
+            + lit(0.5)).as("c"))
+      val inc = contrib.groupBy("dst").agg(sum(col("c")).as("inc"))
+      val next = tele.join(inc, tele("id") === inc("dst"), "left")
+        .select(tele("id"),
+          (col("tele") +
+            coalesce(col("inc").cast("double") / lit(Unit14), lit(0.0)))
+            .as("rank"))
+      ranks =
+        if (k % checkpointEvery == 0 || k == iters) {
+          val cut = if (reliable) next.checkpoint()
+                    else next.localCheckpoint()
+          if (!reliable) {
+            if (pinned != null) pinned.unpersist()
+            pinned = cut
+          }
+          cut
+        } else next
+    }
+    ed.unpersist()
+    tele.unpersist()
+    ranks
+  }
+
   /** Per-node triangle count and local clustering coefficient over a
     * CANONICAL undirected edge list (id_a < id_b, deduplicated — the
     * [[mutualKnnEdges]] output shape). Returns

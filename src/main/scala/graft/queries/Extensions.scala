@@ -238,6 +238,26 @@ object Extensions {
         .orderBy("id")
     }),
 
+    // Personalized PageRank from a trusted seed set (high-balance
+    // customers): teleport mass returns to the seeds, so rank is link
+    // proximity to the trusted region — the TrustRank-style
+    // topic-conditioned crawl prior. Same quantized fixed-iteration
+    // loop, same unrolled-CTE replica discipline.
+    "graph_pagerank_personalized" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val pairs = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .select((col("c_custkey") * 2).as("id"))
+      Graph.personalizedPageRank(Graph.undirect(pairs, "src", "dst"),
+        "src", "dst", seeds, iters = PageRankIters,
+        damping = PageRankDamping)
+        .orderBy("id")
+    }),
+
     // HITS over the DIRECTED customer→supplier purchase graph: hub
     // mass scores buyers by the authority of who they buy from,
     // authority mass scores suppliers by the hubness of their buyers.
@@ -1825,6 +1845,50 @@ object Extensions {
          |nn AS (SELECT count(*) AS n FROM nodes),
          |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank
          |       FROM nodes CROSS JOIN nn),
+         |$its
+         |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
+    },
+
+    // personalized replica: identical unrolled loop, but r0 and the
+    // per-iteration teleport come from the seed-membership CASE — the
+    // Scala-computed (1−d) literal divides |S| in one IEEE op on both
+    // engines, so ranks hash-match with no final rounding
+    "graph_pagerank_personalized" -> {
+      val d = PageRankDamping
+      val u = "100000000000000.0"
+      val its = (1 to PageRankIters).map { k =>
+        s"""c$k AS (
+           |  SELECT e.dst,
+           |    CAST(floor($d * r.rank / deg.deg * $u + 0.5) AS BIGINT) AS c
+           |  FROM e JOIN r${k - 1} r ON r.id = e.src
+           |  JOIN deg ON deg.src = e.src),
+           |i$k AS (SELECT dst, sum(c) AS inc FROM c$k GROUP BY dst),
+           |r$k AS (
+           |  SELECT tele.id,
+           |    tele.tele + coalesce(CAST(i$k.inc AS DOUBLE) / $u, 0.0) AS rank
+           |  FROM tele
+           |  LEFT JOIN i$k ON i$k.dst = tele.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |seeds AS (SELECT DISTINCT c_custkey * 2 AS id FROM customer
+         |          WHERE c_acctbal > 9000.0),
+         |sn AS (SELECT count(*) AS ns FROM seeds),
+         |tele AS (
+         |  SELECT nodes.id,
+         |    CASE WHEN s.id IS NOT NULL
+         |         THEN CAST(${1.0 - d} AS DOUBLE) / sn.ns
+         |         ELSE 0.0 END AS tele
+         |  FROM nodes CROSS JOIN sn LEFT JOIN seeds s ON s.id = nodes.id),
+         |r0 AS (
+         |  SELECT tele.id,
+         |    CASE WHEN tele.tele > 0 THEN CAST(1.0 AS DOUBLE) / sn.ns
+         |         ELSE 0.0 END AS rank
+         |  FROM tele CROSS JOIN sn),
          |$its
          |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
     },

@@ -121,6 +121,38 @@ class GraphSpec extends SparkSpec {
     assert(allZero.forall(_._3 == 0.0))
   }
 
+  test("personalized PageRank: mass stays in the seed component, the " +
+      "seed outranks its periphery, and a disconnected component " +
+      "scores exactly zero") {
+    // component A: star around seed 1 (spokes 2..5, symmetrized);
+    // component B: disconnected pair 10-11
+    val directed = ((2 to 5).map(i => (1L, i.toLong)) :+ (10L, 11L))
+      .toDF("src", "dst")
+    val edges = Graph.undirect(directed, "src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val pr = Graph.personalizedPageRank(edges, "src", "dst", seeds,
+      iters = 8, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(10L) == 0.0 && pr(11L) == 0.0,
+      s"teleport never reaches a disconnected component: $pr")
+    assert((2 to 5).forall(i => pr(1L) > pr(i.toLong)),
+      s"seed must outrank its periphery: $pr")
+    assert((2 to 5).map(i => pr(i.toLong)).distinct.size == 1,
+      "symmetric spokes must tie exactly")
+    val total = pr.values.sum
+    assert(total > 0.8 && total <= 1.0 + 1e-9,
+      s"rank mass must stay near 1 inside the seed component: $total")
+    // uniform-seed degenerate case equals plain pageRank bit-for-bit
+    val allNodes = edges.select($"src".as("id"))
+      .unionByName(edges.select($"dst".as("id"))).distinct()
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst", allNodes,
+      iters = 4).as[(Long, Double)].collect().toMap
+    val plain = Graph.pageRank(edges, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr == plain,
+      "seeding every node must reduce to uniform PageRank exactly")
+  }
+
   test("silhouette: an over-maxEval slice fails loudly instead of " +
       "broadcasting the corpus into the quadratic crossJoin") {
     val big = spark.range(0, 50).select($"id".as("vec_id"),
