@@ -116,16 +116,25 @@ object Graph {
   def silhouette(vectors: DataFrame, idCol: String, vecCol: String,
                  labels: DataFrame, maxEval: Long = 10000L): DataFrame = {
     val spark = vectors.sparkSession
+    // persisted once: the labeled join otherwise re-evaluates for the
+    // guard count AND for each cross-join side (3 computations). The
+    // cache outlives the call (the result is lazy) but is bounded by
+    // maxEval rows and LRU-evicted — the price of not forcing eager
+    // materialization on a diagnostic.
     val v = vectors.join(labels, vectors(idCol) === labels("id"))
       .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
+      .persist()
     if (maxEval > 0) {
       val n = v.limit(math.min(maxEval + 1, Int.MaxValue.toLong).toInt).count()
-      if (n > maxEval) throw new IllegalStateException(
-        s"silhouette: evaluated slice has > maxEval=$maxEval labeled " +
-          "vectors — the pairwise mean is quadratic and the slice is " +
-          "broadcast whole; sample the corpus first (the metric is a " +
-          "diagnostic over a bounded sample, not a pipeline stage), or " +
-          "raise maxEval deliberately")
+      if (n > maxEval) {
+        v.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"silhouette: evaluated slice has > maxEval=$maxEval labeled " +
+            "vectors — the pairwise mean is quadratic and the slice is " +
+            "broadcast whole; sample the corpus first (the metric is a " +
+            "diagnostic over a bounded sample, not a pipeline stage), or " +
+            "raise maxEval deliberately")
+      }
     }
     val a = v.select(col("id").as("ida"), col("cluster_id").as("ca"),
       col("v").as("va"))
