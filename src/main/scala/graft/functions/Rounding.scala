@@ -16,7 +16,15 @@ object Rounding {
 
   def pround(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale) // exact for scale <= 15
-    floor(c * f + lit(0.5)) / f
+    // Spark's floor(double) returns BIGINT and silently SATURATES at
+    // Long.MaxValue — for |c·f| beyond ~9.2e18 the old spelling
+    // clamped to 9.223e18/f while DuckDB's double-domain floor sailed
+    // on. In that region c·f (and c·f + 0.5, whose true sum is never
+    // representable closer to the half) is already integer-valued
+    // (ulp ≥ 1024), so the double-domain floor is the identity and
+    // dividing back replicates DuckDB bit-for-bit.
+    val y = c * f + lit(0.5)
+    when(abs(y) < lit(9.0e18), floor(y) / f).otherwise(y / f)
   }
 
   /** The DuckDB-SQL spelling of the same expression. */
