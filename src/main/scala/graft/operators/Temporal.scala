@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Point-in-time (as-of) joins: for each fact row, the single dimension
@@ -111,5 +112,69 @@ object Temporal {
       .agg(count(lit(1)).as("n"),
         pround(sum(col("__t")).cast("double"), 6).as("decayed_sum"),
         pround(sum(col("__w")).cast("double"), 6).as("decayed_count"))
+  }
+
+  /** Per-event RUNNING decayed sum — the recency-weighted counter AT
+    * each event: `S_i = Σ_{(t_j,tie_j) ≤ (t_i,tie_i)} v_j ·
+    * 0.5^((t_i−t_j)/h)` over the same key (each row includes itself:
+    * its own term is `v_i`). The running twin of [[decayedAgg]], and
+    * the standard burst/engagement feature a ranker reads per event.
+    *
+    * Distributed form: the per-key prefix recurrence rewrites as
+    * `S_i = 0.5^((t_i−t_min)/h) · cumsum_j (v_j ·
+    * 0.5^(−(t_j−t_min)/h))` — one window cumsum over the key
+    * partition ordered by `(ts, tieBreak)`, no recursion, no
+    * per-row UDF state. One hash exchange on the key; the cumsum is
+    * the same WindowExec every ranking query pays.
+    *
+    * The un-normalized factor grows as `2^(span/h)`, so the key's
+    * observed span is bounded: a span beyond `maxHalfLives` (default
+    * 40 — ~12 of the sum's significant digits consumed) fails loudly
+    * instead of silently overflowing to garbage. At scale, decay
+    * within bounded windows (key on (user, month)); `maxHalfLives <=
+    * 0` disables for callers that pre-bounded.
+    *
+    * Cross-engine determinism: [[decayedAgg]]'s l9 discipline — Δt in
+    * integer µs over one double divide, terms rounded at 9 and summed
+    * as exact DECIMAL(38,12) (order-independent). The rescale factor
+    * is NOT pre-rounded: for late rows it is ~2^(−span/h) (far below
+    * any fixed decimal grid — rounding it would zero the row); it
+    * multiplies the exact sum in one IEEE op and only the product
+    * rounds (pround 6), the single-multiply case the l9 discipline
+    * doesn't need to protect.
+    */
+  def decayedRunning(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, halfLifeSec: Long,
+                     tieBreak: Seq[String] = Nil,
+                     maxHalfLives: Double = 40.0): DataFrame = {
+    require(halfLifeSec > 0,
+      s"decayedRunning: halfLifeSec must be positive, got $halfLifeSec")
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.types.DecimalType
+    if (maxHalfLives > 0) {
+      val worst = events
+        .groupBy(col(keyCol))
+        .agg(((max(unix_micros(col(tsCol))) -
+          min(unix_micros(col(tsCol)))).cast("double") /
+          lit(halfLifeSec * 1e6)).as("hl"))
+        .agg(max(col("hl"))).first().getDouble(0)
+      if (worst > maxHalfLives) throw new IllegalStateException(
+        f"decayedRunning: a key spans $worst%.1f half-lives > " +
+          s"maxHalfLives=$maxHalfLives — the un-normalized cumsum " +
+          "term grows as 2^span and would drown the sum's precision; " +
+          "bound the span (key on (user, window)) or lengthen the " +
+          "half-life")
+    }
+    val keyW = Window.partitionBy(col(keyCol))
+    val runW = Window.partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t0 = min(unix_micros(col(tsCol))).over(keyW)
+    val rel = (unix_micros(col(tsCol)) - t0) / lit(halfLifeSec * 1e6)
+    val term = pround(col(valueCol) * pow(lit(0.5), -rel), 9)
+      .cast(DecimalType(38, 12))
+    val cum = sum(term).over(runW).cast("double")
+    val factor = pow(lit(0.5), rel)
+    events.withColumn("decayed_running", pround(factor * cum, 6))
   }
 }

@@ -322,6 +322,17 @@ object ReferenceParity {
         halfLifeSec = 86400L, refTs = "2024-02-01 00:00:00")
         .orderBy("user_id")),
 
+    // Per-event running decayed sum: the recency-weighted engagement
+    // counter AT each event (prefix-rescaled window cumsum — no
+    // recursion, one key exchange).
+    "decayed_running" -> ((s, dir) =>
+      graft.operators.Temporal.decayedRunning(
+        t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", halfLifeSec = 86400L,
+        tieBreak = Seq("event_id"))
+        .select("event_id", "user_id", "decayed_running")
+        .orderBy("event_id")),
+
     // Binned range join: per event, how many events the same user fires
     // in the following 5 minutes (burst/velocity feature). Events with
     // no follower report 0 via the left re-join.
@@ -1187,6 +1198,28 @@ object ReferenceParity {
         |  floor(CAST(sum(CAST(wg AS DECIMAL(38,12))) AS DOUBLE)
         |    * 1000000 + 0.5) / 1000000 AS decayed_count
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "decayed_running" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0
+        |  FROM events),
+        |terms AS (
+        |  SELECT event_id, user_id, ts,
+        |    (epoch_us(ts) - t0) / 86400000000.0 AS rel,
+        |    floor((value * power(0.5,
+        |      -((epoch_us(ts) - t0) / 86400000000.0)))
+        |      * 1000000000 + 0.5) / 1000000000 AS term
+        |  FROM base),
+        |cum AS (
+        |  SELECT event_id, user_id, rel,
+        |    sum(CAST(term AS DECIMAL(38,12))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM terms)
+        |SELECT event_id, user_id,
+        |  floor((power(0.5, rel) * CAST(c AS DOUBLE))
+        |    * 1000000 + 0.5) / 1000000 AS decayed_running
+        |FROM cum ORDER BY event_id""".stripMargin,
     "asof_last_order" ->
       """WITH m AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,

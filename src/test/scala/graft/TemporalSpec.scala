@@ -102,4 +102,43 @@ class TemporalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("halfLifeSec"))
   }
+
+  test("decayedRunning: each event's counter is its own value plus the " +
+      "half-life-decayed prefix; the span guard trips loudly") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 4.0),
+      (2L, 1L, t("2024-01-02 00:00:00"), 2.0),  // 4*0.5 + 2   = 4.0
+      (3L, 1L, t("2024-01-04 00:00:00"), 1.0),  // 4*.125+2*.25+1 = 2.0
+      (4L, 2L, t("2024-01-01 00:00:00"), 7.0))  // other key
+      .toDF("event_id", "key", "ts", "value")
+    val out = Temporal.decayedRunning(events, "key", "ts", "value",
+      halfLifeSec = 86400L, tieBreak = Seq("event_id"))
+      .select($"event_id", $"decayed_running")
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 4.0, 2L -> 4.0, 3L -> 2.0, 4L -> 7.0),
+      s"got $out")
+    // ties on ts: the tieBreak order decides the prefix
+    val tied = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 3.0),
+      (2L, 1L, t("2024-01-01 00:00:00"), 5.0))
+      .toDF("event_id", "key", "ts", "value")
+    val tiedOut = Temporal.decayedRunning(tied, "key", "ts", "value",
+      86400L, tieBreak = Seq("event_id"))
+      .select($"event_id", $"decayed_running")
+      .as[(Long, Double)].collect().toMap
+    assert(tiedOut == Map(1L -> 3.0, 2L -> 8.0))
+    // a key spanning > maxHalfLives fails loudly, and <= 0 disables
+    val wide = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, t("2024-06-01 00:00:00"), 1.0))
+      .toDF("event_id", "key", "ts", "value")
+    val e = intercept[IllegalStateException] {
+      Temporal.decayedRunning(wide, "key", "ts", "value", 86400L,
+        tieBreak = Seq("event_id"), maxHalfLives = 40.0)
+    }
+    assert(e.getMessage.contains("half-lives"))
+    assert(Temporal.decayedRunning(wide, "key", "ts", "value", 86400L,
+      tieBreak = Seq("event_id"), maxHalfLives = 0).count() == 2)
+  }
 }
