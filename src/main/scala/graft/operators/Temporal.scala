@@ -152,12 +152,14 @@ object Temporal {
     import graft.functions.Rounding.pround
     import org.apache.spark.sql.types.DecimalType
     if (maxHalfLives > 0) {
-      val worst = events
+      val worstRow = events
         .groupBy(col(keyCol))
         .agg(((max(unix_micros(col(tsCol))) -
           min(unix_micros(col(tsCol)))).cast("double") /
           lit(halfLifeSec * 1e6)).as("hl"))
-        .agg(max(col("hl"))).first().getDouble(0)
+        .agg(max(col("hl"))).first()
+      // max over an EMPTY frame is null — nothing to guard
+      val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
       if (worst > maxHalfLives) throw new IllegalStateException(
         f"decayedRunning: a key spans $worst%.1f half-lives > " +
           s"maxHalfLives=$maxHalfLives — the un-normalized cumsum " +

@@ -136,4 +136,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
+
+  test("SCD2 and decay operators on empty/degenerate frames") {
+    import graft.operators.{Scd, Temporal}
+    val emptyChanges = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("key", "ts", "attr")
+    // empty change log -> empty history; snapshot onto it opens
+    // every key fresh
+    val h0 = Scd.buildHistory(emptyChanges, "key", "ts", Seq("attr"))
+    assert(h0.count() == 0)
+    val opened = Scd.applySnapshot(h0, Seq((1L, "a")).toDF("key", "attr"),
+      "key", Seq("attr"), "2024-01-01 00:00:00")
+      .as[(Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean)].collect()
+    assert(opened.length == 1 && opened(0)._5 && opened(0)._4.isEmpty)
+    // diff of two empties is empty; one-sided diffs classify whole
+    val d = Scd.snapshotDiff(emptyChanges.select($"key", $"attr"),
+      Seq((1L, "x")).toDF("key", "attr"), Seq("key"), Seq("attr"))
+      .select($"key", $"change").as[(Long, String)].collect()
+    assert(d.toSeq == Seq((1L, "insert")))
+    // single-event key: running counter is its own value; empty frame
+    // flows through both decay forms without throwing
+    val one = Seq((1L, 1L, java.sql.Timestamp.valueOf(
+      "2024-01-01 00:00:00"), 3.5)).toDF("event_id", "key", "ts", "value")
+    assert(Temporal.decayedRunning(one, "key", "ts", "value", 3600L,
+      tieBreak = Seq("event_id"))
+      .select("decayed_running").as[Double].head() == 3.5)
+    val emptyEv = one.filter(lit(false))
+    assert(Temporal.decayedRunning(emptyEv, "key", "ts", "value", 3600L)
+      .count() == 0)
+    assert(Temporal.decayedAgg(emptyEv, "key", "ts", "value", 3600L,
+      "2024-01-01 00:00:00").count() == 0)
+    // empty corpus -> empty bin table, not a divide-by-zero
+    assert(graft.operators.Profile.scoreBinnedMix(
+      Seq.empty[(Long, Double, Long)].toDF("id", "score", "ntok"),
+      $"score", Seq(0.5), $"ntok").count() == 0)
+  }
 }
