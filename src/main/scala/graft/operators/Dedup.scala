@@ -261,6 +261,32 @@ object Dedup {
     }
   }
 
+  /** Cross-source duplication matrix: aggregate near-dup PAIRS (from
+    * any detector) up to the (source_a, source_b) level — the corpus-QA
+    * number that tells you how much of crawl A is republished crawl B
+    * (CommonCrawl quoting Wikipedia, two dumps of the same forum, a
+    * mirror site). Off-diagonal mass drives source selection — a source
+    * that is mostly contained in another contributes bytes but no new
+    * information — and the diagonal is each source's internal dup rate.
+    *
+    * Shape: two broadcast-free equi-joins of the pair frame against the
+    * (id → group) projection, then a groupBy on the UNORDERED group
+    * pair (least/greatest — the matrix is symmetric, so mass lands in
+    * one triangle). Cost ∝ |pairs|, which the upstream detector already
+    * bounded (df-cap, hot-band stars); output is ≤ |sources|² rows —
+    * driver-readable by construction.
+    */
+  def sourceOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    groupCol: String): DataFrame = {
+    val g = docs.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col(groupCol).as("ga")), "id_a")
+      .join(g.select(col(idCol).as("id_b"), col(groupCol).as("gb")), "id_b")
+      .groupBy(least(col("ga"), col("gb")).as("source_a"),
+        greatest(col("ga"), col("gb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** ASYMMETRIC n-gram containment pairs — the subset-duplication
     * detector Jaccard structurally misses: a 100-word doc fully quoted
     * inside a 10,000-word doc has Jaccard ≈ 0.01 but containment 1.0

@@ -125,6 +125,141 @@ object DedupCluster {
     labels
   }
 
+  /** Connected components by ALTERNATING large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the scale path when component DIAMETER,
+    * not size, is the enemy.
+    *
+    * Min-label propagation ([[componentsWithStatus]]) needs diameter+1
+    * shuffle rounds: a chain of 10⁶ transitively-linked near-dups (a
+    * crawl re-publishing the same article with one edit per hop) needs
+    * 10⁶ rounds — unrunnable. The star operations CONTRACT the graph
+    * instead of propagating along it:
+    *
+    *  - large-star (round r): every node u links each strictly-LARGER
+    *    neighbor v to m = min(Γ(u) ∪ {u}) — tall trees flatten toward
+    *    their minimum;
+    *  - small-star: every edge is oriented (larger → smaller), and each
+    *    node links its smaller neighbors (and itself) to the minimum —
+    *    shallow trees collapse into stars.
+    *
+    * Each round halves tree heights, so convergence is O(log² n) rounds
+    * worst-case and ~log n in practice, INDEPENDENT of diameter: the
+    * 10⁶-chain converges in ~20 rounds instead of 10⁶. At fixpoint every
+    * component is a star centered on its minimum id — the same labels
+    * min-label propagation produces, so the two implementations are
+    * interchangeable (and oracle-checked against the same recursive-CTE
+    * replica). Per round: two map-side-combinable min-aggregations and
+    * one broadcast-free equi-join each, over the CURRENT edge set
+    * (total work O(m·rounds)); `distinct()` after each star keeps the
+    * frame at most one entry per (src,dst). The same
+    * `checkpointEvery`-round lineage cut as label propagation bounds
+    * plan depth.
+    *
+    * Kept alongside label propagation rather than replacing it: for the
+    * COMMON near-dup shape (cliques and short chains, diameter ≤ ~4)
+    * propagation does fewer exchanges per round (one join vs two
+    * star steps) and converges just as fast. Pick by expected topology;
+    * both fail loudly on a round-budget miss.
+    *
+    * @param pairs columns (id_a, id_b) — undirected near-dup edges
+    * @param maxRounds alternating-round budget; ~⌈log₂ n⌉ + a fixpoint-
+    *        detection round suffices in practice (20 covers any corpus)
+    * @return (doc_id, cluster_id) for every doc in `docs`, cluster_id =
+    *         component min id; singletons label themselves. Persisted;
+    *         caller owns the unpersist.
+    */
+  def componentsAlternating(docs: DataFrame, idCol: String, pairs: DataFrame,
+                            maxRounds: Int = 20,
+                            checkpointEvery: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+
+    // Canonical undirected edge set, self-loops dropped: (src > dst)
+    // orientation is small-star's input form and a stable dedup key.
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().persist()
+    edges.count()
+
+    // large-star: u's strictly-larger neighbors each link to
+    // min(Γ(u) ∪ {u}). Emitted (v, m) pairs keep v > m by construction
+    // (m ≤ u < v), so the output is already (larger, smaller)-oriented.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: with edges (larger → smaller), every node links its
+    // smaller neighbors AND itself to m = min(Γ(u) ∪ {u}) = min(Γ(u)).
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+    }
+
+    var pinned: DataFrame = null
+    var round = 0
+    var converged = edges.isEmpty
+    while (round < maxRounds && !converged) {
+      val step = smallStar(largeStar(edges))
+      val isCut = (round + 1) % checkpointEvery == 0
+      val materialized =
+        if (isCut && reliable) Dedup.materializeDetached(step)
+        else if (isCut) step.localCheckpoint(false)
+        else step.persist()
+      // Fixpoint = the canonical edge set is unchanged. Both frames are
+      // distinct + identically oriented, so set equality reduces to one
+      // anti-join probe (empty difference either way iff counts match,
+      // and counts are already equal when the diff is empty).
+      val changed = materialized.join(edges, Seq("src", "dst"), "left_anti")
+        .limit(1).count() + edges.join(materialized, Seq("src", "dst"),
+          "left_anti").limit(1).count()
+      if (edges ne pinned) edges.unpersist(blocking = false)
+      if (isCut) {
+        if (pinned != null) pinned.unpersist(blocking = false)
+        pinned = if (reliable) null else materialized
+      }
+      edges = materialized
+      converged = changed == 0
+      round += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      if (pinned != null && (pinned ne edges)) pinned.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"DedupCluster.componentsAlternating: no fixpoint after " +
+          s"$maxRounds rounds — star contraction needs ~log2(n) rounds, " +
+          "so this indicates a pathological input; raise maxRounds")
+    }
+    // Fixpoint edges are star edges (member → component min). Labels =
+    // that map, plus the centers and edge-free docs labeling themselves.
+    val labels = docs.select(col(idCol).as("id"))
+      .join(edges.select(col("src").as("id"), col("dst").as("lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+    val out = Dedup.materializeDetached(labels)
+    edges.unpersist(blocking = false)
+    if (pinned != null) pinned.unpersist(blocking = false)
+    out
+  }
+
   /** One row per cluster: the canonical doc (min id) + member count.
     * The per-doc labels frame is released here once the (tiny) aggregate
     * is materialized — reliable checkpoint when the session has a
@@ -134,6 +269,22 @@ object DedupCluster {
     */
   def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val labels = components(docs, idCol, pairs)
+    val agg = labels
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .withColumnRenamed("cluster_id", idCol)
+    val out = Dedup.materializeDetached(agg)
+    labels.unpersist(blocking = false)
+    out
+  }
+
+  /** [[canonicalize]] over the alternating-star component labels —
+    * identical manifest (labels are the component minima under either
+    * algorithm), O(log n)-round path for diameter-heavy dup graphs.
+    */
+  def canonicalizeAlternating(docs: DataFrame, idCol: String,
+                              pairs: DataFrame): DataFrame = {
+    val labels = componentsAlternating(docs, idCol, pairs)
     val agg = labels
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))

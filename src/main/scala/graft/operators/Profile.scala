@@ -165,4 +165,60 @@ object Profile {
         col("total_tokens").cast("double") / col("n_groups") / col("n_tokens"), 6))
       .select(groupCol, "n_docs", "n_tokens", "token_share", "uniform_weight")
   }
+
+  /** K-Minimum-Values distinct-count QA: per group, the KMV estimate
+    * beside the exact distinct count and their relative error — the
+    * accuracy report that justifies deploying the O(k)-state sketch
+    * ([[graft.functions.KmvDistinct]]) for a cardinality the exact
+    * aggregate would shuffle the full distinct set to answer.
+    *
+    * This declarative twin keys the sketch on md5 (cross-engine-exact,
+    * so the estimator arithmetic — k-th-minimum hash → hash-space
+    * fraction → (k−1)/frac — is DuckDB-replicable bit-for-bit), unlike
+    * the production aggregate's xxhash64. It deliberately PAYS the
+    * exact path's distinct shuffle: the row's job is to report sketch
+    * accuracy, which needs the exact count anyway, and one distinct
+    * frame feeds both sides. Production cardinality estimation at
+    * 100 TB uses `KmvDistinct` (k longs per partition, map-side
+    * mergeable, no distinct shuffle); this operator is its
+    * oracle-checked accuracy meter. Standard error is ~1/√k, so the
+    * reported rel_err should sit within a few multiples of that.
+    *
+    * The k-th minimum is found with row_number ≤ k over the hash order:
+    * Spark's WindowGroupLimit prefilters each map partition to its own
+    * top-k before the exchange, so the window moves ≤ k rows per task —
+    * the distinct() above it dominates, as documented.
+    *
+    * Numeric contract: frac = first 13 md5 hex chars as an integer
+    * (< 2^52, double-exact) / 16^13; estimate = floor((k−1)/frac + 0.5)
+    * when k minima were seen (count itself when fewer — the sketch is
+    * exact below saturation), frac = 0 guarded to the seen count
+    * identically in both engines.
+    */
+  def kmvEstimate(df: DataFrame, groupCol: String, value: Column,
+                  k: Int): DataFrame = {
+    require(k >= 16, s"k >= 16 required for a usable estimate, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .distinct().persist()
+    val exact = dv.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy("g").orderBy("h")
+    val kth = dv.select(col("g"), md5(col("v")).as("h"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy("g").agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+    val frac = conv(substring(col("kth"), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 16^13 = 2^52
+    val est = when(col("n_seen") < k || frac <= 0.0, col("n_seen"))
+      .otherwise(floor(lit((k - 1).toDouble) / frac + lit(0.5)).cast("long"))
+    val out = exact.join(kth, Seq("g"))
+      .withColumn("kmv_est", est)
+      .select(col("g").as(groupCol), col("n_exact"), col("kmv_est"),
+        graft.functions.Rounding.pround(
+          abs(col("kmv_est") - col("n_exact")).cast("double") /
+            col("n_exact"), 6).as("rel_err"))
+    val detached = Dedup.materializeDetached(out)
+    dv.unpersist(blocking = false)
+    detached
+  }
 }

@@ -31,6 +31,8 @@ object Extensions {
   private val HashDim = 64
   // DSIR: hashed-ngram feature buckets, selection size, draw seed
   private val DsirDim = 1024
+  // KMV sketch size for the accuracy QA row (std err ≈ 1/√k ≈ 6%).
+  private val KmvK = 256
   private val DsirN = 50
   private val DsirSeed = "dsir-r8"
   private val AnnK = 5
@@ -166,6 +168,20 @@ object Extensions {
     // semantics of functions.MisraGries, whose O(k) mergeable sketch is
     // the 100 TB path benchmarked in GraftExtensionsSpec): terms whose
     // share of all tokens is at least 0.5%.
+    // KMV distinct-count accuracy report: per source, the k-minimum-
+    // values estimate of distinct tokens beside the exact count — the
+    // QA row that justifies the O(k)-state KmvDistinct sketch (whose
+    // xxhash64 keying has no SQL replica; this md5-keyed twin pins the
+    // estimator arithmetic itself, training to rounding, in DuckDB).
+    "sketch_kmv_estimate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.kmvEstimate(
+        d.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"), KmvK)
+        .orderBy("source")
+    }),
+
     "text_heavy_hitters" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(explode(TextFunctions.tokens(col("text"))).as("term"))
@@ -551,6 +567,30 @@ object Extensions {
       DedupCluster.canonicalize(d, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // Same manifest via ALTERNATING star contraction — the O(log n)-
+    // round connected-components path for diameter-heavy dup graphs
+    // (labels are the component minima either way, so the recursive-CTE
+    // oracle is shared verbatim with dedup_cluster_canonical).
+    "dedup_cluster_alternating" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      DedupCluster.canonicalizeAlternating(d, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // Cross-source duplication matrix over the LSH near-dup pairs:
+    // (source_a, source_b) → pair count. The off-diagonal cells are
+    // inter-source republication (the "CommonCrawl contains Wikipedia"
+    // number); the diagonal is per-source internal duplication.
+    "dedup_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
+        ShingleN, Bands, RowsPerBand)
+      Dedup.sourceOverlap(pairs, d, "doc_id", "source")
+        .orderBy("source_a", "source_b")
+    }),
+
     // Cross-modal join: text-quality features next to embedding-norm
     // features for the same document id.
     "cross_modal_features" -> ((s, dir) =>
@@ -845,6 +885,26 @@ object Extensions {
           graft.functions.Rounding.pround(
             graft.functions.PqCodec.adc(s, col("codes"), col("embedding"),
               PqBooks), 6).as("recon_err"))
+        .orderBy("vec_id")
+    }),
+
+    // SQ8 quantization-error QA: decode each vector's own 8-bit codes
+    // and measure Σ_d (v_d − decode_d)² — the scalar-codec leg of the
+    // reconstruction-error QA beside ann_pq_reconstruction. Unlike PQ
+    // the TRAINING (per-dim min/max) is in the oracle too, so this row
+    // hash-checks the full train→encode→decode arc. Map-only plus the
+    // id-aligned self-join; the stats scan is the one corpus pass any
+    // codec build pays.
+    "ann_sq8_reconstruction" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (mins, deltas) = Similarity.sq8Stats(emb, "embedding")
+      Similarity.sq8Encode(emb, "vec_id", "embedding", mins, deltas)
+        .join(emb.select(col("vec_id").as("cand_id"), col("embedding")),
+          Seq("cand_id"))
+        .select(col("cand_id").as("vec_id"),
+          graft.functions.Rounding.pround(
+            graft.functions.Sq8Codec.adc(s, col("codes"), col("embedding"),
+              mins, deltas), 6).as("recon_err"))
         .orderBy("vec_id")
     }),
 
@@ -1389,6 +1449,14 @@ object Extensions {
   /** 8 hex chars of `hx` → the 32-bit integer value, nibble by nibble
     * (exact in double: every intermediate is an integer < 2^32).
     */
+  /** First 13 md5 hex chars as an exact double integer (< 2^52) — the
+    * KMV hash-space position. Nibble-by-nibble, mirroring hex8ToInt. */
+  private def hex13ToDouble(hx: String): String =
+    (1 to 13).map { i =>
+      val f = 1L << (4 * (13 - i))
+      s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
+    }.mkString("(", " + ", ")")
+
   private def hex8ToInt(hx: String): String =
     (1 to 8).map { i =>
       val f = 1L << (4 * (8 - i))
@@ -1611,6 +1679,29 @@ object Extensions {
       "graft_sig_index", "doc_id", buckets = 8)
 
   val oracle: Map[String, String] = Map(
+    "sketch_kmv_estimate" ->
+      s"""WITH dv AS (
+         |  SELECT DISTINCT source AS g, term AS v FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)),
+         |ex AS (SELECT g, count(*) AS n_exact FROM dv GROUP BY g),
+         |kth AS (
+         |  SELECT g, count(*) AS n_seen, max(h) AS kth FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+         |    FROM (SELECT g, md5(v) AS h FROM dv))
+         |  WHERE r <= $KmvK GROUP BY g),
+         |est AS (
+         |  SELECT g, n_seen,
+         |    ${hex13ToDouble("kth")} / 4503599627370496.0 AS frac
+         |  FROM kth),
+         |fin AS (
+         |  SELECT e.g, x.n_exact,
+         |    CASE WHEN e.n_seen < $KmvK OR e.frac <= 0.0 THEN e.n_seen
+         |         ELSE CAST(floor(${KmvK - 1}.0 / e.frac + 0.5) AS BIGINT)
+         |    END AS kmv_est
+         |  FROM est e JOIN ex x USING (g))
+         |SELECT g AS source, n_exact, kmv_est,
+         |  ${Rounding.sqlPround("CAST(abs(kmv_est - n_exact) AS DOUBLE) / n_exact", 6)} AS rel_err
+         |FROM fin ORDER BY source""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
@@ -2643,6 +2734,45 @@ object Extensions {
          |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT cluster_id AS doc_id, count(*) AS n_members
          |FROM cc GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
+    // Alternating star contraction produces the same component-min
+    // labels as propagation — the oracle is shared verbatim.
+    "dedup_cluster_alternating" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b AS src, id_a AS dst FROM cand),
+         |reach AS (
+         |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+         |  UNION
+         |  SELECT e.src AS id, r.lbl FROM reach r JOIN edges e ON e.dst = r.id),
+         |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id AS doc_id, count(*) AS n_members
+         |FROM cc GROUP BY cluster_id ORDER BY doc_id""".stripMargin,
+    "dedup_source_overlap" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.id_a
+         |JOIN documents b ON b.doc_id = c.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_verified" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2775,6 +2905,30 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
          |  FROM rer)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+
+    "ann_sq8_reconstruction" ->
+      s"""WITH stats AS (
+         |  SELECT [${(1 to 64).map(d => s"min(embedding[$d])::DOUBLE").mkString(", ")}] AS mnl,
+         |         [${(1 to 64).map(d => s"max(embedding[$d])::DOUBLE").mkString(", ")}] AS mxl
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT mnl AS mn,
+         |    list_transform(generate_series(1, 64), d -> (mxl[d] - mnl[d]) / 255.0) AS dl
+         |  FROM stats),
+         |enc AS (
+         |  SELECT e.vec_id,
+         |    list_transform(generate_series(1, 64), d ->
+         |      CASE WHEN s.dl[d] = 0 THEN 0
+         |        ELSE CAST(least(255.0, greatest(0.0,
+         |          floor((e.embedding[d]::DOUBLE - s.mn[d]) / s.dl[d] + 0.5))) AS INTEGER)
+         |      END) AS codes
+         |  FROM embeddings e CROSS JOIN st s)
+         |SELECT e.vec_id,
+         |  floor((SELECT sum((v.embedding[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i]))
+         |              * (v.embedding[i]::DOUBLE - (s.mn[i] + e.codes[i] * s.dl[i])))
+         |         FROM generate_series(1, 64) t(i)) * 1000000 + 0.5) / 1000000 AS recon_err
+         |FROM enc e JOIN embeddings v USING (vec_id) CROSS JOIN st s
+         |ORDER BY e.vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

@@ -77,6 +77,53 @@ class DedupClusterSpec extends SparkSpec {
     } finally saved.foreach(sc.setCheckpointDir)
   }
 
+  test("alternating star contraction: same labels as propagation, in " +
+      "O(log n) rounds on a long chain") {
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val alt = DedupCluster.componentsAlternating(docs, "doc_id", pairs)
+    val comp = alt.as[(Long, Long)].collect().toMap
+    alt.unpersist()
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+
+    // The scale claim: a 60-hop chain (diameter 60) converges within
+    // ~log2^2 rounds of star contraction — label propagation would need
+    // 61. maxRounds = 12 would make propagation throw; contraction
+    // converges comfortably under it.
+    val chainDocs = (1L to 61L).toDF("doc_id")
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupCluster.components(chainDocs, "doc_id", chain, maxRounds = 12)
+    }
+    val viaStars = DedupCluster.componentsAlternating(
+      chainDocs, "doc_id", chain, maxRounds = 12)
+    val labels = viaStars.as[(Long, Long)].collect().toMap
+    viaStars.unpersist()
+    assert(labels.values.toSet == Set(1L) && labels.size == 61)
+  }
+
+  test("alternating: empty pair set labels every doc as itself") {
+    val docs = (1L to 4L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val alt = DedupCluster.componentsAlternating(docs, "doc_id", empty)
+    val comp = alt.as[(Long, Long)].collect().toMap
+    alt.unpersist()
+    assert(comp == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("alternating equals propagation on the fixture LSH pair graph") {
+    val d = Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup
+      .minHashLshPairs(d, "doc_id", "text", 5, 4, 3).persist()
+    val viaProp = DedupCluster.components(d, "doc_id", pairs)
+    val viaStars = DedupCluster.componentsAlternating(d, "doc_id", pairs)
+    val propM = viaProp.as[(Long, Long)].collect().toMap
+    val starM = viaStars.as[(Long, Long)].collect().toMap
+    viaProp.unpersist(); viaStars.unpersist(); pairs.unpersist()
+    assert(propM == starM)
+  }
+
   test("end-to-end: LSH pairs on the fixture corpus cluster and dedup it") {
     val d = Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minHashLshPairs(d, "doc_id", "text", 5, 4, 3)

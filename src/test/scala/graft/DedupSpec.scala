@@ -141,6 +141,21 @@ class DedupSpec extends SparkSpec {
     assert(incremental.forall(p => p._1 >= 400 || p._2 >= 400))
   }
 
+  test("source overlap matrix: pairs aggregate to unordered source " +
+      "pairs, diagonal = internal dups") {
+    val d = Seq((1L, "cc"), (2L, "wiki"), (3L, "cc"), (4L, "cc"),
+      (5L, "forum")).toDF("doc_id", "source")
+    // 1-2 (cc↔wiki), 1-3 (cc internal), 2-5 (forum↔wiki as unordered),
+    // 3-4 (cc internal)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 5L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val m = Dedup.sourceOverlap(pairs, d, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(m == Map(("cc", "wiki") -> 1L, ("cc", "cc") -> 2L,
+      ("forum", "wiki") -> 1L))
+  }
+
   test("sketch dup-stats: HLL estimate within rsd of exact (100 TB first pass)") {
     val d = Tables.load(spark, sf, "documents")
     val r = Dedup.dupStats(d, "text", rsd = 0.02).first()

@@ -13,7 +13,7 @@ class QueriesContractSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_minhash_verified",
     "dedup_simhash", "dedup_minhash_incremental", "emb_near_dup",
-    "j2_anti_missing")
+    "j2_anti_missing", "dedup_source_overlap")
 
   test("every oracle key has a query implementation") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
