@@ -94,6 +94,23 @@ object ScaleStress {
       } catch { case _: IllegalStateException => true }
     }
 
+    check("guard: 10k-hop dup chain — star contraction converges where " +
+        "propagation's budget trips") {
+      // A transitive republication chain (each doc a near-dup of the
+      // previous) has diameter = corpus size: min-label propagation
+      // needs 10k+1 rounds. Alternating large/small-star contraction
+      // must label the whole chain with cluster_id = 1 within its
+      // default ~log n round budget.
+      val n = 10000
+      val chainDocs = (1L to n.toLong).toDF("doc_id")
+      val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val labels = operators.DedupCluster
+        .componentsAlternating(chainDocs, "doc_id", chain)
+      val allMin = labels.agg(max("cluster_id"), count(lit(1))).head()
+      labels.unpersist(blocking = false)
+      allMin.getLong(0) == 1L && allMin.getLong(1) == n.toLong
+    }
+
     // ---- throughput stages (amplified fixtures) -----------------------
 
     // 20x events with disjoint ids and shifted timestamps (6 months span)

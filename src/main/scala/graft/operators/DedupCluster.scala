@@ -182,11 +182,14 @@ object DedupCluster {
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().persist()
-    edges.count()
 
     // large-star: u's strictly-larger neighbors each link to
     // min(Γ(u) ∪ {u}). Emitted (v, m) pairs keep v > m by construction
     // (m ≤ u < v), so the output is already (larger, smaller)-oriented.
+    // The trailing distinct canonicalizes the frame so small-star's
+    // three references to it (min-agg, join probe, self-union) share
+    // one exchange subtree via ReuseExchange — cheaper than a persist,
+    // which would pin a round-lifetime cache entry and block the reuse.
     def largeStar(e: DataFrame): DataFrame = {
       val nbrs = e.select(col("src").as("u"), col("dst").as("v"))
         .union(e.select(col("dst").as("u"), col("src").as("v")))
@@ -216,7 +219,8 @@ object DedupCluster {
 
     var pinned: DataFrame = null
     var round = 0
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (round < maxRounds && !converged) {
       val step = smallStar(largeStar(edges))
       val isCut = (round + 1) % checkpointEvery == 0
@@ -225,19 +229,22 @@ object DedupCluster {
         else if (isCut) step.localCheckpoint(false)
         else step.persist()
       // Fixpoint = the canonical edge set is unchanged. Both frames are
-      // distinct + identically oriented, so set equality reduces to one
-      // anti-join probe (empty difference either way iff counts match,
-      // and counts are already equal when the diff is empty).
-      val changed = materialized.join(edges, Seq("src", "dst"), "left_anti")
-        .limit(1).count() + edges.join(materialized, Seq("src", "dst"),
-          "left_anti").limit(1).count()
+      // distinct + identically oriented, so equal counts plus an empty
+      // one-directional difference (new ⊆ old) prove set equality —
+      // one count job (which also materializes the round) + one
+      // anti-join probe, instead of a two-sided diff.
+      val newCount = materialized.count()
+      val changed = newCount != edgeCount ||
+        materialized.join(edges, Seq("src", "dst"), "left_anti")
+          .limit(1).count() > 0
       if (edges ne pinned) edges.unpersist(blocking = false)
       if (isCut) {
         if (pinned != null) pinned.unpersist(blocking = false)
         pinned = if (reliable) null else materialized
       }
       edges = materialized
-      converged = changed == 0
+      edgeCount = newCount
+      converged = !changed
       round += 1
     }
     if (!converged) {

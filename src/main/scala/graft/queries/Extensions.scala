@@ -33,6 +33,8 @@ object Extensions {
   private val DsirDim = 1024
   // KMV sketch size for the accuracy QA row (std err ≈ 1/√k ≈ 6%).
   private val KmvK = 256
+  // Top-N vocabulary for the OOV-rate QA row.
+  private val OovVocabN = 1000
   private val DsirN = 50
   private val DsirSeed = "dsir-r8"
   private val AnnK = 5
@@ -168,6 +170,35 @@ object Extensions {
     // semantics of functions.MisraGries, whose O(k) mergeable sketch is
     // the 100 TB path benchmarked in GraftExtensionsSpec): terms whose
     // share of all tokens is at least 0.5%.
+    // Vocabulary-coverage QA: per document, the fraction of tokens
+    // OUTSIDE the corpus's top-1000 vocabulary — the tokenizer-budget
+    // number (a high-OOV doc will shatter into byte-level subwords and
+    // waste sequence length) and a cheap foreign-language/gibberish
+    // flag. The vocab is a top-N aggregate (TakeOrderedAndProject:
+    // per-partition top-N, driver merge of N·partitions rows — no
+    // global sort) broadcast into a map-side membership probe; ties at
+    // the boundary break on the term so both engines cut identically.
+    "text_oov_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(OovVocabN)
+        .select(col("term"), lit(1).as("in_vocab"))
+      val per = toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            Rounding.pround(col("n_oov").cast("double") /
+              col("n_tokens"), 6)).otherwise(lit(0.0)).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct-count accuracy report: per source, the k-minimum-
     // values estimate of distinct tokens beside the exact count — the
     // QA row that justifies the O(k)-state KmvDistinct sketch (whose
@@ -1679,6 +1710,24 @@ object Extensions {
       "graft_sig_index", "doc_id", buckets = 8)
 
   val oracle: Map[String, String] = Map(
+    "text_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(*) AS n FROM toks GROUP BY 1
+         |    ORDER BY n DESC, term LIMIT $OovVocabN)),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+         |       coalesce(p.n_oov, 0) AS n_oov,
+         |       CASE WHEN coalesce(p.n_tokens, 0) > 0
+         |         THEN ${Rounding.sqlPround("CAST(p.n_oov AS DOUBLE) / p.n_tokens", 6)}
+         |         ELSE 0.0 END AS oov_rate
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "sketch_kmv_estimate" ->
       s"""WITH dv AS (
          |  SELECT DISTINCT source AS g, term AS v FROM (
