@@ -84,6 +84,43 @@ object Retention {
     (nBefore, n)
   }
 
+  /** ClickHouse `OPTIMIZE TABLE … FINAL` — the merge half of
+    * ReplacingMergeTree made explicit. A4 (`Relational.dedupLatest`,
+    * create_tables.sql:15,41,90) gives queries merge-time semantics at
+    * READ time; this maintenance pass rewrites the table with the
+    * collapse applied, so every later scan stops paying the dedup
+    * window — exactly what a CH background merge (or an operator-issued
+    * OPTIMIZE FINAL) does to a part.
+    *
+    * Collapse scope is the month PARTITION, matching CH: merges never
+    * cross partitions, so a key whose versions land in different months
+    * keeps one row per month. Consequently no month can vanish (a
+    * present month keeps ≥ 1 row per key) and the rewrite is total, not
+    * partial. Latest `versionCol` wins with `tieBreak` descending — the
+    * same documented determinism deviation as A4 (CH keeps an arbitrary
+    * row absent a version).
+    *
+    * One shuffle (the dedup window on (month, key)); the write's
+    * repartition by (month, shard) is the second, intentional exchange
+    * every fact write pays. Promoted through the same crash-safe
+    * [[swapInto]] as retention/compaction, markers preserved.
+    */
+  def optimizeFinal(spark: SparkSession, path: String, tsCol: String,
+                    keyCol: String, versionCol: String,
+                    tieBreak: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    val merged = Relational.dedupLatest(df, Seq("month", keyCol),
+      versionCol, tieBreak).drop("month")
+    val tmp = path + TmpSuffix
+    fsOf(spark, tmp).delete(hPath(tmp), true)
+    // append-mode into a FRESH tmp dir: the write action materializes
+    // fully from the live dir before the swap touches it
+    IO.writeFact(merged, tmp, tsCol, keyCol, overwritePartitions = false)
+    copyMarkers(spark, path, tmp)
+    swapInto(spark, tmp, path)
+    spark.read.parquet(path)
+  }
+
   private val TmpSuffix = "__retained"
   private val BackupSuffix = "__backup"
 

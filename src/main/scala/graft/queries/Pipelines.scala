@@ -58,6 +58,34 @@ object Pipelines {
         .orderBy("event_id")
     }),
 
+    // M-tier OPTIMIZE FINAL (ReplacingMergeTree background merge): two
+    // appended generations with explicit versions — gen2 supersedes
+    // even-id rows IN PLACE, and for id % 100 = 1 lands in the NEXT
+    // month, exercising the per-partition collapse scope (CH merges
+    // never cross partitions: those keys keep one row per month).
+    // After the rewrite the target must equal the one-shot windowed
+    // dedup over the unioned generations.
+    "pipeline_optimize_final_e2e" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+      val path = scratch("graft_opt")
+      val g1 = src.withColumn("ver", lit(1L))
+      val g2 = src
+        .filter(col("event_id") % 2 === 0 || col("event_id") % 100 === 1)
+        .withColumn("ts", when(col("event_id") % 100 === 1,
+          col("ts") + expr("INTERVAL 1 MONTH")).otherwise(col("ts")))
+        .withColumn("value", col("value") + lit(100.0))
+        .withColumn("ver", lit(2L))
+      graft.sources.IO.writeFact(g1, path, "ts", "event_id",
+        overwritePartitions = false)
+      graft.sources.IO.writeFact(g2, path, "ts", "event_id",
+        overwritePartitions = false)
+      graft.pipeline.Retention.optimizeFinal(s, path, "ts", "event_id", "ver")
+        .drop("month")
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props", "ver")
+        .orderBy("event_id", "ver")
+    }),
+
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
     // checksum (the decode stage itself is exercised in the test suite —
     // deterministic stub, no SQL equivalent).
@@ -130,6 +158,22 @@ object Pipelines {
         |FROM events ORDER BY event_id""".stripMargin,
     "pipeline_partition_swap_e2e" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "pipeline_optimize_final_e2e" ->
+      """WITH g1 AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props, 1 AS ver
+        |  FROM events),
+        |g2 AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 100 = 1 THEN ts + INTERVAL 1 MONTH
+        |              ELSE ts END AS ts,
+        |         user_id, event_type, value + 100.0 AS value, props, 2 AS ver
+        |  FROM events WHERE event_id % 2 = 0 OR event_id % 100 = 1),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        |d AS (SELECT *, row_number() OVER (
+        |        PARTITION BY date_trunc('month', ts), event_id
+        |        ORDER BY ver DESC) AS rn FROM u)
+        |SELECT event_id, ts, user_id, event_type, value, props, CAST(ver AS BIGINT) AS ver
+        |FROM d WHERE rn = 1 ORDER BY event_id, ver""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id, 'application/x-fake' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

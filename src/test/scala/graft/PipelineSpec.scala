@@ -252,6 +252,36 @@ class PipelineSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__backup")))
   }
 
+  test("optimizeFinal collapses versions per month partition and is " +
+      "idempotent") {
+    val path = tempDir("optfinal")
+    import graft.sources.IO
+    // gen1: all events at ver 1; gen2: even ids superseded in place,
+    // id 42 moved a month forward (cross-partition dup must SURVIVE)
+    val g1 = events.withColumn("ver", lit(1L))
+    val g2 = events.filter($"event_id" % 2 === 0)
+      .withColumn("ts", when($"event_id" === 42L,
+        $"ts" + expr("INTERVAL 1 MONTH")).otherwise($"ts"))
+      .withColumn("ver", lit(2L))
+    IO.writeFact(g1, path, "ts", "event_id", overwritePartitions = false)
+    IO.writeFact(g2, path, "ts", "event_id", overwritePartitions = false)
+    val n = events.count()
+    val merged = Retention.optimizeFinal(spark, path, "ts", "event_id", "ver")
+    // every same-month dup collapsed to ver 2; id 42 keeps both months
+    assert(merged.count() == n + 1)
+    val vers = merged.groupBy("ver").count()
+      .as[(Long, Long)].collect().toMap
+    val nEven = events.filter($"event_id" % 2 === 0).count()
+    assert(vers(2L) == nEven)
+    assert(vers(1L) == n - nEven + 1) // odd ids + id 42's stale month row
+    val after = spark.read.parquet(path).orderBy("event_id", "ver")
+      .collect().toSeq
+    // a second pass must be a pure no-op rewrite
+    Retention.optimizeFinal(spark, path, "ts", "event_id", "ver")
+    assert(spark.read.parquet(path).orderBy("event_id", "ver")
+      .collect().toSeq == after)
+  }
+
   test("swapInto refuses object stores whose rename is copy+delete") {
     // the swap's at-every-instant-one-complete-copy invariant holds only
     // under atomic directory rename; S3A-style stores break it silently
