@@ -221,4 +221,208 @@ object Profile {
     dv.unpersist(blocking = false)
     detached
   }
+
+  /** Robust per-group outlier detection (median/MAD modified z-score,
+    * Iglewicz–Hoaglin): rz = 0.6745·(x − median)/MAD, flagged beyond
+    * `cutoff` (3.5 is the classic default). Mean/stddev z-scores are
+    * poisoned by the outliers they hunt; the median/MAD pair has a 50%
+    * breakdown point, which is what an ingest gate needs when a corrupt
+    * feed is MOSTLY bad values.
+    *
+    * Shape: two grouped exact-percentile aggregates (median, then MAD
+    * over |x − median|) joined back per group — the group-stat frames
+    * are |groups| rows and broadcast. Exact `percentile` buffers each
+    * group's values in the aggregation state, which is the oracle
+    * semantics; at 100 TB substitute the O(δ) mergeable t-digest
+    * ([[graft.functions.TDigestQuantiles]]) for both medians — the same
+    * exact-twin convention as heavy hitters (Misra–Gries) and distinct
+    * counts (KMV).
+    *
+    * A constant group (MAD = 0: >50% of values identical) defines every
+    * row as non-outlying with rz = 0 — the gate should flag a stuck
+    * sensor via [[profile]]'s n_distinct, not score it here.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    import graft.functions.Rounding.pround
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    val rz = when(col("mad") === 0.0, lit(0.0))
+      .otherwise(lit(0.6745) * (col(valueCol) - col("med")) / col("mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("rz", pround(rz, 9))
+      .withColumn("is_outlier", abs(col("rz")) > cutoff)
+  }
+
+  /** Multi-epoch token-budget allocation (the data-mixing config step):
+    * given per-group token totals, a temperature-τ target mix
+    * (p_g ∝ share_g^τ — [[temperatureRates]]' rule) and a total token
+    * budget, allocate each group min(p_g·budget, maxEpochs·tokens_g) —
+    * a small source contributes at most `maxEpochs` passes over itself
+    * (the repetition bound scaling work prescribes) and the shortfall
+    * is reported per group rather than silently redistributed, so the
+    * config author sees exactly which sources cap.
+    *
+    * Pure closed-form arithmetic over the |groups|-row mix frame (one
+    * one-row total broadcast): the corpus itself is never touched, so
+    * the plan cost is independent of corpus size.
+    */
+  def epochPlan(mix: DataFrame, groupCol: String, tokensCol: String,
+                tau: Double, budgetTokens: Long,
+                maxEpochs: Double): DataFrame = {
+    import graft.functions.Rounding.pround
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    import org.apache.spark.sql.types.DecimalType
+    // The mix frame is referenced four times below (rows, total, z,
+    // output); pin it so a caller passing an unpersisted corpus-derived
+    // aggregate pays ONE corpus scan, not four (PlanAuditSpec pin: the
+    // result plan never touches the corpus again).
+    val nonEmpty = mix.filter(col(tokensCol) > 0).persist()
+    val tot = nonEmpty.agg(sum(col(tokensCol)).cast("double").as("total"))
+    // p_raw quantizes to 12 decimals BEFORE normalizing so the
+    // normalizer z is an exact decimal sum — accumulation-order-
+    // independent, hence identical across partitionings and engines
+    // (the klDrift convention; a raw double sum would let the last ulp
+    // of z flip a floor() boundary in desired_tokens).
+    val praw = pround(pow(col(tokensCol).cast("double") / col("total"), tau), 12)
+      .cast(DecimalType(38, 12))
+    val withP = nonEmpty.crossJoin(broadcast(tot))
+      .withColumn("p_raw", praw)
+    val z = withP.agg(sum("p_raw").as("z"))
+    val out = withP.crossJoin(broadcast(z))
+      .withColumn("p", col("p_raw").cast("double") / col("z").cast("double"))
+      .withColumn("desired_tokens",
+        floor(col("p") * budgetTokens + lit(0.5)).cast("long"))
+      .withColumn("cap_tokens",
+        floor(col(tokensCol).cast("double") * maxEpochs + lit(0.5)).cast("long"))
+      .withColumn("alloc_tokens", least(col("desired_tokens"), col("cap_tokens")))
+      .withColumn("epochs",
+        pround(col("alloc_tokens").cast("double") / col(tokensCol), 6))
+      .withColumn("shortfall_tokens",
+        col("desired_tokens") - col("alloc_tokens"))
+      .select(col(groupCol), col(tokensCol).as("n_tokens"),
+        pround(col("p"), 6).as("p"), col("desired_tokens"),
+        col("alloc_tokens"), col("epochs"), col("shortfall_tokens"))
+    val detached = Dedup.materializeDetached(out)
+    nonEmpty.unpersist(blocking = false)
+    detached
+  }
+
+  /** Population Stability Index per period: the numeric-feature drift
+    * meter (PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b), each period's binned
+    * value distribution against the whole table's). The monitoring
+    * heuristics: < 0.1 stable, 0.1–0.25 shifting, > 0.25 broken feed.
+    * The numeric twin of [[klDrift]] (tokens) and
+    * [[centroidDrift]] (embeddings).
+    *
+    * Bins are a fixed-edge map-side CASE (the [[scoreBinnedMix]]
+    * discipline — no global sort); zero-count cells exist via a
+    * |periods|·bins scaffold and floor at `eps` (the standard PSI
+    * convention, keeping every term finite). Per-term products round
+    * at 1e-12 and sum as exact DECIMAL(38,12) (the klDrift
+    * discipline), so the index is accumulation-order-independent.
+    *
+    * Scale shape: one scan → a (period, bin)-keyed map-side-combinable
+    * count; everything after is arithmetic over |periods|·bins rows
+    * with the baseline and grand total broadcast.
+    */
+  def psi(df: DataFrame, period: Column, valueCol: String,
+          edges: Seq[Double], eps: Double = 1e-6): DataFrame = {
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.types.DecimalType
+    require(edges.nonEmpty && edges == edges.sorted &&
+      edges.distinct.size == edges.size,
+      s"edges must be non-empty and strictly increasing: $edges")
+    require(eps > 0, s"eps must be positive: $eps")
+    val nBins = edges.size
+    val bin = edges.zipWithIndex
+      .foldRight(lit(nBins).cast("int"): Column) {
+        case ((e, i), acc) => when(col(valueCol) < e, lit(i).cast("int"))
+          .otherwise(acc)
+      }
+    val perPB = df.select(period.as("__p"), bin.as("bin"))
+      .groupBy("__p", "bin").agg(count(lit(1)).as("c"))
+    val perP = perPB.groupBy("__p").agg(sum("c").as("np"))
+    val base = perPB.groupBy("bin").agg(sum("c").as("cb"))
+    val tot = base.agg(sum("cb").as("n"))
+    val cells = perP.withColumn("bin", explode(sequence(lit(0), lit(nBins))))
+    cells
+      .join(perPB, Seq("__p", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("pr", greatest(
+        coalesce(col("c"), lit(0L)).cast("double") / col("np"), lit(eps)))
+      .withColumn("qr", greatest(
+        coalesce(col("cb"), lit(0L)).cast("double") / col("n"), lit(eps)))
+      .withColumn("t12",
+        pround((col("pr") - col("qr")) * log(col("pr") / col("qr")), 12)
+          .cast(DecimalType(38, 12)))
+      .groupBy(col("__p").as("period"))
+      .agg(max(col("np")).as("n_rows"), // np is constant per period
+        pround(sum(col("t12")).cast("double"), 6).as("psi"))
+  }
+
+  /** Per-group embedding centroid drift: cosine of each group's mean
+    * vector against the corpus mean — the embedding-space twin of
+    * [[klDrift]]. A source/label whose centroid swings away from the
+    * blend flags a distribution shift (new topic, encoder change,
+    * poisoned shard) that token-level KL can miss entirely.
+    *
+    * Exactness: elements quantize to integer 2^-10 units up front
+    * (float → double is exact, one multiply + floor is deterministic),
+    * so every downstream sum is BIGINT/DECIMAL — accumulation-order-
+    * independent, hence identical across partitionings and engines.
+    * Cosine is scale-invariant, so the mean never needs dividing: the
+    * per-group quantized SUM vector stands in for the centroid.
+    *
+    * Shape: one posexplode pass → a (group, dim)-keyed exact-sum
+    * aggregate (map-side combinable, |groups|·d rows) → the corpus row
+    * derives from the per-group frame, never a second corpus scan.
+    * Decimal headroom: |sum| ≤ rows·2^10·max|v|, so the DECIMAL(38)
+    * dot products hold to ~10^13 vectors per group at unit scale.
+    */
+  def centroidDrift(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val (out, perGroup) = centroidDriftLazy(df, groupCol, vecCol)
+    val detached = Dedup.materializeDetached(out)
+    perGroup.unpersist(blocking = false)
+    detached
+  }
+
+  /** The un-detached [[centroidDrift]] computation — exposed so
+    * PlanAuditSpec can pin the internal plan shape (one corpus scan
+    * into the (g, p) sums, broadcast dim-keyed join), which the
+    * checkpoint-detached public result hides behind a Scan ExistingRDD.
+    * Returns (result, pinned per-group frame to unpersist after use).
+    */
+  private[graft] def centroidDriftLazy(df: DataFrame, groupCol: String,
+                                       vecCol: String)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.Rounding.pround
+    val q = df.select(col(groupCol).as("g"),
+      posexplode(col(vecCol)).as(Seq("p", "v")))
+      .withColumn("qv",
+        floor(col("v").cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+    val perGroup = q.groupBy("g", "p")
+      .agg(sum("qv").as("sg")).persist()
+    val corpus = perGroup.groupBy("p").agg(sum("sg").as("sp"))
+    val n = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val dec = (c: Column) => c.cast("decimal(18,0)")
+    val dots = perGroup.join(broadcast(corpus), "p")
+      .groupBy("g")
+      .agg(sum(dec(col("sg")) * dec(col("sp"))).as("dot"),
+        sum(dec(col("sg")) * dec(col("sg"))).as("na"),
+        sum(dec(col("sp")) * dec(col("sp"))).as("nb"))
+    val cosine = when(col("na") === 0 || col("nb") === 0, lit(0.0))
+      .otherwise(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val out = n.join(dots, "g")
+      .select(col("g").as(groupCol), col("n"),
+        pround(cosine, 9).as("cos_to_corpus"))
+    (out, perGroup)
+  }
 }

@@ -66,4 +66,26 @@ object Quality {
         TextFunctions.qualityScore(c) >= t.minQuality &&
         TextFunctions.dupWordRatio(c) <= t.maxDupWordRatio)
   }
+
+  /** Bad-record quarantine for a JSON payload column: rows whose
+    * payload yields the required field parse to `ok` with the value
+    * extracted; everything else (malformed JSON, wrong shape, missing
+    * field) routes to `quarantine` with the raw payload preserved for
+    * replay — the standard ingest pattern that keeps one poison pill
+    * from failing a 100 TB batch while losing nothing.
+    *
+    * `get_json_object` is codegen'd and returns NULL on any parse
+    * failure, so the whole routing is one map-only projection — no
+    * UDF, no exception handling in the hot path, and the status
+    * predicate pushes down when only one route is read.
+    */
+  def jsonQuarantine(df: DataFrame, jsonCol: String, field: String)
+      : DataFrame = {
+    val extracted = get_json_object(col(jsonCol), s"$$.$field")
+    // try_cast, not cast: under ANSI a non-numeric field value must
+    // route to quarantine, not throw — that is the operator's whole job
+    df.withColumn(field, extracted.try_cast(org.apache.spark.sql.types.LongType))
+      .withColumn("status",
+        when(col(field).isNotNull, "ok").otherwise("quarantine"))
+  }
 }

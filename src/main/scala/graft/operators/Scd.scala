@@ -150,4 +150,21 @@ object Scd {
           .otherwise(lit("unchanged")))
       .drop("__in_old", "__in_new")
   }
+
+  /** Point-in-time lookup over a type-2 history: each key's row whose
+    * interval covers `at` (intervals are [valid_from, valid_to), the
+    * [[buildHistory]]/[[applySnapshot]] convention) — "what did the
+    * dimension look like on date X" without reconstructing a snapshot.
+    * By construction a key's intervals partition its timeline, so the
+    * result has exactly one row per key observed on or before `at`.
+    *
+    * A pure filter, not a join: both predicates push into the history
+    * scan, and over a month-partitioned history lake table partition
+    * pruning bounds the read to segments overlapping `at`.
+    */
+  def asOf(history: DataFrame, at: String): DataFrame = {
+    val t = lit(at).cast("timestamp")
+    history.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+  }
 }

@@ -35,6 +35,13 @@ object Extensions {
   private val KmvK = 256
   // Top-N vocabulary for the OOV-rate QA row.
   private val OovVocabN = 1000
+  // mix_epoch_plan: temperature, token budget, per-source epoch cap —
+  // sized so some fixture sources hit the cap and some don't.
+  private val EpochTau = 0.5
+  private val EpochBudget = 200000L
+  private val EpochCap = 1.25
+  // dq_psi_daily: fixed bin edges over the events value range (0–490).
+  private val PsiEdges = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0)
   private val DsirN = 50
   private val DsirSeed = "dsir-r8"
   private val AnnK = 5
@@ -211,6 +218,96 @@ object Extensions {
           explode(TextFunctions.tokens(col("text"))).as("term")),
         "source", col("term"), KmvK)
         .orderBy("source")
+    }),
+
+    // Robust per-event-type value outliers: median/MAD modified z-score
+    // (Iglewicz–Hoaglin) — the ingest gate that survives a mostly-bad
+    // feed, where the mean/stddev z-score is poisoned by the very
+    // outliers it hunts. Exact percentiles are the oracle semantics;
+    // the 100 TB path swaps in TDigestQuantiles for both medians.
+    "dq_value_outliers" -> ((s, dir) =>
+      Profile.madOutliers(
+        t(s, dir, "events").select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select("event_id", "event_type", "value", "rz", "is_outlier")
+        .orderBy("event_id")),
+
+    // Event-rate anomaly QA: hourly ingest counts z-scored against the
+    // table's own hourly mean/stddev — the missing-feed / double-send
+    // detector. Variance comes from exact integer sums (n, Σc, Σc²),
+    // so the z-scores are accumulation-order-independent.
+    "dq_event_rate_anomaly" -> ((s, dir) => {
+      val hours = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = hours.agg(count(lit(1)).as("nh"),
+        sum("n_events").as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      val mean = col("s1").cast("double") / col("nh")
+      val sd = sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("nh")) /
+        (col("nh") - lit(1L)))
+      hours.crossJoin(broadcast(stats))
+        .withColumn("z", Rounding.pround(
+          when(sd === 0.0, lit(0.0))
+            .otherwise((col("n_events") - mean) / sd), 9))
+        .withColumn("is_anomaly", abs(col("z")) > 3.0)
+        .select("hour", "n_events", "z", "is_anomaly")
+        .orderBy("hour")
+    }),
+
+    // Daily PSI of the value distribution vs the whole table: the
+    // numeric-feature drift meter (p/q binned shares, eps-floored,
+    // Σ(p−q)·ln(p/q)) — flags the day a feed's value distribution
+    // broke, where the rate-anomaly row only sees volume.
+    "dq_psi_daily" -> ((s, dir) =>
+      Profile.psi(t(s, dir, "events"),
+        date_trunc("day", col("ts")).as("period"), "value", PsiEdges)
+        .orderBy("period")),
+
+    // Embedding centroid drift: per-label quantized-centroid cosine
+    // against the corpus centroid — the embedding-space twin of
+    // mix_kl_drift (an encoder change or poisoned shard moves a
+    // centroid long before token-level KL notices).
+    "emb_centroid_drift" -> ((s, dir) =>
+      Profile.centroidDrift(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label")),
+
+    // Multi-epoch token-budget allocation: temperature-τ target mix
+    // capped at maxEpochs passes over each source, shortfall reported
+    // per source — the data-mixing config computed as a query.
+    "mix_epoch_plan" -> ((s, dir) => {
+      val mix = t(s, dir, "documents").groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("n_tokens"))
+      Profile.epochPlan(mix, "source", "n_tokens",
+        tau = EpochTau, budgetTokens = EpochBudget, maxEpochs = EpochCap)
+        .orderBy("source")
+    }),
+
+    // Bad-record quarantine: JSON payload rows route to ok/quarantine
+    // by whether the required field parses — three malformed payloads
+    // are planted (broken JSON, non-JSON, wrong shape) so the
+    // quarantine side is exercised, not just declared.
+    "dq_json_quarantine" -> ((s, dir) => {
+      val planted = s.createDataFrame(Seq(
+        (-1L, "{broken"),
+        (-2L, "not json at all"),
+        (-3L, """{"other": 1}"""))).toDF("event_id", "props")
+      val src = t(s, dir, "events").select("event_id", "props")
+        .unionByName(planted)
+      graft.operators.Quality.jsonQuarantine(src, "props", "k")
+        .select("event_id", "k", "status").orderBy("event_id")
+    }),
+
+    // The skew-salting lever, oracle-checked: the salted equi-join must
+    // be row-for-row identical to the plain join it replaces (the salt
+    // only respreads hot keys across reducers).
+    "join_salted" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      graft.operators.Skew.saltedJoin(o, c, "o_custkey", "c_custkey", 8)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
     }),
 
     "text_heavy_hitters" -> ((s, dir) => {
@@ -1751,6 +1848,140 @@ object Extensions {
          |SELECT g AS source, n_exact, kmv_est,
          |  ${Rounding.sqlPround("CAST(abs(kmv_est - n_exact) AS DOUBLE) / n_exact", 6)} AS rel_err
          |FROM fin ORDER BY source""".stripMargin,
+    "dq_value_outliers" ->
+      s"""WITH med AS (
+         |  SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type),
+         |wm AS (
+         |  SELECT e.event_id, e.event_type, e.value, m.med
+         |  FROM events e JOIN med m USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+         |  FROM wm GROUP BY event_type),
+         |rz AS (
+         |  SELECT w.event_id, w.event_type, w.value,
+         |    CASE WHEN d.mad = 0.0 THEN 0.0
+         |         ELSE ${Rounding.sqlPround("(0.6745 * (w.value - w.med)) / d.mad", 9)}
+         |    END AS rz
+         |  FROM wm w JOIN mad d USING (event_type))
+         |SELECT event_id, event_type, value, rz, abs(rz) > 3.5 AS is_outlier
+         |FROM rz ORDER BY event_id""".stripMargin,
+    "dq_event_rate_anomaly" -> {
+      val sd = "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nh) / (nh - 1))"
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+         |  FROM events GROUP BY 1),
+         |st AS (
+         |  SELECT count(*) AS nh, sum(n_events) AS s1,
+         |         sum(n_events * n_events) AS s2 FROM h),
+         |z AS (
+         |  SELECT h.hour, h.n_events,
+         |    CASE WHEN $sd = 0.0 THEN 0.0
+         |         ELSE ${Rounding.sqlPround(
+        s"(h.n_events - CAST(s1 AS DOUBLE) / nh) / $sd", 9)}
+         |    END AS z
+         |  FROM h, st)
+         |SELECT hour, n_events, z, abs(z) > 3.0 AS is_anomaly
+         |FROM z ORDER BY hour""".stripMargin
+    },
+    "dq_psi_daily" -> {
+      val caseChain = PsiEdges.zipWithIndex
+        .map { case (e, i) => s"WHEN value < $e THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${PsiEdges.size} END")
+      s"""WITH b AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS p,
+         |         $caseChain AS bin
+         |  FROM events),
+         |pb AS (SELECT p, bin, count(*) AS c FROM b GROUP BY p, bin),
+         |pp AS (SELECT p, CAST(sum(c) AS BIGINT) AS np FROM pb GROUP BY p),
+         |bs AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM pb GROUP BY bin),
+         |tt AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM bs),
+         |cells AS (
+         |  SELECT pp.p, pp.np, gs.i AS bin
+         |  FROM pp CROSS JOIN generate_series(0, ${PsiEdges.size}) gs(i)),
+         |terms AS (
+         |  SELECT c.p, c.np,
+         |    greatest(CAST(COALESCE(pb.c, 0) AS DOUBLE) / c.np, 1e-6) AS pr,
+         |    greatest(CAST(COALESCE(bs.cb, 0) AS DOUBLE) / n, 1e-6) AS qr
+         |  FROM cells c
+         |  LEFT JOIN pb ON pb.p = c.p AND pb.bin = c.bin
+         |  LEFT JOIN bs ON bs.bin = c.bin
+         |  CROSS JOIN tt),
+         |t2 AS (
+         |  SELECT p, np,
+         |    CAST(${Rounding.sqlPround("(pr - qr) * ln(pr / qr)", 12)}
+         |         AS DECIMAL(38,12)) AS t12
+         |  FROM terms)
+         |SELECT p AS period, max(np) AS n_rows,
+         |  ${Rounding.sqlPround("CAST(sum(t12) AS DOUBLE)", 6)} AS psi
+         |FROM t2 GROUP BY p ORDER BY period""".stripMargin
+    },
+    "emb_centroid_drift" ->
+      s"""WITH q AS (
+         |  SELECT label, i AS p,
+         |    CAST(floor(embedding[i]::DOUBLE * 1024.0 + 0.5) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, 64) t(i)),
+         |g AS (SELECT label, p, sum(qv) AS sg FROM q GROUP BY label, p),
+         |c AS (SELECT p, sum(sg) AS sp FROM g GROUP BY p),
+         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+         |d AS (
+         |  SELECT g.label,
+         |    sum(CAST(g.sg AS DECIMAL(18,0)) * CAST(c.sp AS DECIMAL(18,0))) AS dot,
+         |    sum(CAST(g.sg AS DECIMAL(18,0)) * CAST(g.sg AS DECIMAL(18,0))) AS na,
+         |    sum(CAST(c.sp AS DECIMAL(18,0)) * CAST(c.sp AS DECIMAL(18,0))) AS nb
+         |  FROM g JOIN c USING (p) GROUP BY g.label)
+         |SELECT n.label, n.n,
+         |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+         |       ELSE ${Rounding.sqlPround(
+        "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))", 9)}
+         |  END AS cos_to_corpus
+         |FROM n JOIN d USING (label) ORDER BY label""".stripMargin,
+    "mix_epoch_plan" ->
+      s"""WITH mix AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM mix),
+         |pr AS (
+         |  SELECT source, n_tokens,
+         |    CAST(${Rounding.sqlPround(
+        s"pow(CAST(n_tokens AS DOUBLE) / total, $EpochTau)", 12)} AS DECIMAL(38,12)) AS p_raw
+         |  FROM mix, tot WHERE n_tokens > 0),
+         |zz AS (SELECT sum(p_raw) AS z FROM pr),
+         |base AS (
+         |  SELECT source, n_tokens,
+         |    CAST(p_raw AS DOUBLE) / CAST(z AS DOUBLE) AS p FROM pr, zz),
+         |calc AS (
+         |  SELECT source, n_tokens, p,
+         |    CAST(floor(p * $EpochBudget + 0.5) AS BIGINT) AS desired_tokens,
+         |    CAST(floor(CAST(n_tokens AS DOUBLE) * $EpochCap + 0.5) AS BIGINT) AS cap_tokens
+         |  FROM base)
+         |SELECT source, n_tokens, ${Rounding.sqlPround("p", 6)} AS p,
+         |  desired_tokens,
+         |  least(desired_tokens, cap_tokens) AS alloc_tokens,
+         |  ${Rounding.sqlPround(
+        "CAST(least(desired_tokens, cap_tokens) AS DOUBLE) / n_tokens", 6)} AS epochs,
+         |  desired_tokens - least(desired_tokens, cap_tokens) AS shortfall_tokens
+         |FROM calc ORDER BY source""".stripMargin,
+    "dq_json_quarantine" ->
+      """WITH src AS (
+        |  SELECT event_id, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), '{broken'),
+        |                        (CAST(-2 AS BIGINT), 'not json at all'),
+        |                        (CAST(-3 AS BIGINT), '{"other": 1}')) v(event_id, props)),
+        |p AS (
+        |  SELECT event_id,
+        |    CASE WHEN json_valid(props)
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM src)
+        |SELECT event_id, k,
+        |  CASE WHEN k IS NOT NULL THEN 'ok' ELSE 'quarantine' END AS status
+        |FROM p ORDER BY event_id""".stripMargin,
+    "join_salted" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     "text_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),

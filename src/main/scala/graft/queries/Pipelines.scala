@@ -86,6 +86,39 @@ object Pipelines {
         .orderBy("event_id", "ver")
     }),
 
+    // DQ-gated ingest: a JSON-payload gate routes rows BEFORE the fact
+    // write — good rows land in the month-partitioned fact, poison
+    // pills in a replayable quarantine archive, and nothing is lost
+    // (the union of both targets equals the gated source). Three
+    // malformed payloads are planted so the quarantine target is
+    // real, not vacuously empty.
+    "pipeline_quarantine_e2e" -> ((s, dir) => {
+      val planted = s.range(3).select(
+        (-col("id") - 1).as("event_id"),
+        lit("2024-01-05 00:00:00").cast("timestamp").as("ts"),
+        lit(0L).as("user_id"), lit("planted").as("event_type"),
+        lit(0.0).as("value"),
+        element_at(array(lit("{broken"), lit("not json at all"),
+          lit("""{"other": 1}""")), (col("id") + 1).cast("int")).as("props"))
+      val src = Tables.load(s, dir, "events")
+        .select(eventCols.map(col): _*).unionByName(planted)
+      val gated = graft.operators.Quality.jsonQuarantine(src, "props", "k")
+      val factPath = scratch("graft_gate")
+      val qPath = scratch("graft_gate_q")
+      graft.sources.IO.writeFact(
+        gated.filter(col("status") === "ok").select(eventCols.map(col): _*),
+        factPath, "ts", "event_id", overwritePartitions = false)
+      gated.filter(col("status") === "quarantine")
+        .select(eventCols.map(col): _*).write.parquet(qPath)
+      s.read.parquet(factPath).drop("month")
+        .select(eventCols.map(col): _*)
+        .withColumn("status", lit("ok"))
+        .unionByName(
+          s.read.parquet(qPath).select(eventCols.map(col): _*)
+            .withColumn("status", lit("quarantine")))
+        .orderBy("event_id")
+    }),
+
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
     // checksum (the decode stage itself is exercised in the test suite —
     // deterministic stub, no SQL equivalent).
@@ -174,6 +207,24 @@ object Pipelines {
         |        ORDER BY ver DESC) AS rn FROM u)
         |SELECT event_id, ts, user_id, event_type, value, props, CAST(ver AS BIGINT) AS ver
         |FROM d WHERE rn = 1 ORDER BY event_id, ver""".stripMargin,
+    "pipeline_quarantine_e2e" ->
+      """WITH src AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00',
+        |     CAST(0 AS BIGINT), 'planted', 0.0, '{broken'),
+        |    (CAST(-2 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00',
+        |     CAST(0 AS BIGINT), 'planted', 0.0, 'not json at all'),
+        |    (CAST(-3 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00',
+        |     CAST(0 AS BIGINT), 'planted', 0.0, '{"other": 1}'))
+        |    v(event_id, ts, user_id, event_type, value, props))
+        |SELECT event_id, ts, user_id, event_type, value, props,
+        |  CASE WHEN json_valid(props)
+        |            AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |                IS NOT NULL
+        |       THEN 'ok' ELSE 'quarantine' END AS status
+        |FROM src ORDER BY event_id""".stripMargin,
     "multimodal_binary_meta" ->
       """SELECT doc_id, 'application/x-fake' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

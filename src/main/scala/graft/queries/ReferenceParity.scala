@@ -294,6 +294,18 @@ object ReferenceParity {
         .orderBy("user_id", "valid_from", "event_type")
     }),
 
+    // SCD2 point-in-time lookup: the dimension state mid-month, read
+    // straight off the history with an interval filter — exactly one
+    // row per user observed by then (the read-side companion of the
+    // two rows above).
+    "scd_point_in_time" -> ((s, dir) =>
+      graft.operators.Scd.asOf(
+        graft.operators.Scd.buildHistory(
+          t(s, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+          "user_id", "ts", Seq("event_type"), tieBreak = Seq("event_id")),
+        "2024-01-15 00:00:00")
+        .orderBy("user_id")),
+
     // Snapshot CDC derivation: classify every user across the
     // half-month vs full-corpus states (insert/delete/update/
     // unchanged) — the full-outer diff that drives incremental
@@ -1107,6 +1119,27 @@ object ReferenceParity {
         |FROM cps
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "scd_point_in_time" ->
+      """WITH lagd AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         lag(event_type) OVER w AS prev,
+        |         row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cps AS (
+        |  SELECT user_id, ts, event_type, event_id FROM lagd
+        |  WHERE rn = 1 OR (prev IS DISTINCT FROM event_type)),
+        |hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |         lead(ts) OVER w2 AS valid_to,
+        |         (lead(ts) OVER w2 IS NULL) AS is_current
+        |  FROM cps
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, is_current
+        |FROM hist
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
     "scd_apply_snapshot" ->
       """WITH lagd AS (
         |  SELECT user_id, ts, event_type, event_id,

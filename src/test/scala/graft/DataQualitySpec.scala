@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, Quality}
+
+/** Round-9 data-quality operators: robust MAD outliers, JSON payload
+  * quarantine, embedding centroid drift, multi-epoch budget allocation.
+  */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("madOutliers: a planted gross outlier is flagged, inliers are not, " +
+    "and the median/MAD stats survive contamination a mean/stddev gate would not") {
+    // 20 inliers near 10.0 plus one 1000.0 spike. With mean/stddev the
+    // spike inflates sd to ~216 and its plain z is ~4.4 — borderline;
+    // with median/MAD the stats ignore it entirely and rz is huge.
+    val rows = ((1 to 20).map(i => (i.toLong, "a", 10.0 + (i % 5) * 0.1)) :+
+      (99L, "a", 1000.0)).toDF("id", "grp", "v")
+    val out = Profile.madOutliers(rows, "grp", "v").collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged.map(_.getAs[Long]("id")).toSet == Set(99L))
+    assert(math.abs(flagged.head.getAs[Double]("rz")) > 1000)
+  }
+
+  test("madOutliers: a constant group (MAD = 0) scores every row rz 0, not NaN") {
+    val rows = (1 to 8).map(i => (i.toLong, "c", 5.0)).toDF("id", "grp", "v")
+    val out = Profile.madOutliers(rows, "grp", "v").collect()
+    assert(out.forall(r => r.getAs[Double]("rz") == 0.0 &&
+      !r.getAs[Boolean]("is_outlier")))
+  }
+
+  test("jsonQuarantine: parseable field routes ok with the value, malformed " +
+    "JSON / wrong shape / non-numeric field all quarantine with payload intact") {
+    val rows = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, "{broken"),
+      (3L, """{"other": 1}"""),
+      (4L, """{"k": "abc"}"""),
+      (5L, null.asInstanceOf[String])).toDF("id", "props")
+    val out = Quality.jsonQuarantine(rows, "props", "k")
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("status")).toSeq ==
+      Seq("ok", "quarantine", "quarantine", "quarantine", "quarantine"))
+    assert(out.head.getAs[Long]("k") == 7L)
+    // the raw payload column survives for replay
+    assert(out(1).getAs[String]("props") == "{broken")
+  }
+
+  test("centroidDrift: a group aligned with the corpus scores ~1, an " +
+    "opposed group scores negative, and a zero-vector group scores 0") {
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e1n = Array(-1.0f, 0.0f, 0.0f, 0.0f)
+    val z = Array(0.0f, 0.0f, 0.0f, 0.0f)
+    // corpus sum is dominated by group "big" (9 copies of e1 and one -e1)
+    val rows = ((1 to 9).map(i => (s"big", e1)) :+ (("neg", e1n)) :+
+      (("zero", z))).toDF("grp", "vec")
+    val out = Profile.centroidDrift(rows, "grp", "vec")
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Double]("cos_to_corpus")).toMap
+    assert(out("big") == 1.0)   // exactly collinear with the corpus sum
+    assert(out("neg") == -1.0)
+    assert(out("zero") == 0.0)  // zero-norm guard, not NaN
+  }
+
+  test("centroidDrift: counts are per group and quantization keeps " +
+    "sub-millesimal components (drift metric is the quantized cosine)") {
+    val a = Array(0.5f, 0.5f)
+    val b = Array(0.5f, -0.5f)
+    val rows = Seq(("a", a), ("a", a), ("b", b)).toDF("grp", "vec")
+    val out = Profile.centroidDrift(rows, "grp", "vec")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("cos_to_corpus"))).toMap
+    assert(out("a")._1 == 2 && out("b")._1 == 1)
+    // corpus sum = (1.5, 0.5); cos(a, corpus) > 0.8, cos(b, corpus) < 0.5
+    assert(out("a")._2 > 0.8 && out("b")._2 < 0.5)
+  }
+
+  test("epochPlan: allocation = min(desired, cap), shortfall is the exact " +
+    "gap, epochs never exceed maxEpochs, and τ=1 reproduces natural shares") {
+    val mix = Seq(("s1", 1000L), ("s2", 9000L), ("s3", 0L))
+      .toDF("source", "n_tokens")
+    // τ=1: desired/cap = B/(1.5·total) is the SAME for every group (both
+    // desire and cap scale with tokens), so at B=20000 > 1.5·total both
+    // sources cap at exactly 1.5 epochs; s3 (empty) is dropped.
+    val out = Profile.epochPlan(mix, "source", "n_tokens",
+      tau = 1.0, budgetTokens = 20000L, maxEpochs = 1.5)
+      .orderBy("source").collect()
+    assert(out.length == 2) // the zero-token group is dropped up front
+    val s1 = out(0); val s2 = out(1)
+    // τ=1: p = natural share
+    assert(s1.getAs[Double]("p") == 0.1 && s2.getAs[Double]("p") == 0.9)
+    assert(s1.getAs[Long]("desired_tokens") == 2000L)
+    assert(s1.getAs[Long]("alloc_tokens") == 1500L) // capped at 1.5 epochs
+    assert(s1.getAs[Long]("shortfall_tokens") == 500L)
+    assert(s1.getAs[Double]("epochs") == 1.5)
+    assert(s2.getAs[Long]("alloc_tokens") == 13500L) // 1.5 × 9000, same cap
+    assert(s2.getAs[Long]("shortfall_tokens") == 4500L)
+    for (r <- out) {
+      assert(r.getAs[Double]("epochs") <= 1.5 + 1e-9)
+      assert(r.getAs[Long]("alloc_tokens") <=
+        r.getAs[Long]("desired_tokens"))
+    }
+    // τ=0 flattens the mix to uniform — NOW the outcomes mix: the small
+    // source caps (10000 desired vs 1500 cap) while the big one takes
+    // its full uniform desire.
+    val flat = Profile.epochPlan(mix, "source", "n_tokens",
+      tau = 0.0, budgetTokens = 20000L, maxEpochs = 1.5)
+      .orderBy("source").collect()
+    assert(flat(0).getAs[Long]("desired_tokens") == 10000L)
+    assert(flat(0).getAs[Long]("alloc_tokens") == 1500L)
+    assert(flat(1).getAs[Long]("alloc_tokens") == 10000L) // uncapped
+    assert(flat(1).getAs[Long]("shortfall_tokens") == 0L)
+  }
+
+  test("psi: a period matching the baseline scores ~0, a shifted period " +
+    "crosses the 0.25 alarm line, and a bin empty in one period stays " +
+    "finite via the eps floor") {
+    // p1/p2: uniform over [0, 100) — every bin covered, so they sit
+    // near the (slightly p3-polluted) baseline. p3: a small batch with
+    // ALL mass in the top bin — its own psi explodes through the eps
+    // floor on its four empty bins, which is exactly the alarm.
+    val rows = (
+      (1 to 100).map(i => ("p1", (i % 100).toDouble)) ++
+      (1 to 100).map(i => ("p2", (i % 100).toDouble)) ++
+      (1 to 10).map(_ => ("p3", 95.0))).toDF("p", "v")
+    val out = graft.operators.Profile.psi(
+      rows, col("p"), "v", edges = Seq(20.0, 40.0, 60.0, 80.0))
+      .collect().map(r => r.getAs[String]("period") ->
+        r.getAs[Double]("psi")).toMap
+    assert(out.keySet == Set("p1", "p2", "p3"))
+    assert(out("p1") == out("p2"), "identical periods must score identically")
+    assert(out("p1") < 0.25, s"near-baseline period: ${out("p1")}")
+    assert(out("p3") > 0.25 && !out("p3").isNaN && !out("p3").isInfinite,
+      s"broken period must alarm finitely: ${out("p3")}")
+  }
+
+  test("psi: guards reject unsorted edges and non-positive eps") {
+    val rows = Seq(("p1", 1.0)).toDF("p", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.psi(rows, col("p"), "v", Seq(2.0, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.psi(rows, col("p"), "v", Seq(1.0), eps = 0.0)
+    }
+  }
+
+  test("epochPlan: guards reject a non-positive budget or epoch cap") {
+    val mix = Seq(("s1", 10L)).toDF("source", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Profile.epochPlan(mix, "source", "n_tokens", 1.0, 0L, 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.epochPlan(mix, "source", "n_tokens", 1.0, 100L, 0.0)
+    }
+  }
+}

@@ -486,4 +486,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
       "keep ids are not checkpoint-materialized:\n" + p.take(2000))
   }
+
+  test("madOutliers: every group-stat join broadcasts — the corpus streams " +
+    "map-side, only the |groups|-row median/MAD frames move (the med-join " +
+    "subtree legitimately appears under both the MAD aggregate and the " +
+    "output probe, so the count is ≥2, never an SMJ)") {
+    val p = plan("dq_value_outliers")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"expected ≥2 broadcast stat joins, got $bhj:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a group-stat join degraded to SMJ:\n" + p.take(2500))
+  }
+
+  test("epochPlan result plan never touches the corpus: the mix input is " +
+    "pinned + the result checkpoint-detached, so the four internal " +
+    "references cost ONE corpus scan at materialization and zero after") {
+    val p = plan("mix_epoch_plan")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 0, s"result plan still scans documents $scans times:\n${p.take(2500)}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "result is not checkpoint-materialized:\n" + p.take(2500))
+  }
+
+  test("centroidDrift internal shape: one full corpus scan feeds the " +
+    "(group, dim) sums (the n-count side re-reads only the pruned group " +
+    "column), the corpus-centroid side derives from the PINNED per-group " +
+    "frame, and the dim-keyed drift join broadcasts") {
+    val (out, perGroup) = graft.operators.Profile.centroidDriftLazy(
+      Tables.load(spark, sf, "embeddings"), "label", "embedding")
+    try {
+      val p = out.queryExecution.executedPlan.toString
+      // ≤3 STRING occurrences: the n-count's pruned scan plus the two
+      // InMemoryTableScan nodes each printing the cached relation's
+      // lineage — at execution that is 1 cache-build scan + 1 pruned
+      // scan, which the pruned-ReadSchema assertion below pins.
+      val scans = "embeddings\\.parquet".r.findAllIn(p).length
+      assert(scans <= 3, s"embeddings scanned $scans times:\n${p.take(2500)}")
+      assert(p.contains("ReadSchema: struct<label:int>"),
+        "the n-count side reads more than the pruned group column:\n" +
+          p.take(2500))
+      assert(p.contains("BroadcastHashJoin"),
+        "dim-keyed drift join not broadcast:\n" + p.take(2500))
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "per-group sums not pinned (corpus-centroid side would rescan):\n" +
+          p.take(2500))
+      assert(!p.contains("CartesianProduct"), p.take(2500))
+    } finally perGroup.unpersist(blocking = false)
+  }
 }

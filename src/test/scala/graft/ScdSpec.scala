@@ -114,4 +114,27 @@ class ScdSpec extends SparkSpec {
     assert(d == Map(1L -> "unchanged", 2L -> "update", 3L -> "unchanged",
       4L -> "delete", 5L -> "insert"))
   }
+
+  test("asOf: exactly one covering row per key observed by then, equal to " +
+      "the latest change at or before the lookup instant; boundary instants " +
+      "resolve to the row OPENING there ([from, to) intervals); future keys absent") {
+    val changes = Seq(
+      (1L, ts("2024-01-01"), "a"),
+      (1L, ts("2024-01-10"), "b"),
+      (1L, ts("2024-01-20"), "c"),
+      (2L, ts("2024-01-12"), "x"),
+      (3L, ts("2024-03-01"), "late"))
+      .toDF("key", "ts", "attr")
+    val h = Scd.buildHistory(changes, "key", "ts", Seq("attr"))
+    val at = Scd.asOf(h, "2024-01-15 00:00:00")
+      .select($"key", $"attr").as[(Long, String)].collect().toMap
+    assert(at == Map(1L -> "b", 2L -> "x"), "key 3 not yet observed")
+    // boundary: at an interval edge the NEW row is in force, not the closed one
+    val edge = Scd.asOf(h, "2024-01-10 00:00:00")
+      .select($"key", $"attr").as[(Long, String)].collect().toMap
+    assert(edge == Map(1L -> "b"))
+    // one row per key at any instant (intervals partition the timeline)
+    val all = Scd.asOf(h, "2024-12-01 00:00:00")
+    assert(all.count() == all.select("key").distinct().count())
+  }
 }
