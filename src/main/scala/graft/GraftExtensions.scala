@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, KmvDistinct, MisraGries}
+import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries}
 
 /** Session-extension entry point (SURVEY §2.11 registration path): start
   * any session with
@@ -17,6 +17,7 @@ import graft.functions.{CosineSimilarity, KmvDistinct, MisraGries}
   * registration call:
   *
   *   - `cosine_sim(a, b)`   codegen'd float-vector cosine (scalar)
+  *   - `char_entropy(s)`    codegen'd codepoint Shannon entropy (scalar)
   *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
   *   - `misra_gries(x, k)`  heavy-hitters sketch (aggregate)
   */
@@ -40,6 +41,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_sim(arrayFloat, arrayFloat)")
         CosineSimilarity(exprs(0), exprs(1))
+      }),
+    (new FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "char_entropy(string)")
+        CharEntropy(exprs.head)
       }),
     (new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),

@@ -306,6 +306,16 @@ object CorpusBuildJob {
         .select("lang", "n_tokens"),
       "lang", "n_tokens", tau = 0.5)
 
+    // 10b: per-source QA report — the go/no-go numbers an operator
+    // reads before shipping: docs/tokens/share per source, the
+    // uniform-flattening weight, and KL(source ‖ corpus) token drift.
+    // Two aggregate passes over the train split producing a
+    // |sources|-row frame, written beside the corpus.
+    val qaReport = Profile.mixSummary(trainDf, "source",
+      TextFunctions.tokenCount(col("text")))
+      .join(Profile.klDrift(trainDf, "source", "text")
+        .select(col("source"), col("kl")), Seq("source"))
+
     // 10: sliding-window retrieval chunks of the final train split
     val chunks = trainDf.select(col("doc_id"),
       posexplode(TextFunctions.slidingChunks(col("text"), chunkN,
@@ -321,6 +331,7 @@ object CorpusBuildJob {
     manifest.write.mode("overwrite").parquet(s"$outDir/pack_manifest")
     mix.write.mode("overwrite").parquet(s"$outDir/mixture")
     chunks.write.mode("overwrite").parquet(s"$outDir/chunks")
+    qaReport.write.mode("overwrite").parquet(s"$outDir/qa_report")
 
     val trainN = spark.read.parquet(s"$outDir/corpus")
       .filter(col("split") === "train").count()

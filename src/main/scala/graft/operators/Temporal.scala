@@ -179,4 +179,68 @@ object Temporal {
     val factor = pow(lit(0.5), rel)
     events.withColumn("decayed_running", pround(factor * cum, 6))
   }
+
+  /** Regular-grid resampling with forward fill (last observation
+    * carried forward): per key, a `stepSec`-spaced timestamp grid from
+    * the key's first observation (aligned down to `alignUnit`) to its
+    * last, each grid instant carrying the latest observed value at or
+    * before it. The feature-engineering staple that turns an irregular
+    * event stream into the fixed-cadence series a model consumes; grid
+    * points before the key's first observation (alignment padding) are
+    * null, not zero — absence of data is not a value.
+    *
+    * Shape: observations first dedup to one-per-(key, instant) (last
+    * wins via `tieBreak` — A4 semantics), grid rows generate from a
+    * |keys|-row bounds frame (`sequence` + explode, no driver loop),
+    * and the fill is ONE window pass over the union ordered by
+    * `(ts, is_grid)` — a grid instant coinciding with an observation
+    * reads that observation, not the previous one. One hash exchange
+    * on the key; cost scales with |observations| + |grid|, never
+    * |observations| × |grid|.
+    *
+    * An unbounded key span × a small step is the quadratic-ish trap
+    * (one key spanning years at 1 s = 10⁷ rows from one input row), so
+    * the worst per-key grid size is checked on the tiny bounds frame
+    * and over-budget inputs fail loudly (the triangles/silhouette
+    * guard discipline) — at scale, resample within bounded partitions
+    * (key on (entity, month)) or raise `maxPointsPerKey` deliberately.
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepSec: Long,
+                    alignUnit: String = "hour",
+                    tieBreak: Seq[String] = Nil,
+                    maxPointsPerKey: Long = 1000000L): DataFrame = {
+    require(stepSec > 0, s"resampleFfill: stepSec must be positive, got $stepSec")
+    val obs = Relational.dedupLatest(
+      events.select((Seq(keyCol, tsCol, valueCol) ++ tieBreak).distinct
+        .map(col): _*),
+      Seq(keyCol, tsCol), tsCol, tieBreak)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+        col(valueCol).as("__v"))
+    val bounds = Dedup.materializeDetached(
+      obs.groupBy("__k")
+        .agg(date_trunc(alignUnit, min(col("__t"))).as("t0"),
+          max(col("__t")).as("t1")))
+    val worstSpanUs = bounds
+      .agg(max(unix_micros(col("t1")) - unix_micros(col("t0")))).first()
+    if (!worstSpanUs.isNullAt(0)) {
+      val worstPoints = worstSpanUs.getLong(0) / (stepSec * 1000000L) + 1
+      if (worstPoints > maxPointsPerKey) throw new IllegalStateException(
+        s"resampleFfill: worst key would expand to $worstPoints grid points " +
+          s"(> maxPointsPerKey=$maxPointsPerKey). Resample within bounded " +
+          "partitions (e.g. key on (entity, month)) or raise the bound " +
+          "deliberately.")
+    }
+    val grid = bounds.select(col("__k"),
+      explode(expr(s"sequence(t0, t1, INTERVAL $stepSec SECONDS)")).as("__t"))
+      .withColumn("__v", lit(null).cast(obs.schema("__v").dataType))
+      .withColumn("__isg", lit(1))
+    val u = obs.withColumn("__isg", lit(0)).unionByName(grid)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__isg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__ff", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__isg") === 1)
+      .select(col("__k").as(keyCol), col("__t").as("grid_ts"),
+        col("__ff").as(s"${valueCol}_ffill"))
+  }
 }

@@ -81,6 +81,19 @@ object Extensions {
         TextFunctions.langId(col("text")).as("lang_id"))
         .orderBy("doc_id")),
 
+    // Tokenizer-fertility QA: characters per BPE-ish token per doc —
+    // the tokenizer-budget number (a language or source whose fertility
+    // spikes is being shredded into units the model pays for twice).
+    "text_token_fertility" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .withColumn("fertility", when(col("n_bpe_tokens") > 0,
+          Rounding.pround(
+            col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+          .otherwise(lit(0.0)))
+        .orderBy("doc_id")),
+
     "text_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))
@@ -2513,6 +2526,16 @@ object Extensions {
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_fertility" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CAST(len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars, n_bpe_tokens,
+         |  CASE WHEN n_bpe_tokens > 0
+         |       THEN ${Rounding.sqlPround("CAST(n_chars AS DOUBLE) / n_bpe_tokens", 6)}
+         |       ELSE 0.0 END AS fertility
+         |FROM b ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""WITH sc AS (SELECT doc_id,
          |    $markerScores

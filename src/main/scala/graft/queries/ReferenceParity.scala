@@ -345,6 +345,17 @@ object ReferenceParity {
         .select("event_id", "user_id", "decayed_running")
         .orderBy("event_id")),
 
+    // Regular-grid resampling with forward fill: per user, an hourly
+    // timestamp grid carrying the latest observed value at or before
+    // each instant — the fixed-cadence series a model consumes. Grid
+    // points before a user's first observation stay null.
+    "ts_resample_hourly" -> ((s, dir) =>
+      graft.operators.Temporal.resampleFfill(
+        t(s, dir, "events").filter(col("user_id") < 20),
+        "user_id", "ts", "value", stepSec = 3600L,
+        tieBreak = Seq("event_id"))
+        .orderBy("user_id", "grid_ts")),
+
     // Binned range join: per event, how many events the same user fires
     // in the following 5 minutes (burst/velocity feature). Events with
     // no follower report 0 via the left re-join.
@@ -1253,6 +1264,34 @@ object ReferenceParity {
         |  floor((power(0.5, rel) * CAST(c AS DOUBLE))
         |    * 1000000 + 0.5) / 1000000 AS decayed_running
         |FROM cum ORDER BY event_id""".stripMargin,
+    "ts_resample_hourly" ->
+      """WITH obs0 AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id, ts
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE user_id < 20),
+        |obs AS (SELECT user_id, ts, value FROM obs0 WHERE rn = 1),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        |  FROM obs GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+        |              AS TIMESTAMP) AS ts
+        |  FROM b),
+        |u AS (
+        |  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, 1 AS isg FROM grid
+        |  UNION ALL
+        |  SELECT user_id, ts, value, 0 FROM obs),
+        |f AS (
+        |  SELECT user_id, ts, isg,
+        |         last_value(v IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, isg
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS value_ffill
+        |  FROM u)
+        |SELECT user_id, ts AS grid_ts, value_ffill
+        |FROM f WHERE isg = 1 ORDER BY user_id, grid_ts""".stripMargin,
     "asof_last_order" ->
       """WITH m AS (
         |  SELECT e.event_id, o.o_orderkey, o.o_totalprice,

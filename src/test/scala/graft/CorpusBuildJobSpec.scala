@@ -82,6 +82,23 @@ class CorpusBuildJobSpec extends SparkSpec {
     assert(corpus.filter($"doc_id" % 20 === 0).count() == 0)
     assert(spark.read.parquet(s"$out/eval").count() == counts.eval_)
 
+    // QA report: one row per train-split source; shares form a
+    // distribution, drift is a valid KL (>= 0), doc counts reconcile
+    // with the corpus train partition
+    val qa = spark.read.parquet(s"$out/qa_report")
+    val trainSources = corpus.filter($"split" === "train")
+      .select("source").distinct().count()
+    assert(qa.count() == trainSources)
+    val qaRows = qa.collect()
+    qaRows.foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0, s"negative KL: $r")
+      assert(r.getAs[Long]("n_docs") > 0 && r.getAs[Long]("n_tokens") > 0)
+    }
+    val shareSum = qaRows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares must sum to 1: $shareSum")
+    assert(qaRows.map(_.getAs[Long]("n_docs")).sum ==
+      corpus.filter($"split" === "train").count())
+
     // pack manifest covers exactly the train split, exclusive offsets
     val manifest = spark.read.parquet(s"$out/pack_manifest")
     assert(manifest.count() == counts.train)

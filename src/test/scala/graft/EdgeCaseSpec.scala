@@ -172,4 +172,25 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Double, Long)].toDF("id", "score", "ntok"),
       $"score", Seq(0.5), $"ntok").count() == 0)
   }
+
+  test("round-9 data-quality operators flow empty frames through " +
+      "without throwing (the decayedRunning-NPE lesson applied up front)") {
+    import graft.operators.{Profile, Quality, Temporal}
+    val e = emptyEvents
+    assert(Profile.madOutliers(
+      e.select("event_id", "event_type", "value"),
+      "event_type", "value").count() == 0)
+    assert(Profile.psi(e, col("event_type"), "value", Seq(1.0)).count() == 0)
+    assert(Quality.jsonQuarantine(
+      e.select("event_id", "props"), "props", "k").count() == 0)
+    // empty frame: the bounds guard sees a NULL worst span, not an NPE
+    assert(Temporal.resampleFfill(e, "user_id", "ts", "value",
+      stepSec = 3600L).count() == 0)
+    val emptyVecs = Tables.load(spark, sf, "embeddings").filter(lit(false))
+    assert(Profile.centroidDrift(emptyVecs, "label", "embedding")
+      .count() == 0)
+    val emptyMix = Seq.empty[(String, Long)].toDF("source", "n_tokens")
+    assert(Profile.epochPlan(emptyMix, "source", "n_tokens",
+      1.0, 100L, 1.0).count() == 0)
+  }
 }

@@ -17,6 +17,9 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT kmv_distinct(id, 64) FROM range(0, 1000)").head().getLong(0)
     // KMV with k=64 over 1000 exact-distinct values: generous ±30% band
     assert(est > 700 && est < 1300, s"estimate $est out of band")
+    // char_entropy: 'aabb' = 1 bit exactly; gibberish above prose
+    val ent = spark.sql("SELECT char_entropy('aabb') AS e").head().getDouble(0)
+    assert(ent == 1.0, s"2 symbols × equal counts must be exactly 1 bit: $ent")
     // install is idempotent (createOrReplace semantics)
     GraftExtensions.install(spark)
   }
@@ -38,6 +41,6 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("cosine_sim", "kmv_distinct", "misra_gries"))
+      Seq("char_entropy", "cosine_sim", "kmv_distinct", "misra_gries"))
   }
 }

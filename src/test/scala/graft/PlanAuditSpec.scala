@@ -508,6 +508,20 @@ class PlanAuditSpec extends SparkSpec {
       "result is not checkpoint-materialized:\n" + p.take(2500))
   }
 
+  test("resampleFfill: one events scan, grid generated from the " +
+    "checkpoint-materialized bounds frame (Scan ExistingRDD, no second " +
+    "corpus read), and exactly two key exchanges — the per-instant dedup " +
+    "window and the fill window") {
+    val p = plan("ts_resample_hourly")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"events scanned $scans times:\n${p.take(2500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      "bounds frame not checkpoint-materialized:\n" + p.take(2500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
   test("centroidDrift internal shape: one full corpus scan feeds the " +
     "(group, dim) sums (the n-count side re-reads only the pruned group " +
     "column), the corpus-centroid side derives from the PINNED per-group " +

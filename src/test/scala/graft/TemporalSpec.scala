@@ -141,4 +141,49 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.decayedRunning(wide, "key", "ts", "value", 86400L,
       tieBreak = Seq("event_id"), maxHalfLives = 0).count() == 2)
   }
+
+  test("resampleFfill: gaps carry the last observation forward, a grid " +
+      "instant coinciding with an observation reads IT, alignment padding " +
+      "before the first observation is null, and same-instant duplicates " +
+      "resolve last-wins by tieBreak") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // key 1: first obs at 00:30 (so the 00:00 grid point is padding),
+      // duplicate instant at 00:30 (event 3 must win), obs ON the 02:00
+      // grid point, then a gap through 04:xx.
+      (1L, 1L, t("2024-01-01 00:30:00"), 10.0),
+      (3L, 1L, t("2024-01-01 00:30:00"), 11.0),
+      (4L, 1L, t("2024-01-01 02:00:00"), 20.0),
+      (5L, 1L, t("2024-01-01 04:10:00"), 30.0),
+      (6L, 2L, t("2024-01-01 09:15:00"), 5.0))
+      .toDF("event_id", "user", "ts", "value")
+    val out = Temporal.resampleFfill(events, "user", "ts", "value",
+      stepSec = 3600L, tieBreak = Seq("event_id"))
+      .select($"user", $"grid_ts", $"value_ffill")
+      .as[(Long, Timestamp, Option[Double])]
+      .collect().map { case (k, g, v) => (k, g.toString) -> v }.toMap
+    // key 1 grid: 00:00 (padding) through 04:00
+    assert(out((1L, "2024-01-01 00:00:00.0")).isEmpty, "padding is null")
+    assert(out((1L, "2024-01-01 01:00:00.0")).contains(11.0),
+      "same-instant dup: the higher event_id wins")
+    assert(out((1L, "2024-01-01 02:00:00.0")).contains(20.0),
+      "a coincident observation is read at its own grid instant")
+    assert(out((1L, "2024-01-01 03:00:00.0")).contains(20.0), "gap carries")
+    assert(out((1L, "2024-01-01 04:00:00.0")).contains(20.0),
+      "04:10 observation is after the 04:00 grid point")
+    // key 2: single obs → single grid point at its aligned hour
+    assert(out.keys.count(_._1 == 2L) == 1)
+    assert(out((2L, "2024-01-01 09:00:00.0")).isEmpty,
+      "09:00 precedes the 09:15 observation")
+    // grid size guard: a second-cadence grid over a year-wide key trips
+    val wide = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 1.0),
+      (2L, 1L, t("2025-01-01 00:00:00"), 1.0))
+      .toDF("event_id", "user", "ts", "value")
+    val e = intercept[IllegalStateException] {
+      Temporal.resampleFfill(wide, "user", "ts", "value", stepSec = 1L,
+        tieBreak = Seq("event_id"), maxPointsPerKey = 100000L)
+    }
+    assert(e.getMessage.contains("grid points"))
+  }
 }
