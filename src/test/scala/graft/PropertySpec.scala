@@ -449,4 +449,110 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("madOutliers: the flag set is invariant under positive affine " +
+      "transforms of the values (the whole point of a ROBUST z-score), " +
+      "and matches a driver-side median/MAD reference") {
+    val dataGen = Gen.listOfN(30, Gen.choose(-500, 500))
+    forAll(dataGen, n = 6) { vals =>
+      whenever(vals.nonEmpty) {
+        def flagsOf(xs: Seq[Double]): Set[Long] =
+          graft.operators.Profile.madOutliers(
+            xs.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+              .toDF("id", "grp", "v"), "grp", "v")
+            .filter(col("is_outlier")).select("id").as[Long]
+            .collect().toSet
+        val base = vals.map(_.toDouble)
+        val flags = flagsOf(base)
+        // shift + positive scale must not change who is an outlier
+        assert(flagsOf(base.map(v => v * 3.0 + 1000.0)) == flags)
+        // driver-side reference: interpolated median, same formula
+        def med(xs: Seq[Double]): Double = {
+          val s = xs.sorted
+          val p = (s.length - 1) * 0.5
+          val lo = s(p.toInt); val hi = s(math.ceil(p).toInt)
+          lo + (hi - lo) * (p - p.toInt)
+        }
+        val m = med(base)
+        val mad = med(base.map(v => math.abs(v - m)))
+        val want = base.zipWithIndex.collect {
+          case (v, i) if mad != 0.0 &&
+            math.abs(0.6745 * (v - m) / mad) > 3.5 => i.toLong
+        }.toSet
+        assert(flags == want, s"vals=$base m=$m mad=$mad")
+      }
+    }
+  }
+
+  test("psi: permutation-invariant in the input order, exactly 0 when " +
+      "every period IS the baseline, and non-negative always") {
+    val gen = for {
+      rows <- Gen.listOfN(60, for {
+        p <- Gen.choose(0, 2); v <- Gen.choose(0, 99)
+      } yield (s"p$p", v.toDouble))
+    } yield rows
+    forAll(gen, n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        def psiOf(rs: Seq[(String, Double)]): Map[String, Double] =
+          graft.operators.Profile.psi(rs.toDF("p", "v"), col("p"), "v",
+            Seq(25.0, 50.0, 75.0))
+            .collect().map(r => r.getAs[String]("period") ->
+              r.getAs[Double]("psi")).toMap
+        val a = psiOf(rows)
+        assert(psiOf(scala.util.Random.shuffle(rows)) == a,
+          "input order must not matter (exact decimal sums)")
+        assert(a.values.forall(v => v >= -1e-9 && !v.isNaN && !v.isInfinite),
+          s"PSI must be finite and non-negative-ish: $a")
+        // collapse every row into ONE period: that period is the
+        // baseline, so its PSI is exactly 0
+        val one = psiOf(rows.map { case (_, v) => ("only", v) })
+        assert(one == Map("only" -> 0.0))
+      }
+    }
+  }
+
+  test("resampleFfill: every grid value equals the latest observation " +
+      "at or before the grid instant (driver-side replay), grid is " +
+      "step-spaced per key, and counts match the span") {
+    val gen = Gen.listOfN(25, for {
+      k <- Gen.choose(0, 2)
+      minute <- Gen.choose(0, 600) // within ~10h
+      v <- Gen.choose(0, 1000)
+    } yield (k.toLong, minute, v.toDouble))
+    forAll(gen, n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        val df = rows.zipWithIndex.map { case ((k, m, v), i) =>
+          (i.toLong, k, new java.sql.Timestamp(base + m * 60000L), v)
+        }.toDF("event_id", "key", "ts", "value")
+        val out = graft.operators.Temporal.resampleFfill(df, "key", "ts",
+          "value", stepSec = 3600L, tieBreak = Seq("event_id"))
+          .select($"key", $"grid_ts", $"value_ffill")
+          .as[(Long, java.sql.Timestamp, Option[Double])].collect()
+        // driver-side replay: latest (minute, event_id) at or before
+        val byKey = rows.zipWithIndex
+          .map { case ((k, m, v), i) => (k, m, v, i) }.groupBy(_._1)
+        out.groupBy(_._1).foreach { case (k, grid) =>
+          val obs = byKey(k)
+          val sortedG = grid.sortBy(_._2.getTime)
+          // step-spaced, starts at the aligned hour of the first obs
+          val t0 = obs.map(_._2).min / 60 * 60 // minutes → aligned hour
+          assert(sortedG.head._2.getTime == base + t0 * 60000L)
+          sortedG.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(b._2.getTime - a._2.getTime == 3600000L)
+            case _ =>
+          }
+          sortedG.foreach { case (_, g, got) =>
+            val gMin = ((g.getTime - base) / 60000L).toInt
+            val eligible = obs.filter(_._2 <= gMin)
+            val want =
+              if (eligible.isEmpty) None
+              else Some(eligible.maxBy(o => (o._2, o._4))._3)
+            assert(got == want, s"key=$k grid=$g")
+          }
+        }
+      }
+    }
+  }
 }
