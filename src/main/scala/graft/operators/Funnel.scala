@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: the ClickHouse `windowFunnel` / `retention`
+  * pair — the two aggregate shapes every product-analytics deployment of
+  * the reference stack (Superset dashboards over a ClickHouse events
+  * table) runs daily. Re-expressed as declarative Spark plans: no
+  * per-key UDAF state machine, no driver-side sequence walk.
+  *
+  * Scale shape (both): everything reduces to hash exchanges on the key
+  * plus window passes — cost ∝ |events|, never |events|² per key. The
+  * funnel walks its step chain with one union+window pass per level
+  * (levels are a small query constant), the standard as-of trick:
+  * probes and build rows interleave in one per-key sort, so "earliest
+  * next occurrence after t" needs no range self-join and has zero pair
+  * fan-out on hot keys.
+  */
+object Funnel {
+
+  /** ClickHouse `windowFunnel(window)(ts, type = step₁, …)` in
+    * strict-increase mode: per key, the maximum prefix length L of
+    * `steps` for which events e₁ < e₂ < … < e_L exist (strictly
+    * increasing timestamps) with `type(eᵢ) = steps(i)` and
+    * `ts(e_L) − ts(e₁) ≤ windowSec`. Returns one row per key that has
+    * at least one step-1 event: `(key, funnel_level)`.
+    *
+    * Greedy-earliest chain extension is exact here: if any chain of
+    * depth L exists from a given start, the chain that always takes
+    * the EARLIEST next-step event also reaches depth L within the
+    * window (each greedy timestamp is ≤ its counterpart by induction).
+    * So per start the walk is deterministic, and per key the level is
+    * the max over starts — every step-1 instant is tried, matching
+    * ClickHouse's any-start semantics.
+    *
+    * Strict-increase (equal-timestamp events do NOT chain) is the one
+    * ClickHouse mode with an engine-independent answer — the default
+    * mode's "same-timestamp events match in any order" makes the level
+    * depend on physical row order.
+    */
+  def windowFunnel(events: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel: steps must be non-empty")
+    require(windowSec > 0,
+      s"windowFunnel: windowSec must be positive, got $windowSec")
+    // one chain per distinct (key, step-1 instant); µs longs so the
+    // window bound is exact integer arithmetic in every engine
+    var chains = events.filter(col(typeCol) === steps.head)
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("t1"))
+      .distinct()
+      .withColumn("tcur", col("t1"))
+      .withColumn("level", lit(1))
+    for (i <- 1 until steps.length) {
+      val builds = events.filter(col(typeCol) === steps(i))
+        .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"))
+        .distinct()
+        .withColumn("__tag", lit(0))
+        .withColumn("t1", lit(null).cast("long"))
+        .withColumn("tcur", lit(null).cast("long"))
+        .withColumn("level", lit(null).cast("int"))
+      val probes = chains.select(col("__k"), col("tcur").as("__t"),
+        lit(1).as("__tag"), col("t1"), col("tcur"), col("level"))
+      // builds sort BEFORE probes at equal __t (tag 0 < 1), so the
+      // strictly-following frame excludes equal-timestamp builds —
+      // the strict-increase rule falls out of the sort order
+      val w = Window.partitionBy("__k").orderBy(col("__t"), col("__tag"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val nextT = min(when(col("__tag") === 0, col("__t"))).over(w)
+      // __next must materialize BEFORE the probe filter: referencing the
+      // window expression after the builds are filtered away would
+      // re-evaluate it over a build-free frame (always null)
+      val matched = col("level") === i && col("__next").isNotNull &&
+        col("__next") - col("t1") <= windowSec * 1000000L
+      chains = probes.unionByName(builds)
+        .withColumn("__next", nextT)
+        .filter(col("__tag") === 1)
+        .select(col("__k"), col("t1"),
+          when(matched, col("__next")).otherwise(col("tcur")).as("tcur"),
+          when(matched, lit(i + 1)).otherwise(col("level")).as("level"))
+    }
+    chains.groupBy("__k")
+      .agg(max("level").as("funnel_level"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** Cohort retention matrix — the ClickHouse `retention` aggregate in
+    * its universal dashboard form: each key's cohort day is its first
+    * day satisfying `cohortFilter` (e.g. signup), and for every offset
+    * `0..maxOffsetDays` the matrix counts cohort members with ANY
+    * event that many days later. Returns
+    * `(cohort_day, day_offset, active_users, cohort_size,
+    * retained_rate)`; offset 0 is the cohort itself (rate 1 by
+    * construction — the cohort day is an active day).
+    *
+    * Shape: per-key day-activity dedup (map-side combinable distinct),
+    * one key-equi-join against the |keys|-row cohort frame, then a
+    * grouped count — fan-out per key is its distinct active days
+    * within the horizon, bounded by `maxOffsetDays + 1`.
+    */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String,
+                      cohortFilter: org.apache.spark.sql.Column,
+                      maxOffsetDays: Int): DataFrame = {
+    require(maxOffsetDays >= 0,
+      s"cohortRetention: maxOffsetDays must be >= 0, got $maxOffsetDays")
+    import graft.functions.Rounding.pround
+    val days = events.select(col(keyCol).as("__k"),
+      to_date(col(tsCol)).as("__d"), cohortFilter.as("__c"))
+    val cohort = days.filter(col("__c"))
+      .groupBy("__k").agg(min("__d").as("cohort_day"))
+    val active = days.select("__k", "__d").distinct()
+    val counts = cohort.join(active, "__k")
+      .withColumn("day_offset", datediff(col("__d"), col("cohort_day")))
+      .filter(col("day_offset").between(0, maxOffsetDays))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("__k")).as("active_users"))
+    val sizeW = Window.partitionBy("cohort_day")
+    counts
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("active_users"))).over(sizeW))
+      .withColumn("retained_rate",
+        pround(col("active_users").cast("double") / col("cohort_size"), 6))
+  }
+}

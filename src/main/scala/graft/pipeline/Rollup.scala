@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Rounding.pround
+
+/** ClickHouse Summing/AggregatingMergeTree semantics, Spark-first:
+  * a stored rollup table holds MERGEABLE partial-aggregate states per
+  * key, new batches reduce to their own states and fold in with the
+  * same reduction — never a rescan of the base table. The MergeTree
+  * family is thereby complete: Replacing (A4 `dedupLatest` +
+  * `Retention.optimizeFinal`), Summing/Aggregating (here).
+  *
+  * State per key: `n` (BIGINT), `sum_v` (exact DECIMAL(38,12) of
+  * l9-rounded values — accumulation-order-independent, so distributed
+  * merge order can never change a digit), `min_v`/`max_v`, and `kmv`
+  * (the ≤k smallest md5 hashes of the distinct-counted column — the
+  * classic KMV sketch state, mergeable by "k smallest of the union").
+  * Everything is algebraic or bounded-state: a state row costs O(k)
+  * regardless of how many rows fed it.
+  *
+  * Merge associativity/commutativity is by construction: [[merge]] is
+  * the SAME groupBy reduction applied to a union of state rows, so
+  * build(all) ≡ merge(build(b₁), …, build(bₙ)) for ANY batch split —
+  * the property the e2e oracle checks and `RollupSpec` re-checks on
+  * adversarial splits.
+  *
+  * 100 TB shape: batch states reduce map-side (every aggregate here is
+  * partial-aggregable); the stored rollup is |keys| rows, so the merge
+  * join moves state rows only. The kmv build pre-filters to each key's
+  * k smallest hashes with a rank window BEFORE any collection —
+  * Spark's WindowGroupLimit pushes that top-k into the map side, so
+  * the shuffle carries ≤k hash rows per key, not the key's distinct
+  * universe (the same rank-limit pushdown the A4 dedups lean on).
+  */
+object Rollup {
+
+  /** Reduce a raw batch to one state row per key. */
+  def aggregateState(batch: DataFrame, keys: Seq[String], valCol: String,
+                     distinctCol: String, k: Int): DataFrame = {
+    require(k >= 16, s"k >= 16 required for a usable KMV estimate, got $k")
+    val scalars = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(pround(col(valCol), 9).cast(DecimalType(38, 12))).as("sum_v"),
+        min(col(valCol)).as("min_v"),
+        max(col(valCol)).as("max_v"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    val kmv = batch
+      .select(keys.map(col) :+ md5(col(distinctCol).cast("string")).as("__h"): _*)
+      .distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+    scalars.join(kmv, keys)
+  }
+
+  /** Fold state frames into one — the MergeTree background merge as a
+    * query. Same reduction as the build, applied to state rows. */
+  def merge(states: Seq[DataFrame], keys: Seq[String], k: Int): DataFrame = {
+    require(states.nonEmpty, "merge: no states")
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv"))
+  }
+
+  /** Finalize a state into the read-side aggregate row: count, sum,
+    * min, max, avg, and the KMV distinct estimate `(k−1)/frac(kth)`
+    * (exact `n_seen` below saturation). The estimator arithmetic is
+    * the [[graft.operators.Profile.kmvEstimate]] spelling, so the
+    * DuckDB replica is shared. */
+  def finalizeState(state: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val kth: Column = element_at(col("kmv"), k)
+    val frac = conv(substring(kth, 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 16^13 = 2^52
+    val nSeen = size(col("kmv"))
+    val est = when(nSeen < k || frac <= 0.0, nSeen.cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) / frac + lit(0.5)).cast("long"))
+    state.select(keys.map(col) ++ Seq(
+      col("n"),
+      pround(col("sum_v").cast("double"), 6).as("sum_v"),
+      col("min_v"), col("max_v"),
+      pround(col("sum_v").cast("double") / col("n"), 6).as("avg_v"),
+      est.as("distinct_est")): _*)
+  }
+}

@@ -42,6 +42,12 @@ object Extensions {
   private val EpochCap = 1.25
   // dq_psi_daily: fixed bin edges over the events value range (0–490).
   private val PsiEdges = Seq(25.0, 50.0, 75.0, 100.0, 150.0, 200.0, 300.0)
+  // funnel_window: the classic view→click→purchase chain; 12 h window
+  // exercises all three levels on the fixture (14/100/36 users).
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowSec = 43200L
+  // retention_cohort: signup-day cohorts followed for a week.
+  private val RetentionDays = 7
   private val DsirN = 50
   private val DsirSeed = "dsir-r8"
   private val AnnK = 5
@@ -268,6 +274,24 @@ object Extensions {
         .select("hour", "n_events", "z", "is_anomaly")
         .orderBy("hour")
     }),
+
+    // ClickHouse windowFunnel (strict-increase): per user, the deepest
+    // prefix of view→click→purchase chained on strictly-increasing
+    // timestamps within a 12 h window of the chain's first event — the
+    // conversion dashboard number. Greedy earliest-next extension per
+    // start, max over starts (see Funnel.windowFunnel).
+    "funnel_window" -> ((s, dir) =>
+      graft.operators.Funnel.windowFunnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps, FunnelWindowSec)
+        .orderBy("user_id")),
+
+    // ClickHouse retention in cohort-matrix form: signup-day cohorts ×
+    // day offsets 0..7, active-user counts and retained rates — the
+    // other half of every product-analytics dashboard on this stack.
+    "retention_cohort" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(t(s, dir, "events"),
+        "user_id", "ts", col("event_type") === "signup", RetentionDays)
+        .orderBy("cohort_day", "day_offset")),
 
     // Daily PSI of the value distribution vs the whole table: the
     // numeric-feature drift meter (p/q binned shares, eps-floored,
@@ -1896,6 +1920,50 @@ object Extensions {
          |  FROM h, st)
          |SELECT hour, n_events, z, abs(z) > 3.0 AS is_anomaly
          |FROM z ORDER BY hour""".stripMargin
+    },
+    // Greedy earliest-next funnel replica: t2 = earliest step-2 after
+    // each step-1 instant, t3 = earliest step-3 after t2 (greedy is
+    // depth-optimal — each greedy timestamp lower-bounds any rival
+    // chain's), level from the window check on integer µs.
+    "funnel_window" -> {
+      val wUs = FunnelWindowSec * 1000000L
+      s"""WITH s1 AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t1
+         |            FROM events WHERE event_type = '${FunnelSteps(0)}'),
+         |c2 AS (SELECT s1.k, s1.t1, min(epoch_us(e.ts)) AS t2
+         |       FROM s1 LEFT JOIN events e
+         |         ON e.user_id = s1.k AND e.event_type = '${FunnelSteps(1)}'
+         |        AND epoch_us(e.ts) > s1.t1
+         |       GROUP BY 1, 2),
+         |c3 AS (SELECT c2.k, c2.t1, c2.t2, min(epoch_us(e.ts)) AS t3
+         |       FROM c2 LEFT JOIN events e
+         |         ON e.user_id = c2.k AND e.event_type = '${FunnelSteps(2)}'
+         |        AND c2.t2 IS NOT NULL AND epoch_us(e.ts) > c2.t2
+         |       GROUP BY 1, 2, 3),
+         |lv AS (SELECT k, CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $wUs THEN 3
+         |                      WHEN t2 IS NOT NULL AND t2 - t1 <= $wUs THEN 2
+         |                      ELSE 1 END AS level
+         |       FROM c3)
+         |SELECT k AS user_id, CAST(max(level) AS INT) AS funnel_level
+         |FROM lv GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    "retention_cohort" -> {
+      val size = "max(CASE WHEN day_offset = 0 THEN active_users END) " +
+        "OVER (PARTITION BY cohort_day)"
+      s"""WITH days AS (SELECT user_id AS k, CAST(ts AS DATE) AS d, event_type
+         |              FROM events),
+         |cohort AS (SELECT k, min(d) AS cohort_day FROM days
+         |           WHERE event_type = 'signup' GROUP BY 1),
+         |active AS (SELECT DISTINCT k, d FROM days),
+         |counts AS (SELECT cohort_day,
+         |                  CAST(date_diff('day', cohort_day, d) AS INT) AS day_offset,
+         |                  count(DISTINCT a.k) AS active_users
+         |           FROM cohort c JOIN active a ON a.k = c.k
+         |           WHERE date_diff('day', cohort_day, d)
+         |                 BETWEEN 0 AND $RetentionDays
+         |           GROUP BY 1, 2)
+         |SELECT cohort_day, day_offset, active_users, $size AS cohort_size,
+         |       ${Rounding.sqlPround(s"CAST(active_users AS DOUBLE) / ($size)", 6)} AS retained_rate
+         |FROM counts ORDER BY cohort_day, day_offset""".stripMargin
     },
     "dq_psi_daily" -> {
       val caseChain = PsiEdges.zipWithIndex

@@ -27,6 +27,18 @@ object Pipelines {
   private val eventCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  // rollup e2e: KMV sketch size for the distinct-user state (small on
+  // purpose — most (type, day) keys saturate, exercising the estimator)
+  private val RollupK = 16
+
+  // DuckDB has no conv(): widen a 13-hex-digit prefix to its numeric
+  // value digit by digit (same helper as Extensions' KMV oracle).
+  private def hex13ToDouble(hx: String): String =
+    (1 to 13).map { i =>
+      val f = 1L << (4 * (13 - i))
+      s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
+    }.mkString("(", " + ", ")")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // v2 flagship (SURVEY.md §3.2): cold start on the first half of the
     // month, then a true incremental run over the full source; final
@@ -117,6 +129,36 @@ object Pipelines {
           s.read.parquet(qPath).select(eventCols.map(col): _*)
             .withColumn("status", lit("quarantine")))
         .orderBy("event_id")
+    }),
+
+    // Summing/AggregatingMergeTree e2e: the stored rollup table holds
+    // mergeable partial-aggregate STATE per (event_type, day); three
+    // batches split at MID-DAY instants (so day keys straddle batches
+    // and genuinely merge) build their own states and fold in with the
+    // same reduction — no base-table rescan anywhere. The read-side
+    // finalize must equal the one-shot GROUP BY over the whole source:
+    // build(all) ≡ merge(build(b₁), build(b₂), build(b₃)).
+    "pipeline_rollup_incremental_e2e" -> ((s, dir) => {
+      import graft.pipeline.Rollup
+      val keys = Seq("event_type", "day")
+      val src = Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      def cut(a: String) = lit(a).cast("timestamp")
+      val b1 = src.filter(col("ts") < cut("2024-01-11 12:00:00"))
+      val b2 = src.filter(col("ts") >= cut("2024-01-11 12:00:00") &&
+        col("ts") < cut("2024-01-21 12:00:00"))
+      val b3 = src.filter(col("ts") >= cut("2024-01-21 12:00:00"))
+      val base = scratch("graft_rollup")
+      Rollup.aggregateState(b1, keys, "value", "user_id", RollupK)
+        .write.parquet(s"$base/g1")
+      Rollup.merge(Seq(s.read.parquet(s"$base/g1"),
+        Rollup.aggregateState(b2, keys, "value", "user_id", RollupK)),
+        keys, RollupK).write.parquet(s"$base/g2")
+      Rollup.merge(Seq(s.read.parquet(s"$base/g2"),
+        Rollup.aggregateState(b3, keys, "value", "user_id", RollupK)),
+        keys, RollupK).write.parquet(s"$base/g3")
+      Rollup.finalizeState(s.read.parquet(s"$base/g3"), keys, RollupK)
+        .orderBy("event_type", "day")
     }),
 
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
@@ -225,6 +267,40 @@ object Pipelines {
         |                IS NOT NULL
         |       THEN 'ok' ELSE 'quarantine' END AS status
         |FROM src ORDER BY event_id""".stripMargin,
+    "pipeline_rollup_incremental_e2e" -> {
+      import graft.functions.Rounding
+      s"""WITH base AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         |         CAST(user_id AS VARCHAR) AS uv FROM events),
+         |sc AS (
+         |  SELECT event_type, day, count(*) AS n,
+         |         sum(CAST(${Rounding.sqlPround("value", 9)} AS DECIMAL(38,12))) AS sum_d,
+         |         min(value) AS min_v, max(value) AS max_v
+         |  FROM base GROUP BY 1, 2),
+         |dv AS (SELECT DISTINCT event_type, day, md5(uv) AS h FROM base),
+         |kth AS (
+         |  SELECT event_type, day, count(*) AS n_seen, max(h) AS kth FROM (
+         |    SELECT event_type, day, h, row_number() OVER (
+         |      PARTITION BY event_type, day ORDER BY h) AS r
+         |    FROM dv) WHERE r <= $RollupK GROUP BY 1, 2),
+         |est AS (
+         |  SELECT event_type, day, n_seen,
+         |         ${hex13ToDouble("kth")} / 4503599627370496.0 AS frac
+         |  FROM kth),
+         |fin AS (
+         |  SELECT event_type, day,
+         |         CASE WHEN n_seen < $RollupK OR frac <= 0.0 THEN n_seen
+         |              ELSE CAST(floor(${RollupK - 1}.0 / frac + 0.5) AS BIGINT)
+         |         END AS distinct_est
+         |  FROM est)
+         |SELECT s.event_type, s.day, s.n,
+         |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE)", 6)} AS sum_v,
+         |       min_v, max_v,
+         |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE) / n", 6)} AS avg_v,
+         |       f.distinct_est
+         |FROM sc s JOIN fin f USING (event_type, day)
+         |ORDER BY event_type, day""".stripMargin
+    },
     "multimodal_binary_meta" ->
       """SELECT doc_id, 'application/x-fake' AS kind,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def funnel(rows: Seq[(Long, Timestamp, String)],
+                     windowSec: Long): Map[Long, Int] =
+    Funnel.windowFunnel(
+      rows.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowSec)
+      .as[(Long, Int)].collect().toMap
+
+  test("full chain in order within the window reaches level 3") {
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase")), windowSec = 3600)
+    assert(out == Map(1L -> 3))
+  }
+
+  test("steps out of order only credit the in-order prefix") {
+    // purchase BEFORE the click: chain stops at view→click
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "purchase"),
+      (1L, ts("2024-01-01 10:10:00"), "click")), windowSec = 3600)
+    assert(out == Map(1L -> 2))
+  }
+
+  test("the window binds the WHOLE chain to its first event") {
+    // click at +50 min is inside, purchase at +70 min is outside 1 h
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:50:00"), "click"),
+      (1L, ts("2024-01-01 11:10:00"), "purchase")), windowSec = 3600)
+    assert(out == Map(1L -> 2))
+  }
+
+  test("a later start can out-run an earlier one (any-start semantics)") {
+    // from the 09:00 view the chain exceeds the window; the 10:45 view
+    // catches the same click+purchase inside it
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-01 10:45:00"), "view"),
+      (1L, ts("2024-01-01 10:50:00"), "click"),
+      (1L, ts("2024-01-01 11:10:00"), "purchase")), windowSec = 3600)
+    assert(out == Map(1L -> 3))
+  }
+
+  test("strict increase: equal-timestamp events do not chain") {
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase")), windowSec = 3600)
+    // click is simultaneous with view → not after it → level 1... but
+    // greedy then has no click at all, so purchase can't attach either
+    assert(out == Map(1L -> 1))
+  }
+
+  test("greedy earliest-next is depth-optimal: a dead-end earliest step-2 " +
+    "does not exist — any later completion implies greedy completion") {
+    // earliest click (10:05) is followed by a purchase at 10:55; a rival
+    // chain via the 10:30 click reaches the same purchase. Greedy must
+    // find level 3 through the EARLIEST click.
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 10:55:00"), "purchase")), windowSec = 3600)
+    assert(out == Map(1L -> 3))
+  }
+
+  test("users without a step-1 event are absent; independent users " +
+    "level independently") {
+    val out = funnel(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, ts("2024-01-01 10:10:00"), "purchase"),
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:10:00"), "click")), windowSec = 3600)
+    assert(out == Map(1L -> 1, 3L -> 2))
+  }
+
+  test("guards: empty steps and non-positive window fail loudly") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(df, "user_id", "ts", "event_type", Nil, 60)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(df, "user_id", "ts", "event_type", steps, 0)
+    }
+  }
+
+  test("cohort retention counts each cohort member once per offset day " +
+    "and rates against the day-0 cohort size") {
+    val rows = Seq(
+      // user 1: signs up day 1, active days 1,2,3
+      (1L, ts("2024-01-01 09:00:00"), "signup"),
+      (1L, ts("2024-01-02 09:00:00"), "view"),
+      (1L, ts("2024-01-02 18:00:00"), "click"),   // same day — one count
+      (1L, ts("2024-01-03 09:00:00"), "view"),
+      // user 2: signs up day 1, active day 1 only
+      (2L, ts("2024-01-01 12:00:00"), "signup"),
+      // user 3: signs up day 2 (second signup ignored), active day 3
+      (3L, ts("2024-01-02 10:00:00"), "signup"),
+      (3L, ts("2024-01-05 10:00:00"), "signup"),
+      (3L, ts("2024-01-03 10:00:00"), "view"),
+      // user 4: never signs up → not in any cohort
+      (4L, ts("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.cohortRetention(rows, "user_id", "ts",
+      col("event_type") === "signup", maxOffsetDays = 7)
+      .select($"cohort_day".cast("string"), $"day_offset",
+        $"active_users", $"cohort_size", $"retained_rate")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out(("2024-01-01", 0)) == (2L, 2L, 1.0))
+    assert(out(("2024-01-01", 1)) == (1L, 2L, 0.5))
+    assert(out(("2024-01-01", 2)) == (1L, 2L, 0.5))
+    assert(out(("2024-01-02", 0)) == (1L, 1L, 1.0))
+    assert(out(("2024-01-02", 1)) == (1L, 1L, 1.0))
+    // day-5 signup of user 3 does NOT open a second cohort row
+    assert(!out.contains(("2024-01-05", 0)))
+    // offsets with no active users are absent, not zero
+    assert(!out.contains(("2024-01-01", 3)))
+  }
+}
