@@ -263,6 +263,31 @@ object ScaleStress {
         "vec_id", "embedding", 5, queries.Extensions.SemCents, nprobe = 4)
         .write.format("noop").mode("overwrite").save()
     }
+    check("funnel hot user: 100k-event key stays linear (window pass, " +
+        "no pair fan-out)") {
+      // One user owns 100k events — a time-range self-join funnel
+      // would build ~10^10/3 candidate pairs on that key; the
+      // union+window walk carries exactly one row per event per level.
+      val n = 100000
+      val hot = (1 to n).map { i =>
+        (42L, new java.sql.Timestamp(1704067200000L + i * 1000L),
+          Seq("view", "click", "purchase")(i % 3))
+      }.toDF("user_id", "ts", "event_type")
+      val lv = operators.Funnel.windowFunnel(hot, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), 3600)
+        .select("funnel_level").as[Int].collect()
+      lv.toSeq == Seq(3)
+    }
+    time("rollup maintenance: fold 20 batch states over 2M events " +
+        "(|keys| rows moved per merge, no base rescan)") {
+      val keys = Seq("event_type")
+      val st = (0 until 4).map(i =>
+        pipeline.Rollup.aggregateState(
+          bigEv.filter($"event_id" % 4 === i), keys, "value", "user_id", 64))
+      pipeline.Rollup.finalizeState(
+        pipeline.Rollup.merge(st, keys, 64), keys, 64)
+        .write.format("noop").mode("overwrite").save()
+    }
     bigEmb.unpersist(blocking = false)
     bigDocs.unpersist(blocking = false)
     out.toSeq
