@@ -425,4 +425,70 @@ object Profile {
         pround(cosine, 9).as("cos_to_corpus"))
     (out, perGroup)
   }
+
+  /** HyperLogLog distinct estimate (ClickHouse `uniqHLL12`'s shape, at
+    * m = 256 registers) with the exact count beside it — the same
+    * QA-row convention as [[kmvEstimate]], giving the engine a second
+    * mergeable distinct sketch with different scaling: KMV state is k
+    * hashes per group, HLL state is m 6-bit registers merging by MAX
+    * (the AggregatingMergeTree-friendly shape; union = register-wise
+    * max, no re-scan).
+    *
+    * Register stream is md5-derived so the DuckDB oracle reconstructs
+    * it exactly: bucket = first 2 hex chars (8 bits); the next 13 hex
+    * chars form a 52-bit word `w`, and ρ = (leading zeros of w in a
+    * 52-bit field) + 1 ∈ [1, 53], computed as `53 − length(bin(w))` —
+    * a string-length scan, identical in both engines, with none of
+    * float `log2`'s power-of-two boundary risk.
+    *
+    * The harmonic sum Σ 2^−M_j is kept EXACT by integer scaling:
+    * Σ 2^(53−M_j) ≤ m·2^53 < 2^63 sums associatively in BIGINT, so
+    * the distributed sum is partial-aggregate-order-independent and
+    * matches DuckDB bit for bit; the one double division α·m²·2^53 / S
+    * is a single IEEE op on identical operands. Small-range correction
+    * (raw ≤ 2.5m with empty registers) is linear counting m·ln(m/V);
+    * estimates pround@6.
+    *
+    * Shape: distinct → groupBy(g, bucket) MAX(ρ) (map-side combinable,
+    * ≤ m rows per group cross the shuffle) → |groups|-row finish.
+    */
+  def hllEstimate(df: DataFrame, groupCol: String, value: Column)
+      : DataFrame = {
+    import graft.functions.Rounding.pround
+    val m = 256
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val pow53 = 9007199254740992.0 // 2^53
+    val c2 = alpha * m * m * pow53 // one embedded constant, both engines
+    val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .distinct().persist()
+    val exact = dv.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    val h = md5(col("v"))
+    val w = conv(substring(h, 3, 13), 16, 10).cast("long")
+    val rho = when(w === 0L, lit(53))
+      .otherwise(lit(53) - length(bin(w)))
+    val regs = dv
+      .select(col("g"),
+        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
+        rho.as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("m_j"))
+    val grouped = regs.groupBy("g").agg(
+        sum(expr("CAST(power(2, 53 - m_j) AS BIGINT)")).as("s_occ"),
+        count(lit(1)).as("occ"))
+      .withColumn("s_int",
+        col("s_occ") + (lit(m.toLong) - col("occ")) * lit(pow53.toLong))
+      .withColumn("v_empty", lit(m.toLong) - col("occ"))
+    val raw = lit(c2) / col("s_int").cast("double")
+    val est = when(raw <= lit(2.5 * m) && col("v_empty") > 0,
+        pround(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("v_empty").cast("double")), 6))
+      .otherwise(pround(raw, 6))
+    val out = exact.join(grouped, Seq("g"))
+      .withColumn("hll_est", est)
+      .select(col("g").as(groupCol), col("n_exact"), col("hll_est"),
+        pround(abs(col("hll_est") - col("n_exact")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+    val detached = Dedup.materializeDetached(out)
+    dv.unpersist(blocking = false)
+    detached
+  }
 }

@@ -46,6 +46,13 @@ object Extensions {
   // exercises all three levels on the fixture (14/100/36 users).
   private val FunnelSteps = Seq("view", "click", "purchase")
   private val FunnelWindowSec = 43200L
+  private val SeqSpanConds = Seq("signup", "view", "purchase")
+
+  /** α·m²·2^53 for HLL m=256 — the SAME arithmetic order as
+    * `Profile.hllEstimate`'s `alpha * m * m * pow53`, so the embedded
+    * SQL literal is the bit-identical double. */
+  private val HllC2: Double =
+    0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
   // retention_cohort: signup-day cohorts followed for a week.
   private val RetentionDays = 7
   private val DsirN = 50
@@ -292,6 +299,31 @@ object Extensions {
       graft.operators.Funnel.cohortRetention(t(s, dir, "events"),
         "user_id", "ts", col("event_type") === "signup", RetentionDays)
         .orderBy("cohort_day", "day_offset")),
+
+    // ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): signup, then a
+    // view strictly later, then a purchase strictly later — no time
+    // bound. The funnel chain walk with the window check off.
+    "seq_match_spanning" -> ((s, dir) =>
+      graft.operators.Sequence.matchSpanning(t(s, dir, "events"),
+        "user_id", "ts", SeqSpanConds.map(col("event_type") === _))
+        .orderBy("user_id")),
+
+    // ClickHouse sequenceCount('(?1)(?2)'): view IMMEDIATELY followed
+    // by click in the view/click subsequence (other events skipped),
+    // ties broken by event_id — one lag window, linear on hot keys.
+    "seq_count_pairs" -> ((s, dir) =>
+      graft.operators.Sequence.countAdjacentPairs(t(s, dir, "events"),
+        "user_id", "ts", "event_id",
+        col("event_type") === "view", col("event_type") === "click")
+        .orderBy("user_id")),
+
+    // ClickHouse uniqHLL12's shape: HLL(m=256) distinct users per
+    // event type beside the exact count — the register-max mergeable
+    // twin of sketch_kmv_estimate.
+    "sketch_hll_estimate" -> ((s, dir) =>
+      graft.operators.Profile.hllEstimate(t(s, dir, "events"),
+        "event_type", col("user_id"))
+        .orderBy("event_type")),
 
     // Daily PSI of the value distribution vs the whole table: the
     // numeric-feature drift meter (p/q binned shares, eps-floored,
@@ -1964,6 +1996,69 @@ object Extensions {
          |SELECT cohort_day, day_offset, active_users, $size AS cohort_size,
          |       ${Rounding.sqlPround(s"CAST(active_users AS DOUBLE) / ($size)", 6)} AS retained_rate
          |FROM counts ORDER BY cohort_day, day_offset""".stripMargin
+    },
+    // Unbounded spanning chain: greedy from the EARLIEST step-1 event
+    // is exact (no window bound, so the earliest start dominates every
+    // rival chain by the funnel induction) — three min-aggregates.
+    "seq_match_spanning" ->
+      s"""WITH s1 AS (SELECT user_id AS k, min(epoch_us(ts)) AS t1
+         |            FROM events WHERE event_type = '${SeqSpanConds(0)}'
+         |            GROUP BY 1),
+         |c2 AS (SELECT s1.k, min(epoch_us(e.ts)) AS t2
+         |       FROM s1 JOIN events e
+         |         ON e.user_id = s1.k AND e.event_type = '${SeqSpanConds(1)}'
+         |        AND epoch_us(e.ts) > s1.t1
+         |       GROUP BY 1),
+         |c3 AS (SELECT c2.k, min(epoch_us(e.ts)) AS t3
+         |       FROM c2 JOIN events e
+         |         ON e.user_id = c2.k AND e.event_type = '${SeqSpanConds(2)}'
+         |        AND epoch_us(e.ts) > c2.t2
+         |       GROUP BY 1)
+         |SELECT s1.k AS user_id, (c3.k IS NOT NULL) AS matched
+         |FROM s1 LEFT JOIN c3 ON c3.k = s1.k
+         |ORDER BY user_id""".stripMargin,
+    "seq_count_pairs" ->
+      s"""WITH f AS (
+         |  SELECT user_id AS k, ts, event_id,
+         |         CASE WHEN event_type = 'view' THEN 1
+         |              WHEN event_type = 'click' THEN 2 END AS lab
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |l AS (SELECT k, lab,
+         |             lag(lab) OVER (PARTITION BY k ORDER BY ts, event_id)
+         |               AS prev
+         |      FROM f)
+         |SELECT k AS user_id,
+         |       CAST(sum(CASE WHEN prev = 1 AND lab = 2 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS pair_count,
+         |       CAST(sum(CASE WHEN prev = 1 AND lab = 2 THEN 1 ELSE 0 END)
+         |            AS BIGINT) > 0 AS matched
+         |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "sketch_hll_estimate" -> {
+      val hex2ToInt = "(strpos('0123456789abcdef', substr(md5(v),1,1))-1)*16" +
+        " + (strpos('0123456789abcdef', substr(md5(v),2,1))-1)"
+      s"""WITH dv AS (SELECT DISTINCT event_type AS g,
+         |                   CAST(user_id AS VARCHAR) AS v FROM events),
+         |ex AS (SELECT g, count(*) AS n_exact FROM dv GROUP BY g),
+         |r AS (SELECT g, CAST($hex2ToInt AS INT) AS bucket,
+         |             CAST(${hex13ToDouble("substr(md5(v),3,13)")} AS BIGINT) AS w
+         |      FROM dv),
+         |regs AS (SELECT g, bucket,
+         |                max(CASE WHEN w = 0 THEN 53
+         |                         ELSE 53 - length(bin(w)) END) AS m_j
+         |         FROM r GROUP BY 1, 2),
+         |gr AS (SELECT g, sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
+         |              count(*) AS occ
+         |       FROM regs GROUP BY 1),
+         |fin AS (SELECT g, s_occ + (256 - occ) * 9007199254740992 AS s_int,
+         |               256 - occ AS v_empty FROM gr),
+         |est AS (SELECT g,
+         |  CASE WHEN ($HllC2 / CAST(s_int AS DOUBLE)) <= 640.0 AND v_empty > 0
+         |       THEN ${Rounding.sqlPround("256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))", 6)}
+         |       ELSE ${Rounding.sqlPround(s"$HllC2 / CAST(s_int AS DOUBLE)", 6)}
+         |  END AS hll_est FROM fin)
+         |SELECT e.g AS event_type, x.n_exact, e.hll_est,
+         |       ${Rounding.sqlPround("abs(e.hll_est - x.n_exact) / CAST(x.n_exact AS DOUBLE)", 6)} AS rel_err
+         |FROM est e JOIN ex x USING (g) ORDER BY event_type""".stripMargin
     },
     "dq_psi_daily" -> {
       val caseChain = PsiEdges.zipWithIndex

@@ -547,4 +547,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p.take(2500))
     } finally perGroup.unpersist(blocking = false)
   }
+
+  test("windowFunnel's as-of walk rides the incrementally-maintained " +
+      "growing frame — an unbounded-FOLLOWING frame is recomputed from " +
+      "scratch per row by WindowExec, O(n²) on a hot key") {
+    val p = plan("funnel_window").toLowerCase
+    assert(!p.contains("unbounded following") &&
+        !p.contains("unboundedfollowing"),
+      "funnel frame regressed to unbounded-following:\n" + p.take(3000))
+    assert(p.contains("unbounded preceding") || p.contains("unboundedpreceding"),
+      "expected the reverse-sorted growing frame:\n" + p.take(3000))
+  }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Profile, Sequence}
+
+class SequenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String)*) =
+    rows.zipWithIndex
+      .map { case ((u, t, e), i) => (u, ts(t), e, i.toLong) }
+      .toSeq.toDF("user_id", "ts", "event_type", "event_id")
+
+  private def spanning(df: org.apache.spark.sql.DataFrame,
+                       conds: Seq[String]): Map[Long, Boolean] =
+    Sequence.matchSpanning(df, "user_id", "ts",
+      conds.map(col("event_type") === _))
+      .as[(Long, Boolean)].collect().toMap
+
+  private def pairs(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Boolean)] =
+    Sequence.countAdjacentPairs(df, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  // --- matchSpanning --------------------------------------------------
+
+  test("spanning: in-order chain matches regardless of gaps between " +
+      "steps; missing middle step does not") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-03-01 10:00:00", "view"), // months later: no window bound
+      (1L, "2024-06-01 10:00:00", "purchase"),
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 11:00:00", "purchase")) // no view in between
+    assert(spanning(df, Seq("signup", "view", "purchase")) ==
+      Map(1L -> true, 2L -> false))
+  }
+
+  test("spanning: order matters — steps present but reversed do not " +
+      "match, and equal timestamps do not chain (strict increase)") {
+    val reversed = events(
+      (1L, "2024-01-01 10:00:00", "purchase"),
+      (1L, "2024-01-01 11:00:00", "view"),
+      (1L, "2024-01-01 12:00:00", "signup"))
+    assert(spanning(reversed, Seq("signup", "view", "purchase")) ==
+      Map(1L -> false))
+    val equalTs = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 11:00:00", "purchase"))
+    assert(spanning(equalTs, Seq("signup", "view", "purchase")) ==
+      Map(1L -> false))
+  }
+
+  test("spanning: keys without a first-condition event are absent; an " +
+      "early dead-end start does not shadow a later complete one") {
+    val df = events(
+      // user 1: first signup never completes, second does — the walk
+      // tries every start
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-02 10:00:00", "signup"),
+      (1L, "2024-01-03 10:00:00", "view"),
+      (1L, "2024-01-04 10:00:00", "purchase"),
+      (2L, "2024-01-01 10:00:00", "view"), // no signup: absent
+      (2L, "2024-01-01 11:00:00", "purchase"))
+    assert(spanning(df, Seq("signup", "view", "purchase")) ==
+      Map(1L -> true))
+  }
+
+  // --- countAdjacentPairs ---------------------------------------------
+
+  test("adjacency is over the condition-filtered subsequence: " +
+      "non-matching events between view and click are skipped") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:01:00", "error"), // skipped, ClickHouse rule
+      (1L, "2024-01-01 10:02:00", "signup"), // skipped
+      (1L, "2024-01-01 10:03:00", "click"))
+    assert(pairs(df) == Map(1L -> ((1L, true))))
+  }
+
+  test("a matching event BETWEEN breaks adjacency: view,view,click " +
+      "counts one pair; view,click,view,click counts two") {
+    val vvc = events(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:01:00", "view"),
+      (1L, "2024-01-01 10:02:00", "click"))
+    assert(pairs(vvc) == Map(1L -> ((1L, true))))
+    val vcvc = events(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:01:00", "click"),
+      (1L, "2024-01-01 10:02:00", "view"),
+      (1L, "2024-01-01 10:03:00", "click"))
+    assert(pairs(vcvc) == Map(1L -> ((2L, true))))
+  }
+
+  test("click before any view counts zero but the key is present " +
+      "(it has matching events); equal timestamps order by the tie " +
+      "column") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 10:00:00", "view"), // same ts: event_id orders
+      (2L, "2024-01-01 10:00:00", "click"))
+    assert(pairs(df) == Map(1L -> ((0L, false)), 2L -> ((1L, true))))
+  }
+
+  // --- hllEstimate ----------------------------------------------------
+
+  test("HLL estimate: exact below the linear-counting floor, within " +
+      "~3σ of truth at 2k distinct, and insensitive to duplication") {
+    val small = (1 to 40).map(i => ("a", i)).toDF("g", "v")
+    val sm = Profile.hllEstimate(small, "g", col("v"))
+      .select("n_exact", "hll_est").as[(Long, Double)].head()
+    assert(sm._1 == 40L)
+    // linear counting at 40 of 256 registers is near-exact
+    assert(math.abs(sm._2 - 40.0) <= 3.0, s"lc estimate ${sm._2}")
+
+    val big = (1 to 2000).flatMap(i => Seq(("b", i), ("b", i)))
+      .toDF("g", "v") // every value twice: distinct must collapse
+    val bg = Profile.hllEstimate(big, "g", col("v"))
+      .select("n_exact", "hll_est", "rel_err")
+      .as[(Long, Double, Double)].head()
+    assert(bg._1 == 2000L)
+    // σ ≈ 1.04/√256 = 6.5%; 3σ ≈ 19.5%
+    assert(bg._3 <= 0.195, s"rel_err ${bg._3} (est ${bg._2})")
+  }
+
+  test("HLL registers merge by MAX: the union's estimate equals the " +
+      "register-wise max of the halves' sketches (mergeable-state " +
+      "contract)") {
+    // Identical estimate when built from the union vs from
+    // overlapping halves — groupBy(bucket).max(rho) over a union is
+    // register-wise max by construction; this pins the value-level
+    // consequence: duplication across batches cannot move the sketch.
+    val h1 = (1 to 1200).map(i => ("g", i))
+    val h2 = (800 to 2000).map(i => ("g", i))
+    val union = Profile.hllEstimate((h1 ++ h2).toDF("g", "v"), "g", col("v"))
+      .select("hll_est").as[Double].head()
+    val direct = Profile.hllEstimate(
+      (1 to 2000).map(i => ("g", i)).toDF("g", "v"), "g", col("v"))
+      .select("hll_est").as[Double].head()
+    assert(union == direct)
+  }
+}
