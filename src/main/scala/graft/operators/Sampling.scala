@@ -199,6 +199,40 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget corpus selection — the twin of [[capPerGroup]] in
+    * the unit training actually budgets in: per group, walk the rows
+    * in the deterministic md5-shuffled order ([[shuffleKey]], ties →
+    * id) and keep the PREFIX whose running token total stays within
+    * `budget` ("fill each source's slice of the mixture to N
+    * tokens"). Token counts are non-negative, so the running sum is
+    * monotone and `cum ≤ budget` IS a prefix — the selection is
+    * engine- and partitioning-independent given the (hash, id) total
+    * order. Rows with negative `tokenCol` are filtered (mirroring
+    * [[weightedSample]]'s weight rule); the kept rows carry their
+    * running total as `cum_tokens`.
+    *
+    * Scale shape: one hash exchange on the group plus one growing-
+    * frame running sum — no global sort, no driver state. Unlike the
+    * row-count cap there is no WindowGroupLimit pushdown (the cutoff
+    * rank is data-dependent), so a mega-group ships its rows to one
+    * task before the prefix filter; compose with [[capPerGroup]]
+    * first when a group's ROW count is itself unbounded.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+                        tokenCol: String, budget: Long, seed: String)
+      : DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__shuf"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tokenCol) >= 0)
+      .withColumn("__shuf", shuffleKey(col(idCol), seed))
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__shuf")
+  }
+
   /** Quality-aware per-group quota: keep the TOP `maxPerGroup` rows of
     * each group under `order` (a quality prior descending, say) — the
     * cap a curated corpus wants once per-doc quality exists: a capped

@@ -47,6 +47,7 @@ object Extensions {
   private val FunnelSteps = Seq("view", "click", "purchase")
   private val FunnelWindowSec = 43200L
   private val SeqSpanConds = Seq("signup", "view", "purchase")
+  private val TokenBudget = 800L
 
   /** α·m²·2^53 for HLL m=256 — the SAME arithmetic order as
     * `Profile.hllEstimate`'s `alpha * m * m * pow53`, so the embedded
@@ -188,6 +189,17 @@ object Extensions {
         "source", 10,
         Seq(col("n_chars").desc, col("doc_id")))
         .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // Token-budget selection: fill each source's slice of the mixture
+    // to 800 whitespace tokens — the budget-in-tokens twin of the
+    // row-count quota (training budgets are set in tokens, not docs).
+    "source_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSelect(
+        t(s, dir, "documents").withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text"))),
+        "source", "doc_id", "n_tokens", TokenBudget, "b42")
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")),
 
     // The filter arc: keep documents at or under 4.95 bits/token (the
     // fixture corpus sits at ~4.88–5.33, so the gate is non-vacuous).
@@ -2311,6 +2323,20 @@ object Extensions {
         |           ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "source_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR) || ':b42') AS shuf
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY shuf, doc_id ROWS UNBOUNDED PRECEDING)
+         |           AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
 
     // DSIR importance weights: hashed unigram+bigram buckets, two
     // add-α bucket models (target = lang='en', raw = all), per-doc

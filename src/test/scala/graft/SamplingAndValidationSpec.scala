@@ -95,6 +95,33 @@ class SamplingAndValidationSpec extends SparkSpec {
     ev.unpersist()
   }
 
+  test("tokenBudgetSelect keeps the shuffled prefix within budget, is " +
+      "replay-identical, and drops negative-token rows") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 50).map(i => (i.toLong, s"g${i % 2}", 10L)) :+
+      ((99L, "g0", -5L)) // negative: filtered, never breaks monotonicity
+    val df = rows.toDF("id", "g", "toks")
+    val sel = Sampling.tokenBudgetSelect(df, "g", "id", "toks", 70L, "s1")
+    val out = sel.select("g", "id", "cum_tokens")
+      .as[(String, Long, Long)].collect()
+    // 10-token docs into a 70 budget: exactly 7 per group, cum = 10..70
+    assert(out.count(_._1 == "g0") == 7 && out.count(_._1 == "g1") == 7)
+    assert(out.forall(_._3 <= 70L) && !out.exists(_._2 == 99L))
+    val again = Sampling.tokenBudgetSelect(df, "g", "id", "toks", 70L, "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.map(_._2).sorted.toSeq) // deterministic replay
+    // a different seed picks a different prefix (same size here)
+    val other = Sampling.tokenBudgetSelect(df, "g", "id", "toks", 70L, "s2")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(other != again, "independent seeds drew the same prefix")
+    // an oversized doc at the cut is dropped, not truncated: budget 25
+    // over 10-token docs keeps cum 10,20 — never a partial third
+    val small = Sampling.tokenBudgetSelect(df.filter(col("toks") > 0),
+      "g", "id", "toks", 25L, "s1")
+    assert(small.groupBy("g").count().as[(String, Long)].collect()
+      .forall(_._2 == 2L))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = tempDir("dup_events")
     val ev = Tables.load(spark, sf, "events").limit(100)
