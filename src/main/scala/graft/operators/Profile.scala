@@ -455,35 +455,23 @@ object Profile {
   def hllEstimate(df: DataFrame, groupCol: String, value: Column)
       : DataFrame = {
     import graft.functions.Rounding.pround
-    val m = 256
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val pow53 = 9007199254740992.0 // 2^53
-    val c2 = alpha * m * m * pow53 // one embedded constant, both engines
+    import graft.functions.Hll
+    val m = Hll.M
     val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
       .distinct().persist()
     val exact = dv.groupBy("g").agg(count(lit(1)).as("n_exact"))
     val h = md5(col("v"))
-    val w = conv(substring(h, 3, 13), 16, 10).cast("long")
-    val rho = when(w === 0L, lit(53))
-      .otherwise(lit(53) - length(bin(w)))
     val regs = dv
-      .select(col("g"),
-        conv(substring(h, 1, 2), 16, 10).cast("int").as("bucket"),
-        rho.as("rho"))
+      .select(col("g"), Hll.bucket(h).as("bucket"), Hll.rho(h).as("rho"))
       .groupBy("g", "bucket").agg(max("rho").as("m_j"))
     val grouped = regs.groupBy("g").agg(
         sum(expr("CAST(power(2, 53 - m_j) AS BIGINT)")).as("s_occ"),
         count(lit(1)).as("occ"))
       .withColumn("s_int",
-        col("s_occ") + (lit(m.toLong) - col("occ")) * lit(pow53.toLong))
+        col("s_occ") + (lit(m.toLong) - col("occ")) * lit(Hll.Pow53.toLong))
       .withColumn("v_empty", lit(m.toLong) - col("occ"))
-    val raw = lit(c2) / col("s_int").cast("double")
-    val est = when(raw <= lit(2.5 * m) && col("v_empty") > 0,
-        pround(lit(m.toDouble) *
-          log(lit(m.toDouble) / col("v_empty").cast("double")), 6))
-      .otherwise(pround(raw, 6))
     val out = exact.join(grouped, Seq("g"))
-      .withColumn("hll_est", est)
+      .withColumn("hll_est", Hll.estimate(col("s_int"), col("v_empty")))
       .select(col("g").as(groupCol), col("n_exact"), col("hll_est"),
         pround(abs(col("hll_est") - col("n_exact")) /
           col("n_exact").cast("double"), 6).as("rel_err"))

@@ -16,11 +16,13 @@ import graft.functions.Rounding.pround
   *
   * State per key: `n` (BIGINT), `sum_v` (exact DECIMAL(38,12) of
   * l9-rounded values — accumulation-order-independent, so distributed
-  * merge order can never change a digit), `min_v`/`max_v`, and `kmv`
+  * merge order can never change a digit), `min_v`/`max_v`, `kmv`
   * (the ≤k smallest md5 hashes of the distinct-counted column — the
-  * classic KMV sketch state, mergeable by "k smallest of the union").
-  * Everything is algebraic or bounded-state: a state row costs O(k)
-  * regardless of how many rows fed it.
+  * classic KMV sketch state, mergeable by "k smallest of the union"),
+  * and `hll` (the dense m=256 HLL register array — ClickHouse
+  * `uniqHLL12`'s AggregatingMergeTree state, mergeable by
+  * register-wise MAX). Everything is algebraic or bounded-state: a
+  * state row costs O(k + m) regardless of how many rows fed it.
   *
   * Merge associativity/commutativity is by construction: [[merge]] is
   * the SAME groupBy reduction applied to a union of state rows, so
@@ -38,24 +40,46 @@ import graft.functions.Rounding.pround
   */
 object Rollup {
 
-  /** Reduce a raw batch to one state row per key. */
+  /** Reduce a raw batch to one state row per key.
+    *
+    * Beside the KMV hash list the state carries `hll`: the dense
+    * m=256 HLL register array ([[graft.functions.Hll]]) — ClickHouse's
+    * `uniqHLL12` AggregatingMergeTree state. Registers build as a
+    * map-side-combinable groupBy(key, bucket) MAX(ρ) (≤ m rows per key
+    * cross the shuffle) and densify to a fixed 256-int array; state
+    * size is constant per key where KMV's is O(k).
+    */
   def aggregateState(batch: DataFrame, keys: Seq[String], valCol: String,
                      distinctCol: String, k: Int): DataFrame = {
     require(k >= 16, s"k >= 16 required for a usable KMV estimate, got $k")
+    import graft.functions.Hll
     val scalars = batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(pround(col(valCol), 9).cast(DecimalType(38, 12))).as("sum_v"),
         min(col(valCol)).as("min_v"),
         max(col(valCol)).as("max_v"))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
-    val kmv = batch
+    val hashed = batch
       .select(keys.map(col) :+ md5(col(distinctCol).cast("string")).as("__h"): _*)
       .distinct()
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    val kmv = hashed
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("__h"))).as("kmv"))
-    scalars.join(kmv, keys)
+    val hll = hashed
+      .select(keys.map(col) ++ Seq(Hll.bucket(col("__h")).as("__b"),
+        Hll.rho(col("__h")).as("__rho")): _*)
+      .groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(max(col("__rho")).as("__m"))
+      .groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__m"))))
+        .as("__regs"))
+      .withColumn("hll",
+        transform(sequence(lit(0), lit(Hll.M - 1)),
+          i => coalesce(element_at(col("__regs"), i), lit(0))))
+      .drop("__regs")
+    scalars.join(kmv, keys).join(hll, keys)
   }
 
   /** Fold state frames into one — the MergeTree background merge as a
@@ -69,7 +93,14 @@ object Rollup {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"),
         slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
-          1, k).as("kmv"))
+          1, k).as("kmv"),
+        // HLL union = register-wise MAX: fold the collected state
+        // arrays with zip_with(greatest) — associative+commutative,
+        // so any merge tree yields the same registers
+        aggregate(collect_list(col("hll")),
+          array_repeat(lit(0), graft.functions.Hll.M),
+          (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
+          .as("hll"))
   }
 
   /** Finalize a state into the read-side aggregate row: count, sum,
@@ -84,11 +115,18 @@ object Rollup {
     val nSeen = size(col("kmv"))
     val est = when(nSeen < k || frac <= 0.0, nSeen.cast("long"))
       .otherwise(floor(lit((k - 1).toDouble) / frac + lit(0.5)).cast("long"))
+    // HLL read side: integer-scaled harmonic sum over the register
+    // array (deterministic array order — exact), empty-register count
+    // for the linear-counting branch
+    val sInt = expr("aggregate(hll, CAST(0 AS BIGINT), " +
+      "(acc, m) -> acc + CAST(power(2, 53 - m) AS BIGINT))")
+    val vEmpty = expr("size(filter(hll, m -> m = 0))")
     state.select(keys.map(col) ++ Seq(
       col("n"),
       pround(col("sum_v").cast("double"), 6).as("sum_v"),
       col("min_v"), col("max_v"),
       pround(col("sum_v").cast("double") / col("n"), 6).as("avg_v"),
-      est.as("distinct_est")): _*)
+      est.as("distinct_est"),
+      graft.functions.Hll.estimate(sInt, vEmpty).as("hll_distinct_est")): _*)
   }
 }

@@ -49,11 +49,10 @@ object Extensions {
   private val SeqSpanConds = Seq("signup", "view", "purchase")
   private val TokenBudget = 800L
 
-  /** α·m²·2^53 for HLL m=256 — the SAME arithmetic order as
-    * `Profile.hllEstimate`'s `alpha * m * m * pow53`, so the embedded
-    * SQL literal is the bit-identical double. */
-  private val HllC2: Double =
-    0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+  /** α·m²·2^53 for HLL m=256 — [[graft.functions.Hll.C2]], so the
+    * embedded SQL literal is the bit-identical double the Spark side
+    * divides by. */
+  private val HllC2: Double = graft.functions.Hll.C2
   // retention_cohort: signup-day cohorts followed for a week.
   private val RetentionDays = 7
   private val DsirN = 50

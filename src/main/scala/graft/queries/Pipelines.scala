@@ -30,6 +30,7 @@ object Pipelines {
   // rollup e2e: KMV sketch size for the distinct-user state (small on
   // purpose — most (type, day) keys saturate, exercising the estimator)
   private val RollupK = 16
+  private val HllC2: Double = graft.functions.Hll.C2
 
   // DuckDB has no conv(): widen a 13-hex-digit prefix to its numeric
   // value digit by digit (same helper as Extensions' KMV oracle).
@@ -292,13 +293,39 @@ object Pipelines {
          |         CASE WHEN n_seen < $RollupK OR frac <= 0.0 THEN n_seen
          |              ELSE CAST(floor(${RollupK - 1}.0 / frac + 0.5) AS BIGINT)
          |         END AS distinct_est
-         |  FROM est)
+         |  FROM est),
+         |hr AS (
+         |  SELECT event_type, day,
+         |         CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*16
+         |              + (strpos('0123456789abcdef', substr(h,2,1))-1)
+         |              AS INT) AS bucket,
+         |         CAST(${hex13ToDouble("substr(h,3,13)")} AS BIGINT) AS w
+         |  FROM dv),
+         |hreg AS (
+         |  SELECT event_type, day, bucket,
+         |         max(CASE WHEN w = 0 THEN 53
+         |                  ELSE 53 - length(bin(w)) END) AS m_j
+         |  FROM hr GROUP BY 1, 2, 3),
+         |hgr AS (
+         |  SELECT event_type, day,
+         |         sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
+         |         count(*) AS occ
+         |  FROM hreg GROUP BY 1, 2),
+         |hest AS (
+         |  SELECT event_type, day,
+         |         CASE WHEN ($HllC2 / CAST(s_occ + (256 - occ) * 9007199254740992 AS DOUBLE)) <= 640.0
+         |                   AND (256 - occ) > 0
+         |              THEN ${Rounding.sqlPround("256.0 * ln(256.0 / CAST(256 - occ AS DOUBLE))", 6)}
+         |              ELSE ${Rounding.sqlPround(s"$HllC2 / CAST(s_occ + (256 - occ) * 9007199254740992 AS DOUBLE)", 6)}
+         |         END AS hll_distinct_est
+         |  FROM hgr)
          |SELECT s.event_type, s.day, s.n,
          |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE)", 6)} AS sum_v,
          |       min_v, max_v,
          |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE) / n", 6)} AS avg_v,
-         |       f.distinct_est
+         |       f.distinct_est, h.hll_distinct_est
          |FROM sc s JOIN fin f USING (event_type, day)
+         |          JOIN hest h USING (event_type, day)
          |ORDER BY event_type, day""".stripMargin
     },
     "multimodal_binary_meta" ->

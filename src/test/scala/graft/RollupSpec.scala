@@ -86,4 +86,37 @@ class RollupSpec extends SparkSpec {
       Rollup.aggregateState(df(Seq(("a", 1.0, 1L))), keys, "v", "u", 8)
     }
   }
+
+  test("HLL state: dense 256-register array, split-merge invariant, " +
+    "near-exact in the linear-counting range, 4σ at 2k distinct") {
+    // u decoupled from the group key (i%3 and i%12 share a factor —
+    // i/3 % 12 gives each group the full 12-value universe)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 3}", i * 0.5, (i / 3 % 12).toLong) // 12 distinct per group
+    }
+    val full = Rollup.aggregateState(df(rows), keys, "v", "u", K)
+    assert(full.select(size($"hll")).as[Int].collect().forall(_ == 256))
+    val fullEst = Rollup.finalizeState(full, keys, K)
+      .select($"g", $"hll_distinct_est").as[(String, Double)]
+      .collect().toMap
+    // register-wise MAX merge: same finalized sketch for any split
+    val merged = Rollup.merge(Seq(
+      Rollup.aggregateState(df(rows.take(123)), keys, "v", "u", K),
+      Rollup.aggregateState(df(rows.drop(123)), keys, "v", "u", K)),
+      keys, K)
+    val mergedEst = Rollup.finalizeState(merged, keys, K)
+      .select($"g", $"hll_distinct_est").as[(String, Double)]
+      .collect().toMap
+    assert(mergedEst == fullEst)
+    // linear counting at 12 of 256 registers is near-exact
+    assert(fullEst.values.forall(e => math.abs(e - 12.0) < 2.0),
+      s"lc estimates $fullEst")
+    val big = Rollup.aggregateState(
+      (1 to 2000).map(i => ("g", 1.0, i.toLong)).toDF("g", "v", "u"),
+      keys, "v", "u", K)
+    val bigEst = Rollup.finalizeState(big, keys, K)
+      .select($"hll_distinct_est").as[Double].head()
+    // σ ≈ 1.04/√256 = 6.5%; 4σ = 26%
+    assert(bigEst > 1480 && bigEst < 2520, s"estimate $bigEst for 2000")
+  }
 }
