@@ -204,7 +204,8 @@ object CorpusBuildJob {
           bpeMerges: Int = 200, chunkN: Int = 64, chunkStride: Int = 48,
           seed: String = "s42",
           linkEdges: Option[DataFrame] = None,
-          maxPerSource: Int = 0, prIters: Int = 5): StageCounts = {
+          maxPerSource: Int = 0, prIters: Int = 5,
+          tokenBudgetPerSource: Long = 0L): StageCounts = {
     val raw = docs.count()
     val eval_ = docs.filter(evalPredicate).persist()
     val train0 = docs.filter(!evalPredicate)
@@ -281,10 +282,28 @@ object CorpusBuildJob {
           Seq(col("prior").desc, col("doc_id")))
           .drop("prior").persist()
       else decontaminated
-    val afterQuota = quotaed.count()
+
+    // 6c: optional per-source TOKEN budget under the same prior order —
+    // "each source keeps its best documents until its slice of the
+    // training budget is spent" (budgets are set in tokens, not docs;
+    // the row-count quota above bounds fan-in, this bounds cost).
+    // The quota output's lineage is detached first: stacking the
+    // budget window on the full 6-stage plan pushes the logical tree
+    // past what explain/UI rendering (and the optimizer) can carry.
+    val budgeted =
+      if (tokenBudgetPerSource > 0)
+        Sampling.tokenBudgetSelectBy(
+          Dedup.materializeDetached(quotaed)
+            .join(priors.select("doc_id", "prior"), Seq("doc_id"))
+            .withColumn("__toks", TextFunctions.tokenCount(col("text"))),
+          "source", "__toks", tokenBudgetPerSource,
+          Seq(col("prior").desc, col("doc_id")))
+          .drop("prior", "__toks", "cum_tokens").persist()
+      else quotaed
+    val afterQuota = budgeted.count()
 
     // 7: split assignment (train/val/test), membership-stable
-    val withSplit = quotaed.withColumn("split",
+    val withSplit = budgeted.withColumn("split",
       Sampling.splitLabel(col("doc_id"), 16, 32))
     val trainDf = withSplit.filter(col("split") === "train")
 
@@ -342,6 +361,7 @@ object CorpusBuildJob {
     decontaminated.unpersist(blocking = false)
     priors.unpersist(blocking = false)
     if (maxPerSource > 0) quotaed.unpersist(blocking = false)
+    if (tokenBudgetPerSource > 0) budgeted.unpersist(blocking = false)
     eval_.unpersist(blocking = false)
     StageCounts(raw, afterQuality, afterLineDedup, afterDocDedup,
       afterSemDedup, afterDecontamination, afterQuota, trainN, evalN)

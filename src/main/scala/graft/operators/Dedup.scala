@@ -59,7 +59,7 @@ object Dedup {
     * compute trap). The transient cache entry is dropped immediately,
     * so nothing stays in the CacheManager.
     */
-  private[operators] def materializeDetached(result: DataFrame): DataFrame =
+  private[graft] def materializeDetached(result: DataFrame): DataFrame =
     if (result.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       val cached = result.persist()
       cached.count()

@@ -220,17 +220,29 @@ object Sampling {
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
                         tokenCol: String, budget: Long, seed: String)
-      : DataFrame = {
+      : DataFrame =
+    tokenBudgetSelectBy(
+      df.withColumn("__shuf", shuffleKey(col(idCol), seed)),
+      groupCol, tokenCol, budget, Seq(col("__shuf"), col(idCol)))
+      .drop("__shuf")
+
+  /** [[tokenBudgetSelect]] under an EXPLICIT total order — the
+    * quality-aware variant ("keep each source's best documents until
+    * its token budget is spent", mirroring [[capPerGroupTop]] vs
+    * [[capPerGroup]]). `order` must be a total order per group (end
+    * it with the id column) or the prefix is not well-defined.
+    */
+  def tokenBudgetSelectBy(df: DataFrame, groupCol: String,
+                          tokenCol: String, budget: Long,
+                          order: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    require(order.nonEmpty, "tokenBudgetSelectBy needs an ordering")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__shuf"), col(idCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.filter(col(tokenCol) >= 0)
-      .withColumn("__shuf", shuffleKey(col(idCol), seed))
       .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
-      .drop("__shuf")
   }
 
   /** Quality-aware per-group quota: keep the TOP `maxPerGroup` rows of

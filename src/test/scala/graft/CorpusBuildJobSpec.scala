@@ -21,12 +21,14 @@ class CorpusBuildJobSpec extends SparkSpec {
       (col("doc_id") / 7).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     val maxPerSource = 15 // 20 sources × 25 docs; ~22/source survive → binds
+    val tokenBudget = 500L // ~800 surviving tokens/source → binds too
     val counts = CorpusBuildJob.run(spark, docs, out,
       evalPredicate = col("doc_id") % 20 === 0,
       thresholds = Quality.Thresholds(
         minTokens = 12, maxTokens = 1 << 20,
         allowedLangs = Seq("en", "de", "es", "fr", "unknown")),
-      linkEdges = Some(links), maxPerSource = maxPerSource)
+      linkEdges = Some(links), maxPerSource = maxPerSource,
+      tokenBudgetPerSource = tokenBudget)
     // every stage only removes documents
     assert(counts.raw == docs.count())
     assert(counts.afterQuality <= counts.raw - counts.eval_)
@@ -77,6 +79,20 @@ class CorpusBuildJobSpec extends SparkSpec {
         assert(minKept(r.getString(0)) >= r.getDouble(1),
           s"source ${r.getString(0)} kept a worse doc than it dropped")
       }
+
+    // the token budget bound: every source's corpus slice fits, and
+    // the budget genuinely bit somewhere (at least one source is
+    // below its row quota only because tokens ran out)
+    val srcTokens = corpus
+      .withColumn("__t",
+        graft.functions.TextFunctions.tokenCount(col("text")))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("__t").as("toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(srcTokens.values.forall(_ <= tokenBudget),
+      s"a source exceeded its token budget: $srcTokens")
+    assert(srcTokens.values.max > tokenBudget / 2,
+      "budget chosen far too large to bind — tighten the fixture")
 
     // no eval doc leaked into the corpus; eval artifact is complete
     assert(corpus.filter($"doc_id" % 20 === 0).count() == 0)
