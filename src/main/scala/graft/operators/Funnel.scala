@@ -56,18 +56,34 @@ object Funnel {
     * bounded string-typed instance; [[Sequence.matchSpanning]] the
     * unbounded predicate-typed one. Returns `(keyCol, funnel_level)`,
     * one row per key with at least one step-1 event.
+    *
+    * `minStartOnly` walks ONE chain per key, from the earliest step-1
+    * instant. Exact ONLY without a window bound: unbounded, the
+    * earliest start dominates every rival chain (each greedy timestamp
+    * lower-bounds the rival's by the funnel induction), whereas a
+    * window bound can disqualify the earliest start yet admit a later
+    * one — so the flag is rejected when `windowSec` is set. A hot key
+    * with 10⁶ step-1 events then carries one probe row per level, not
+    * 10⁶.
     */
   private[operators] def chainWalk(events: DataFrame, keyCol: String,
                                    tsCol: String, stepConds: Seq[Column],
-                                   windowSec: Option[Long]): DataFrame = {
+                                   windowSec: Option[Long],
+                                   minStartOnly: Boolean = false)
+      : DataFrame = {
+    require(!minStartOnly || windowSec.isEmpty,
+      "minStartOnly is exact only for an unbounded walk: a window " +
+        "bound can disqualify the earliest start yet admit a later one")
     val steps = stepConds
     // one chain per distinct (key, step-1 instant); µs longs so the
     // window bound is exact integer arithmetic in every engine
-    var chains = events.filter(steps.head)
+    val starts = events.filter(steps.head)
       .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("t1"))
-      .distinct()
-      .withColumn("tcur", col("t1"))
-      .withColumn("level", lit(1))
+    var chains =
+      (if (minStartOnly) starts.groupBy("__k").agg(min("t1").as("t1"))
+       else starts.distinct())
+        .withColumn("tcur", col("t1"))
+        .withColumn("level", lit(1))
     for (i <- 1 until steps.length) {
       val builds = events.filter(steps(i))
         .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"))

@@ -42,7 +42,11 @@ object Sequence {
   def matchSpanning(events: DataFrame, keyCol: String, tsCol: String,
                     conds: Seq[Column]): DataFrame = {
     require(conds.nonEmpty, "matchSpanning: conds must be non-empty")
-    Funnel.chainWalk(events, keyCol, tsCol, conds, windowSec = None)
+    // minStartOnly: with no window bound the earliest-start chain
+    // dominates (funnel induction), so the walk carries ONE probe row
+    // per key per level — a hot key never fans out over its starts
+    Funnel.chainWalk(events, keyCol, tsCol, conds, windowSec = None,
+      minStartOnly = true)
       .select(col(keyCol),
         (col("funnel_level") === conds.length).as("matched"))
   }

@@ -86,6 +86,19 @@ object Rollup {
     * query. Same reduction as the build, applied to state rows. */
   def merge(states: Seq[DataFrame], keys: Seq[String], k: Int): DataFrame = {
     require(states.nonEmpty, "merge: no states")
+    // State-format check with an actionable message: a state frame
+    // written by an older build (e.g. pre-`hll`) would otherwise fail
+    // deep inside the union/agg — or worse, a sketch column silently
+    // treated as empty would UNDERCOUNT. Loud beats wrong.
+    val expected = keys ++ Seq("n", "sum_v", "min_v", "max_v", "kmv", "hll")
+    states.foreach { s =>
+      val missing = expected.filterNot(s.columns.contains)
+      require(missing.isEmpty,
+        s"rollup state frame is missing column(s) ${missing.mkString(", ")} " +
+          "— was it written by an older state format? Rebuild the state " +
+          "with aggregateState (a stored sketch cannot be reconstructed " +
+          "from finalized aggregates).")
+    }
     states.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),

@@ -87,6 +87,15 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("merge rejects an old-format state frame (missing sketch " +
+    "column) with an actionable message instead of undercounting") {
+    val st = Rollup.aggregateState(df(Seq(("a", 1.0, 1L))), keys, "v", "u", K)
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.merge(Seq(st.drop("hll")), keys, K)
+    }
+    assert(ex.getMessage.contains("older state format"), ex.getMessage)
+  }
+
   test("HLL state: dense 256-register array, split-merge invariant, " +
     "near-exact in the linear-counting range, 4σ at 2k distinct") {
     // u decoupled from the group key (i%3 and i%12 share a factor —
