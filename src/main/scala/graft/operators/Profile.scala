@@ -426,6 +426,52 @@ object Profile {
     (out, perGroup)
   }
 
+  /** Exact weighted quantiles per group — ClickHouse
+    * `quantileExactWeighted`: the smallest value whose cumulative
+    * weight reaches q·W (lower weighted quantile). The corpus use is
+    * token-weighted length stats: "what document length holds half the
+    * TOKENS" weights big documents by their cost, where the unweighted
+    * median answers a question about document counts.
+    *
+    * Deterministic without a tie-break column: permuting equal values
+    * permutes cumulative weights only WITHIN a tied run, and the
+    * selected `min(value | cumw ≥ q·W)` depends only on the run's last
+    * row — so any engine, any partitioning, same answer. That argument
+    * needs the running sum itself to be reorder-exact, so weights are
+    * required INTEGRAL (they are counts — tokens, bytes, rows): the
+    * cumulative LONG is exact, and the one float op (q·W) is a single
+    * multiply of identical operands in every engine.
+    *
+    * Shape: one per-group sort window (running weight) + a
+    * whole-partition total + one grouped min per q — cost ∝ n log n
+    * per group, exact. The mergeable at-scale twin is the t-digest
+    * ([[graft.functions.TDigestQuantiles]]), same exact-vs-sketch
+    * convention as KMV/HLL distinct.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    require(Seq("byte", "short", "integer", "long")
+      .contains(df.schema(weightCol).dataType.typeName),
+      s"weight column $weightCol must be integral (a count) — " +
+        "float weights make the running sum reorder-sensitive")
+    import org.apache.spark.sql.expressions.Window
+    val sorted = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(groupCol))
+    val staged = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__cumw", sum(col(weightCol).cast("long")).over(sorted))
+      .withColumn("__totw", sum(col(weightCol).cast("long")).over(whole))
+    val aggs = qs.map { q =>
+      min(when(col("__cumw").cast("double") >=
+          lit(q) * col("__totw").cast("double"), col(valueCol)))
+        .as(s"p${math.round(q * 100)}")
+    }
+    staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** HyperLogLog distinct estimate (ClickHouse `uniqHLL12`'s shape, at
     * m = 256 registers) with the exact count beside it — the same
     * QA-row convention as [[kmvEstimate]], giving the engine a second

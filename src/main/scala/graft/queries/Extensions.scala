@@ -577,6 +577,17 @@ object Extensions {
           expr("percentile(n_chars, 0.9)").as("p90"))
         .orderBy("lang")),
 
+    // ClickHouse quantileExactWeighted: token-weighted length
+    // quantiles per lang — the doc length holding 25/50/90% of the
+    // TOKENS (cost-weighted, where doc_len_percentiles is count-
+    // weighted).
+    "doc_len_weighted_percentiles" -> ((s, dir) =>
+      graft.operators.Profile.weightedQuantiles(
+        t(s, dir, "documents").withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text"))),
+        "lang", "n_chars", "n_tokens", Seq(0.25, 0.5, 0.9))
+        .orderBy("lang")),
+
     // Embedding column statistics: per-label counts and mean L2 norm.
     "emb_stats" -> ((s, dir) =>
       t(s, dir, "embeddings").groupBy("label")
@@ -2694,6 +2705,23 @@ object Extensions {
     "doc_len_percentiles" ->
       """SELECT lang, quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.9) AS p90
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_len_weighted_percentiles" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |c AS (
+        |  SELECT lang, n_chars,
+        |         CAST(sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+        |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumw,
+        |         CAST(sum(w) OVER (PARTITION BY lang) AS DOUBLE) AS totw
+        |  FROM d)
+        |SELECT lang,
+        |       min(CASE WHEN cumw >= 0.25 * totw THEN n_chars END) AS p25,
+        |       min(CASE WHEN cumw >= 0.5 * totw THEN n_chars END) AS p50,
+        |       min(CASE WHEN cumw >= 0.9 * totw THEN n_chars END) AS p90
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "emb_stats" ->
       s"""SELECT label, count(*) AS n,
          |  floor((avg(sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) FROM generate_series(1, 64) t(i))))) * 1000000 + 0.5) / 1000000 AS avg_norm

@@ -154,4 +154,25 @@ class DataQualitySpec extends SparkSpec {
       Profile.epochPlan(mix, "source", "n_tokens", 1.0, 100L, 0.0)
     }
   }
+
+  test("weightedQuantiles: the weighted median lands on the value " +
+    "holding half the WEIGHT, non-positive weights drop, float " +
+    "weights are rejected") {
+    // one heavy doc (w=8) vs two light ones: unweighted median = 2,
+    // token-weighted median = 10
+    val df = Seq(("a", 1, 1L), ("a", 2, 1L), ("a", 10, 8L),
+      ("a", 99, 0L), // zero weight: can never be selected
+      ("b", 5, 2L), ("b", 7, 2L)).toDF("g", "v", "w")
+    val out = Profile.weightedQuantiles(df, "g", "v", "w", Seq(0.2, 0.5))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2))))
+      .toMap
+    assert(out("a") == ((2, 10)), s"got ${out("a")}")
+    // b: totw 4; q=0.2 → thr 0.8 → first value (cumw 2); q=0.5 → thr 2
+    // → still the first value (cumw 2 >= 2, lower weighted quantile)
+    assert(out("b") == ((5, 5)), s"got ${out("b")}")
+    intercept[IllegalArgumentException] {
+      Profile.weightedQuantiles(
+        Seq(("a", 1, 1.5)).toDF("g", "v", "w"), "g", "v", "w", Seq(0.5))
+    }
+  }
 }
