@@ -426,6 +426,70 @@ object Profile {
     (out, perGroup)
   }
 
+  /** Pairwise distinct-overlap estimation from HLL sketches — the
+    * sketch ALGEBRA a corpus operator actually uses: "how much does
+    * source A's vocabulary overlap source B's" WITHOUT a quadratic
+    * scan, via inclusion–exclusion over mergeable states:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from
+    * the register-wise MAX of the two sketches — no second pass over
+    * the data. Returns one row per unordered group pair
+    * `(g1, g2, est_a, est_b, est_union, overlap_est)` with the
+    * estimate clamped at 0 (inclusion–exclusion can go slightly
+    * negative for near-disjoint sets).
+    *
+    * The exact twin is the `dedup_source_overlap` matrix (a term-key
+    * equi-join); the QA row joins both so the sketch error is itself
+    * oracle-checked, the KMV/SQ8/PQ accuracy-row convention.
+    *
+    * Shape: ONE scan builds per-group register arrays (groupBy(g,
+    * bucket) MAX — map-side combinable, ≤m rows per group shuffled);
+    * the pair frame is |groups|² over a broadcast of |groups| rows of
+    * 256 ints. Guarded: beyond `maxGroups` the pair matrix is the
+    * quadratic thing this operator exists to avoid — fail loudly.
+    */
+  def hllOverlapMatrix(df: DataFrame, groupCol: String, value: Column,
+                       maxGroups: Int = 1000): DataFrame = {
+    import graft.functions.Hll
+    val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .distinct()
+    val h = md5(col("v"))
+    val regs = dv
+      .select(col("g"), Hll.bucket(h).as("__b"), Hll.rho(h).as("__rho"))
+      .groupBy("g", "__b").agg(max("__rho").as("__m"))
+      .groupBy("g")
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__m"))))
+        .as("__regs"))
+      .withColumn("hll",
+        transform(sequence(lit(0), lit(Hll.M - 1)),
+          i => coalesce(element_at(col("__regs"), i), lit(0))))
+      .select("g", "hll")
+    val pinned = Dedup.materializeDetached(regs)
+    val nGroups = pinned.count()
+    if (nGroups > maxGroups)
+      throw new IllegalStateException(
+        s"hllOverlapMatrix over $nGroups groups builds a ${nGroups}² " +
+          s"pair matrix (maxGroups = $maxGroups). Bucket the groups or " +
+          "raise the bound deliberately.")
+    def estOf(hllCol: String): Column = {
+      val sInt = expr(s"aggregate($hllCol, CAST(0 AS BIGINT), " +
+        "(acc, m) -> acc + CAST(power(2, 53 - m) AS BIGINT))")
+      val vEmpty = expr(s"size(filter($hllCol, m -> m = 0))")
+      Hll.estimate(sInt, vEmpty)
+    }
+    val a = pinned.select(col("g").as("g1"), col("hll").as("__ha"))
+    val b = pinned.select(col("g").as("g2"), col("hll").as("__hb"))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .withColumn("__hu", zip_with(col("__ha"), col("__hb"),
+        (x, y) => greatest(x, y)))
+      .select(col("g1"), col("g2"),
+        estOf("__ha").as("est_a"), estOf("__hb").as("est_b"),
+        estOf("__hu").as("est_union"))
+      .withColumn("overlap_est",
+        greatest(lit(0.0),
+          graft.functions.Rounding.pround(
+            col("est_a") + col("est_b") - col("est_union"), 6)))
+  }
+
   /** Exact weighted quantiles per group — ClickHouse
     * `quantileExactWeighted`: the smallest value whose cumulative
     * weight reaches q·W (lower weighted quantile). The corpus use is

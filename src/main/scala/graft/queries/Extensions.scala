@@ -336,6 +336,34 @@ object Extensions {
         "event_type", col("user_id"))
         .orderBy("event_type")),
 
+    // Sketch ALGEBRA: pairwise vocabulary overlap between sources via
+    // HLL inclusion–exclusion (est_a + est_b − est_union, union =
+    // register-wise max — no second data pass), with the exact
+    // term-join overlap beside it so the sketch error is itself
+    // oracle-checked.
+    "sketch_hll_overlap" -> ((s, dir) => {
+      import graft.functions.Rounding.pround
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val est = graft.operators.Profile.hllOverlapMatrix(
+        terms, "source", col("term"))
+      val dt = terms.select(col("source").as("g"), col("term").as("v"))
+        .distinct()
+      val ex = dt.as("x")
+        .join(dt.as("y"),
+          col("x.v") === col("y.v") && col("x.g") < col("y.g"))
+        .groupBy(col("x.g").as("g1"), col("y.g").as("g2"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.join(ex, Seq("g1", "g2"), "left")
+        .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+        .withColumn("rel_err",
+          when(col("n_exact") > 0,
+            pround(abs(col("overlap_est") - col("n_exact")) /
+              col("n_exact").cast("double"), 6))
+            .otherwise(lit(0.0)))
+        .orderBy("g1", "g2")
+    }),
+
     // Daily PSI of the value distribution vs the whole table: the
     // numeric-feature drift meter (p/q binned shares, eps-floored,
     // Σ(p−q)·ln(p/q)) — flags the day a feed's value distribution
@@ -2081,6 +2109,57 @@ object Extensions {
          |SELECT e.g AS event_type, x.n_exact, e.hll_est,
          |       ${Rounding.sqlPround("abs(e.hll_est - x.n_exact) / CAST(x.n_exact AS DOUBLE)", 6)} AS rel_err
          |FROM est e JOIN ex x USING (g) ORDER BY event_type""".stripMargin
+    },
+    "sketch_hll_overlap" -> {
+      def est(sOcc: String, occ: String): String = {
+        val sInt = s"CAST($sOcc + (256 - $occ) * 9007199254740992 AS DOUBLE)"
+        s"""CASE WHEN ($HllC2 / $sInt) <= 640.0 AND (256 - $occ) > 0
+           |  THEN ${Rounding.sqlPround(s"256.0 * ln(256.0 / CAST(256 - $occ AS DOUBLE))", 6)}
+           |  ELSE ${Rounding.sqlPround(s"$HllC2 / $sInt", 6)} END""".stripMargin
+      }
+      val hex2 = "(strpos('0123456789abcdef', substr(h,1,1))-1)*16" +
+        " + (strpos('0123456789abcdef', substr(h,2,1))-1)"
+      s"""WITH toks AS (
+         |  SELECT source AS g, unnest(string_split(text, ' ')) AS v
+         |  FROM documents),
+         |dv AS (SELECT DISTINCT g, v FROM toks),
+         |hh AS (SELECT g, md5(v) AS h FROM dv),
+         |r AS (SELECT g, CAST($hex2 AS INT) AS bucket,
+         |             CAST(${hex13ToDouble("substr(h,3,13)")} AS BIGINT) AS w
+         |      FROM hh),
+         |regs AS (SELECT g, bucket,
+         |                max(CASE WHEN w = 0 THEN 53
+         |                         ELSE 53 - length(bin(w)) END) AS m_j
+         |         FROM r GROUP BY 1, 2),
+         |gsum AS (SELECT g, sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
+         |                count(*) AS occ
+         |         FROM regs GROUP BY 1),
+         |gest AS (SELECT g, ${est("s_occ", "occ")} AS e FROM gsum),
+         |pairs AS (SELECT a.g AS g1, b.g AS g2
+         |          FROM gsum a JOIN gsum b ON a.g < b.g),
+         |ur AS (SELECT p.g1, p.g2, r.bucket, max(r.m_j) AS m_j
+         |       FROM pairs p JOIN regs r ON (r.g = p.g1 OR r.g = p.g2)
+         |       GROUP BY 1, 2, 3),
+         |usum AS (SELECT g1, g2,
+         |                sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
+         |                count(*) AS occ
+         |         FROM ur GROUP BY 1, 2),
+         |uest AS (SELECT g1, g2, ${est("s_occ", "occ")} AS est_union
+         |         FROM usum),
+         |ex AS (SELECT x.g AS g1, y.g AS g2, count(*) AS n_exact
+         |       FROM dv x JOIN dv y ON x.v = y.v AND x.g < y.g
+         |       GROUP BY 1, 2),
+         |j AS (SELECT u.g1, u.g2, a.e AS est_a, b.e AS est_b, u.est_union,
+         |             greatest(0.0, ${Rounding.sqlPround("a.e + b.e - u.est_union", 6)}) AS overlap_est,
+         |             COALESCE(e2.n_exact, 0) AS n_exact
+         |      FROM uest u JOIN gest a ON a.g = u.g1
+         |                  JOIN gest b ON b.g = u.g2
+         |                  LEFT JOIN ex e2 ON e2.g1 = u.g1 AND e2.g2 = u.g2)
+         |SELECT g1, g2, est_a, est_b, est_union, overlap_est, n_exact,
+         |       CASE WHEN n_exact > 0
+         |            THEN ${Rounding.sqlPround("abs(overlap_est - n_exact) / CAST(n_exact AS DOUBLE)", 6)}
+         |            ELSE 0.0 END AS rel_err
+         |FROM j ORDER BY g1, g2""".stripMargin
     },
     "dq_psi_daily" -> {
       val caseChain = PsiEdges.zipWithIndex

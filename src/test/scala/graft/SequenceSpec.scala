@@ -132,6 +132,29 @@ class SequenceSpec extends SparkSpec {
     assert(bg._3 <= 0.195, s"rel_err ${bg._3} (est ${bg._2})")
   }
 
+  test("HLL overlap matrix: identical sets overlap at their own " +
+      "estimate, near-disjoint sets near zero (clamped), and the " +
+      "group-count guard trips loudly") {
+    val same = ((1 to 1000).map(i => ("a", i)) ++
+      (1 to 1000).map(i => ("b", i))).toDF("g", "v")
+    val sm = Profile.hllOverlapMatrix(same, "g", col("v"))
+      .select("est_a", "est_b", "est_union", "overlap_est")
+      .as[(Double, Double, Double, Double)].head()
+    // A = B → identical registers → union = each → overlap = est
+    assert(sm._1 == sm._2 && sm._2 == sm._3 && sm._4 == sm._1)
+    val disjoint = ((1 to 1000).map(i => ("a", i)) ++
+      (2001 to 3000).map(i => ("b", i))).toDF("g", "v")
+    val dj = Profile.hllOverlapMatrix(disjoint, "g", col("v"))
+      .select("overlap_est").as[Double].head()
+    // true overlap 0; sketch noise is O(σ·n) — clamp keeps it ≥ 0
+    assert(dj >= 0.0 && dj < 400.0, s"disjoint overlap $dj")
+    val many = (1 to 40).map(i => (s"g$i", i)).toDF("g", "v")
+    val ex = intercept[IllegalStateException] {
+      Profile.hllOverlapMatrix(many, "g", col("v"), maxGroups = 10)
+    }
+    assert(ex.getMessage.contains("pair matrix"), ex.getMessage)
+  }
+
   test("HLL registers merge by MAX: the union's estimate equals the " +
       "register-wise max of the halves' sketches (mergeable-state " +
       "contract)") {
