@@ -48,6 +48,7 @@ object Extensions {
   private val FunnelWindowSec = 43200L
   private val SeqSpanConds = Seq("signup", "view", "purchase")
   private val TokenBudget = 800L
+  private val GroupArrayN = 20
 
   /** α·m²·2^53 for HLL m=256 — [[graft.functions.Hll.C2]], so the
     * embedded SQL literal is the bit-identical double the Spark side
@@ -327,6 +328,26 @@ object Extensions {
         "user_id", "ts", "event_id",
         col("event_type") === "view", col("event_type") === "click")
         .orderBy("user_id")),
+
+    // ClickHouse groupArraySorted(N) + arrayStringConcat: the N
+    // smallest user_ids per event type as a joined string — the one
+    // deterministic reading of ClickHouse's order-sensitive array
+    // aggregate. The rank pre-filter rides WindowGroupLimit, so a
+    // mega-group ships ~N rows per partition, never its row count;
+    // the collect is bounded at N by construction.
+    "agg_group_array_sorted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("user_id")
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= GroupArrayN)
+        .groupBy("event_type")
+        .agg(array_join(
+          transform(sort_array(collect_list(col("user_id"))),
+            _.cast("string")), ",").as("first_users"))
+        .orderBy("event_type")
+    }),
 
     // ClickHouse uniqHLL12's shape: HLL(m=256) distinct users per
     // event type beside the exact count — the register-max mergeable
@@ -2110,6 +2131,15 @@ object Extensions {
          |       ${Rounding.sqlPround("abs(e.hll_est - x.n_exact) / CAST(x.n_exact AS DOUBLE)", 6)} AS rel_err
          |FROM est e JOIN ex x USING (g) ORDER BY event_type""".stripMargin
     },
+    "agg_group_array_sorted" ->
+      s"""SELECT event_type,
+         |       string_agg(user_id, ',' ORDER BY user_id) AS first_users
+         |FROM (
+         |  SELECT event_type, user_id, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY user_id) AS rn
+         |  FROM events)
+         |WHERE rn <= $GroupArrayN
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_hll_overlap" -> {
       def est(sOcc: String, occ: String): String = {
         val sInt = s"CAST($sOcc + (256 - $occ) * 9007199254740992 AS DOUBLE)"

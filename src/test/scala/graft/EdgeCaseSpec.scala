@@ -193,4 +193,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Profile.epochPlan(emptyMix, "source", "n_tokens",
       1.0, 100L, 1.0).count() == 0)
   }
+
+  test("round-9 sequence/sketch/budget operators flow empty frames " +
+      "through without throwing") {
+    import graft.operators.{Profile, Sampling, Sequence}
+    val e = emptyEvents
+    assert(Sequence.matchSpanning(e, "user_id", "ts",
+      Seq(col("event_type") === "signup", col("event_type") === "view"))
+      .count() == 0)
+    assert(Sequence.countAdjacentPairs(e, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click")
+      .count() == 0)
+    assert(Profile.hllEstimate(e, "event_type", col("user_id"))
+      .count() == 0)
+    assert(Profile.hllOverlapMatrix(e, "event_type", col("user_id"))
+      .count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "source", "toks")
+    assert(Profile.weightedQuantiles(
+      emptyDocs.withColumn("n_chars", lit(1)),
+      "source", "n_chars", "toks", Seq(0.5)).count() == 0)
+    assert(Sampling.tokenBudgetSelect(emptyDocs, "source", "doc_id",
+      "toks", 100L, "s").count() == 0)
+    // a key whose events match NO condition yields no row, not a null
+    val noMatch = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      "error", 1L)).toDF("user_id", "ts", "event_type", "event_id")
+    assert(Sequence.countAdjacentPairs(noMatch, "user_id", "ts", "event_id",
+      col("event_type") === "view", col("event_type") === "click")
+      .count() == 0)
+  }
 }

@@ -548,6 +548,17 @@ class PlanAuditSpec extends SparkSpec {
     } finally perGroup.unpersist(blocking = false)
   }
 
+  test("hll overlap pair matrix: the non-equi (g1 < g2) pair join " +
+      "broadcasts the detached |groups|-row register frame — the " +
+      "corpus never shuffles into the pair algebra") {
+    val p = plan("sketch_hll_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair join lost its broadcast:\n" + p.take(2500))
+    assert(p.contains("Scan ExistingRDD"),
+      "register frame not checkpoint-detached (pair join would " +
+        "recompute the register build per side):\n" + p.take(2500))
+  }
+
   test("windowFunnel's as-of walk rides the incrementally-maintained " +
       "growing frame — an unbounded-FOLLOWING frame is recomputed from " +
       "scratch per row by WindowExec, O(n²) on a hot key") {
