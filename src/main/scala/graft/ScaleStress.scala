@@ -278,6 +278,30 @@ object ScaleStress {
         .select("funnel_level").as[Int].collect()
       lv.toSeq == Seq(3)
     }
+    time("HLL distinct over 2M events (map-side register max, " +
+        "<=256 rows/key shuffled)") {
+      operators.Profile.hllEstimate(bigEv, "event_type", $"user_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("sequence pairs over 2M events (one lag window, linear on " +
+        "hot keys)") {
+      operators.Sequence.countAdjacentPairs(bigEv, "user_id", "ts",
+        "event_id", $"event_type" === "view", $"event_type" === "click")
+        .write.format("noop").mode("overwrite").save()
+    }
+    check("spanning match on the 100k-event hot key: one probe row " +
+        "per level (min-start walk)") {
+      val n = 100000
+      val hot = (1 to n).map { i =>
+        (42L, new java.sql.Timestamp(1704067200000L + i * 1000L),
+          Seq("view", "click", "purchase")(i % 3))
+      }.toDF("user_id", "ts", "event_type")
+      val m = operators.Sequence.matchSpanning(hot, "user_id", "ts",
+        Seq($"event_type" === "view", $"event_type" === "click",
+          $"event_type" === "purchase"))
+        .select("matched").as[Boolean].collect()
+      m.toSeq == Seq(true)
+    }
     time("rollup maintenance: fold 20 batch states over 2M events " +
         "(|keys| rows moved per merge, no base rescan)") {
       val keys = Seq("event_type")
