@@ -2592,32 +2592,32 @@ object Extensions {
     "graph_hits" -> {
       val u = "1000000000000.0"
       val its = (1 to HitsIters).map { k =>
-        s"""ar$k AS (
+        s"""ar$k AS MATERIALIZED (
            |  SELECT e.dst AS rid, sum(h.hq) AS q
            |  FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
-           |at$k AS (SELECT sum(q) AS t FROM ar$k),
-           |a$k AS (
+           |at$k AS MATERIALIZED (SELECT sum(q) AS t FROM ar$k),
+           |a$k AS MATERIALIZED (
            |  SELECT n.id,
            |    CAST(floor(CAST(coalesce(r.q, 0) AS DOUBLE)
            |      / CAST(t.t AS DOUBLE) * $u + 0.5) AS BIGINT) AS aq
            |  FROM nodes n CROSS JOIN at$k t
            |  LEFT JOIN ar$k r ON r.rid = n.id),
-           |hr$k AS (
+           |hr$k AS MATERIALIZED (
            |  SELECT e.src AS rid, sum(a.aq) AS q
            |  FROM e JOIN a$k a ON a.id = e.dst GROUP BY 1),
-           |ht$k AS (SELECT sum(q) AS t FROM hr$k),
-           |h$k AS (
+           |ht$k AS MATERIALIZED (SELECT sum(q) AS t FROM hr$k),
+           |h$k AS MATERIALIZED (
            |  SELECT n.id,
            |    CAST(floor(CAST(coalesce(r.q, 0) AS DOUBLE)
            |      / CAST(t.t AS DOUBLE) * $u + 0.5) AS BIGINT) AS hq
            |  FROM nodes n CROSS JOIN ht$k t
            |  LEFT JOIN hr$k r ON r.rid = n.id)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-         |h0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS hq FROM nodes),
+         |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS MATERIALIZED (SELECT id, CAST(1000000000000 AS BIGINT) AS hq FROM nodes),
          |$its
          |SELECT h.id, CAST(h.hq AS DOUBLE) / $u AS hub,
          |       CAST(a.aq AS DOUBLE) / $u AS auth
