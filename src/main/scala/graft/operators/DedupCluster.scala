@@ -273,25 +273,40 @@ object DedupCluster {
     * checkpoint dir, localCheckpoint fallback for single-JVM runs — so
     * no cache entry outlives the call and the returned plan can never be
     * CacheManager-substituted into a later query.
+    *
+    * DEFAULT path is the alternating-star components: its round count
+    * is diameter-INDEPENDENT (O(log n) contraction), so no caller can
+    * pick the diameter-bounded propagation loop by accident and hit
+    * the 10⁶-hop chain wall at 100 TB. Labels are provably identical
+    * (both algorithms converge to component-min labels — equality
+    * spec'd in DedupClusterSpec and shared by the
+    * `dedup_cluster_canonical`/`_alternating` oracle rows). Callers
+    * that KNOW their dup topology is clique/short-chain shaped can opt
+    * into [[canonicalizePropagation]] for one fewer exchange per round.
     */
-  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val labels = components(docs, idCol, pairs)
-    val agg = labels
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"))
-      .withColumnRenamed("cluster_id", idCol)
-    val out = Dedup.materializeDetached(agg)
-    labels.unpersist(blocking = false)
-    out
-  }
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    manifestOf(componentsAlternating(docs, idCol, pairs), idCol)
 
-  /** [[canonicalize]] over the alternating-star component labels —
-    * identical manifest (labels are the component minima under either
-    * algorithm), O(log n)-round path for diameter-heavy dup graphs.
+  /** [[canonicalize]] over the min-label propagation components — the
+    * explicit opt-in for tiny-diameter dup graphs (cliques, short
+    * chains), where propagation converges in diameter+1 rounds with
+    * one join per round vs the star path's two. Fails loudly past its
+    * round budget, so a misjudged topology aborts instead of
+    * mislabeling.
     */
+  def canonicalizePropagation(docs: DataFrame, idCol: String,
+                              pairs: DataFrame,
+                              maxRounds: Int = 10): DataFrame =
+    manifestOf(components(docs, idCol, pairs, maxRounds), idCol)
+
+  /** [[canonicalize]]'s explicit alternating-star spelling — kept for
+    * callers that want the algorithm named at the call site; identical
+    * to the default. */
   def canonicalizeAlternating(docs: DataFrame, idCol: String,
-                              pairs: DataFrame): DataFrame = {
-    val labels = componentsAlternating(docs, idCol, pairs)
+                              pairs: DataFrame): DataFrame =
+    manifestOf(componentsAlternating(docs, idCol, pairs), idCol)
+
+  private def manifestOf(labels: DataFrame, idCol: String): DataFrame = {
     val agg = labels
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"))

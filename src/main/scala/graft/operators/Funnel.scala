@@ -39,15 +39,38 @@ object Funnel {
     * ClickHouse mode with an engine-independent answer — the default
     * mode's "same-timestamp events match in any order" makes the level
     * depend on physical row order.
+    *
+    * The other two ClickHouse modes compose on top (both abort
+    * semantics on the forward scan, which is exactly what the
+    * greedy-per-start walk is):
+    *
+    *  - `strictOrder` (CH `strict_order`): no intervening events —
+    *    after step i at time t, the chain extends only if the EARLIEST
+    *    event strictly after t (of ANY type) is a step-(i+1) event;
+    *    A→B→D→C stops an A→B→C funnel at level 2. A foreign event
+    *    sharing the step event's exact instant does not abort (the one
+    *    deterministic reading under strict increase).
+    *  - `strictDedup` (CH `strict_dedup`): a repeat of an ALREADY-
+    *    matched condition interrupts the chain — A→B→A→C stops an
+    *    A→B→C funnel at level 2 (the second A repeats matched
+    *    condition 1 before C arrives). A step event that itself
+    *    repeats an earlier condition still matches (the dup check is
+    *    events STRICTLY between positions), so patterns with repeated
+    *    conditions (A→B→A) remain satisfiable, as in ClickHouse.
+    *
+    * Both are per-level window predicates on the existing linear walk
+    * (same single pass per level, same growing O(n) frame) — no extra
+    * pass, no self-join.
     */
   def windowFunnel(events: DataFrame, keyCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
-                   windowSec: Long): DataFrame = {
+                   windowSec: Long, strictOrder: Boolean = false,
+                   strictDedup: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnel: steps must be non-empty")
     require(windowSec > 0,
       s"windowFunnel: windowSec must be positive, got $windowSec")
     chainWalk(events, keyCol, tsCol, steps.map(col(typeCol) === _),
-      Some(windowSec))
+      Some(windowSec), strictOrder = strictOrder, strictDedup = strictDedup)
   }
 
   /** The shared greedy chain walk: per key, the deepest strictly-
@@ -69,11 +92,16 @@ object Funnel {
   private[operators] def chainWalk(events: DataFrame, keyCol: String,
                                    tsCol: String, stepConds: Seq[Column],
                                    windowSec: Option[Long],
-                                   minStartOnly: Boolean = false)
+                                   minStartOnly: Boolean = false,
+                                   strictOrder: Boolean = false,
+                                   strictDedup: Boolean = false)
       : DataFrame = {
     require(!minStartOnly || windowSec.isEmpty,
       "minStartOnly is exact only for an unbounded walk: a window " +
         "bound can disqualify the earliest start yet admit a later one")
+    require(!minStartOnly || (!strictOrder && !strictDedup),
+      "strict modes walk every start (an aborted earliest chain does " +
+        "not dominate later starts)")
     val steps = stepConds
     // one chain per distinct (key, step-1 instant); µs longs so the
     // window bound is exact integer arithmetic in every engine
@@ -85,14 +113,31 @@ object Funnel {
         .withColumn("tcur", col("t1"))
         .withColumn("level", lit(1))
     for (i <- 1 until steps.length) {
-      val builds = events.filter(steps(i))
-        .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"))
-        .distinct()
+      // Build rows per level: the step-(i+1) events, widened when a
+      // strict mode needs visibility of other events — ALL events for
+      // strict_order (the "earliest event of any type" probe), the
+      // already-matched conditions for strict_dedup (the interrupt
+      // set). Flags collapse per (key, instant) with max() — the same
+      // exchange distinct() costs, carrying two small ints more.
+      val stepCond = steps(i)
+      val dupCond: Option[Column] =
+        if (strictDedup) Some(steps.take(i).reduce(_ || _)) else None
+      val includeCond =
+        if (strictOrder) lit(true)
+        else dupCond.map(stepCond || _).getOrElse(stepCond)
+      val builds = events.filter(includeCond)
+        .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"),
+          when(stepCond, 1).otherwise(0).as("__s"),
+          dupCond.map(c => when(c, 1).otherwise(0)).getOrElse(lit(0))
+            .as("__d"))
+        .groupBy("__k", "__t")
+        .agg(max("__s").as("__is_step"), max("__d").as("__is_dup"))
         .withColumn("__tag", lit(0))
         .withColumn("t1", lit(null).cast("long"))
         .withColumn("tcur", lit(null).cast("long"))
         .withColumn("level", lit(null).cast("int"))
       val probes = chains.select(col("__k"), col("tcur").as("__t"),
+        lit(0).as("__is_step"), lit(0).as("__is_dup"),
         lit(1).as("__tag"), col("t1"), col("tcur"), col("level"))
       // "earliest build strictly after this probe" as a REVERSE running
       // min: sort descending and take min over the strictly-preceding
@@ -107,18 +152,42 @@ object Funnel {
       val w = Window.partitionBy("__k")
         .orderBy(col("__t").desc, col("__tag").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val nextT = min(when(col("__tag") === 0, col("__t"))).over(w)
+      val nextStep =
+        min(when(col("__tag") === 0 && col("__is_step") === 1, col("__t")))
+          .over(w)
       // __next must materialize BEFORE the probe filter: referencing the
       // window expression after the builds are filtered away would
-      // re-evaluate it over a build-free frame (always null)
+      // re-evaluate it over a build-free frame (always null). The three
+      // mins share one window spec, so WindowExec computes them in one
+      // pass over one sort.
       val windowOk = windowSec match {
         case Some(wSec) => col("__next") - col("t1") <= wSec * 1000000L
         case None       => lit(true) // spanning match: no time bound
       }
+      // strict_order: no event of any type strictly between tcur and
+      // the step event (nextAny ≤ nextStep always — step builds are a
+      // subset — so equality means "nothing intervenes")
+      val orderOk =
+        if (strictOrder) col("__next") === col("__next_any") else lit(true)
+      // strict_dedup: no repeat of an already-matched condition
+      // strictly before the step event; a dup AT the step instant is
+      // allowed (repeated-condition patterns stay satisfiable)
+      val dedupOk =
+        if (strictDedup)
+          col("__next_dup").isNull || col("__next") <= col("__next_dup")
+        else lit(true)
       val matched = col("level") === i && col("__next").isNotNull &&
-        windowOk
-      chains = probes.unionByName(builds)
-        .withColumn("__next", nextT)
+        windowOk && orderOk && dedupOk
+      var staged = probes.unionByName(builds)
+        .withColumn("__next", nextStep)
+      if (strictOrder)
+        staged = staged.withColumn("__next_any",
+          min(when(col("__tag") === 0, col("__t"))).over(w))
+      if (strictDedup)
+        staged = staged.withColumn("__next_dup",
+          min(when(col("__tag") === 0 && col("__is_dup") === 1, col("__t")))
+            .over(w))
+      chains = staged
         .filter(col("__tag") === 1)
         .select(col("__k"), col("t1"),
           when(matched, col("__next")).otherwise(col("tcur")).as("tcur"),

@@ -199,7 +199,10 @@ object Profile {
                   k: Int): DataFrame = {
     require(k >= 16, s"k >= 16 required for a usable estimate, got $k")
     import org.apache.spark.sql.expressions.Window
+    // NULL values don't count as a distinct value (count(DISTINCT)
+    // semantics; a NULL md5 would occupy a top-k slot and skew `kth`)
     val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .distinct().persist()
     val exact = dv.groupBy("g").agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy("g").orderBy("h")
@@ -450,7 +453,10 @@ object Profile {
   def hllOverlapMatrix(df: DataFrame, groupCol: String, value: Column,
                        maxGroups: Int = 1000): DataFrame = {
     import graft.functions.Hll
+    // NULL values don't count as a distinct value (count(DISTINCT)
+    // semantics; md5(NULL) would otherwise poison the register build)
     val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .distinct()
     val h = md5(col("v"))
     val regs = dv
@@ -528,10 +534,22 @@ object Profile {
       .filter(col(weightCol) > 0)
       .withColumn("__cumw", sum(col(weightCol).cast("long")).over(sorted))
       .withColumn("__totw", sum(col(weightCol).cast("long")).over(whole))
-    val aggs = qs.map { q =>
+    // Column name per quantile: pNN for whole percentages (p50, p95 —
+    // the stable common case), full decimal with '.'→'_' otherwise
+    // (0.254 → p25_4) so e.g. Seq(0.25, 0.254) can't silently produce
+    // two identically-named columns that break select-by-name.
+    def nameOf(q: Double): String = {
+      val pct = BigDecimal(q.toString) * 100
+      if (pct.isWhole) s"p${pct.toBigInt}"
+      else "p" + pct.underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    }
+    val names = qs.map(nameOf)
+    require(names.distinct.size == names.size,
+      s"quantile list $qs maps to duplicate column names $names")
+    val aggs = qs.zip(names).map { case (q, n) =>
       min(when(col("__cumw").cast("double") >=
           lit(q) * col("__totw").cast("double"), col(valueCol)))
-        .as(s"p${math.round(q * 100)}")
+        .as(n)
     }
     staged.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -567,7 +585,11 @@ object Profile {
     import graft.functions.Rounding.pround
     import graft.functions.Hll
     val m = Hll.M
+    // NULL values don't count as a distinct value (count(DISTINCT)
+    // semantics — and md5(NULL) registers would corrupt both the exact
+    // count and the sketch)
     val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .distinct().persist()
     val exact = dv.groupBy("g").agg(count(lit(1)).as("n_exact"))
     val h = md5(col("v"))

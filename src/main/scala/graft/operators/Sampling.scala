@@ -215,15 +215,22 @@ object Sampling {
     * frame running sum — no global sort, no driver state. Unlike the
     * row-count cap there is no WindowGroupLimit pushdown (the cutoff
     * rank is data-dependent), so a mega-group ships its rows to one
-    * task before the prefix filter; compose with [[capPerGroup]]
-    * first when a group's ROW count is itself unbounded.
+    * task before the prefix filter. That mega-group is ENFORCED away:
+    * a cheap map-side-combinable `groupBy(count)` pre-check fails
+    * loudly when any group exceeds `maxRowsPerGroup` (the
+    * resampleFfill/silhouette guard discipline — failing beats
+    * silently funneling a corpus-scale group through one task).
+    * Compose with [[capPerGroup]] first when a group's ROW count is
+    * unbounded, or raise the bound deliberately.
     */
   def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
-                        tokenCol: String, budget: Long, seed: String)
+                        tokenCol: String, budget: Long, seed: String,
+                        maxRowsPerGroup: Long = 10000000L)
       : DataFrame =
     tokenBudgetSelectBy(
       df.withColumn("__shuf", shuffleKey(col(idCol), seed)),
-      groupCol, tokenCol, budget, Seq(col("__shuf"), col(idCol)))
+      groupCol, tokenCol, budget, Seq(col("__shuf"), col(idCol)),
+      maxRowsPerGroup)
       .drop("__shuf")
 
   /** [[tokenBudgetSelect]] under an EXPLICIT total order — the
@@ -234,13 +241,36 @@ object Sampling {
     */
   def tokenBudgetSelectBy(df: DataFrame, groupCol: String,
                           tokenCol: String, budget: Long,
-                          order: Seq[Column]): DataFrame = {
+                          order: Seq[Column],
+                          maxRowsPerGroup: Long = 10000000L): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(order.nonEmpty, "tokenBudgetSelectBy needs an ordering")
+    require(maxRowsPerGroup > 0,
+      s"maxRowsPerGroup must be positive: $maxRowsPerGroup")
     import org.apache.spark.sql.expressions.Window
+    val eligible = df.filter(col(tokenCol) >= 0)
+    // Mega-group guard: the data-dependent cutoff has no
+    // WindowGroupLimit pushdown, so one group's FULL row set ships to
+    // one task. The count agg is map-side combinable (cost: one cheap
+    // scan); past the bound we fail loudly with the worst offender
+    // instead of letting that task absorb a corpus.
+    val worst = eligible.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc)
+      .limit(1).collect()
+    worst.headOption.foreach { r =>
+      val n = r.getLong(1)
+      if (n > maxRowsPerGroup)
+        throw new IllegalStateException(
+          s"tokenBudgetSelect: group '${r.get(0)}' has $n rows " +
+            s"(maxRowsPerGroup = $maxRowsPerGroup) — the data-dependent " +
+            "budget cutoff would ship the whole group to one task. " +
+            "Compose with capPerGroup/capPerGroupTop first, or raise " +
+            "maxRowsPerGroup deliberately.")
+    }
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.filter(col(tokenCol) >= 0)
+    eligible
       .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
   }

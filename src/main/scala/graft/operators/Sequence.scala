@@ -51,6 +51,76 @@ object Sequence {
         (col("funnel_level") === conds.length).as("matched"))
   }
 
+  /** `sequenceMatch('(?1)(?t<=N₁)(?2)(?t<=N₂)(?3)…')` — the spanning
+    * match with ClickHouse's inter-step time conditions: events
+    * e₁ < e₂ < … < e_k (strictly increasing ts) with eᵢ satisfying
+    * `conds(i)` AND `ts(eᵢ₊₁) − ts(eᵢ) ≤ maxGapSec(i)` wherever a
+    * bound is given (`None` = plain `.*`, any gap). Returns one row
+    * per key owning at least one c₁-event: `(key, matched)`.
+    *
+    * Existence needs no backtracking: an event at time t is a valid
+    * level-(i+1) position iff some valid level-i position p < t has
+    * t − p within the bound — and since later p can only shrink the
+    * gap, "the LATEST valid level-i position before t" decides it.
+    * That is a per-key running MAX over a growing
+    * (unboundedPreceding, −1) frame — incrementally maintained by
+    * WindowExec, O(n) per key (the funnel walk's frame-direction rule,
+    * here in ascending orientation because the probe looks BACKWARD).
+    * One union + window pass per level; cost ∝ condition-matching
+    * events, zero pair fan-out on hot keys.
+    *
+    * (The greedy forward walk [[matchSpanning]] rides is NOT exact
+    * under inter-step bounds — taking the earliest next event can
+    * overstretch a later gap that a later choice would have kept
+    * short — which is why this is a reachability pass, not a chain
+    * walk.)
+    *
+    * At equal timestamps a level-i position does not enable a
+    * level-(i+1) event at the same instant (strict increase, the
+    * engine-independent reading): ascending sort `(t, tag desc)` puts
+    * probes before builds at equal t, so the backward frame excludes
+    * the tie.
+    */
+  def matchTimed(events: DataFrame, keyCol: String, tsCol: String,
+                 conds: Seq[Column], maxGapSec: Seq[Option[Long]])
+      : DataFrame = {
+    require(conds.length >= 2,
+      s"matchTimed needs at least two conditions, got ${conds.length}")
+    require(maxGapSec.length == conds.length - 1,
+      s"maxGapSec must have one entry per step gap " +
+        s"(${conds.length - 1}), got ${maxGapSec.length}")
+    require(maxGapSec.flatten.forall(_ > 0),
+      s"time bounds must be positive: $maxGapSec")
+    def evts(c: Column) = events.filter(c)
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"))
+      .distinct()
+    // level-1 positions: every c₁ instant
+    var valid = evts(conds.head)
+    val keys = valid.select(col("__k")).distinct()
+    for (i <- 1 until conds.length) {
+      val builds = valid.withColumn("__tag", lit(0))
+      val probes = evts(conds(i)).withColumn("__tag", lit(1))
+      // latest valid level-i position strictly before this probe:
+      // ascending growing frame, probes sort before builds on ties
+      val w = Window.partitionBy("__k")
+        .orderBy(col("__t"), col("__tag").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prevMax = max(when(col("__tag") === 0, col("__t"))).over(w)
+      val gapOk = maxGapSec(i - 1) match {
+        case Some(n) => col("__t") - col("__prev") <= n * 1000000L
+        case None    => lit(true)
+      }
+      valid = builds.unionByName(probes)
+        .withColumn("__prev", prevMax)
+        .filter(col("__tag") === 1 && col("__prev").isNotNull && gapOk)
+        .select("__k", "__t")
+    }
+    keys.join(valid.select(col("__k")).distinct()
+        .withColumn("__m", lit(true)), Seq("__k"), "left")
+      .select(col("__k").as(keyCol),
+        coalesce(col("__m"), lit(false)).as("matched"))
+  }
+
   /** `sequenceCount('(?1)(?2)')(ts, c₁, c₂)`: per key, how many times
     * a c₁-event is IMMEDIATELY followed by a c₂-event in the
     * condition-filtered subsequence (events matching neither condition
@@ -59,6 +129,14 @@ object Sequence {
     * adjacent pairs never share an event, and the raw pair count
     * equals ClickHouse's greedy non-overlapping count. `matched` is
     * the `sequenceMatch('(?1)(?2)')` boolean.
+    *
+    * RESTRICTION: c₁ and c₂ must be mutually exclusive predicates.
+    * The CASE labeling means an event satisfying BOTH serves only as
+    * a ?1 — ClickHouse's matcher would let it serve either position,
+    * so the counts agree only for disjoint conditions (which every
+    * `type = 'x'` dashboard condition is). Overlapping conditions are
+    * the caller's contract to avoid, not detectable here without an
+    * extra pass.
     *
     * `tieCol` must be unique per key (an event id): it fixes the order
     * of equal-timestamp events identically in every engine.

@@ -58,8 +58,15 @@ object Rollup {
         sum(pround(col(valCol), 9).cast(DecimalType(38, 12))).as("sum_v"),
         min(col(valCol)).as("min_v"),
         max(col(valCol)).as("max_v"))
+    // NULL distinct-column values do not count as a distinct value
+    // (SQL count(DISTINCT x) semantics, which is also what the oracle
+    // computes). Unfiltered, md5(NULL)=NULL would crash the HLL
+    // map_from_entries build and silently occupy KMV top-k slots
+    // (NULL sorts first ascending, then collect_list drops it — an
+    // undercount). Filter once at the hash source.
     val hashed = batch
       .select(keys.map(col) :+ md5(col(distinctCol).cast("string")).as("__h"): _*)
+      .filter(col("__h").isNotNull)
       .distinct()
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
     val kmv = hashed
@@ -79,7 +86,16 @@ object Rollup {
         transform(sequence(lit(0), lit(Hll.M - 1)),
           i => coalesce(element_at(col("__regs"), i), lit(0))))
       .drop("__regs")
-    scalars.join(kmv, keys).join(hll, keys)
+    // LEFT joins with empty defaults: a key whose distinct-counted
+    // values are ALL null has no sketch rows at all, but its scalar
+    // aggregates must still land (empty KMV list → estimate 0; all-
+    // zero registers → linear counting gives 0)
+    scalars.join(kmv, keys, "left").join(hll, keys, "left")
+      .withColumn("kmv",
+        coalesce(col("kmv"), array().cast("array<string>")))
+      .withColumn("hll",
+        coalesce(col("hll"),
+          array_repeat(lit(0), graft.functions.Hll.M)))
   }
 
   /** Fold state frames into one — the MergeTree background merge as a

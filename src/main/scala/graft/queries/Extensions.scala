@@ -47,6 +47,9 @@ object Extensions {
   private val FunnelSteps = Seq("view", "click", "purchase")
   private val FunnelWindowSec = 43200L
   private val SeqSpanConds = Seq("signup", "view", "purchase")
+  // seq_match_timed: the spanning pattern with ClickHouse (?t<=N)
+  // inter-step bounds — 12 h per gap splits the fixture 62/88.
+  private val SeqTimedGapSec = 43200L
   private val TokenBudget = 800L
   private val GroupArrayN = 20
 
@@ -304,6 +307,25 @@ object Extensions {
         "user_id", "ts", "event_type", FunnelSteps, FunnelWindowSec)
         .orderBy("user_id")),
 
+    // windowFunnel strict_order: an intervening event of ANY other
+    // type aborts the chain (A→B→D→C stops at level 2) — per level,
+    // "earliest event after t IS the step event", one extra window min
+    // on the same pass.
+    "funnel_window_strict_order" -> ((s, dir) =>
+      graft.operators.Funnel.windowFunnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps, FunnelWindowSec,
+        strictOrder = true)
+        .orderBy("user_id")),
+
+    // windowFunnel strict_dedup: a repeat of an already-matched
+    // condition before the next step aborts (A→B→A→C stops at
+    // level 2) — the interrupt min over the matched-condition set.
+    "funnel_window_strict_dedup" -> ((s, dir) =>
+      graft.operators.Funnel.windowFunnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", FunnelSteps, FunnelWindowSec,
+        strictDedup = true)
+        .orderBy("user_id")),
+
     // ClickHouse retention in cohort-matrix form: signup-day cohorts ×
     // day offsets 0..7, active-user counts and retained rates — the
     // other half of every product-analytics dashboard on this stack.
@@ -318,6 +340,17 @@ object Extensions {
     "seq_match_spanning" -> ((s, dir) =>
       graft.operators.Sequence.matchSpanning(t(s, dir, "events"),
         "user_id", "ts", SeqSpanConds.map(col("event_type") === _))
+        .orderBy("user_id")),
+
+    // ClickHouse sequenceMatch('(?1)(?t<=N)(?2)(?t<=N)(?3)'): the
+    // spanning pattern with inter-step time bounds. Greedy walking is
+    // inexact under per-gap bounds, so this is the level-reachability
+    // pass: "latest valid previous position" per candidate event — an
+    // ascending growing-frame running max, one union+window per level.
+    "seq_match_timed" -> ((s, dir) =>
+      graft.operators.Sequence.matchTimed(t(s, dir, "events"),
+        "user_id", "ts", SeqSpanConds.map(col("event_type") === _),
+        Seq(Some(SeqTimedGapSec), Some(SeqTimedGapSec)))
         .orderBy("user_id")),
 
     // ClickHouse sequenceCount('(?1)(?2)'): view IMMEDIATELY followed
@@ -2049,6 +2082,83 @@ object Extensions {
          |SELECT k AS user_id, CAST(max(level) AS INT) AS funnel_level
          |FROM lv GROUP BY 1 ORDER BY user_id""".stripMargin
     },
+    // strict_order replica: beside each greedy step min, the min over
+    // ALL events after the position — the step is valid only when the
+    // two coincide (nothing intervenes; ta ≤ t always since step
+    // events are a subset, so equality is the no-intervening test).
+    "funnel_window_strict_order" -> {
+      val wUs = FunnelWindowSec * 1000000L
+      s"""WITH s1 AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t1
+         |            FROM events WHERE event_type = '${FunnelSteps(0)}'),
+         |n2 AS (SELECT s1.k, s1.t1,
+         |         min(CASE WHEN e.event_type = '${FunnelSteps(1)}'
+         |                  THEN epoch_us(e.ts) END) AS t2,
+         |         min(epoch_us(e.ts)) AS ta2
+         |       FROM s1 LEFT JOIN events e
+         |         ON e.user_id = s1.k AND epoch_us(e.ts) > s1.t1
+         |       GROUP BY 1, 2),
+         |c2 AS (SELECT k, t1,
+         |              CASE WHEN t2 IS NOT NULL AND t2 = ta2 THEN t2 END AS t2
+         |       FROM n2),
+         |n3 AS (SELECT c2.k, c2.t1, c2.t2,
+         |         min(CASE WHEN e.event_type = '${FunnelSteps(2)}'
+         |                  THEN epoch_us(e.ts) END) AS t3,
+         |         min(epoch_us(e.ts)) AS ta3
+         |       FROM c2 LEFT JOIN events e
+         |         ON e.user_id = c2.k AND c2.t2 IS NOT NULL
+         |        AND epoch_us(e.ts) > c2.t2
+         |       GROUP BY 1, 2, 3),
+         |c3 AS (SELECT k, t1, t2,
+         |              CASE WHEN t3 IS NOT NULL AND t3 = ta3 THEN t3 END AS t3
+         |       FROM n3),
+         |lv AS (SELECT k, CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $wUs THEN 3
+         |                      WHEN t2 IS NOT NULL AND t2 - t1 <= $wUs THEN 2
+         |                      ELSE 1 END AS level
+         |       FROM c3)
+         |SELECT k AS user_id, CAST(max(level) AS INT) AS funnel_level
+         |FROM lv GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    // strict_dedup replica: beside each greedy step min, the min over
+    // events repeating an ALREADY-matched condition — the step is
+    // valid only when no such repeat lands strictly before it (a
+    // repeat AT the step instant is allowed, so repeated-condition
+    // patterns stay satisfiable).
+    "funnel_window_strict_dedup" -> {
+      val wUs = FunnelWindowSec * 1000000L
+      s"""WITH s1 AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t1
+         |            FROM events WHERE event_type = '${FunnelSteps(0)}'),
+         |n2 AS (SELECT s1.k, s1.t1,
+         |         min(CASE WHEN e.event_type = '${FunnelSteps(1)}'
+         |                  THEN epoch_us(e.ts) END) AS t2,
+         |         min(CASE WHEN e.event_type = '${FunnelSteps(0)}'
+         |                  THEN epoch_us(e.ts) END) AS d2
+         |       FROM s1 LEFT JOIN events e
+         |         ON e.user_id = s1.k AND epoch_us(e.ts) > s1.t1
+         |       GROUP BY 1, 2),
+         |c2 AS (SELECT k, t1,
+         |              CASE WHEN t2 IS NOT NULL AND (d2 IS NULL OR t2 <= d2)
+         |                   THEN t2 END AS t2
+         |       FROM n2),
+         |n3 AS (SELECT c2.k, c2.t1, c2.t2,
+         |         min(CASE WHEN e.event_type = '${FunnelSteps(2)}'
+         |                  THEN epoch_us(e.ts) END) AS t3,
+         |         min(CASE WHEN e.event_type IN ('${FunnelSteps(0)}',
+         |                  '${FunnelSteps(1)}') THEN epoch_us(e.ts) END) AS d3
+         |       FROM c2 LEFT JOIN events e
+         |         ON e.user_id = c2.k AND c2.t2 IS NOT NULL
+         |        AND epoch_us(e.ts) > c2.t2
+         |       GROUP BY 1, 2, 3),
+         |c3 AS (SELECT k, t1, t2,
+         |              CASE WHEN t3 IS NOT NULL AND (d3 IS NULL OR t3 <= d3)
+         |                   THEN t3 END AS t3
+         |       FROM n3),
+         |lv AS (SELECT k, CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $wUs THEN 3
+         |                      WHEN t2 IS NOT NULL AND t2 - t1 <= $wUs THEN 2
+         |                      ELSE 1 END AS level
+         |       FROM c3)
+         |SELECT k AS user_id, CAST(max(level) AS INT) AS funnel_level
+         |FROM lv GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
     "retention_cohort" -> {
       val size = "max(CASE WHEN day_offset = 0 THEN active_users END) " +
         "OVER (PARTITION BY cohort_day)"
@@ -2088,6 +2198,29 @@ object Extensions {
          |SELECT s1.k AS user_id, (c3.k IS NOT NULL) AS matched
          |FROM s1 LEFT JOIN c3 ON c3.k = s1.k
          |ORDER BY user_id""".stripMargin,
+    // Timed-match replica: valid level-(i+1) positions are candidate
+    // events with SOME valid level-i position strictly earlier and
+    // within the gap — the reachability semantics, spelled as EXISTS
+    // over the previous level's position set.
+    "seq_match_timed" -> {
+      val gUs = SeqTimedGapSec * 1000000L
+      s"""WITH sg AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |            FROM events WHERE event_type = '${SeqSpanConds(0)}'),
+         |vw AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |       FROM events WHERE event_type = '${SeqSpanConds(1)}'),
+         |pu AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |       FROM events WHERE event_type = '${SeqSpanConds(2)}'),
+         |v2 AS (SELECT vw.k, vw.t FROM vw WHERE EXISTS
+         |        (SELECT 1 FROM sg WHERE sg.k = vw.k AND sg.t < vw.t
+         |         AND vw.t - sg.t <= $gUs)),
+         |v3 AS (SELECT DISTINCT pu.k FROM pu WHERE EXISTS
+         |        (SELECT 1 FROM v2 WHERE v2.k = pu.k AND v2.t < pu.t
+         |         AND pu.t - v2.t <= $gUs)),
+         |keys AS (SELECT DISTINCT k FROM sg)
+         |SELECT keys.k AS user_id, (v3.k IS NOT NULL) AS matched
+         |FROM keys LEFT JOIN v3 ON v3.k = keys.k
+         |ORDER BY user_id""".stripMargin
+    },
     "seq_count_pairs" ->
       s"""WITH f AS (
          |  SELECT user_id AS k, ts, event_id,

@@ -30,7 +30,8 @@ object RollupStream {
   /** AvailableNow maintenance sink over an event stream. */
   def maintainSink(events: DataFrame, statePath: String, keys: Seq[String],
                    valCol: String, distinctCol: String, k: Int,
-                   keepGenerations: Int = 3): DataStreamWriter[Row] =
+                   keepGenerations: Int = 3): DataStreamWriter[Row] = {
+    requireKeep(keepGenerations)
     events.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -38,6 +39,7 @@ object RollupStream {
         mergeBatch(batch, statePath, keys, valCol, distinctCol, k,
           batchId, keepGenerations)
       }
+  }
 
   /** One micro-batch fold (also the testable batch-mode entry).
     * Idempotent in `batchId`: a replay re-reads the same predecessor
@@ -45,60 +47,86 @@ object RollupStream {
   def mergeBatch(batch: DataFrame, statePath: String, keys: Seq[String],
                  valCol: String, distinctCol: String, k: Int,
                  batchId: Long, keepGenerations: Int = 3): Unit = {
+    requireKeep(keepGenerations)
     val spark = batch.sparkSession
     val inc = Rollup.aggregateState(batch, keys, valCol, distinctCol, k)
-    val merged = latestCommittedGen(statePath, before = batchId) match {
+    val merged = latestCommittedGen(spark, statePath, before = batchId) match {
       case Some(g) =>
         Rollup.merge(Seq(spark.read.parquet(s"$statePath/gen=$g"), inc),
           keys, k)
       case None => inc
     }
     merged.write.mode("overwrite").parquet(s"$statePath/gen=$batchId")
-    prune(statePath, batchId, keepGenerations)
+    prune(spark, statePath, batchId, keepGenerations)
   }
 
   /** The rollup a reader sees: latest committed state, finalized. */
   def readFinalized(spark: SparkSession, statePath: String,
                     keys: Seq[String], k: Int): DataFrame =
-    latestCommittedGen(statePath, before = Long.MaxValue) match {
+    latestCommittedGen(spark, statePath, before = Long.MaxValue) match {
       case Some(g) => Rollup.finalizeState(
         spark.read.parquet(s"$statePath/gen=$g"), keys, k)
       case None => throw new IllegalStateException(
         s"rollup state at $statePath has no committed generation")
     }
 
+  /** keepGenerations < 2 would let prune delete the immediate
+    * predecessor of the current generation — exactly the base a
+    * replayed batch (foreachBatch is at-least-once) must re-read if
+    * the process crashes between the state write and the checkpoint
+    * commit. The replay would then silently rebuild from its own batch
+    * alone, discarding all history. */
+  private def requireKeep(keep: Int): Unit =
+    require(keep >= 2,
+      s"keepGenerations >= 2 required for replay idempotency (a replayed " +
+        s"batch must find its committed predecessor generation), got $keep")
+
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** FileSystem that OWNS the path — resolved from the path itself so
+    * s3a://, hdfs:// and file:// state dirs all work (a java.io.File
+    * listing would silently see nothing on a remote FS and merge every
+    * batch against an empty base). Retention/IO use the same rule. */
+  private def fsOf(spark: SparkSession, p: String) =
+    hPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Largest `gen=<id>` directory with a `_SUCCESS` marker and
     * `id < before` — half-written generations (no marker) and the
     * caller's own replayed generation are both excluded. */
-  private def latestCommittedGen(statePath: String,
+  private def latestCommittedGen(spark: SparkSession, statePath: String,
                                  before: Long): Option[Long] = {
-    val root = new java.io.File(statePath)
-    val kids = Option(root.listFiles()).getOrElse(Array.empty)
-    kids.iterator
+    val fs = fsOf(spark, statePath)
+    val root = hPath(statePath)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).iterator
       .filter(_.isDirectory)
       .flatMap { d =>
-        d.getName match {
+        d.getPath.getName match {
           case s if s.startsWith("gen=") =>
             scala.util.Try(s.stripPrefix("gen=").toLong).toOption
           case _ => None
         }
       }
       .filter(g => g < before &&
-        new java.io.File(root, s"gen=$g/_SUCCESS").exists())
+        fs.exists(hPath(s"$statePath/gen=$g/_SUCCESS")))
       .reduceOption(_ max _)
   }
 
-  private def prune(statePath: String, current: Long, keep: Int): Unit = {
-    val root = new java.io.File(statePath)
-    val gens = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("gen="))
+  private def prune(spark: SparkSession, statePath: String,
+                    current: Long, keep: Int): Unit = {
+    val fs = fsOf(spark, statePath)
+    val root = hPath(statePath)
+    if (!fs.exists(root)) return
+    val gens = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("gen="))
       .flatMap(d => scala.util.Try(
-        d.getName.stripPrefix("gen=").toLong).toOption)
+        d.getPath.getName.stripPrefix("gen=").toLong).toOption)
       .sorted
-    gens.dropRight(keep).filter(_ < current).foreach { g =>
-      val dir = new java.io.File(root, s"gen=$g")
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      dir.delete()
-    }
+    // Belt-and-braces beside requireKeep: never delete the immediate
+    // committed predecessor of `current`, whatever `keep` says.
+    val predecessor = gens.filter(_ < current).lastOption
+    gens.dropRight(keep)
+      .filter(g => g < current && !predecessor.contains(g))
+      .foreach(g => fs.delete(hPath(s"$statePath/gen=$g"), true))
   }
 }

@@ -175,4 +175,19 @@ class DataQualitySpec extends SparkSpec {
         Seq(("a", 1, 1.5)).toDF("g", "v", "w"), "g", "v", "w", Seq(0.5))
     }
   }
+
+  test("weightedQuantiles column naming: whole percentages keep pNN, " +
+    "fractional ones carry their decimals, collisions are rejected") {
+    val df = Seq(("a", 1, 1L), ("a", 2, 1L), ("a", 10, 8L))
+      .toDF("g", "v", "w")
+    // 0.25 vs 0.254 used to BOTH round to p25 — now distinct names
+    val out = Profile.weightedQuantiles(df, "g", "v", "w",
+      Seq(0.25, 0.254, 0.5))
+    assert(out.columns.toSeq == Seq("g", "p25", "p25_4", "p50"),
+      out.columns.mkString(","))
+    // a genuinely identical pair still fails loudly
+    intercept[IllegalArgumentException] {
+      Profile.weightedQuantiles(df, "g", "v", "w", Seq(0.5, 0.5))
+    }
+  }
 }

@@ -24,6 +24,29 @@ class DedupClusterSpec extends SparkSpec {
     assert(canon == Map(1L -> 2L, 3L -> 2L, 5L -> 1L))
   }
 
+  test("default canonicalize is diameter-independent: a chain far past " +
+      "propagation's round budget resolves; the propagation opt-in " +
+      "raises on the same input") {
+    // 40-hop chain: propagation needs 41 rounds (default budget 10);
+    // the alternating-star default contracts it in ~log rounds
+    val docs = (1L to 41L).toDF("doc_id")
+    val pairs = (1L to 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val canon = DedupCluster.canonicalize(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 41L))
+    intercept[IllegalStateException] {
+      DedupCluster.canonicalizePropagation(docs, "doc_id", pairs)
+    }
+    // short-diameter graphs: both paths produce the identical manifest
+    val cliqueDocs = (1L to 5L).toDF("doc_id")
+    val cliquePairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val viaDefault = DedupCluster.canonicalize(cliqueDocs, "doc_id",
+      cliquePairs).as[(Long, Long)].collect().toMap
+    val viaProp = DedupCluster.canonicalizePropagation(cliqueDocs, "doc_id",
+      cliquePairs).as[(Long, Long)].collect().toMap
+    assert(viaDefault == viaProp)
+  }
+
   test("round budget exhausted before fixpoint raises instead of mislabeling") {
     // a 12-hop chain needs 11 propagation rounds; cap at 3
     val docs = (1L to 12L).toDF("doc_id")

@@ -102,6 +102,83 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  private def funnelMode(rows: Seq[(Long, Timestamp, String)],
+                         strictOrder: Boolean = false,
+                         strictDedup: Boolean = false): Map[Long, Int] =
+    Funnel.windowFunnel(
+      rows.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowSec = 3600,
+      strictOrder = strictOrder, strictDedup = strictDedup)
+      .as[(Long, Int)].collect().toMap
+
+  test("strict_order: an intervening foreign event aborts the chain " +
+    "(the ClickHouse A→B→D→C example stops at level 2)") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:15:00"), "error"),  // D intervenes
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(rows) == Map(1L -> 3)) // default mode unaffected
+    assert(funnelMode(rows, strictOrder = true) == Map(1L -> 2))
+  }
+
+  test("strict_order: a repeat of the step-1 type itself intervenes, " +
+    "and any-start semantics still find the clean later chain") {
+    // start view@10:00: next event is view@10:05 → abort at level 1;
+    // start view@10:05: next is click → level 2, then purchase → 3
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(rows, strictOrder = true) == Map(1L -> 3))
+  }
+
+  test("strict_order: a foreign event sharing the step event's exact " +
+    "instant does not abort (deterministic tie reading)") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "error"), // same instant as click
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(rows, strictOrder = true) == Map(1L -> 3))
+  }
+
+  test("strict_dedup: repeating an already-matched condition before " +
+    "the next step aborts (A→B→A→C stops at level 2)") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:15:00"), "view"),   // repeat of matched cond 1
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(rows) == Map(1L -> 3)) // default mode unaffected
+    assert(funnelMode(rows, strictDedup = true) == Map(1L -> 2))
+    // foreign (unmatched-condition) events do NOT interrupt dedup mode
+    val foreign = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:15:00"), "error"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(foreign, strictDedup = true) == Map(1L -> 3))
+  }
+
+  test("strict_dedup: a dup sharing the step event's instant is allowed " +
+    "— and a later start can still complete after an aborted one") {
+    val sameInstant = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "view"),    // dup AT purchase instant
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(sameInstant, strictDedup = true) == Map(1L -> 3))
+    // start@10:00 aborted by the 10:05 view; start@10:05 completes
+    val restart = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase"))
+    assert(funnelMode(restart, strictDedup = true) == Map(1L -> 3))
+  }
+
   test("cohort retention counts each cohort member once per offset day " +
     "and rates against the day-0 cohort size") {
     val rows = Seq(

@@ -562,11 +562,14 @@ class PlanAuditSpec extends SparkSpec {
   test("windowFunnel's as-of walk rides the incrementally-maintained " +
       "growing frame — an unbounded-FOLLOWING frame is recomputed from " +
       "scratch per row by WindowExec, O(n²) on a hot key") {
-    val p = plan("funnel_window").toLowerCase
-    assert(!p.contains("unbounded following") &&
-        !p.contains("unboundedfollowing"),
-      "funnel frame regressed to unbounded-following:\n" + p.take(3000))
-    assert(p.contains("unbounded preceding") || p.contains("unboundedpreceding"),
-      "expected the reverse-sorted growing frame:\n" + p.take(3000))
+    Seq("funnel_window", "funnel_window_strict_order",
+      "funnel_window_strict_dedup", "seq_match_timed").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(!p.contains("unbounded following") &&
+          !p.contains("unboundedfollowing"),
+        s"$q frame regressed to unbounded-following:\n" + p.take(3000))
+      assert(p.contains("unbounded preceding") || p.contains("unboundedpreceding"),
+        s"$q: expected the growing frame:\n" + p.take(3000))
+    }
   }
 }

@@ -81,6 +81,26 @@ class RollupSpec extends SparkSpec {
     assert(est > 200 && est < 8000, s"estimate $est implausible for 2000")
   }
 
+  test("NULL distinct-column values do not count as a distinct value " +
+    "(count(DISTINCT) semantics) and do not crash the sketch builds") {
+    val withNulls = Seq(
+      ("g0", 1.0, Some(1L)), ("g0", 2.0, Some(2L)),
+      ("g0", 3.0, None), ("g0", 4.0, None),
+      ("g1", 5.0, None)) // a key whose distinct values are ALL null
+      .toDF("g", "v", "u")
+    val state = Rollup.aggregateState(withNulls, keys, "v", "u", K)
+    val fin = Rollup.finalizeState(state, keys, K)
+      .select($"g", $"n", $"distinct_est", $"hll_distinct_est")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // scalar aggregates still count every row; distinct ignores nulls
+    assert(fin(("g0"))._1 == 4L && fin(("g0"))._2 == 2L)
+    // linear counting at 2/256 registers: 256·ln(256/254) ≈ 2.008
+    assert(math.abs(fin(("g0"))._3 - 2.0) < 0.05, fin(("g0"))._3.toString)
+    assert(fin(("g1"))._1 == 1L && fin(("g1"))._2 == 0L)
+    assert(fin(("g1"))._3 == 0.0)
+  }
+
   test("guard: k below 16 fails loudly") {
     intercept[IllegalArgumentException] {
       Rollup.aggregateState(df(Seq(("a", 1.0, 1L))), keys, "v", "u", 8)

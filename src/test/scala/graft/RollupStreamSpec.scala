@@ -78,6 +78,20 @@ class RollupStreamSpec extends SparkSpec {
     assert(fin == oneShot)
   }
 
+  test("keepGenerations < 2 is rejected: pruning the immediate " +
+    "predecessor would break replay idempotency") {
+    val state = tempDir("rollup_keep_guard")
+    val b = rows(0 until 10).toDF("g", "v", "u")
+    intercept[IllegalArgumentException] {
+      RollupStream.mergeBatch(b, state, keys, "v", "u", K,
+        batchId = 0L, keepGenerations = 1)
+    }
+    intercept[IllegalArgumentException] {
+      RollupStream.maintainSink(b, state, keys, "v", "u", K,
+        keepGenerations = 1)
+    }
+  }
+
   test("reading an empty state path fails actionably") {
     val e = intercept[IllegalStateException] {
       RollupStream.readFinalized(spark, tempDir("rollup_empty"), keys, K)

@@ -122,6 +122,30 @@ class SamplingAndValidationSpec extends SparkSpec {
       .forall(_._2 == 2L))
   }
 
+  test("tokenBudgetSelect mega-group guard: a group past maxRowsPerGroup " +
+      "fails loudly naming the offender; capPerGroup composition passes") {
+    val rows = (1 to 200).map(i => (i.toLong, "hot", 10L)) ++
+      (1 to 5).map(i => (1000L + i, "cold", 10L))
+    val df = rows.toDF("id", "g", "toks")
+    val ex = intercept[IllegalStateException] {
+      Sampling.tokenBudgetSelect(df, "g", "id", "toks", 70L, "s1",
+        maxRowsPerGroup = 100L)
+    }
+    assert(ex.getMessage.contains("hot") &&
+      ex.getMessage.contains("capPerGroup"), ex.getMessage)
+    // the documented composition: cap rows first, then budget — passes
+    val capped = Sampling.capPerGroup(df, "id", "g", 100, "s1")
+    val out = Sampling.tokenBudgetSelect(capped, "g", "id", "toks", 70L,
+      "s1", maxRowsPerGroup = 100L)
+    assert(out.count() > 0)
+    // the top-order variant guards identically
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalStateException] {
+      Sampling.tokenBudgetSelectBy(df, "g", "toks", 70L,
+        Seq(col("id")), maxRowsPerGroup = 100L)
+    }
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = tempDir("dup_events")
     val ev = Tables.load(spark, sf, "events").limit(100)

@@ -74,6 +74,87 @@ class SequenceSpec extends SparkSpec {
       Map(1L -> true))
   }
 
+  // --- matchTimed -----------------------------------------------------
+
+  private def timed(df: org.apache.spark.sql.DataFrame,
+                    conds: Seq[String],
+                    gaps: Seq[Option[Long]]): Map[Long, Boolean] =
+    Sequence.matchTimed(df, "user_id", "ts",
+      conds.map(col("event_type") === _), gaps)
+      .as[(Long, Boolean)].collect().toMap
+
+  test("timed: a gap exactly at the bound matches ((?t<=N) is " +
+      "inclusive); one second over does not") {
+    val exact = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"),      // gap = 3600 s exactly
+      (1L, "2024-01-01 11:30:00", "purchase"))
+    assert(timed(exact, Seq("signup", "view", "purchase"),
+      Seq(Some(3600L), Some(3600L))) == Map(1L -> true))
+    val over = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:01", "view"),      // gap = 3601 s
+      (1L, "2024-01-01 11:30:00", "purchase"))
+    assert(timed(over, Seq("signup", "view", "purchase"),
+      Seq(Some(3600L), Some(3600L))) == Map(1L -> false))
+  }
+
+  test("timed: None gaps behave as .* (any distance) and mix with " +
+      "bounded gaps") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-03-01 10:00:00", "view"),       // months later: unbounded
+      (1L, "2024-03-01 10:05:00", "purchase"))   // 5 min: inside 600 s
+    assert(timed(df, Seq("signup", "view", "purchase"),
+      Seq(None, Some(600L))) == Map(1L -> true))
+    assert(timed(df, Seq("signup", "view", "purchase"),
+      Seq(Some(600L), None)) == Map(1L -> false))
+  }
+
+  test("timed: reachability beats greedy — the earliest middle event " +
+      "overstretches the next gap where a later one fits") {
+    // greedy would take view@10:01 and fail purchase's 10-min bound;
+    // the valid chain goes through view@14:55
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:01:00", "view"),
+      (1L, "2024-01-01 14:55:00", "view"),
+      (1L, "2024-01-01 15:00:00", "purchase"))
+    assert(timed(df, Seq("signup", "view", "purchase"),
+      Seq(Some(6L * 3600L), Some(600L))) == Map(1L -> true))
+  }
+
+  test("timed: strict increase at ties; keys without a first-condition " +
+      "event are absent, unmatched keys report false") {
+    val tie = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:00:00", "view"),      // same instant: no chain
+      (1L, "2024-01-01 10:30:00", "purchase"),
+      (2L, "2024-01-01 10:00:00", "view"),      // no signup: absent
+      (3L, "2024-01-01 10:00:00", "signup"))    // signup only: false
+    assert(timed(tie, Seq("signup", "view", "purchase"),
+      Seq(Some(3600L), Some(3600L))) == Map(1L -> false, 3L -> false))
+  }
+
+  test("timed: guards — short cond list, wrong gap arity, non-positive " +
+      "bound all fail loudly") {
+    val df = events((1L, "2024-01-01 10:00:00", "signup"))
+    intercept[IllegalArgumentException] {
+      Sequence.matchTimed(df, "user_id", "ts",
+        Seq(col("event_type") === "signup"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Sequence.matchTimed(df, "user_id", "ts",
+        Seq(col("event_type") === "signup", col("event_type") === "view"),
+        Seq(Some(10L), Some(10L)))
+    }
+    intercept[IllegalArgumentException] {
+      Sequence.matchTimed(df, "user_id", "ts",
+        Seq(col("event_type") === "signup", col("event_type") === "view"),
+        Seq(Some(0L)))
+    }
+  }
+
   // --- countAdjacentPairs ---------------------------------------------
 
   test("adjacency is over the condition-filtered subsequence: " +
