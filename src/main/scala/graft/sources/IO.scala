@@ -25,11 +25,13 @@ object IO {
     */
   def readJdbc(spark: SparkSession, url: String, table: String,
                partitionColumn: String, lowerBound: Long, upperBound: Long,
-               numPartitions: Int, props: java.util.Properties): DataFrame =
+               numPartitions: Int, props: java.util.Properties): DataFrame = {
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.ensureRegistered()
     spark.read
       .option("fetchsize", 10000) // replaces the reference's LIMIT batch cap
       .jdbc(url, table, partitionColumn, lowerBound, upperBound,
         numPartitions, props)
+  }
 
   /** Database write sink — the reference's actual landing step: an
     * INSERT into ClickHouse (hook:114-132 executes the INSERT-SELECT of
@@ -51,6 +53,9 @@ object IO {
                 mode: SaveMode = SaveMode.Append,
                 batchSize: Int = 10000,
                 numPartitions: Option[Int] = None): Unit = {
+    // jdbc:clickhouse: targets get the ClickHouse dialect (types,
+    // identifier quoting, truncate semantics) instead of generic SQL
+    if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.ensureRegistered()
     val capped = numPartitions.fold(df)(n => df.repartition(n))
     capped.write
       .mode(mode)
