@@ -579,8 +579,17 @@ object Profile {
     *
     * Shape: distinct → groupBy(g, bucket) MAX(ρ) (map-side combinable,
     * ≤ m rows per group cross the shuffle) → |groups|-row finish.
+    *
+    * `uniqCombined` upgrade: groups at or below `sparseThreshold`
+    * distinct values report the EXACT count (`hll_mode = 'sparse'` —
+    * ClickHouse keeps an exact hash set below its threshold and only
+    * converts to registers above it); the register estimator serves
+    * the rest (`'dense'`). The QA row computes the exact count anyway,
+    * so the switch costs nothing here; the stored-state twin with the
+    * bounded sparse list is [[graft.pipeline.Rollup.aggregateState]].
     */
-  def hllEstimate(df: DataFrame, groupCol: String, value: Column)
+  def hllEstimate(df: DataFrame, groupCol: String, value: Column,
+                  sparseThreshold: Int = graft.functions.Hll.M)
       : DataFrame = {
     import graft.functions.Rounding.pround
     import graft.functions.Hll
@@ -603,10 +612,17 @@ object Profile {
         col("s_occ") + (lit(m.toLong) - col("occ")) * lit(Hll.Pow53.toLong))
       .withColumn("v_empty", lit(m.toLong) - col("occ"))
     val out = exact.join(grouped, Seq("g"))
-      .withColumn("hll_est", Hll.estimate(col("s_int"), col("v_empty")))
+      .withColumn("hll_est",
+        when(col("n_exact") <= sparseThreshold,
+          col("n_exact").cast("double"))
+          .otherwise(Hll.estimate(col("s_int"), col("v_empty"))))
+      .withColumn("hll_mode",
+        when(col("n_exact") <= sparseThreshold, lit("sparse"))
+          .otherwise(lit("dense")))
       .select(col("g").as(groupCol), col("n_exact"), col("hll_est"),
         pround(abs(col("hll_est") - col("n_exact")) /
-          col("n_exact").cast("double"), 6).as("rel_err"))
+          col("n_exact").cast("double"), 6).as("rel_err"),
+        col("hll_mode"))
     val detached = Dedup.materializeDetached(out)
     dv.unpersist(blocking = false)
     detached

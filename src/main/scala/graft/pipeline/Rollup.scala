@@ -42,16 +42,33 @@ object Rollup {
 
   /** Reduce a raw batch to one state row per key.
     *
-    * Beside the KMV hash list the state carries `hll`: the dense
-    * m=256 HLL register array ([[graft.functions.Hll]]) — ClickHouse's
-    * `uniqHLL12` AggregatingMergeTree state. Registers build as a
-    * map-side-combinable groupBy(key, bucket) MAX(ρ) (≤ m rows per key
-    * cross the shuffle) and densify to a fixed 256-int array; state
-    * size is constant per key where KMV's is O(k).
+    * Beside the KMV hash list the state carries the distinct sketch in
+    * ClickHouse `uniqCombined`'s two-mode shape:
+    *
+    *  - `hll`: the dense m=256 HLL register array
+    *    ([[graft.functions.Hll]]) — `uniqHLL12`'s AggregatingMergeTree
+    *    state, ALWAYS populated (registers build as a map-side-
+    *    combinable groupBy(key, bucket) MAX(ρ), ≤ m rows per key cross
+    *    the shuffle; constant state size where KMV's is O(k));
+    *  - `hll_sparse`: the full sorted hash list when the key's
+    *    distinct count is ≤ `sparseThreshold` (null above it), so
+    *    small keys finalize EXACT — CH's sparse-set-below-threshold
+    *    behavior — and `hll_mode` names the mode
+    *    ('sparse'/'dense') so the stored state is self-describing.
+    *
+    * The sparse list costs nothing extra at scale: it shares the KMV
+    * rank window (bounded at max(k, threshold+1) rows per key, pushed
+    * below the exchange by WindowGroupLimit), and whether the key
+    * exceeded the threshold is read off the max rank seen — no second
+    * scan, no unbounded collect on a mega key.
     */
   def aggregateState(batch: DataFrame, keys: Seq[String], valCol: String,
-                     distinctCol: String, k: Int): DataFrame = {
+                     distinctCol: String, k: Int,
+                     sparseThreshold: Int = graft.functions.Hll.M)
+      : DataFrame = {
     require(k >= 16, s"k >= 16 required for a usable KMV estimate, got $k")
+    require(sparseThreshold >= 1,
+      s"sparseThreshold must be positive, got $sparseThreshold")
     import graft.functions.Hll
     val scalars = batch.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
@@ -68,12 +85,24 @@ object Rollup {
       .select(keys.map(col) :+ md5(col(distinctCol).cast("string")).as("__h"): _*)
       .filter(col("__h").isNotNull)
       .distinct()
+    // One bounded rank window feeds both the KMV list and the sparse
+    // set: rank ≤ max(k, T+1) caps the per-key collect; max(rank) ≤ T
+    // ⟺ the key's full distinct set was captured.
+    val bound = math.max(k, sparseThreshold + 1)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
     val kmv = hashed
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= k)
+      .filter(col("__r") <= bound)
       .groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+      .agg(sort_array(collect_list(col("__h"))).as("__hs"),
+        max(col("__r")).as("__seen"))
+      .withColumn("kmv", slice(col("__hs"), 1, k))
+      .withColumn("hll_sparse",
+        when(col("__seen") <= sparseThreshold, col("__hs")))
+      .withColumn("hll_mode",
+        when(col("hll_sparse").isNotNull, lit("sparse"))
+          .otherwise(lit("dense")))
+      .drop("__hs", "__seen")
     val hll = hashed
       .select(keys.map(col) ++ Seq(Hll.bucket(col("__h")).as("__b"),
         Hll.rho(col("__h")).as("__rho")): _*)
@@ -88,25 +117,40 @@ object Rollup {
       .drop("__regs")
     // LEFT joins with empty defaults: a key whose distinct-counted
     // values are ALL null has no sketch rows at all, but its scalar
-    // aggregates must still land (empty KMV list → estimate 0; all-
-    // zero registers → linear counting gives 0)
+    // aggregates must still land (empty KMV/sparse lists → exact 0;
+    // all-zero registers → linear counting gives 0)
     scalars.join(kmv, keys, "left").join(hll, keys, "left")
       .withColumn("kmv",
         coalesce(col("kmv"), array().cast("array<string>")))
+      .withColumn("hll_sparse",
+        when(col("hll_mode").isNull, array().cast("array<string>"))
+          .otherwise(col("hll_sparse")))
+      .withColumn("hll_mode", coalesce(col("hll_mode"), lit("sparse")))
       .withColumn("hll",
         coalesce(col("hll"),
           array_repeat(lit(0), graft.functions.Hll.M)))
   }
 
   /** Fold state frames into one — the MergeTree background merge as a
-    * query. Same reduction as the build, applied to state rows. */
-  def merge(states: Seq[DataFrame], keys: Seq[String], k: Int): DataFrame = {
+    * query. Same reduction as the build, applied to state rows.
+    *
+    * Sparse/dense mode algebra (the `uniqCombined` merge rule): the
+    * dense registers always merge by register-wise MAX; the sparse
+    * list survives only when EVERY contributing state was sparse and
+    * the union stays within the threshold — otherwise the key
+    * converts to dense, which is exactly the already-merged register
+    * array (every sparse state carries its full register image, so
+    * conversion is free: no re-hash, no densify pass). */
+  def merge(states: Seq[DataFrame], keys: Seq[String], k: Int,
+            sparseThreshold: Int = graft.functions.Hll.M): DataFrame = {
     require(states.nonEmpty, "merge: no states")
     // State-format check with an actionable message: a state frame
-    // written by an older build (e.g. pre-`hll`) would otherwise fail
-    // deep inside the union/agg — or worse, a sketch column silently
-    // treated as empty would UNDERCOUNT. Loud beats wrong.
-    val expected = keys ++ Seq("n", "sum_v", "min_v", "max_v", "kmv", "hll")
+    // written by an older build (e.g. pre-`hll`, pre-mode-tag) would
+    // otherwise fail deep inside the union/agg — or worse, a sketch
+    // column silently treated as empty would UNDERCOUNT. Loud beats
+    // wrong.
+    val expected = keys ++ Seq("n", "sum_v", "min_v", "max_v", "kmv",
+      "hll", "hll_sparse", "hll_mode")
     states.foreach { s =>
       val missing = expected.filterNot(s.columns.contains)
       require(missing.isEmpty,
@@ -129,7 +173,18 @@ object Rollup {
         aggregate(collect_list(col("hll")),
           array_repeat(lit(0), graft.functions.Hll.M),
           (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
-          .as("hll"))
+          .as("hll"),
+        // collect_list skips nulls, so equal counts ⟺ every state
+        // was sparse; the union list is null otherwise
+        when(count(col("hll_sparse")) === count(lit(1)),
+          array_sort(array_distinct(flatten(collect_list(col("hll_sparse"))))))
+          .as("__su"))
+      .withColumn("hll_sparse",
+        when(size(col("__su")) <= sparseThreshold, col("__su")))
+      .withColumn("hll_mode",
+        when(col("hll_sparse").isNotNull, lit("sparse"))
+          .otherwise(lit("dense")))
+      .drop("__su")
   }
 
   /** Finalize a state into the read-side aggregate row: count, sum,
@@ -144,18 +199,24 @@ object Rollup {
     val nSeen = size(col("kmv"))
     val est = when(nSeen < k || frac <= 0.0, nSeen.cast("long"))
       .otherwise(floor(lit((k - 1).toDouble) / frac + lit(0.5)).cast("long"))
-    // HLL read side: integer-scaled harmonic sum over the register
+    // HLL read side, uniqCombined-style: a sparse-mode key reports its
+    // EXACT distinct count (the stored hash list's size); dense keys
+    // go through the integer-scaled harmonic sum over the register
     // array (deterministic array order — exact), empty-register count
     // for the linear-counting branch
     val sInt = expr("aggregate(hll, CAST(0 AS BIGINT), " +
       "(acc, m) -> acc + CAST(power(2, 53 - m) AS BIGINT))")
     val vEmpty = expr("size(filter(hll, m -> m = 0))")
+    val hllEst = when(col("hll_sparse").isNotNull,
+        size(col("hll_sparse")).cast("double"))
+      .otherwise(graft.functions.Hll.estimate(sInt, vEmpty))
     state.select(keys.map(col) ++ Seq(
       col("n"),
       pround(col("sum_v").cast("double"), 6).as("sum_v"),
       col("min_v"), col("max_v"),
       pround(col("sum_v").cast("double") / col("n"), 6).as("avg_v"),
       est.as("distinct_est"),
-      graft.functions.Hll.estimate(sInt, vEmpty).as("hll_distinct_est")): _*)
+      hllEst.as("hll_distinct_est"),
+      col("hll_mode")): _*)
   }
 }

@@ -382,12 +382,23 @@ object Extensions {
         .orderBy("event_type")
     }),
 
-    // ClickHouse uniqHLL12's shape: HLL(m=256) distinct users per
-    // event type beside the exact count — the register-max mergeable
+    // ClickHouse uniqCombined's shape: distinct users per event type —
+    // every fixture group sits below the m=256 sparse threshold, so
+    // the estimate is EXACT (mode 'sparse'), the CH
+    // exact-set-below-threshold behavior; the register-max mergeable
     // twin of sketch_kmv_estimate.
     "sketch_hll_estimate" -> ((s, dir) =>
       graft.operators.Profile.hllEstimate(t(s, dir, "events"),
         "event_type", col("user_id"))
+        .orderBy("event_type")),
+
+    // The dense half of the uniqCombined switch: distinct EVENT ids
+    // per type (~2k ≫ 256) force every group through the register
+    // estimator (mode 'dense') — keeps the harmonic-sum math
+    // oracle-covered now that the sparse row is exact.
+    "sketch_hll_dense" -> ((s, dir) =>
+      graft.operators.Profile.hllEstimate(t(s, dir, "events"),
+        "event_type", col("event_id"))
         .orderBy("event_type")),
 
     // Sketch ALGEBRA: pairwise vocabulary overlap between sources via
@@ -1764,6 +1775,45 @@ object Extensions {
       s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
     }.mkString("(", " + ", ")")
 
+  /** uniqCombined-style HLL QA replica over events grouped by
+    * event_type: exact count at or below the m=256 sparse threshold,
+    * register estimator above it, with the mode named — shared by the
+    * sparse (`user_id`) and dense (`event_id`) rows so the two
+    * branches of the switch stay oracle-covered by construction. */
+  private def hllEstimateOracle(valueExpr: String): String = {
+    val hex2ToInt = "(strpos('0123456789abcdef', substr(md5(v),1,1))-1)*16" +
+      " + (strpos('0123456789abcdef', substr(md5(v),2,1))-1)"
+    s"""WITH dv AS (SELECT DISTINCT event_type AS g,
+       |                   $valueExpr AS v FROM events),
+       |ex AS (SELECT g, count(*) AS n_exact FROM dv GROUP BY g),
+       |r AS (SELECT g, CAST($hex2ToInt AS INT) AS bucket,
+       |             CAST(${hex13ToDouble("substr(md5(v),3,13)")} AS BIGINT) AS w
+       |      FROM dv),
+       |regs AS (SELECT g, bucket,
+       |                max(CASE WHEN w = 0 THEN 53
+       |                         ELSE 53 - length(bin(w)) END) AS m_j
+       |         FROM r GROUP BY 1, 2),
+       |gr AS (SELECT g, sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
+       |              count(*) AS occ
+       |       FROM regs GROUP BY 1),
+       |fin AS (SELECT g, s_occ + (256 - occ) * 9007199254740992 AS s_int,
+       |               256 - occ AS v_empty FROM gr),
+       |est AS (SELECT g,
+       |  CASE WHEN ($HllC2 / CAST(s_int AS DOUBLE)) <= 640.0 AND v_empty > 0
+       |       THEN ${Rounding.sqlPround("256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))", 6)}
+       |       ELSE ${Rounding.sqlPround(s"$HllC2 / CAST(s_int AS DOUBLE)", 6)}
+       |  END AS hll_reg_est FROM fin)
+       |SELECT e.g AS event_type, x.n_exact,
+       |       CASE WHEN x.n_exact <= 256 THEN CAST(x.n_exact AS DOUBLE)
+       |            ELSE e.hll_reg_est END AS hll_est,
+       |       ${Rounding.sqlPround(
+      "abs(CASE WHEN x.n_exact <= 256 THEN CAST(x.n_exact AS DOUBLE) " +
+        "ELSE e.hll_reg_est END - x.n_exact) / CAST(x.n_exact AS DOUBLE)", 6)} AS rel_err,
+       |       CASE WHEN x.n_exact <= 256 THEN 'sparse'
+       |            ELSE 'dense' END AS hll_mode
+       |FROM est e JOIN ex x USING (g) ORDER BY event_type""".stripMargin
+  }
+
   /** DSIR oracle CTE chain through `w` = (doc_id, n_grams, logw): the
     * hashed gram stream (unigrams + adjacent bigrams, no filtering),
     * dense α-smoothed bucket models for target (lang='en') and raw,
@@ -2237,33 +2287,8 @@ object Extensions {
          |       CAST(sum(CASE WHEN prev = 1 AND lab = 2 THEN 1 ELSE 0 END)
          |            AS BIGINT) > 0 AS matched
          |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
-    "sketch_hll_estimate" -> {
-      val hex2ToInt = "(strpos('0123456789abcdef', substr(md5(v),1,1))-1)*16" +
-        " + (strpos('0123456789abcdef', substr(md5(v),2,1))-1)"
-      s"""WITH dv AS (SELECT DISTINCT event_type AS g,
-         |                   CAST(user_id AS VARCHAR) AS v FROM events),
-         |ex AS (SELECT g, count(*) AS n_exact FROM dv GROUP BY g),
-         |r AS (SELECT g, CAST($hex2ToInt AS INT) AS bucket,
-         |             CAST(${hex13ToDouble("substr(md5(v),3,13)")} AS BIGINT) AS w
-         |      FROM dv),
-         |regs AS (SELECT g, bucket,
-         |                max(CASE WHEN w = 0 THEN 53
-         |                         ELSE 53 - length(bin(w)) END) AS m_j
-         |         FROM r GROUP BY 1, 2),
-         |gr AS (SELECT g, sum(CAST(power(2, 53 - m_j) AS BIGINT)) AS s_occ,
-         |              count(*) AS occ
-         |       FROM regs GROUP BY 1),
-         |fin AS (SELECT g, s_occ + (256 - occ) * 9007199254740992 AS s_int,
-         |               256 - occ AS v_empty FROM gr),
-         |est AS (SELECT g,
-         |  CASE WHEN ($HllC2 / CAST(s_int AS DOUBLE)) <= 640.0 AND v_empty > 0
-         |       THEN ${Rounding.sqlPround("256.0 * ln(256.0 / CAST(v_empty AS DOUBLE))", 6)}
-         |       ELSE ${Rounding.sqlPround(s"$HllC2 / CAST(s_int AS DOUBLE)", 6)}
-         |  END AS hll_est FROM fin)
-         |SELECT e.g AS event_type, x.n_exact, e.hll_est,
-         |       ${Rounding.sqlPround("abs(e.hll_est - x.n_exact) / CAST(x.n_exact AS DOUBLE)", 6)} AS rel_err
-         |FROM est e JOIN ex x USING (g) ORDER BY event_type""".stripMargin
-    },
+    "sketch_hll_estimate" -> hllEstimateOracle("CAST(user_id AS VARCHAR)"),
+    "sketch_hll_dense" -> hllEstimateOracle("CAST(event_id AS VARCHAR)"),
     "agg_group_array_sorted" ->
       s"""SELECT event_type,
          |       string_agg(user_id, ',' ORDER BY user_id) AS first_users

@@ -317,15 +317,22 @@ object Pipelines {
          |                   AND (256 - occ) > 0
          |              THEN ${Rounding.sqlPround("256.0 * ln(256.0 / CAST(256 - occ AS DOUBLE))", 6)}
          |              ELSE ${Rounding.sqlPround(s"$HllC2 / CAST(s_occ + (256 - occ) * 9007199254740992 AS DOUBLE)", 6)}
-         |         END AS hll_distinct_est
-         |  FROM hgr)
+         |         END AS hll_reg_est
+         |  FROM hgr),
+         |nd AS (SELECT event_type, day, count(*) AS n_dist FROM dv
+         |       GROUP BY 1, 2)
          |SELECT s.event_type, s.day, s.n,
          |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE)", 6)} AS sum_v,
          |       min_v, max_v,
          |       ${Rounding.sqlPround("CAST(sum_d AS DOUBLE) / n", 6)} AS avg_v,
-         |       f.distinct_est, h.hll_distinct_est
+         |       f.distinct_est,
+         |       CASE WHEN d.n_dist <= 256 THEN CAST(d.n_dist AS DOUBLE)
+         |            ELSE h.hll_reg_est END AS hll_distinct_est,
+         |       CASE WHEN d.n_dist <= 256 THEN 'sparse'
+         |            ELSE 'dense' END AS hll_mode
          |FROM sc s JOIN fin f USING (event_type, day)
          |          JOIN hest h USING (event_type, day)
+         |          JOIN nd d USING (event_type, day)
          |ORDER BY event_type, day""".stripMargin
     },
     "multimodal_binary_meta" ->

@@ -81,6 +81,48 @@ class RollupSpec extends SparkSpec {
     assert(est > 200 && est < 8000, s"estimate $est implausible for 2000")
   }
 
+  test("uniqCombined mode algebra: sparse∪sparse stays exact below the " +
+    "threshold, converts to dense across it, and sparse∪dense merges " +
+    "into the dense registers — one-shot ≡ any split in every case") {
+    val T = 32
+    def state(rows: Seq[(String, Double, Long)]) =
+      Rollup.aggregateState(df(rows), keys, "v", "u", K, sparseThreshold = T)
+    def fin(state: DataFrame) = Rollup.finalizeState(state, keys, K)
+      .select($"g", $"n", $"distinct_est", $"hll_distinct_est", $"hll_mode")
+      .as[(String, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+
+    // below threshold from both sides: stays sparse, estimate EXACT
+    val a = (1 to 10).map(i => ("g", i * 1.0, i.toLong))
+    val b = (6 to 20).map(i => ("g", i * 1.0, i.toLong)) // overlap 6..10
+    val small = fin(Rollup.merge(Seq(state(a), state(b)), keys, K,
+      sparseThreshold = T))
+    // the HLL side is EXACT in sparse mode (20 distinct); the KMV
+    // beside it is past its k=16 saturation and estimates (~19)
+    assert(small("g")._2 == 20.0 && small("g")._3 == "sparse",
+      small("g").toString)
+    assert(small("g") == fin(state(a ++ b))("g")) // split-invariant
+
+    // union crosses the threshold: converts to dense, registers equal
+    // the one-shot build's (so the estimate is identical)
+    val c = (1 to 25).map(i => ("g", i * 1.0, i.toLong))
+    val d = (20 to 45).map(i => ("g", i * 1.0, i.toLong))
+    val crossed = fin(Rollup.merge(Seq(state(c), state(d)), keys, K,
+      sparseThreshold = T))
+    val oneShot = fin(state(c ++ d))
+    assert(crossed("g")._3 == "dense" && oneShot("g")._3 == "dense")
+    assert(crossed("g") == oneShot("g"),
+      s"${crossed("g")} vs ${oneShot("g")}")
+
+    // sparse ∪ dense: dense wins, registers still split-invariant
+    val big = (1 to 100).map(i => ("g", i * 1.0, i.toLong))
+    val mixed = fin(Rollup.merge(Seq(state(big), state(a)), keys, K,
+      sparseThreshold = T))
+    val mixedOneShot = fin(state(big ++ a))
+    assert(mixed("g")._3 == "dense")
+    assert(mixed("g") == mixedOneShot("g"))
+  }
+
   test("NULL distinct-column values do not count as a distinct value " +
     "(count(DISTINCT) semantics) and do not crash the sketch builds") {
     val withNulls = Seq(
