@@ -187,6 +187,90 @@ object Rollup {
       .drop("__su")
   }
 
+  // --- windowFunnel as AggregatingMergeTree state ---------------------
+
+  /** ClickHouse's `windowFunnelState` combinator shape: the mergeable
+    * per-key state is the key's condition-matching `(instant µs, step
+    * index)` SET — funnel levels themselves are NOT algebraic across
+    * batch splits (a chain can straddle two batches), but the event
+    * set is (union), and the level is a pure function of it. With the
+    * day in the rollup key the state per key is one key-day's step
+    * events — bounded by daily activity, the same bound CH's
+    * AggregatingMergeTree accepts for this combinator.
+    *
+    * Guarded like every unbounded-collect path: a key whose matching
+    * event count exceeds `maxEventsPerKey` fails loudly (one cheap
+    * map-side-combinable count pre-check) instead of building a
+    * corpus-sized array row.
+    */
+  def aggregateFunnelState(batch: DataFrame, keys: Seq[String],
+                           tsCol: String, typeCol: String,
+                           steps: Seq[String],
+                           maxEventsPerKey: Long = 1000000L): DataFrame = {
+    require(steps.nonEmpty, "aggregateFunnelState: steps must be non-empty")
+    // one row per (key, instant, matching step index) — an event type
+    // matching SEVERAL chain positions (repeated steps) emits each
+    val stepIdx = filter(
+      array(steps.zipWithIndex.map { case (s, i) =>
+        when(col(typeCol) === s, lit(i)).otherwise(lit(-1))
+      }: _*), x => x >= 0)
+    val evts = batch
+      .select(keys.map(col) :+ unix_micros(col(tsCol)).as("__t") :+
+        explode(stepIdx).as("__s"): _*)
+      .distinct()
+    val worst = evts.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc).limit(1).collect()
+    worst.headOption.foreach { r =>
+      val n = r.getLong(r.length - 1)
+      if (n > maxEventsPerKey)
+        throw new IllegalStateException(
+          s"aggregateFunnelState: a key holds $n step events " +
+            s"(maxEventsPerKey = $maxEventsPerKey) — add a finer time " +
+            "component to the rollup key or raise the bound deliberately.")
+    }
+    evts.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        col("__s").as("s")))).as("funnel_state"))
+  }
+
+  /** Funnel-state merge: union of the event sets — associative,
+    * commutative, idempotent (a replayed batch cannot double-count),
+    * so build(all) ≡ merge(build(bᵢ)) for any split, INCLUDING splits
+    * that cut a conversion chain in half. */
+  def mergeFunnelStates(states: Seq[DataFrame], keys: Seq[String])
+      : DataFrame = {
+    require(states.nonEmpty, "mergeFunnelStates: no states")
+    states.foreach(s => require(s.columns.contains("funnel_state"),
+      "not a funnel state frame (missing funnel_state) — was it written " +
+        "by aggregateFunnelState?"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(col("funnel_state"))))).as("funnel_state"))
+  }
+
+  /** Read side: explode the stored event sets and run the
+    * oracle-checked funnel walk ([[graft.operators.Funnel]]) over
+    * them — `(keys…, funnel_level)`, one row per key owning a step-1
+    * event. Strict modes compose exactly as on raw events. Cost ∝
+    * Σ|state|, the walk's usual linear frame. */
+  def finalizeFunnel(state: DataFrame, keys: Seq[String],
+                     steps: Seq[String], windowSec: Long,
+                     strictOrder: Boolean = false,
+                     strictDedup: Boolean = false): DataFrame = {
+    val exploded = state
+      .select(keys.map(col) :+ explode(col("funnel_state")).as("__e"): _*)
+      .select(keys.map(col) ++ Seq(
+        timestamp_micros(col("__e.t")).as("__ts"),
+        col("__e.s").cast("string").as("__step")): _*)
+      .withColumn("__gk", struct(keys.map(col): _*))
+    graft.operators.Funnel.windowFunnel(exploded, "__gk", "__ts", "__step",
+      steps.indices.map(_.toString), windowSec,
+      strictOrder = strictOrder, strictDedup = strictDedup)
+      .select(col("__gk.*"), col("funnel_level"))
+  }
+
   /** Finalize a state into the read-side aggregate row: count, sum,
     * min, max, avg, and the KMV distinct estimate `(k−1)/frac(kth)`
     * (exact `n_seen` below saturation). The estimator arithmetic is

@@ -30,6 +30,9 @@ object Pipelines {
   // rollup e2e: KMV sketch size for the distinct-user state (small on
   // purpose — most (type, day) keys saturate, exercising the estimator)
   private val RollupK = 16
+  // funnel rollup e2e: same chain/window as Extensions' funnel_window
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowSec = 43200L
   private val HllC2: Double = graft.functions.Hll.C2
 
   // DuckDB has no conv(): widen a 13-hex-digit prefix to its numeric
@@ -160,6 +163,38 @@ object Pipelines {
         keys, RollupK).write.parquet(s"$base/g3")
       Rollup.finalizeState(s.read.parquet(s"$base/g3"), keys, RollupK)
         .orderBy("event_type", "day")
+    }),
+
+    // windowFunnel over AggregatingMergeTree state (CH's
+    // windowFunnelState combinator): the stored state per (user, day)
+    // is the day's (instant, step) event SET — levels are not
+    // algebraic across batch splits (a chain can straddle batches),
+    // the event set is — and the mid-day batch cuts below slice
+    // conversion chains in half on purpose. Finalize explodes the
+    // state through the oracle-checked funnel walk; the DuckDB twin
+    // runs the greedy replica per (user, day) over the raw source.
+    "pipeline_rollup_funnel_e2e" -> ((s, dir) => {
+      import graft.pipeline.Rollup
+      val keys = Seq("user_id", "day")
+      val src = Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      def cut(a: String) = lit(a).cast("timestamp")
+      val b1 = src.filter(col("ts") < cut("2024-01-11 12:00:00"))
+      val b2 = src.filter(col("ts") >= cut("2024-01-11 12:00:00") &&
+        col("ts") < cut("2024-01-21 12:00:00"))
+      val b3 = src.filter(col("ts") >= cut("2024-01-21 12:00:00"))
+      val base = scratch("graft_funnel_rollup")
+      Rollup.aggregateFunnelState(b1, keys, "ts", "event_type", FunnelSteps)
+        .write.parquet(s"$base/g1")
+      Rollup.mergeFunnelStates(Seq(s.read.parquet(s"$base/g1"),
+        Rollup.aggregateFunnelState(b2, keys, "ts", "event_type",
+          FunnelSteps)), keys).write.parquet(s"$base/g2")
+      Rollup.mergeFunnelStates(Seq(s.read.parquet(s"$base/g2"),
+        Rollup.aggregateFunnelState(b3, keys, "ts", "event_type",
+          FunnelSteps)), keys).write.parquet(s"$base/g3")
+      Rollup.finalizeFunnel(s.read.parquet(s"$base/g3"), keys,
+        FunnelSteps, FunnelWindowSec)
+        .orderBy("user_id", "day")
     }),
 
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
@@ -334,6 +369,31 @@ object Pipelines {
          |          JOIN hest h USING (event_type, day)
          |          JOIN nd d USING (event_type, day)
          |ORDER BY event_type, day""".stripMargin
+    },
+    // Greedy funnel replica PER (user, day) — chains confined to the
+    // day's events, exactly what the stored per-key-day state holds.
+    "pipeline_rollup_funnel_e2e" -> {
+      val wUs = FunnelWindowSec * 1000000L
+      s"""WITH ev AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,
+         |                   epoch_us(ts) AS t, event_type FROM events),
+         |s1 AS (SELECT DISTINCT k, day, t AS t1 FROM ev
+         |       WHERE event_type = '${FunnelSteps(0)}'),
+         |c2 AS (SELECT s1.k, s1.day, s1.t1, min(e.t) AS t2
+         |       FROM s1 LEFT JOIN ev e ON e.k = s1.k AND e.day = s1.day
+         |         AND e.event_type = '${FunnelSteps(1)}' AND e.t > s1.t1
+         |       GROUP BY 1, 2, 3),
+         |c3 AS (SELECT c2.k, c2.day, c2.t1, c2.t2, min(e.t) AS t3
+         |       FROM c2 LEFT JOIN ev e ON e.k = c2.k AND e.day = c2.day
+         |         AND e.event_type = '${FunnelSteps(2)}'
+         |         AND c2.t2 IS NOT NULL AND e.t > c2.t2
+         |       GROUP BY 1, 2, 3, 4),
+         |lv AS (SELECT k, day,
+         |              CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $wUs THEN 3
+         |                   WHEN t2 IS NOT NULL AND t2 - t1 <= $wUs THEN 2
+         |                   ELSE 1 END AS level
+         |       FROM c3)
+         |SELECT k AS user_id, day, CAST(max(level) AS INT) AS funnel_level
+         |FROM lv GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin
     },
     "multimodal_binary_meta" ->
       """SELECT doc_id, 'application/x-fake' AS kind,

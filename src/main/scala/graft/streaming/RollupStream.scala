@@ -46,14 +46,64 @@ object RollupStream {
     * generation and overwrites its own. */
   def mergeBatch(batch: DataFrame, statePath: String, keys: Seq[String],
                  valCol: String, distinctCol: String, k: Int,
-                 batchId: Long, keepGenerations: Int = 3): Unit = {
+                 batchId: Long, keepGenerations: Int = 3): Unit =
+    foldGeneration(batch.sparkSession, statePath, batchId, keepGenerations,
+      Rollup.aggregateState(batch, keys, valCol, distinctCol, k),
+      (base, inc) => Rollup.merge(Seq(base, inc), keys, k))
+
+  // --- windowFunnel state maintenance ---------------------------------
+
+  /** The funnel twin of [[maintainSink]]: each micro-batch reduces to
+    * its (instant, step) event-set state
+    * ([[Rollup.aggregateFunnelState]]) and set-unions into the stored
+    * state — CH's windowFunnelState materialized view, with the same
+    * generation-versioned replay idempotency (the union is idempotent,
+    * so even a double-applied batch cannot shift a level). */
+  def maintainFunnelSink(events: DataFrame, statePath: String,
+                         keys: Seq[String], tsCol: String, typeCol: String,
+                         steps: Seq[String],
+                         keepGenerations: Int = 3): DataStreamWriter[Row] = {
     requireKeep(keepGenerations)
-    val spark = batch.sparkSession
-    val inc = Rollup.aggregateState(batch, keys, valCol, distinctCol, k)
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeFunnelBatch(batch, statePath, keys, tsCol, typeCol, steps,
+          batchId, keepGenerations)
+      }
+  }
+
+  def mergeFunnelBatch(batch: DataFrame, statePath: String,
+                       keys: Seq[String], tsCol: String, typeCol: String,
+                       steps: Seq[String], batchId: Long,
+                       keepGenerations: Int = 3): Unit =
+    foldGeneration(batch.sparkSession, statePath, batchId, keepGenerations,
+      Rollup.aggregateFunnelState(batch, keys, tsCol, typeCol, steps),
+      (base, inc) => Rollup.mergeFunnelStates(Seq(base, inc), keys))
+
+  /** Latest committed funnel state, walked to per-key levels. */
+  def readFinalizedFunnel(spark: SparkSession, statePath: String,
+                          keys: Seq[String], steps: Seq[String],
+                          windowSec: Long): DataFrame =
+    latestCommittedGen(spark, statePath, before = Long.MaxValue) match {
+      case Some(g) => Rollup.finalizeFunnel(
+        spark.read.parquet(s"$statePath/gen=$g"), keys, steps, windowSec)
+      case None => throw new IllegalStateException(
+        s"funnel state at $statePath has no committed generation")
+    }
+
+  /** Shared generation fold: merge `inc` onto the latest committed
+    * predecessor (strictly before `batchId`), land as `gen=<batchId>`,
+    * prune. */
+  private def foldGeneration(spark: SparkSession, statePath: String,
+                             batchId: Long, keepGenerations: Int,
+                             inc: DataFrame,
+                             mergeWith: (DataFrame, DataFrame) => DataFrame)
+      : Unit = {
+    requireKeep(keepGenerations)
     val merged = latestCommittedGen(spark, statePath, before = batchId) match {
       case Some(g) =>
-        Rollup.merge(Seq(spark.read.parquet(s"$statePath/gen=$g"), inc),
-          keys, k)
+        mergeWith(spark.read.parquet(s"$statePath/gen=$g"), inc)
       case None => inc
     }
     merged.write.mode("overwrite").parquet(s"$statePath/gen=$batchId")

@@ -143,6 +143,41 @@ class RollupSpec extends SparkSpec {
     assert(fin(("g1"))._3 == 0.0)
   }
 
+  test("funnel state: build(all) ≡ merge(build(bᵢ)) for splits that cut " +
+    "chains mid-way, and the merge is idempotent under replay") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    val all = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "purchase"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      (2L, ts("2024-01-01 11:05:00"), "click"),
+      (3L, ts("2024-01-01 12:00:00"), "view"))
+    def st(rows: Seq[(Long, Timestamp, String)]) =
+      Rollup.aggregateFunnelState(rows.toDF("user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_type", steps)
+    def levels(state: DataFrame) =
+      Rollup.finalizeFunnel(state, Seq("user_id"), steps, 3600)
+        .as[(Long, Int)].collect().toMap
+    val oneShot = levels(st(all))
+    assert(oneShot == Map(1L -> 3, 2L -> 2, 3L -> 1))
+    // cut user 1's chain between click and purchase
+    val (a, b) = all.splitAt(2)
+    val merged = Rollup.mergeFunnelStates(Seq(st(a), st(b)), Seq("user_id"))
+    assert(levels(merged) == oneShot)
+    // replay: merging a batch's state twice cannot move a level
+    val replayed = Rollup.mergeFunnelStates(Seq(merged, st(b)), Seq("user_id"))
+    assert(levels(replayed) == oneShot)
+    // mega-key guard fails loudly
+    val ex = intercept[IllegalStateException] {
+      Rollup.aggregateFunnelState(all.toDF("user_id", "ts", "event_type"),
+        Seq("user_id"), "ts", "event_type", steps, maxEventsPerKey = 2L)
+    }
+    assert(ex.getMessage.contains("maxEventsPerKey"))
+  }
+
   test("guard: k below 16 fails loudly") {
     intercept[IllegalArgumentException] {
       Rollup.aggregateState(df(Seq(("a", 1.0, 1L))), keys, "v", "u", 8)

@@ -78,6 +78,55 @@ class RollupStreamSpec extends SparkSpec {
     assert(fin == oneShot)
   }
 
+  test("streamed funnel-state maintenance converges to the one-shot " +
+    "batch walk — chains split across micro-batches still convert") {
+    import java.sql.Timestamp
+    val src = tempDir("funnel_stream_src")
+    val state = tempDir("funnel_stream_state")
+    val ckpt = tempDir("funnel_stream_ckpt")
+    val steps = Seq("view", "click", "purchase")
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 converts ACROSS the two batches (view+click in batch 1,
+    // purchase in batch 2); user 2 stalls at level 2
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "click"),
+      (2L, ts("2024-01-01 09:00:00"), "view"))
+    val b2 = Seq(
+      (1L, ts("2024-01-01 10:20:00"), "purchase"),
+      (2L, ts("2024-01-01 09:30:00"), "click"))
+    def writeBatch(r: Seq[(Long, Timestamp, String)]): Unit =
+      r.toDF("user_id", "ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(src)
+      val q = RollupStream.maintainFunnelSink(stream, state,
+        Seq("user_id"), "ts", "event_type", steps)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(b1); runOnce()
+    writeBatch(b2); runOnce()
+    val streamed = RollupStream.readFinalizedFunnel(spark, state,
+      Seq("user_id"), steps, windowSec = 3600)
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == Map(1L -> 3, 2L -> 2))
+    val oneShot = graft.operators.Funnel.windowFunnel(
+      (b1 ++ b2).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", steps, windowSec = 3600)
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == oneShot)
+    // replaying the last batch is a no-op (set union is idempotent)
+    RollupStream.mergeFunnelBatch(b2.toDF("user_id", "ts", "event_type"),
+      state, Seq("user_id"), "ts", "event_type", steps, batchId = 1L)
+    val replayed = RollupStream.readFinalizedFunnel(spark, state,
+      Seq("user_id"), steps, windowSec = 3600)
+      .as[(Long, Int)].collect().toMap
+    assert(replayed == streamed)
+  }
+
   test("keepGenerations < 2 is rejected: pruning the immediate " +
     "predecessor would break replay idempotency") {
     val state = tempDir("rollup_keep_guard")
