@@ -16,20 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
-  final case class StressResult(label: String, sec: Double, ok: Boolean)
+  final case class StressResult(label: String, sec: Double, ok: Boolean,
+                                spillBytes: Long = 0L,
+                                peakExecMem: Long = 0L)
+
+  /** Per-stage execution-memory evidence: a SparkListener summing
+    * memory+disk spill and tracking the largest stage-aggregated
+    * peak-execution-memory over the stages completing during one
+    * stress stage. (Stage-level taskMetrics aggregate per-task
+    * accumulators — the peak is the max over stages of the per-stage
+    * task sum, an upper bound on simultaneous execution memory.) */
+  private class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var spill = 0L
+    @volatile var peak = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        spill += m.memoryBytesSpilled + m.diskBytesSpilled
+        peak = math.max(peak, m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = { spill = 0L; peak = 0L }
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(32, "scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
     val results = run(spark, "/root/testdata/sf0.1")
     results.foreach(r =>
-      println(f"STRESS ${if (r.ok) "ok " else "FAIL"} ${r.label} ${r.sec}%.2f s"))
+      println(f"STRESS ${if (r.ok) "ok " else "FAIL"} ${r.label} ${r.sec}%.2f s" +
+        f" spill=${r.spillBytes} peak=${r.peakExecMem}"))
     // Landed as a per-round artifact (committed STRESS.json) so every
     // round carries machine-checkable proof the guard bounds ran — the
     // same file-landing rule as Bench's BENCH.json.
     val entries = results.map(r =>
       "\"" + r.label.replace("\"", "'") + "\":{\"sec\":" + r.sec +
-        ",\"ok\":" + r.ok + "}").mkString("{", ",", "}")
+        ",\"ok\":" + r.ok + ",\"spillBytes\":" + r.spillBytes +
+        ",\"peakExecMem\":" + r.peakExecMem + "}").mkString("{", ",", "}")
     val line = s"""{"stress_ok":${results.forall(_.ok)},"stages":$entries}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("STRESS.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -38,25 +63,45 @@ object ScaleStress {
   }
 
   /** Runs every stress stage; a stage is ok=false if it throws OR (for
-    * the guard stages) its explicit bound is violated.
+    * the guard stages) its explicit bound is violated. Each stage's
+    * spill bytes and peak execution memory are captured via a
+    * listener; stages flagged `noSpill` (map-only / streaming-shaped
+    * passes) additionally FAIL if any byte spilled — a scan-speed
+    * stage that starts spilling has silently grown a shuffle or an
+    * unbounded buffer.
     */
   def run(spark: SparkSession, base: String): Seq[StressResult] = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val out = scala.collection.mutable.ArrayBuffer.empty[StressResult]
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     /** Time a stage whose body returns its own pass/fail verdict. */
-    def check(label: String)(f: => Boolean): Unit = {
+    def check(label: String, noSpill: Boolean = false)(f: => Boolean): Unit = {
+      metrics.reset()
       val t0 = System.nanoTime()
-      val ok = try f catch {
+      val bodyOk = try f catch {
         case e: Throwable =>
           System.err.println(s"[stress] $label FAILED: ${e.getMessage}")
           false
       }
-      out += StressResult(label, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener-bus drain: stage-completed events are async; a short
+      // settle keeps the per-stage attribution honest without private
+      // waitUntilEmpty APIs
+      Thread.sleep(200)
+      val spilled = metrics.spill
+      val ok = bodyOk && (!noSpill || spilled == 0L)
+      if (bodyOk && noSpill && spilled > 0L)
+        System.err.println(
+          s"[stress] $label FAILED zero-spill bound: $spilled bytes spilled")
+      out += StressResult(label, sec, ok, spilled, metrics.peak)
     }
-    /** Time a throughput stage: ok = completed. */
-    def time(label: String)(f: => Unit): Unit = check(label) { f; true }
+    /** Time a throughput stage: ok = completed (+ the zero-spill bound
+      * when flagged). */
+    def time(label: String, noSpill: Boolean = false)(f: => Unit): Unit =
+      check(label, noSpill) { f; true }
 
     // ---- guard bounds: the planted pathologies a 100 TB crawl WILL
     // contain, asserted to stay linear ---------------------------------
@@ -180,7 +225,7 @@ object ScaleStress {
       .withColumn("doc_id", $"doc_id" + lit(i.toLong * 10_000_000L))
       .withColumn("text", concat($"text", lit(s" stress tail marker $i"))))
       .reduce(_.unionByName(_)).cache()
-    time("quality verdict over 50k docs (map-only pass)") {
+    time("quality verdict over 50k docs (map-only pass)", noSpill = true) {
       operators.Quality.verdict(bigDocs, "doc_id", "text",
         operators.Quality.Thresholds())
         .write.format("noop").mode("overwrite").save()
@@ -232,12 +277,14 @@ object ScaleStress {
       operators.Bpe.tokenize(bigDocs, "doc_id", "text", merges)
         .write.format("noop").mode("overwrite").save()
     }
-    time("t-digest p50/p95/p99 of 2M event values (delta=100)") {
+    time("t-digest p50/p95/p99 of 2M event values (delta=100)",
+        noSpill = true) {
       bigEv.agg(functions.TDigestQuantiles.column(spark, $"value", 100,
         Seq(0.5, 0.95, 0.99)))
         .write.format("noop").mode("overwrite").save()
     }
-    time("sliding 64/48 chunking of 50k docs (explode, no shuffle)") {
+    time("sliding 64/48 chunking of 50k docs (explode, no shuffle)",
+        noSpill = true) {
       bigDocs.select($"doc_id",
         posexplode(functions.TextFunctions.slidingChunks($"text", 64, 48)))
         .write.format("noop").mode("overwrite").save()
@@ -279,7 +326,7 @@ object ScaleStress {
       lv.toSeq == Seq(3)
     }
     time("HLL distinct over 2M events (map-side register max, " +
-        "<=256 rows/key shuffled)") {
+        "<=256 rows/key shuffled)", noSpill = true) {
       operators.Profile.hllEstimate(bigEv, "event_type", $"user_id")
         .write.format("noop").mode("overwrite").save()
     }
@@ -314,6 +361,7 @@ object ScaleStress {
     }
     bigEmb.unpersist(blocking = false)
     bigDocs.unpersist(blocking = false)
+    spark.sparkContext.removeSparkListener(metrics)
     out.toSeq
   }
 }

@@ -872,17 +872,23 @@ object Extensions {
     // Pair detection → duplicate clusters → one canonical doc (min id)
     // per cluster with its member count; singletons stay their own
     // cluster, so this is the full "deduplicated corpus" manifest.
+    // Runs the EXPLICIT propagation opt-in (the library default is now
+    // the alternating-star path, covered by the row below) so both
+    // component algorithms keep an oracle row without timing the same
+    // computation twice.
     "dedup_cluster_canonical" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
         ShingleN, Bands, RowsPerBand)
-      DedupCluster.canonicalize(d, "doc_id", pairs).orderBy("doc_id")
+      DedupCluster.canonicalizePropagation(d, "doc_id", pairs)
+        .orderBy("doc_id")
     }),
 
-    // Same manifest via ALTERNATING star contraction — the O(log n)-
-    // round connected-components path for diameter-heavy dup graphs
-    // (labels are the component minima either way, so the recursive-CTE
-    // oracle is shared verbatim with dedup_cluster_canonical).
+    // Same manifest via ALTERNATING star contraction — the default
+    // `canonicalize` path: O(log n)-round connected components,
+    // diameter-independent (labels are the component minima either
+    // way, so the recursive-CTE oracle is shared verbatim with
+    // dedup_cluster_canonical).
     "dedup_cluster_alternating" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val pairs = Dedup.minHashLshPairs(d, "doc_id", "text",
