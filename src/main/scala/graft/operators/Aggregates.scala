@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse miscellaneous-aggregate parity: the dashboard aggregate
+  * functions beside the funnel/sequence/sketch tiers —
+  * `retention`, `deltaSum`, `sumMap`, `groupUniqArray`, `uniqUpTo`,
+  * `argMax`/`argMin`, `intervalLengthSum`, `maxIntersections`,
+  * `groupArrayMovingSum`, `sequenceNextNode` (reference target
+  * `v2/sql/create_tables.sql:3-21` — the logs table exists to feed
+  * exactly this ClickHouse aggregate surface downstream).
+  *
+  * Design rules shared by every operator here:
+  *  - one hash exchange on the key; any ordered pass is a window over
+  *    that exchange with a GROWING frame (unboundedPreceding → bounded),
+  *    which WindowExec maintains incrementally — O(n) per key (the
+  *    funnel frame-direction rule; never unbounded-FOLLOWING);
+  *  - plain aggregates are map-side combinable (partial HashAggregate
+  *    before the shuffle);
+  *  - determinism: ClickHouse leaves equal-timestamp order and
+  *    arg-tie-breaks unspecified; every operator here takes an explicit
+  *    unique tie column or defines the order (sorted arrays), so
+  *    distributed runs and the DuckDB oracle agree bit-for-bit. Summed
+  *    columns should be integral (BIGINT / DECIMAL) when cross-engine
+  *    hash equality matters — double addition is order-dependent.
+  */
+object Aggregates {
+
+  /** ClickHouse `retention(c₁, c₂, …, c_k)`: per key, `r1 = c₁ ever`
+    * and `rᵢ = c₁ ever AND cᵢ ever` for i ≥ 2 (no time ordering — the
+    * first condition gates the rest, CH's definition). Flat boolean
+    * columns `r1..rk` (CH's UInt8 array, unnested for schema clarity).
+    * One map-side-combinable aggregate: k maxes over the key exchange.
+    */
+  def retention(df: DataFrame, keyCol: String, conds: Seq[Column])
+      : DataFrame = {
+    require(conds.nonEmpty, "retention: conds must be non-empty")
+    val flags = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, lit(1)).otherwise(lit(0))).as(s"__c${i + 1}")
+    }
+    val agg = df.groupBy(col(keyCol)).agg(flags.head, flags.tail: _*)
+    val out = (col("__c1") === 1).as("r1") +:
+      (2 to conds.length).map(i =>
+        (col("__c1") === 1 && col(s"__c$i") === 1).as(s"r$i"))
+    agg.select(col(keyCol) +: out: _*)
+  }
+
+  /** ClickHouse `deltaSum(v)` over a per-key time-ordered stream: the
+    * sum of POSITIVE consecutive differences (total counter increase
+    * with resets ignored — the monotonic-counter reading). The first
+    * value
+    * contributes nothing (only differences count). `tieCol` must be
+    * unique per key. One lag window + one grouped sum; pass an integral
+    * `value` column for cross-engine exactness.
+    */
+  def deltaSum(df: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String, value: Column): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    df.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), value.as("__v"))
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(w))
+      .groupBy("__k")
+      .agg(coalesce(sum(when(col("__d") > 0, col("__d"))), lit(0L))
+        .as("delta_sum"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `sumMap(k, v)`: per key, the map mk → Σv, emitted as
+    * two PARALLEL arrays sorted by map key (CH's own output shape —
+    * `sumMap` returns sorted key/value array tuples). Two aggregates,
+    * both map-side combinable; the collect is bounded by the number of
+    * distinct map keys per group (the map's own cardinality), not by
+    * row count.
+    */
+  def sumMap(df: DataFrame, keyCol: String, mapKey: Column,
+             value: Column): DataFrame = {
+    val per = df
+      .select(col(keyCol).as("__k"), mapKey.as("__mk"), value.as("__v"))
+      .groupBy("__k", "__mk").agg(sum(col("__v")).as("__s"))
+    per.groupBy("__k")
+      .agg(sort_array(collect_list(struct(col("__mk"), col("__s"))))
+        .as("__e"))
+      .select(col("__k").as(keyCol),
+        transform(col("__e"), _.getField("__mk")).as("map_keys"),
+        transform(col("__e"), _.getField("__s")).as("map_sums"))
+  }
+
+  /** ClickHouse `groupUniqArray([maxSize])(v)`: per key, the distinct
+    * values as a sorted array. CH's `max_size` keeps an ARBITRARY
+    * subset; the deterministic reading here is the `maxSize` SMALLEST
+    * distinct values (the only engine-independent choice — same
+    * convention as `groupArraySorted`). The rank pre-filter rides
+    * WindowGroupLimit, so a mega-group ships ~maxSize rows per map
+    * partition, never its distinct count.
+    */
+  def groupUniqArray(df: DataFrame, keyCol: String, value: Column,
+                     maxSize: Option[Int] = None): DataFrame = {
+    val dv = df.select(col(keyCol).as("__k"), value.as("__v")).distinct()
+    val capped = maxSize match {
+      case Some(n) =>
+        require(n > 0, s"groupUniqArray: maxSize must be positive, got $n")
+        val w = Window.partitionBy("__k").orderBy("__v")
+        dv.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+      case None => dv
+    }
+    capped.groupBy("__k")
+      .agg(sort_array(collect_list(col("__v"))).as("uniq_values"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `uniqUpTo(N)(v)`: exact distinct count while ≤ N,
+    * N+1 as the "more than N" sentinel. This is the EXACT oracle
+    * semantics (a distinct shuffle); CH's O(N)-state early-out is a
+    * state-size optimization with the same answer — the engine's
+    * bounded-state distinct estimators are [[graft.functions.KmvDistinct]]
+    * and the uniqCombined sparse/dense state in
+    * [[graft.pipeline.Rollup]], which ARE mergeable-bounded and cover
+    * the 100 TB path (same exact-twin convention as Misra–Gries/KMV).
+    */
+  def uniqUpTo(df: DataFrame, keyCol: String, value: Column, n: Int)
+      : DataFrame = {
+    require(n > 0, s"uniqUpTo: N must be positive, got $n")
+    df.groupBy(col(keyCol))
+      .agg(least(countDistinct(value), lit(n.toLong + 1L))
+        .as("uniq_upto"))
+  }
+
+  /** ClickHouse `argMax(arg, ord)` / `argMin(arg, ord)` with a
+    * DETERMINISTIC tie-break (CH picks an arbitrary row among equal
+    * `ord`; here the unique `tieCol` decides — max takes the largest
+    * tie, min the smallest). One struct-lexicographic MAX/MIN — a
+    * plain map-side-combinable aggregate, no window, no shuffle beyond
+    * the key exchange.
+    */
+  def argMinMax(df: DataFrame, keyCol: String, arg: Column, ord: Column,
+                tieCol: String): DataFrame = {
+    val row = struct(ord.as("o"), col(tieCol).as("t"), arg.as("a"))
+    df.groupBy(col(keyCol))
+      .agg(max(row).getField("a").as("arg_max"),
+        min(row).getField("a").as("arg_min"))
+  }
+
+  /** ClickHouse `intervalLengthSum(start, end)`: per key, the total
+    * length of the UNION of the `[start, end)` intervals (overlaps
+    * counted once; zero/negative-length intervals contribute nothing).
+    * The sweep is one window pass: with intervals sorted by
+    * `(start, end)`, the covered-so-far frontier is the running MAX of
+    * previous ends — a growing `(unboundedPreceding, −1)` frame,
+    * incrementally maintained, O(n) per key — and each interval
+    * contributes `max(0, end − max(start, frontier))`. Numeric
+    * (e.g. epoch-µs BIGINT) bounds keep the sum exact.
+    */
+  def intervalLengthSum(df: DataFrame, keyCol: String, start: Column,
+                        end: Column): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(keyCol).as("__k"), start.as("__s"), end.as("__e"))
+      .withColumn("__cov", max(col("__e")).over(w))
+      .withColumn("__len",
+        greatest(col("__e") - greatest(col("__s"),
+          coalesce(col("__cov"), col("__s"))), lit(0L)))
+      .groupBy("__k").agg(sum(col("__len")).as("covered_length"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `maxIntersections(start, end)`: per key, the maximum
+    * number of `[start, end)` intervals covering any single point. The
+    * classic sweep: ±1 events sorted by `(point, delta)` — ends (−1)
+    * before starts (+1) at equal points, so a closing interval never
+    * overlaps one opening at the same instant (CH's own sort order) —
+    * then a running sum over a growing frame, max per key. Two slim
+    * rows per interval, one exchange, O(n) per key.
+    */
+  def maxIntersections(df: DataFrame, keyCol: String, start: Column,
+                       end: Column): DataFrame = {
+    val iv = df.select(col(keyCol).as("__k"), start.as("__s"),
+        end.as("__e"))
+      .filter(col("__e") > col("__s"))
+    val pts = iv.select(col("__k"), col("__s").as("__p"), lit(1).as("__d"))
+      .unionByName(
+        iv.select(col("__k"), col("__e").as("__p"), lit(-1).as("__d")))
+    val w = Window.partitionBy("__k").orderBy(col("__p"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts.withColumn("__open", sum(col("__d")).over(w))
+      .groupBy("__k")
+      .agg(coalesce(max(col("__open")), lit(0)).as("max_intersections"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `groupArrayMovingSum(W)(v)`: per key, the time-ordered
+    * array whose i-th element is the sum of the last `W` values up to
+    * position i. The moving sum is a BOUNDED sliding `rows between
+    * W−1 preceding and current` frame (WindowExec's sliding frame
+    * adds/removes incrementally — O(n) per key), and the array is the
+    * sorted-struct collect (deterministic order via the unique
+    * `tieCol`). Collect is bounded by the per-key row count — this is
+    * an array-RETURNING aggregate by contract, same as CH's; cap the
+    * group upstream (`Sampling.capPerGroup`) when keys are unbounded.
+    * Pass an integral `value` for cross-engine exactness.
+    */
+  def movingSum(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, value: Column, window: Int): DataFrame = {
+    require(window > 0, s"movingSum: window must be positive, got $window")
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+      .rowsBetween(-(window - 1).toLong, 0)
+    df.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), value.as("__v"))
+      .withColumn("__ms", sum(col("__v")).over(w))
+      .groupBy("__k")
+      .agg(sort_array(collect_list(
+        struct(col("__ts"), col("__tie"), col("__ms")))).as("__e"))
+      .select(col("__k").as(keyCol),
+        transform(col("__e"), _.getField("__ms")).as("moving_sums"))
+  }
+
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')(ts, next,
+    * c₁, …, c_k)`: per key, scan the FULL event stream in `(ts, tie)`
+    * order, find the EARLIEST position i where the k CONSECUTIVE
+    * events i…i+k−1 satisfy `conds(0)…conds(k−1)` (consecutive in the
+    * whole stream — sequenceNextNode does not skip non-matching
+    * events, unlike sequenceMatch), and return `nextCol` of event
+    * i+k — NULL when the match ends the stream or no match exists.
+    *
+    * One window pass: per-row condition flags, `lead(flag_j, j)`
+    * composes the consecutive-run predicate, `lead(next, k)` reads the
+    * answer; the earliest candidate is a struct-MIN on the unique row
+    * number (no second window). Offset functions are O(1) per row;
+    * linear on hot keys, one exchange.
+    */
+  def sequenceNextNode(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, nextCol: Column,
+                       conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "sequenceNextNode: conds must be non-empty")
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    val flagged = df.select(
+      Seq(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), nextCol.as("__n")) ++
+        conds.zipWithIndex.map { case (c, i) =>
+          when(c, lit(1)).otherwise(lit(0)).as(s"__c$i")
+        }: _*)
+    val runOk = conds.indices
+      .map(j => lead(col(s"__c$j"), j).over(w) === 1)
+      .reduce(_ && _)
+    val keys = flagged.select(col("__k")).distinct()
+    val matches = flagged
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__n"), conds.length).over(w))
+      .withColumn("__ok", runOk)
+      .filter(col("__ok"))
+      .groupBy("__k")
+      .agg(min(struct(col("__rn"), col("__next"))).getField("__next")
+        .as("next_node"))
+    keys.join(matches, Seq("__k"), "left")
+      .withColumnRenamed("__k", keyCol)
+  }
+}

@@ -52,6 +52,15 @@ object Extensions {
   private val SeqTimedGapSec = 43200L
   private val TokenBudget = 800L
   private val GroupArrayN = 20
+  // agg_* ClickHouse-aggregate parity rows: value quantized to cents
+  // (floor(v*100+0.5) — identical IEEE arithmetic in both engines;
+  // explicit floor because Spark CASTs double→long by truncation where
+  // DuckDB rounds). Retention thresholds split the 150 fixture users
+  // 150/67/134; uniqUpTo's N=15 splits 79 above / 71 below; the
+  // interval rows use floor(value)-hour durations (max concurrent
+  // 6–16 per user).
+  private val UniqUpToN = 15
+  private val MovingSumW = 3
 
   /** α·m²·2^53 for HLL m=256 — [[graft.functions.Hll.C2]], so the
     * embedded SQL literal is the bit-identical double the Spark side
@@ -381,6 +390,110 @@ object Extensions {
             _.cast("string")), ",").as("first_users"))
         .orderBy("event_type")
     }),
+
+    // ClickHouse retention(c1, c2, c3): signup ever, gated by signup:
+    // big purchase ever, big error ever — one map-side-combinable
+    // aggregate, flat boolean columns (CH's UInt8 array unnested).
+    "agg_retention" -> ((s, dir) =>
+      graft.operators.Aggregates.retention(t(s, dir, "events"), "user_id",
+        Seq(col("event_type") === "signup",
+          col("event_type") === "purchase" && col("value") > 150,
+          col("event_type") === "error" && col("value") > 95))
+        .orderBy("user_id")),
+
+    // ClickHouse deltaSum: per-user sum of positive consecutive value
+    // deltas in (ts, event_id) order — cents-quantized so the grouped
+    // BIGINT sum is accumulation-order-independent.
+    "agg_delta_sum" -> ((s, dir) =>
+      graft.operators.Aggregates.deltaSum(t(s, dir, "events"),
+        "user_id", "ts", "event_id", floor(col("value") * 100 + 0.5))
+        .orderBy("user_id")),
+
+    // ClickHouse sumMap(event_type, value): per-user per-type cent
+    // sums as parallel key-sorted arrays, joined to strings for the
+    // cross-engine compare.
+    "agg_sum_map" -> ((s, dir) =>
+      graft.operators.Aggregates.sumMap(t(s, dir, "events"), "user_id",
+        col("event_type"), floor(col("value") * 100 + 0.5))
+        .select(col("user_id"),
+          array_join(col("map_keys"), ",").as("map_keys"),
+          array_join(transform(col("map_sums"), _.cast("string")), ",")
+            .as("map_sums"))
+        .orderBy("user_id")),
+
+    // ClickHouse groupUniqArray(15): the 15 smallest distinct users
+    // per event type (the deterministic max_size reading) — the rank
+    // pre-filter rides WindowGroupLimit like agg_group_array_sorted.
+    "agg_group_uniq_array" -> ((s, dir) =>
+      graft.operators.Aggregates.groupUniqArray(t(s, dir, "events"),
+        "event_type", col("user_id"), Some(UniqUpToN))
+        .select(col("event_type"),
+          array_join(transform(col("uniq_values"), _.cast("string")), ",")
+            .as("uniq_users"))
+        .orderBy("event_type")),
+
+    // ClickHouse uniqUpTo(15): distinct value deciles per user, 16 as
+    // the "more than 15" sentinel — exact semantics (the bounded-state
+    // production path is the KMV / uniqCombined sketch tier).
+    "agg_uniq_upto" -> ((s, dir) =>
+      graft.operators.Aggregates.uniqUpTo(t(s, dir, "events"), "user_id",
+        floor(col("value") / 10).cast("int"), UniqUpToN)
+        .orderBy("user_id")),
+
+    // ClickHouse argMax/argMin(user_id, value): per event type, the
+    // user posting the largest/smallest value — struct-lexicographic
+    // MIN/MAX with the event_id tie-break (no window, no collect).
+    "agg_arg_minmax" -> ((s, dir) =>
+      graft.operators.Aggregates.argMinMax(t(s, dir, "events"),
+        "event_type", col("user_id"), col("value"), "event_id")
+        .orderBy("event_type")),
+
+    // ClickHouse intervalLengthSum: per user, the union length of
+    // [ts, ts + floor(value) hours) activity intervals in µs — the
+    // running-max frontier sweep (growing frame, O(n) per key).
+    "agg_interval_length_sum" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("__s", unix_micros(col("ts")))
+        .withColumn("__e",
+          col("__s") + floor(col("value")) * 3600000000L)
+      graft.operators.Aggregates.intervalLengthSum(e, "user_id",
+        col("__s"), col("__e"))
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse maxIntersections: max concurrently-open activity
+    // intervals per user (same [ts, ts + floor(value) h) intervals) —
+    // the ±1 sweep with ends-before-starts tie order.
+    "agg_max_intersections" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("__s", unix_micros(col("ts")))
+        .withColumn("__e",
+          col("__s") + floor(col("value")) * 3600000000L)
+      graft.operators.Aggregates.maxIntersections(e, "user_id",
+        col("__s"), col("__e"))
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse groupArrayMovingSum(3): per user, the time-ordered
+    // 3-window moving cent sums as a joined string — the sliding frame
+    // is incrementally maintained (bounded both sides).
+    "agg_moving_sum" -> ((s, dir) =>
+      graft.operators.Aggregates.movingSum(t(s, dir, "events"),
+        "user_id", "ts", "event_id", floor(col("value") * 100 + 0.5),
+        MovingSumW)
+        .select(col("user_id"),
+          array_join(transform(col("moving_sums"), _.cast("string")), ",")
+            .as("moving_sums"))
+        .orderBy("user_id")),
+
+    // ClickHouse sequenceNextNode('forward','first_match'): the event
+    // type right after the earliest view→click CONSECUTIVE run in each
+    // user's full stream (10/150 fixture users never have one → NULL).
+    "seq_next_node" -> ((s, dir) =>
+      graft.operators.Aggregates.sequenceNextNode(t(s, dir, "events"),
+        "user_id", "ts", "event_id", col("event_type"),
+        Seq(col("event_type") === "view", col("event_type") === "click"))
+        .orderBy("user_id")),
 
     // ClickHouse uniqCombined's shape: distinct users per event type —
     // every fixture group sits below the m=256 sparse threshold, so
@@ -2304,6 +2417,115 @@ object Extensions {
          |  FROM events)
          |WHERE rn <= $GroupArrayN
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_retention" ->
+      s"""SELECT user_id,
+         |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1 AS r1,
+         |  (max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1 AND
+         |   max(CASE WHEN event_type = 'purchase' AND value > 150
+         |       THEN 1 ELSE 0 END) = 1) AS r2,
+         |  (max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1 AND
+         |   max(CASE WHEN event_type = 'error' AND value > 95
+         |       THEN 1 ELSE 0 END) = 1) AS r3
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_delta_sum" ->
+      s"""WITH v AS (SELECT user_id AS k, ts, event_id,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |           FROM events),
+         |d AS (SELECT k, v - lag(v) OVER (PARTITION BY k ORDER BY ts, event_id)
+         |             AS d
+         |      FROM v)
+         |SELECT k AS user_id,
+         |       CAST(coalesce(sum(CASE WHEN d > 0 THEN d END), 0) AS BIGINT)
+         |         AS delta_sum
+         |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_sum_map" ->
+      s"""WITH p AS (SELECT user_id AS k, event_type AS mk,
+         |             sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS s
+         |           FROM events GROUP BY 1, 2)
+         |SELECT k AS user_id,
+         |       string_agg(mk, ',' ORDER BY mk) AS map_keys,
+         |       string_agg(s, ',' ORDER BY mk) AS map_sums
+         |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_group_uniq_array" ->
+      s"""WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+         |r AS (SELECT event_type, user_id, row_number() OVER (
+         |        PARTITION BY event_type ORDER BY user_id) AS rn
+         |      FROM dv)
+         |SELECT event_type,
+         |       string_agg(user_id, ',' ORDER BY user_id) AS uniq_users
+         |FROM r WHERE rn <= $UniqUpToN
+         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "agg_uniq_upto" ->
+      s"""SELECT user_id,
+         |       least(count(DISTINCT CAST(floor(value/10) AS INT)),
+         |             ${UniqUpToN + 1}) AS uniq_upto
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_arg_minmax" ->
+      s"""WITH v AS (SELECT event_type, user_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id DESC) AS rx,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value ASC, event_id ASC) AS rn
+         |  FROM events)
+         |SELECT event_type,
+         |       max(CASE WHEN rx = 1 THEN user_id END) AS arg_max,
+         |       max(CASE WHEN rn = 1 THEN user_id END) AS arg_min
+         |FROM v GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "agg_interval_length_sum" ->
+      s"""WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+         |              epoch_us(ts) + CAST(floor(value) AS BIGINT)*3600000000
+         |                AS e
+         |            FROM events),
+         |c AS (SELECT k, s, e,
+         |        max(e) OVER (PARTITION BY k ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cov
+         |      FROM iv)
+         |SELECT k AS user_id,
+         |       CAST(sum(greatest(e - greatest(s, coalesce(cov, s)), 0))
+         |            AS BIGINT) AS covered_length
+         |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_max_intersections" ->
+      s"""WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s,
+         |              epoch_us(ts) + CAST(floor(value) AS BIGINT)*3600000000
+         |                AS e
+         |            FROM events),
+         |p AS (SELECT k, s AS p, 1 AS d FROM iv WHERE e > s
+         |      UNION ALL
+         |      SELECT k, e, -1 FROM iv WHERE e > s),
+         |r AS (SELECT k, sum(d) OVER (PARTITION BY k ORDER BY p, d
+         |        ROWS UNBOUNDED PRECEDING) AS o
+         |      FROM p)
+         |SELECT k AS user_id, CAST(max(o) AS BIGINT) AS max_intersections
+         |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_moving_sum" ->
+      s"""WITH v AS (SELECT user_id AS k, ts, event_id,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |           FROM events),
+         |m AS (SELECT k, ts, event_id,
+         |        sum(v) OVER (PARTITION BY k ORDER BY ts, event_id
+         |          ROWS BETWEEN ${MovingSumW - 1} PRECEDING AND CURRENT ROW)
+         |          AS ms
+         |      FROM v)
+         |SELECT k AS user_id,
+         |       string_agg(ms, ',' ORDER BY ts, event_id) AS moving_sums
+         |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "seq_next_node" ->
+      s"""WITH v AS (SELECT user_id AS k, event_type,
+         |             row_number() OVER w AS rn,
+         |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c0,
+         |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1
+         |           FROM events
+         |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |l AS (SELECT k, rn, c0, lead(c1, 1) OVER w2 AS n1,
+         |             lead(event_type, 2) OVER w2 AS nxt
+         |      FROM v WINDOW w2 AS (PARTITION BY k ORDER BY rn)),
+         |cand AS (SELECT k, nxt, row_number() OVER (
+         |           PARTITION BY k ORDER BY rn) AS r2
+         |         FROM l WHERE c0 = 1 AND n1 = 1),
+         |keys AS (SELECT DISTINCT user_id AS k FROM events)
+         |SELECT keys.k AS user_id, cand.nxt AS next_node
+         |FROM keys LEFT JOIN cand ON cand.k = keys.k AND cand.r2 = 1
+         |ORDER BY user_id""".stripMargin,
     "sketch_hll_overlap" -> {
       def est(sOcc: String, occ: String): String = {
         val sInt = s"CAST($sOcc + (256 - $occ) * 9007199254740992 AS DOUBLE)"

@@ -1,0 +1,190 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Aggregates
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String, Long)*): DataFrame =
+    rows.zipWithIndex
+      .map { case ((u, t, e, v), i) => (u, ts(t), e, v, i.toLong) }
+      .toSeq.toDF("user_id", "ts", "event_type", "value", "event_id")
+
+  // --- retention ------------------------------------------------------
+
+  test("retention: r1 gates the rest — a key matching c2 without c1 " +
+      "reports all-false; c1 alone reports (true, false)") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup", 0L),
+      (1L, "2024-01-02 10:00:00", "purchase", 0L),
+      (2L, "2024-01-01 10:00:00", "purchase", 0L), // no signup
+      (3L, "2024-01-01 10:00:00", "signup", 0L))
+    val out = Aggregates.retention(df, "user_id",
+      Seq(col("event_type") === "signup", col("event_type") === "purchase"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(out == Map(1L -> ((true, true)), 2L -> ((false, false)),
+      3L -> ((true, false))))
+  }
+
+  // --- deltaSum -------------------------------------------------------
+
+  test("deltaSum: positive deltas only, first value free, resets " +
+      "ignored; single-event key sums to zero") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "m", 10L),
+      (1L, "2024-01-01 10:01:00", "m", 7L),  // -3 ignored (reset)
+      (1L, "2024-01-01 10:02:00", "m", 12L), // +5
+      (1L, "2024-01-01 10:03:00", "m", 12L), // 0
+      (1L, "2024-01-01 10:04:00", "m", 20L), // +8
+      (2L, "2024-01-01 10:00:00", "m", 99L))
+    val out = Aggregates.deltaSum(df, "user_id", "ts", "event_id",
+      col("value")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 13L, 2L -> 0L))
+  }
+
+  // --- sumMap / groupUniqArray / uniqUpTo -----------------------------
+
+  test("sumMap: parallel arrays sorted by map key, per-key sums") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "view", 3L),
+      (1L, "2024-01-01 11:00:00", "click", 2L),
+      (1L, "2024-01-01 12:00:00", "view", 4L),
+      (2L, "2024-01-01 10:00:00", "click", 5L))
+    val out = Aggregates.sumMap(df, "user_id", col("event_type"),
+      col("value"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+      .map { case (k, ks, vs) => k -> ((ks, vs)) }.toMap
+    assert(out == Map(
+      1L -> ((Seq("click", "view"), Seq(2L, 7L))),
+      2L -> ((Seq("click"), Seq(5L)))))
+  }
+
+  test("groupUniqArray: duplicates collapse, sorted; maxSize keeps the " +
+      "smallest distinct values") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "a", 30L),
+      (1L, "2024-01-01 11:00:00", "a", 10L),
+      (1L, "2024-01-01 12:00:00", "a", 30L),
+      (1L, "2024-01-01 13:00:00", "a", 20L))
+    val all = Aggregates.groupUniqArray(df, "user_id", col("value"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(all == Map(1L -> Seq(10L, 20L, 30L)))
+    val capped = Aggregates.groupUniqArray(df, "user_id", col("value"),
+      Some(2)).as[(Long, Seq[Long])].collect().toMap
+    assert(capped == Map(1L -> Seq(10L, 20L)))
+  }
+
+  test("uniqUpTo: exact at or below N, N+1 sentinel above") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (1L, "2024-01-01 11:00:00", "a", 2L),
+      (2L, "2024-01-01 10:00:00", "a", 1L),
+      (2L, "2024-01-01 11:00:00", "a", 2L),
+      (2L, "2024-01-01 12:00:00", "a", 3L),
+      (2L, "2024-01-01 13:00:00", "a", 4L))
+    val out = Aggregates.uniqUpTo(df, "user_id", col("value"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 4L)) // 4 distinct > 3 → sentinel 4
+  }
+
+  // --- argMinMax ------------------------------------------------------
+
+  test("argMinMax: picks arg at extreme ord; equal ords break ties on " +
+      "the tie column (max takes largest, min smallest)") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "u10", 5L), // event_id 0
+      (1L, "2024-01-01 11:00:00", "u20", 9L), // event_id 1
+      (1L, "2024-01-01 12:00:00", "u30", 9L), // event_id 2: tie on 9
+      (1L, "2024-01-01 13:00:00", "u40", 5L)) // event_id 3: tie on 5
+    val out = Aggregates.argMinMax(df, "user_id", col("event_type"),
+      col("value"), "event_id")
+      .as[(Long, String, String)].collect()
+      .map { case (k, mx, mn) => k -> ((mx, mn)) }.toMap
+    assert(out == Map(1L -> (("u30", "u10"))))
+  }
+
+  // --- interval sweeps ------------------------------------------------
+
+  private def intervals(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "s", "e")
+
+  test("intervalLengthSum: overlaps count once, nested absorbed, " +
+      "touching intervals concatenate, zero/negative length ignored") {
+    val df = intervals(
+      (1L, 0L, 10L), (1L, 5L, 15L),   // union [0,15) = 15
+      (1L, 20L, 30L), (1L, 22L, 25L), // nested: +10
+      (1L, 30L, 35L),                 // touching: +5
+      (1L, 40L, 40L),                 // zero length
+      (2L, 7L, 3L))                   // negative: clamps to 0
+    val out = Aggregates.intervalLengthSum(df, "k", col("s"), col("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 30L, 2L -> 0L))
+  }
+
+  test("maxIntersections: half-open [s,e) — an interval ending where " +
+      "another starts does not overlap it; nested stack counts") {
+    val df = intervals(
+      (1L, 0L, 10L), (1L, 10L, 20L),          // touching: max 1
+      (2L, 0L, 30L), (2L, 5L, 25L), (2L, 10L, 20L), // nested: 3
+      (3L, 0L, 0L))                            // zero-length only: dropped
+    val out = Aggregates.maxIntersections(df, "k", col("s"), col("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L)) // key 3 has no real interval
+  }
+
+  // --- movingSum ------------------------------------------------------
+
+  test("movingSum: W=3 sliding sums in time order, short prefix uses " +
+      "what exists") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "m", 1L),
+      (1L, "2024-01-01 11:00:00", "m", 2L),
+      (1L, "2024-01-01 12:00:00", "m", 3L),
+      (1L, "2024-01-01 13:00:00", "m", 4L))
+    val out = Aggregates.movingSum(df, "user_id", "ts", "event_id",
+      col("value"), 3).as[(Long, Seq[Long])].collect().toMap
+    assert(out == Map(1L -> Seq(1L, 3L, 6L, 9L)))
+  }
+
+  // --- sequenceNextNode ----------------------------------------------
+
+  private def next(df: DataFrame): Map[Long, Option[String]] =
+    Aggregates.sequenceNextNode(df, "user_id", "ts", "event_id",
+      col("event_type"),
+      Seq(col("event_type") === "view", col("event_type") === "click"))
+      .as[(Long, Option[String])].collect().toMap
+
+  test("sequenceNextNode: returns the event right after the EARLIEST " +
+      "consecutive view→click run; an intervening event breaks the run") {
+    val df = events(
+      // user 1: view, click, purchase → 'purchase'
+      (1L, "2024-01-01 10:00:00", "view", 0L),
+      (1L, "2024-01-01 11:00:00", "click", 0L),
+      (1L, "2024-01-01 12:00:00", "purchase", 0L),
+      // later second match must not win
+      (1L, "2024-01-01 13:00:00", "view", 0L),
+      (1L, "2024-01-01 14:00:00", "click", 0L),
+      (1L, "2024-01-01 15:00:00", "error", 0L),
+      // user 2: view, ERROR, click — not consecutive → no match
+      (2L, "2024-01-01 10:00:00", "view", 0L),
+      (2L, "2024-01-01 11:00:00", "error", 0L),
+      (2L, "2024-01-01 12:00:00", "click", 0L))
+    assert(next(df) == Map(1L -> Some("purchase"), 2L -> None))
+  }
+
+  test("sequenceNextNode: a match ending the stream yields NULL next " +
+      "node (matched, nothing follows)") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "view", 0L),
+      (1L, "2024-01-01 11:00:00", "click", 0L))
+    assert(next(df) == Map(1L -> None))
+  }
+}

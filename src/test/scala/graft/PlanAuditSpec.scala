@@ -572,4 +572,22 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: expected the growing frame:\n" + p.take(3000))
     }
   }
+
+  test("ClickHouse-aggregate window passes keep the linear frame " +
+      "direction (interval sweeps grow, moving sum slides bounded — " +
+      "never unbounded-FOLLOWING) and groupUniqArray's cap rides " +
+      "WindowGroupLimit") {
+    Seq("agg_interval_length_sum", "agg_max_intersections",
+      "agg_moving_sum", "agg_delta_sum", "seq_next_node").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(!p.contains("unbounded following") &&
+          !p.contains("unboundedfollowing"),
+        s"$q frame regressed to unbounded-following:\n" + p.take(3000))
+    }
+    val cap = plan("agg_group_uniq_array")
+    assert(cap.contains("WindowGroupLimit"),
+      "groupUniqArray's maxSize rank filter lost the WindowGroupLimit " +
+        "pushdown (a mega-group would ship its full distinct set):\n" +
+        cap.take(3000))
+  }
 }
