@@ -87,6 +87,82 @@ object Aggregates {
         transform(col("__e"), _.getField("__s")).as("map_sums"))
   }
 
+  /** ClickHouse `minMap(k, v)` / `maxMap(k, v)`: per key, the map
+    * mk → min(v) and mk → max(v) as parallel key-sorted arrays —
+    * [[sumMap]]'s siblings, same two map-side-combinable aggregates,
+    * same CH sorted-tuple output shape.
+    */
+  def minMaxMap(df: DataFrame, keyCol: String, mapKey: Column,
+                value: Column): DataFrame = {
+    val per = df
+      .select(col(keyCol).as("__k"), mapKey.as("__mk"), value.as("__v"))
+      .groupBy("__k", "__mk")
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    per.groupBy("__k")
+      .agg(sort_array(collect_list(
+        struct(col("__mk"), col("__mn"), col("__mx")))).as("__e"))
+      .select(col("__k").as(keyCol),
+        transform(col("__e"), _.getField("__mk")).as("map_keys"),
+        transform(col("__e"), _.getField("__mn")).as("map_mins"),
+        transform(col("__e"), _.getField("__mx")).as("map_maxs"))
+  }
+
+  /** ClickHouse `avgWeighted(v, w)`: Σwv / Σw per key, NULL when the
+    * weight sum is zero (CH's NaN, made join-safe). Pass INTEGRAL
+    * value/weight columns: both sums are then exact BIGINTs
+    * (accumulation-order-independent) and only the final quotient is a
+    * double — quantized by [[graft.functions.Rounding.pround]] so
+    * distributed and single-node runs agree bit-for-bit. One
+    * map-side-combinable aggregate.
+    */
+  def avgWeighted(df: DataFrame, keyCol: String, value: Column,
+                  weight: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    df.select(col(keyCol).as("__k"), value.as("__v"), weight.as("__w"))
+      .groupBy("__k")
+      .agg(sum(col("__v") * col("__w")).as("__wv"),
+        sum(col("__w")).as("__sw"))
+      .select(col("__k").as(keyCol),
+        when(col("__sw") =!= 0,
+          pround(col("__wv").cast("double") / col("__sw").cast("double"),
+            9)).as("avg_weighted"))
+  }
+
+  /** ClickHouse `simpleLinearRegression(x, y)` + `corr(x, y)`: per
+    * key, the least-squares `(slope, intercept)` and Pearson
+    * correlation from ONE pass of map-side-combinable integer sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²). Pass INTEGRAL x/y columns sized so
+    * `n·Σy²` stays within BIGINT (the caller's contract — e.g.
+    * hour-of-day vs cents): every sum and both difference terms are
+    * then exact, and only the final divisions (and the one
+    * correctly-rounded IEEE `sqrt`) run in double, quantized via
+    * [[graft.functions.Rounding.pround]]. Constant x or y ⇒ NULL
+    * slope/intercept/corr (degenerate fit), CH's NaN made join-safe.
+    */
+  def linearFit(df: DataFrame, keyCol: String, x: Column, y: Column)
+      : DataFrame = {
+    import graft.functions.Rounding.pround
+    val s = df.select(col(keyCol).as("__k"), x.as("__x"), y.as("__y"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val dx = s("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = s("__n") * col("__syy") - col("__sy") * col("__sy")
+    val num = s("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = num.cast("double") / dx.cast("double")
+    val intercept = (col("__sy") * col("__sxx") -
+      col("__sx") * col("__sxy")).cast("double") / dx.cast("double")
+    val corr = num.cast("double") /
+      sqrt(dx.cast("double") * dy.cast("double"))
+    s.select(col("__k").as(keyCol),
+      when(dx =!= 0, pround(slope, 9)).as("slope"),
+      when(dx =!= 0, pround(intercept, 9)).as("intercept"),
+      when(dx =!= 0 && dy =!= 0, pround(corr, 9)).as("corr"))
+  }
+
   /** ClickHouse `groupUniqArray([maxSize])(v)`: per key, the distinct
     * values as a sorted array. CH's `max_size` keeps an ARBITRARY
     * subset; the deterministic reading here is the `maxSize` SMALLEST

@@ -495,6 +495,36 @@ object Extensions {
         Seq(col("event_type") === "view", col("event_type") === "click"))
         .orderBy("user_id")),
 
+    // ClickHouse minMap/maxMap: per-user per-type cent min/max as
+    // parallel key-sorted arrays — sumMap's siblings.
+    "agg_min_max_map" -> ((s, dir) =>
+      graft.operators.Aggregates.minMaxMap(t(s, dir, "events"), "user_id",
+        col("event_type"), floor(col("value") * 100 + 0.5))
+        .select(col("user_id"),
+          array_join(col("map_keys"), ",").as("map_keys"),
+          array_join(transform(col("map_mins"), _.cast("string")), ",")
+            .as("map_mins"),
+          array_join(transform(col("map_maxs"), _.cast("string")), ",")
+            .as("map_maxs"))
+        .orderBy("user_id")),
+
+    // ClickHouse avgWeighted(value, hour+1): hour-of-day-weighted mean
+    // cents per event type — exact BIGINT sums, one prounded quotient.
+    "agg_avg_weighted" -> ((s, dir) =>
+      graft.operators.Aggregates.avgWeighted(t(s, dir, "events"),
+        "event_type", floor(col("value") * 100 + 0.5),
+        hour(col("ts")).cast("long") + 1)
+        .orderBy("event_type")),
+
+    // ClickHouse simpleLinearRegression + corr: cents regressed on
+    // hour-of-day per event type — one pass of integer sums, exact
+    // difference terms, prounded slope/intercept/corr.
+    "agg_linear_fit" -> ((s, dir) =>
+      graft.operators.Aggregates.linearFit(t(s, dir, "events"),
+        "event_type", hour(col("ts")).cast("long"),
+        floor(col("value") * 100 + 0.5))
+        .orderBy("event_type")),
+
     // ClickHouse uniqCombined's shape: distinct users per event type —
     // every fixture group sits below the m=256 sparse threshold, so
     // the estimate is EXACT (mode 'sparse'), the CH
@@ -2509,6 +2539,53 @@ object Extensions {
          |SELECT k AS user_id,
          |       string_agg(ms, ',' ORDER BY ts, event_id) AS moving_sums
          |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_min_max_map" ->
+      s"""WITH p AS (SELECT user_id AS k, event_type AS mk,
+         |             min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS mn,
+         |             max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS mx
+         |           FROM events GROUP BY 1, 2)
+         |SELECT k AS user_id,
+         |       string_agg(mk, ',' ORDER BY mk) AS map_keys,
+         |       string_agg(mn, ',' ORDER BY mk) AS map_mins,
+         |       string_agg(mx, ',' ORDER BY mk) AS map_maxs
+         |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_avg_weighted" ->
+      s"""WITH v AS (SELECT event_type,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+         |             CAST(date_part('hour', ts) AS BIGINT) + 1 AS w
+         |           FROM events),
+         |s AS (SELECT event_type, sum(v*w) AS wv, sum(w) AS sw
+         |      FROM v GROUP BY 1)
+         |SELECT event_type,
+         |       CASE WHEN sw <> 0 THEN
+         |         ${Rounding.sqlPround(
+            "CAST(wv AS DOUBLE) / CAST(sw AS DOUBLE)", 9)}
+         |       END AS avg_weighted
+         |FROM s ORDER BY event_type""".stripMargin,
+    "agg_linear_fit" -> {
+      val dx = "(n*sxx - sx*sx)"
+      val dy = "(n*syy - sy*sy)"
+      val num = "(n*sxy - sx*sy)"
+      s"""WITH v AS (SELECT event_type,
+         |             CAST(date_part('hour', ts) AS BIGINT) AS x,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+         |           FROM events),
+         |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+         |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+         |             sum(y*y) AS syy
+         |      FROM v GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN $dx <> 0 THEN ${Rounding.sqlPround(
+            s"CAST($num AS DOUBLE) / CAST($dx AS DOUBLE)", 9)}
+         |  END AS slope,
+         |  CASE WHEN $dx <> 0 THEN ${Rounding.sqlPround(
+            s"CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST($dx AS DOUBLE)", 9)}
+         |  END AS intercept,
+         |  CASE WHEN $dx <> 0 AND $dy <> 0 THEN ${Rounding.sqlPround(
+            s"CAST($num AS DOUBLE) / sqrt(CAST($dx AS DOUBLE) * CAST($dy AS DOUBLE))", 9)}
+         |  END AS corr
+         |FROM s ORDER BY event_type""".stripMargin
+    },
     "seq_next_node" ->
       s"""WITH v AS (SELECT user_id AS k, event_type,
          |             row_number() OVER w AS rn,

@@ -67,6 +67,39 @@ class AggregatesSpec extends SparkSpec {
       2L -> ((Seq("click"), Seq(5L)))))
   }
 
+  test("minMaxMap: per-map-key min and max in parallel key-sorted " +
+      "arrays") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "view", 3L),
+      (1L, "2024-01-01 11:00:00", "click", 2L),
+      (1L, "2024-01-01 12:00:00", "view", 9L))
+    val out = Aggregates.minMaxMap(df, "user_id", col("event_type"),
+      col("value"))
+      .as[(Long, Seq[String], Seq[Long], Seq[Long])].collect()
+      .map { case (k, ks, mn, mx) => k -> ((ks, mn, mx)) }.toMap
+    assert(out == Map(
+      1L -> ((Seq("click", "view"), Seq(2L, 3L), Seq(2L, 9L)))))
+  }
+
+  test("avgWeighted: Σwv/Σw exact; zero total weight yields NULL") {
+    val df = Seq((1L, 10L, 3L), (1L, 20L, 1L), (2L, 5L, 0L))
+      .toDF("k", "v", "w")
+    val out = Aggregates.avgWeighted(df, "k", col("v"), col("w"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(12.5), 2L -> None)) // (30+20)/4
+  }
+
+  test("linearFit: exact fit on a perfect line (slope 2, intercept 1, " +
+      "corr 1); constant x degenerates to NULLs") {
+    val df = Seq((1L, 0L, 1L), (1L, 1L, 3L), (1L, 2L, 5L),
+      (2L, 4L, 7L), (2L, 4L, 9L)).toDF("k", "x", "y")
+    val out = Aggregates.linearFit(df, "k", col("x"), col("y"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map { case (k, s, i, c) => k -> ((s, i, c)) }.toMap
+    assert(out(1L) == ((Some(2.0), Some(1.0), Some(1.0))))
+    assert(out(2L) == ((None, None, None)))
+  }
+
   test("groupUniqArray: duplicates collapse, sorted; maxSize keeps the " +
       "smallest distinct values") {
     val df = events(
