@@ -349,6 +349,47 @@ object ScaleStress {
         .select("matched").as[Boolean].collect()
       m.toSeq == Seq(true)
     }
+    check("interval sweeps on a 100k-interval hot key: union length " +
+        "and max intersections stay one linear window pass each") {
+      // 100k unit-step intervals [i, i+2) on ONE key — a pairwise
+      // overlap join would build ~10^10 candidates; both sweeps are
+      // growing-frame windows (O(n) per key). Closed forms pin the
+      // math: union = [0, n+1) ⇒ n+1; every interior point is covered
+      // by exactly 2 intervals ⇒ maxIntersections = 2.
+      val n = 100000
+      val iv = (0 until n).map(i => (42L, i.toLong, i.toLong + 2L))
+        .toDF("k", "s", "e")
+      val len = operators.Aggregates
+        .intervalLengthSum(iv, "k", $"s", $"e")
+        .select("covered_length").as[Long].collect().toSeq
+      val mi = operators.Aggregates
+        .maxIntersections(iv, "k", $"s", $"e")
+        .select("max_intersections").as[Long].collect().toSeq
+      len == Seq(n.toLong + 1L) && mi == Seq(2L)
+    }
+    time("deltaSum + 3-window moving sums over 2M events (lag window " +
+        "+ bounded sliding frame, linear on hot keys)") {
+      val cents = floor($"value" * 100 + 0.5)
+      operators.Aggregates.deltaSum(bigEv, "user_id", "ts", "event_id",
+        cents).write.format("noop").mode("overwrite").save()
+      operators.Aggregates.movingSum(bigEv, "user_id", "ts", "event_id",
+        cents, 3).write.format("noop").mode("overwrite").save()
+    }
+    check("sequenceNextNode on the 100k-event hot key: lead-window " +
+        "composition, no per-start fan-out") {
+      val n = 100000
+      val hot = (1 to n).map { i =>
+        (42L, new java.sql.Timestamp(1704067200000L + i * 1000L),
+          Seq("view", "click", "purchase")(i % 3), i.toLong)
+      }.toDF("user_id", "ts", "event_type", "event_id")
+      // stream cycles view,click,purchase — the earliest consecutive
+      // view→click run starts at position 0, so next node = purchase
+      val nn = operators.Aggregates.sequenceNextNode(hot, "user_id",
+        "ts", "event_id", $"event_type",
+        Seq($"event_type" === "view", $"event_type" === "click"))
+        .select("next_node").as[Option[String]].collect().toSeq
+      nn == Seq(Some("purchase"))
+    }
     time("rollup maintenance: fold 20 batch states over 2M events " +
         "(|keys| rows moved per merge, no base rescan)") {
       val keys = Seq("event_type")

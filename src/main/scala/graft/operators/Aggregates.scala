@@ -292,6 +292,66 @@ object Aggregates {
         transform(col("__e"), _.getField("__ms")).as("moving_sums"))
   }
 
+  /** ClickHouse `entropy(v)`: Shannon entropy (bits) of the value
+    * distribution per key. Counts are exact; each term
+    * −(c/n)·log2(c/n) is rounded at 1e-9 BEFORE the sum (the
+    * perplexity/klDrift discipline: `log` is not correctly-rounded
+    * IEEE, so per-term quantization + an exact DECIMAL sum is what
+    * makes the aggregate accumulation-order-independent and
+    * cross-engine identical), and the rounded terms sum as
+    * DECIMAL(38,12). Two map-side-combinable counts, a |key|-row
+    * broadcast of n — the corpus streams once.
+    */
+  def entropy(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val counts = df.select(col(keyCol).as("__k"), value.as("__v"))
+      .groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("__k").agg(sum(col("__c")).as("__n"))
+    val p = col("__c").cast("double") / col("__n").cast("double")
+    counts.join(broadcast(totals), Seq("__k"))
+      .withColumn("__t",
+        pround(-p * log2(p), 9).cast("decimal(38,12)"))
+      .groupBy("__k")
+      .agg(sum(col("__t")).cast("double").as("entropy"))
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `skewPop(v)` / `kurtPop(v)` (+ stddevPop): population
+    * central moments from ONE pass of integer raw-moment sums
+    * (n, Σx, Σx², Σx³, Σx⁴ — all exact BIGINTs; the caller passes an
+    * INTEGRAL x sized so n·max(x)⁴ stays within BIGINT, e.g. a decile
+    * bucket). Central moments come from the raw sums by the standard
+    * expansion — m2 = Σx²/n − μ², m3 = Σx³/n − 3μΣx²/n + 2μ³,
+    * m4 = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴ — evaluated in double in a
+    * FIXED expression order, then prounded: skew = m3/m2^1.5
+    * (sqrt+multiply, no transcendental pow), kurt = m4/m2². Constant
+    * x ⇒ NULL skew/kurt (m2 = 0), stddev 0. One map-side-combinable
+    * aggregate.
+    */
+  def moments(df: DataFrame, keyCol: String, x: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val s = df.select(col(keyCol).as("__k"), x.as("__x"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).as("__s4"))
+    val n = col("__n").cast("double")
+    val mu = col("__s1").cast("double") / n
+    val m2 = col("__s2").cast("double") / n - mu * mu
+    val m3 = col("__s3").cast("double") / n -
+      lit(3.0) * mu * (col("__s2").cast("double") / n) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("__s4").cast("double") / n -
+      lit(4.0) * mu * (col("__s3").cast("double") / n) +
+      lit(6.0) * mu * mu * (col("__s2").cast("double") / n) -
+      lit(3.0) * mu * mu * mu * mu
+    s.select(col("__k").as(keyCol),
+      pround(sqrt(m2), 9).as("stddev_pop"),
+      when(m2 > 0, pround(m3 / (m2 * sqrt(m2)), 9)).as("skew_pop"),
+      when(m2 > 0, pround(m4 / (m2 * m2), 9)).as("kurt_pop"))
+  }
+
   /** ClickHouse `sequenceNextNode('forward', 'first_match')(ts, next,
     * c₁, …, c_k)`: per key, scan the FULL event stream in `(ts, tie)`
     * order, find the EARLIEST position i where the k CONSECUTIVE

@@ -525,6 +525,60 @@ object Extensions {
         floor(col("value") * 100 + 0.5))
         .orderBy("event_type")),
 
+    // ClickHouse entropy(event_type) per user: per-term log2 rounded
+    // @9 + exact decimal sum (the perplexity discipline).
+    "agg_entropy" -> ((s, dir) =>
+      graft.operators.Aggregates.entropy(t(s, dir, "events"), "user_id",
+        col("event_type"))
+        .orderBy("user_id")),
+
+    // ClickHouse stddevPop/skewPop/kurtPop of the value decile per
+    // event type — integer raw-moment sums, fixed-order double
+    // evaluation, prounded.
+    "agg_moments" -> ((s, dir) =>
+      graft.operators.Aggregates.moments(t(s, dir, "events"),
+        "event_type", floor(col("value") / 10))
+        .orderBy("event_type")),
+
+    // ClickHouse -If combinators (countIf/sumIf/avgIf/minIf/maxIf):
+    // conditional aggregates in one pass; avgIf from the exact sums,
+    // prounded. Query-level composition — the combinator is a
+    // filtered-aggregate spelling, not a new operator.
+    "agg_if_combinators" -> ((s, dir) => {
+      import graft.functions.Rounding.pround
+      val cents = floor(col("value") * 100 + 0.5)
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("count_if_view"),
+          coalesce(sum(when(col("event_type") === "purchase", cents)),
+            lit(0L)).as("sum_if_purchase"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("__np"),
+          min(when(col("event_type") === "click", cents))
+            .as("min_if_click"),
+          max(when(col("event_type") === "click", cents))
+            .as("max_if_click"))
+        .withColumn("avg_if_purchase",
+          when(col("__np") > 0,
+            pround(col("sum_if_purchase").cast("double") /
+              col("__np").cast("double"), 9)))
+        .drop("__np")
+        .orderBy("user_id")
+    }),
+
+    // ClickHouse groupBitAnd/Or/Xor of floor(value) per user — the
+    // bitwise aggregate trio (map-side combinable in both engines).
+    "agg_bit_ops" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), floor(col("value")).as("__v"))
+        .groupBy("user_id")
+        .agg(expr("bit_and(__v)").as("bits_and"),
+          expr("bit_or(__v)").as("bits_or"),
+          expr("bit_xor(__v)").as("bits_xor"))
+        .orderBy("user_id")),
+
     // ClickHouse uniqCombined's shape: distinct users per event type —
     // every fixture group sits below the m=256 sparse threshold, so
     // the estimate is EXACT (mode 'sparse'), the CH
@@ -2586,6 +2640,70 @@ object Extensions {
          |  END AS corr
          |FROM s ORDER BY event_type""".stripMargin
     },
+    "agg_entropy" -> {
+      val p = "(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))"
+      s"""WITH c AS (SELECT user_id AS k, event_type AS v, count(*) AS c
+         |           FROM events GROUP BY 1, 2),
+         |n AS (SELECT k, sum(c) AS n FROM c GROUP BY 1),
+         |t AS (SELECT c.k,
+         |        CAST(${Rounding.sqlPround(s"(-$p) * log2($p)", 9)}
+         |             AS DECIMAL(38,12)) AS t
+         |      FROM c JOIN n ON n.k = c.k)
+         |SELECT k AS user_id, CAST(sum(t) AS DOUBLE) AS entropy
+         |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    "agg_moments" ->
+      s"""WITH s AS (SELECT event_type, count(*) AS n, sum(x) AS s1,
+         |             sum(x*x) AS s2, sum(x*x*x) AS s3,
+         |             sum(x*x*x*x) AS s4
+         |           FROM (SELECT event_type,
+         |                   CAST(floor(value/10) AS BIGINT) AS x
+         |                 FROM events)
+         |           GROUP BY 1),
+         |d AS (SELECT event_type, CAST(n AS DOUBLE) AS nd,
+         |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         |             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+         |             CAST(s4 AS DOUBLE) AS s4d
+         |      FROM s),
+         |m AS (SELECT event_type,
+         |        s2d/nd - mu*mu AS m2,
+         |        s3d/nd - 3.0*mu*(s2d/nd) + 2.0*mu*mu*mu AS m3,
+         |        s4d/nd - 4.0*mu*(s3d/nd) + 6.0*mu*mu*(s2d/nd)
+         |          - 3.0*mu*mu*mu*mu AS m4
+         |      FROM d)
+         |SELECT event_type,
+         |  ${Rounding.sqlPround("sqrt(m2)", 9)} AS stddev_pop,
+         |  CASE WHEN m2 > 0 THEN
+         |    ${Rounding.sqlPround("m3 / (m2 * sqrt(m2))", 9)}
+         |  END AS skew_pop,
+         |  CASE WHEN m2 > 0 THEN ${Rounding.sqlPround("m4 / (m2 * m2)", 9)}
+         |  END AS kurt_pop
+         |FROM m ORDER BY event_type""".stripMargin,
+    "agg_if_combinators" -> {
+      val cents = "CAST(floor(value*100 + 0.5) AS BIGINT)"
+      val sumP = s"CAST(coalesce(sum(CASE WHEN event_type = 'purchase' " +
+        s"THEN $cents END), 0) AS BIGINT)"
+      val nP = "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+      s"""SELECT user_id,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS count_if_view,
+         |  $sumP AS sum_if_purchase,
+         |  min(CASE WHEN event_type = 'click' THEN $cents END)
+         |    AS min_if_click,
+         |  max(CASE WHEN event_type = 'click' THEN $cents END)
+         |    AS max_if_click,
+         |  CASE WHEN $nP > 0 THEN
+         |    ${Rounding.sqlPround(
+          s"CAST($sumP AS DOUBLE) / CAST($nP AS DOUBLE)", 9)}
+         |  END AS avg_if_purchase
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    "agg_bit_ops" ->
+      s"""SELECT user_id,
+         |  bit_and(CAST(floor(value) AS BIGINT)) AS bits_and,
+         |  bit_or(CAST(floor(value) AS BIGINT)) AS bits_or,
+         |  bit_xor(CAST(floor(value) AS BIGINT)) AS bits_xor
+         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "seq_next_node" ->
       s"""WITH v AS (SELECT user_id AS k, event_type,
          |             row_number() OVER w AS rn,

@@ -187,6 +187,26 @@ class AggregatesSpec extends SparkSpec {
     assert(out == Map(1L -> Seq(1L, 3L, 6L, 9L)))
   }
 
+  test("entropy: uniform 4-symbol distribution scores exactly 2 bits, " +
+      "a single-symbol key exactly 0") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (2L, "a"),
+      (2L, "a")).toDF("k", "v")
+    val out = Aggregates.entropy(df, "k", col("v"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 2.0, 2L -> 0.0))
+  }
+
+  test("moments: symmetric two-point distribution has skew 0 and " +
+      "kurt 1; constant input degenerates to NULL skew/kurt, stddev 0") {
+    val df = Seq((1L, 0L), (1L, 0L), (1L, 10L), (1L, 10L),
+      (2L, 7L), (2L, 7L)).toDF("k", "x")
+    val out = Aggregates.moments(df, "k", col("x"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map { case (k, s, sk, ku) => k -> ((s, sk, ku)) }.toMap
+    assert(out(1L) == ((Some(5.0), Some(0.0), Some(1.0))))
+    assert(out(2L) == ((Some(0.0), None, None)))
+  }
+
   // --- sequenceNextNode ----------------------------------------------
 
   private def next(df: DataFrame): Map[Long, Option[String]] =
