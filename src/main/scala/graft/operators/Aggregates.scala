@@ -352,6 +352,41 @@ object Aggregates {
       when(m2 > 0, pround(m4 / (m2 * m2), 9)).as("kurt_pop"))
   }
 
+  /** ClickHouse `histogram(M)(v)`, the deterministic reading: CH's
+    * adaptive histogram is merge-order-dependent by design (bin
+    * boundaries depend on the stream split), so the engine-independent
+    * form is M EQUAL-WIDTH bins over the per-key [min, max] range —
+    * one bounds aggregate (broadcast back, |keys| rows) + one binned
+    * count (map-side combinable), the corpus streamed twice at scan
+    * speed. Bin index = min(floor((v−lo)·M/(hi−lo)), M−1) evaluated in
+    * a fixed double-expression order; `lo`/`hi` bin edges are prounded
+    * for reporting. A constant key (hi = lo) lands everything in bin
+    * 0. Empty bins are absent (sparse output), matching a GROUP BY.
+    */
+  def histogram(df: DataFrame, keyCol: String, value: Column, bins: Int)
+      : DataFrame = {
+    import graft.functions.Rounding.pround
+    require(bins > 0, s"histogram: bins must be positive, got $bins")
+    val v = df.select(col(keyCol).as("__k"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = v.groupBy("__k")
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    val idx = when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+      least(floor((col("__v") - col("__lo")) * lit(bins.toDouble) /
+        (col("__hi") - col("__lo"))), lit(bins.toLong - 1L)))
+    v.join(broadcast(bounds), Seq("__k"))
+      .withColumn("__b", idx)
+      .groupBy("__k", "__b", "__lo", "__hi")
+      .agg(count(lit(1)).as("bin_count"))
+      .select(col("__k").as(keyCol), col("__b").as("bin"),
+        pround(col("__lo") + col("__b").cast("double") * width, 9)
+          .as("bin_lo"),
+        pround(col("__lo") + (col("__b").cast("double") + 1.0) * width, 9)
+          .as("bin_hi"),
+        col("bin_count"))
+  }
+
   /** ClickHouse `sequenceNextNode('forward', 'first_match')(ts, next,
     * c₁, …, c_k)`: per key, scan the FULL event stream in `(ts, tie)`
     * order, find the EARLIEST position i where the k CONSECUTIVE

@@ -568,6 +568,14 @@ object Extensions {
         .orderBy("user_id")
     }),
 
+    // ClickHouse histogram(8), deterministic equal-width reading:
+    // 8 bins over each event type's value range — bounds broadcast,
+    // binned count map-side combinable, prounded edges.
+    "agg_histogram" -> ((s, dir) =>
+      graft.operators.Aggregates.histogram(t(s, dir, "events"),
+        "event_type", col("value"), 8)
+        .orderBy("event_type", "bin")),
+
     // ClickHouse groupBitAnd/Or/Xor of floor(value) per user — the
     // bitwise aggregate trio (map-side combinable in both engines).
     "agg_bit_ops" -> ((s, dir) =>
@@ -2698,6 +2706,25 @@ object Extensions {
          |  END AS avg_if_purchase
          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
     },
+    "agg_histogram" ->
+      s"""WITH v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+         |           FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT k, min(v) AS lo, max(v) AS hi FROM v GROUP BY 1),
+         |i AS (SELECT v.k, b.lo, b.hi,
+         |        CASE WHEN b.hi = b.lo THEN 0
+         |             ELSE CAST(least(floor((v.v - b.lo) * 8.0
+         |                    / (b.hi - b.lo)), 7) AS BIGINT)
+         |        END AS bin
+         |      FROM v JOIN b ON b.k = v.k)
+         |SELECT k AS event_type, bin,
+         |  ${Rounding.sqlPround(
+          "lo + CAST(bin AS DOUBLE) * ((hi - lo) / 8.0)", 9)} AS bin_lo,
+         |  ${Rounding.sqlPround(
+          "lo + (CAST(bin AS DOUBLE) + 1.0) * ((hi - lo) / 8.0)", 9)}
+         |    AS bin_hi,
+         |  count(*) AS bin_count
+         |FROM i GROUP BY 1, 2, lo, hi
+         |ORDER BY event_type, bin""".stripMargin,
     "agg_bit_ops" ->
       s"""SELECT user_id,
          |  bit_and(CAST(floor(value) AS BIGINT)) AS bits_and,

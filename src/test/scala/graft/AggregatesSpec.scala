@@ -207,6 +207,19 @@ class AggregatesSpec extends SparkSpec {
     assert(out(2L) == ((Some(0.0), None, None)))
   }
 
+  test("histogram: equal-width bins cover [min, max], the max value " +
+      "lands in the last bin, a constant key collapses to bin 0") {
+    val df = (0 to 7).map(i => (1L, i.toDouble)).toDF("k", "v")
+      .union(Seq((2L, 5.0), (2L, 5.0)).toDF("k", "v"))
+    val out = Aggregates.histogram(df, "k", col("v"), 4)
+      .as[(Long, Long, Double, Double, Long)].collect()
+      .map { case (k, b, lo, hi, c) => (k, b) -> ((lo, hi, c)) }.toMap
+    assert(out((1L, 0L)) == ((0.0, 1.75, 2L)))   // 0, 1
+    assert(out((1L, 3L)) == ((5.25, 7.0, 2L)))   // 6, 7 (max in last bin)
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert(out((2L, 0L)) == ((5.0, 5.0, 2L)))    // constant key
+  }
+
   // --- sequenceNextNode ----------------------------------------------
 
   private def next(df: DataFrame): Map[Long, Option[String]] =
