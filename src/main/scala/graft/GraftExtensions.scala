@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries}
+import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries, MisraGriesWeighted}
 
 /** Session-extension entry point (SURVEY §2.11 registration path): start
   * any session with
@@ -20,6 +20,7 @@ import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries}
   *   - `char_entropy(s)`    codegen'd codepoint Shannon entropy (scalar)
   *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
   *   - `misra_gries(x, k)`  heavy-hitters sketch (aggregate)
+  *   - `misra_gries_w(x, w, k)`  weighted heavy-hitters (topKWeighted)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -67,6 +68,16 @@ object GraftExtensions {
           "misra_gries: k must be a constant (literal) expression")
         MisraGries(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())
+      }),
+    (new FunctionIdentifier("misra_gries_w"),
+      new ExpressionInfo(classOf[MisraGriesWeighted].getName,
+        "misra_gries_w"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "misra_gries_w(col, w, k)")
+        require(exprs(2).foldable,
+          "misra_gries_w: k must be a constant (literal) expression")
+        MisraGriesWeighted(exprs.head, exprs(1),
+          exprs(2).eval(null).asInstanceOf[Number].intValue())
       }))
 
   /** Install on an already-running session (tests, notebooks). */

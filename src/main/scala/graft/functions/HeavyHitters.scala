@@ -153,3 +153,150 @@ object MisraGries {
     call_function("misra_gries", c, org.apache.spark.sql.functions.lit(k))
   }
 }
+
+/** ClickHouse `topKWeighted(k)(item, w)`'s sketch: WEIGHTED
+  * Misra–Gries. Every update and merge goes through one rule — fold
+  * the incoming (item, weight) or summary into the counter table,
+  * then, past `k` counters, subtract the (k+1)-th largest count and
+  * drop non-positives (the mergeable-summaries rule; a single exact
+  * entry IS a valid one-row summary, so update and merge are the same
+  * operation and sketch(all) ≡ merge(sketch(parts)) by construction).
+  *
+  * Guarantee (the unweighted bound with N → total weight W): every
+  * item with true weight > W/(k+1) is present, and each reported
+  * count c' satisfies true − W/(k+1) ≤ c' ≤ true. State is O(k),
+  * map-side combinable — the 100 TB weighted-vocabulary pass moves k
+  * counters per partition; the exact groupBy twin
+  * (`agg_topk_weighted`) stays the oracle semantics at test scale.
+  *
+  * Weights must be non-negative; negative weights would break the
+  * one-sided error bound (loud failure, not a silent wrong sketch).
+  */
+case class MisraGriesWeighted(child: Expression, weight: Expression, k: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(k >= 1, s"k >= 1 required, got $k")
+  require(child.dataType == StringType,
+    s"misra_gries_w expects a string item column, got ${child.dataType}")
+  require(weight.dataType == LongType,
+    s"misra_gries_w expects a BIGINT weight column, got ${weight.dataType}")
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  /** Past k counters: subtract the (k+1)-th largest, drop ≤ 0. */
+  private def shrink(buf: java.util.HashMap[String, Long]): Unit =
+    if (buf.size > k) {
+      import scala.jdk.CollectionConverters._
+      val counts = buf.values().asScala.toArray.sorted(Ordering[Long].reverse)
+      val d = counts(k)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val left = e.getValue - d
+        if (left > 0) e.setValue(left) else it.remove()
+      }
+    }
+
+  override def update(buf: java.util.HashMap[String, Long],
+                      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      if (wl < 0)
+        throw new IllegalArgumentException(
+          s"misra_gries_w: negative weight $wl breaks the error bound")
+      if (wl > 0) {
+        buf.merge(v.asInstanceOf[UTF8String].toString, wl, (a, b) => a + b)
+        shrink(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[String, Long],
+                     other: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    shrink(buf)
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val entries = new java.util.ArrayList(buf.entrySet())
+    entries.sort { (a: java.util.Map.Entry[String, Long],
+                    b: java.util.Map.Entry[String, Long]) =>
+      val byCount = java.lang.Long.compare(b.getValue, a.getValue)
+      if (byCount != 0) byCount else a.getKey.compareTo(b.getKey)
+    }
+    val rows = new Array[Any](entries.size())
+    var i = 0
+    while (i < rows.length) {
+      val e = entries.get(i)
+      rows(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) { buf.put(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child, weight)
+  override def prettyName: String = "misra_gries_w"
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesWeighted =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesWeighted =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head, weight = newChildren(1))
+}
+
+object MisraGriesWeighted {
+
+  /** Register `misra_gries_w(col, w, k)` on the session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries_w",
+      exprs => MisraGriesWeighted(exprs.head, exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()),
+      "built-in")
+
+  def column(spark: SparkSession, c: Column, w: Column, k: Int): Column = {
+    register(spark)
+    call_function("misra_gries_w", c, w,
+      org.apache.spark.sql.functions.lit(k))
+  }
+}

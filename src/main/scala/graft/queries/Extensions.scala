@@ -568,6 +568,19 @@ object Extensions {
         .orderBy("user_id")
     }),
 
+    // ClickHouse topKWeighted's EXACT semantics (the oracle twin of
+    // the MisraGriesWeighted sketch, same convention as the unweighted
+    // heavy-hitters row): top 10 terms by total n_chars of their
+    // documents — TakeOrdered limit, no global sort materialization.
+    "agg_topk_weighted" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"),
+          col("n_chars"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(sum(col("n_chars")).as("weight"))
+        .orderBy(desc("weight"), asc("term"))
+        .limit(10)),
+
     // ClickHouse histogram(8), deterministic equal-width reading:
     // 8 bins over each event type's value range — bounds broadcast,
     // binned count map-side combinable, prounded edges.
@@ -2706,6 +2719,14 @@ object Extensions {
          |  END AS avg_if_purchase
          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
     },
+    "agg_topk_weighted" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term,
+         |             n_chars
+         |           FROM documents),
+         |s AS (SELECT term, CAST(sum(n_chars) AS BIGINT) AS weight
+         |      FROM t WHERE length(term) > 0 GROUP BY 1)
+         |SELECT term, weight FROM s
+         |ORDER BY weight DESC, term LIMIT 10""".stripMargin,
     "agg_histogram" ->
       s"""WITH v AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
          |           FROM events WHERE value IS NOT NULL),
