@@ -403,9 +403,20 @@ object Aggregates {
     */
   def sequenceNextNode(df: DataFrame, keyCol: String, tsCol: String,
                        tieCol: String, nextCol: Column,
-                       conds: Seq[Column]): DataFrame = {
+                       conds: Seq[Column], forward: Boolean = true,
+                       firstMatch: Boolean = true): DataFrame = {
     require(conds.nonEmpty, "sequenceNextNode: conds must be non-empty")
-    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    // CH's direction/base arguments: 'backward' scans the stream from
+    // the end (conds matched in reverse time order, "next" = the event
+    // BEFORE the run in wall-clock time) — the same window pass over
+    // the reversed sort; 'last_match' takes the latest run instead of
+    // the earliest — struct-MAX instead of MIN on the scan position.
+    val w =
+      if (forward)
+        Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+      else
+        Window.partitionBy("__k")
+          .orderBy(col("__ts").desc, col("__tie").desc)
     val flagged = df.select(
       Seq(col(keyCol).as("__k"), col(tsCol).as("__ts"),
         col(tieCol).as("__tie"), nextCol.as("__n")) ++
@@ -422,9 +433,91 @@ object Aggregates {
       .withColumn("__ok", runOk)
       .filter(col("__ok"))
       .groupBy("__k")
-      .agg(min(struct(col("__rn"), col("__next"))).getField("__next")
-        .as("next_node"))
+      .agg((if (firstMatch) min(struct(col("__rn"), col("__next")))
+            else max(struct(col("__rn"), col("__next"))))
+        .getField("__next").as("next_node"))
     keys.join(matches, Seq("__k"), "left")
       .withColumnRenamed("__k", keyCol)
+  }
+
+  /** ClickHouse `welchTTest(x)` over a boolean sample split: per key,
+    * the Welch two-sample t statistic and Welch–Satterthwaite degrees
+    * of freedom, from ONE pass of conditional integer sums
+    * (n, Σx, Σx² per sample — exact BIGINTs for integral x, the
+    * caller's contract). Sample variances and the t/df quotients run
+    * in double in a FIXED expression order and are prounded. Keys
+    * where either sample has n < 2, or both variances are 0, yield
+    * NULL (degenerate test), CH's NaN made join-safe. The p-value is
+    * deliberately not emitted: it needs the regularized incomplete
+    * beta, which is library-dependent — the statistic is the
+    * engine-checkable part.
+    */
+  def welchT(df: DataFrame, keyCol: String, sampleA: Column, x: Column)
+      : DataFrame = {
+    import graft.functions.Rounding.pround
+    val s = df.select(col(keyCol).as("__k"), sampleA.as("__a"),
+        x.as("__x"))
+      .groupBy("__k")
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__a"), col("__x"))).as("__s1"),
+        sum(when(col("__a"), col("__x") * col("__x"))).as("__ss1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__n2"),
+        sum(when(!col("__a"), col("__x"))).as("__s2"),
+        sum(when(!col("__a"), col("__x") * col("__x"))).as("__ss2"))
+    def nd(c: String) = col(c).cast("double")
+    def m(sc: String, nc: String) = nd(sc) / nd(nc)
+    // sample variance: (Σx² − (Σx)²/n) / (n−1), fixed order
+    def v(ssc: String, sc: String, nc: String) =
+      (nd(ssc) - nd(sc) * nd(sc) / nd(nc)) / (nd(nc) - lit(1.0))
+    val v1 = v("__ss1", "__s1", "__n1")
+    val v2 = v("__ss2", "__s2", "__n2")
+    val se1 = v1 / nd("__n1")
+    val se2 = v2 / nd("__n2")
+    val t = (m("__s1", "__n1") - m("__s2", "__n2")) / sqrt(se1 + se2)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (nd("__n1") - lit(1.0)) +
+        se2 * se2 / (nd("__n2") - lit(1.0)))
+    val ok = col("__n1") >= 2 && col("__n2") >= 2 &&
+      (v1 > 0 || v2 > 0)
+    s.select(col("__k").as(keyCol),
+      when(ok, pround(t, 9)).as("t_stat"),
+      when(ok, pround(dfW, 9)).as("df"))
+  }
+
+  /** ClickHouse `mannWhitneyUTest(x)` over a boolean sample split: per
+    * key, the EXACT Mann–Whitney U statistic, `min(U₁, U₂)` with
+    * average ranks for ties. All arithmetic is integral: doubled
+    * average ranks (2·minRank + (tieCount−1) — ties add ½-steps, so
+    * doubling keeps BIGINTs), doubled rank sums, and
+    * U₁·2 = R₁·2 − n₁(n₁+1); the only double is the final /2. One
+    * rank window + one tie-count window over the same (key, x) sort —
+    * a single exchange — then a grouped conditional sum. Keys with an
+    * empty sample yield NULL. The p-value needs the normal
+    * approximation (erfc) — library-dependent, not emitted; the exact
+    * U is the engine-checkable part.
+    */
+  def mannWhitneyU(df: DataFrame, keyCol: String, sampleA: Column,
+                   x: Column): DataFrame = {
+    val v = df.select(col(keyCol).as("__k"), sampleA.as("__a"),
+      x.as("__x"))
+    val wr = Window.partitionBy("__k").orderBy("__x")
+    val wt = Window.partitionBy("__k", "__x")
+    val ranked = v
+      .withColumn("__r", rank().over(wr))           // min rank of tie group
+      .withColumn("__c", count(lit(1)).over(wt))    // tie-group size
+      .withColumn("__ar2",
+        lit(2L) * col("__r") + (col("__c") - lit(1L))) // doubled avg rank
+    val agg = ranked.groupBy("__k")
+      .agg(
+        sum(when(col("__a"), col("__ar2"))).as("__r1x2"),
+        sum(when(col("__a"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__n2"))
+    val u1x2 = col("__r1x2") - col("__n1") * (col("__n1") + lit(1L))
+    val u2x2 = lit(2L) * col("__n1") * col("__n2") - u1x2
+    agg.select(col("__k").as(keyCol),
+      when(col("__n1") > 0 && col("__n2") > 0,
+        least(u1x2, u2x2).cast("double") / lit(2.0)).as("u_stat"),
+      col("__n1").as("n1"), col("__n2").as("n2"))
   }
 }

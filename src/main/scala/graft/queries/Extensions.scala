@@ -568,6 +568,40 @@ object Extensions {
         .orderBy("user_id")
     }),
 
+    // ClickHouse sequenceNextNode('backward','first_match'): scan
+    // newest→oldest — the most recent view whose immediately-older
+    // event is a click; report the event older still. Same window
+    // pass over the reversed sort.
+    "seq_next_node_backward" -> ((s, dir) =>
+      graft.operators.Aggregates.sequenceNextNode(t(s, dir, "events"),
+        "user_id", "ts", "event_id", col("event_type"),
+        Seq(col("event_type") === "view", col("event_type") === "click"),
+        forward = false)
+        .orderBy("user_id")),
+
+    // ClickHouse welchTTest: purchase-vs-view cent t statistic + Welch
+    // df per user — one pass of conditional integer sums, fixed-order
+    // double tail, prounded. (p-value needs the incomplete beta —
+    // library-dependent, deliberately not emitted.)
+    "agg_welch_t" -> ((s, dir) =>
+      graft.operators.Aggregates.welchT(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view")),
+        "user_id", col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5))
+        .orderBy("user_id")),
+
+    // ClickHouse mannWhitneyUTest: EXACT min(U1,U2) with average tie
+    // ranks — doubled-rank integer arithmetic, the only double is the
+    // final halving.
+    "agg_mann_whitney_u" -> ((s, dir) =>
+      graft.operators.Aggregates.mannWhitneyU(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view")),
+        "user_id", col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5))
+        .orderBy("user_id")),
+
     // ClickHouse topKWeighted's EXACT semantics (the oracle twin of
     // the MisraGriesWeighted sketch, same convention as the unweighted
     // heavy-hitters row): top 10 terms by total n_chars of their
@@ -2719,6 +2753,82 @@ object Extensions {
          |  END AS avg_if_purchase
          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
     },
+    "seq_next_node_backward" ->
+      s"""WITH v AS (SELECT user_id AS k, event_type,
+         |             row_number() OVER w AS rn,
+         |             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c0,
+         |             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1
+         |           FROM events
+         |           WINDOW w AS (PARTITION BY user_id
+         |                        ORDER BY ts DESC, event_id DESC)),
+         |l AS (SELECT k, rn, c0, lead(c1, 1) OVER w2 AS n1,
+         |             lead(event_type, 2) OVER w2 AS nxt
+         |      FROM v WINDOW w2 AS (PARTITION BY k ORDER BY rn)),
+         |cand AS (SELECT k, nxt, row_number() OVER (
+         |           PARTITION BY k ORDER BY rn) AS r2
+         |         FROM l WHERE c0 = 1 AND n1 = 1),
+         |keys AS (SELECT DISTINCT user_id AS k FROM events)
+         |SELECT keys.k AS user_id, cand.nxt AS next_node
+         |FROM keys LEFT JOIN cand ON cand.k = keys.k AND cand.r2 = 1
+         |ORDER BY user_id""".stripMargin,
+    "agg_welch_t" -> {
+      def vr(ss: String, sv: String, n: String) =
+        s"(CAST($ss AS DOUBLE) - CAST($sv AS DOUBLE)*CAST($sv AS DOUBLE)" +
+          s"/CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0)"
+      s"""WITH v AS (SELECT user_id AS k, event_type = 'purchase' AS a,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+         |           FROM events
+         |           WHERE event_type IN ('purchase', 'view')),
+         |s AS (SELECT k,
+         |        sum(CASE WHEN a THEN 1 ELSE 0 END) AS n1,
+         |        sum(CASE WHEN a THEN x END) AS s1,
+         |        sum(CASE WHEN a THEN x*x END) AS ss1,
+         |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n2,
+         |        sum(CASE WHEN NOT a THEN x END) AS s2,
+         |        sum(CASE WHEN NOT a THEN x*x END) AS ss2
+         |      FROM v GROUP BY 1),
+         |d AS (SELECT k, n1, n2,
+         |        CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1,
+         |        CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS m2,
+         |        ${vr("ss1", "s1", "n1")} AS v1,
+         |        ${vr("ss2", "s2", "n2")} AS v2
+         |      FROM s),
+         |e AS (SELECT k, n1, n2, m1, m2, v1, v2,
+         |        v1/CAST(n1 AS DOUBLE) AS se1,
+         |        v2/CAST(n2 AS DOUBLE) AS se2
+         |      FROM d)
+         |SELECT k AS user_id,
+         |  CASE WHEN n1 >= 2 AND n2 >= 2 AND (v1 > 0 OR v2 > 0) THEN
+         |    ${Rounding.sqlPround("(m1 - m2) / sqrt(se1 + se2)", 9)}
+         |  END AS t_stat,
+         |  CASE WHEN n1 >= 2 AND n2 >= 2 AND (v1 > 0 OR v2 > 0) THEN
+         |    ${Rounding.sqlPround(
+          "(se1 + se2)*(se1 + se2) / (se1*se1/(CAST(n1 AS DOUBLE) - 1.0)" +
+            " + se2*se2/(CAST(n2 AS DOUBLE) - 1.0))", 9)}
+         |  END AS df
+         |FROM e ORDER BY user_id""".stripMargin
+    },
+    "agg_mann_whitney_u" ->
+      s"""WITH v AS (SELECT user_id AS k, event_type = 'purchase' AS a,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+         |           FROM events
+         |           WHERE event_type IN ('purchase', 'view')),
+         |r AS (SELECT k, a, x,
+         |        rank() OVER (PARTITION BY k ORDER BY x) AS rk,
+         |        count(*) OVER (PARTITION BY k, x) AS c
+         |      FROM v),
+         |g AS (SELECT k,
+         |        sum(CASE WHEN a THEN 2*rk + (c - 1) END) AS r1x2,
+         |        sum(CASE WHEN a THEN 1 ELSE 0 END) AS n1,
+         |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n2
+         |      FROM r GROUP BY 1)
+         |SELECT k AS user_id,
+         |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |    CAST(least(r1x2 - n1*(n1+1),
+         |               2*n1*n2 - (r1x2 - n1*(n1+1))) AS DOUBLE) / 2.0
+         |  END AS u_stat,
+         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+         |FROM g ORDER BY user_id""".stripMargin,
     "agg_topk_weighted" ->
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term,
          |             n_chars

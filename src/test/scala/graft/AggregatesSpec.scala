@@ -253,4 +253,75 @@ class AggregatesSpec extends SparkSpec {
       (1L, "2024-01-01 11:00:00", "click", 0L))
     assert(next(df) == Map(1L -> None))
   }
+
+  test("sequenceNextNode backward/last_match: backward scans " +
+      "newest→oldest (next = the still-older event); last_match takes " +
+      "the latest run") {
+    val df = events(
+      (1L, "2024-01-01 09:00:00", "error", 0L),
+      (1L, "2024-01-01 10:00:00", "click", 0L),
+      (1L, "2024-01-01 11:00:00", "view", 0L),
+      (1L, "2024-01-01 12:00:00", "purchase", 0L))
+    // backward: purchase, view, click, error — run (view, click) at
+    // scan pos 2..3, next = error
+    val back = Aggregates.sequenceNextNode(df, "user_id", "ts",
+      "event_id", col("event_type"),
+      Seq(col("event_type") === "view", col("event_type") === "click"),
+      forward = false)
+      .as[(Long, Option[String])].collect().toMap
+    assert(back == Map(1L -> Some("error")))
+    // forward last_match: two view→click runs, the LATER one's next wins
+    val two = events(
+      (1L, "2024-01-01 10:00:00", "view", 0L),
+      (1L, "2024-01-01 11:00:00", "click", 0L),
+      (1L, "2024-01-01 12:00:00", "purchase", 0L),
+      (1L, "2024-01-01 13:00:00", "view", 0L),
+      (1L, "2024-01-01 14:00:00", "click", 0L),
+      (1L, "2024-01-01 15:00:00", "error", 0L))
+    val last = Aggregates.sequenceNextNode(two, "user_id", "ts",
+      "event_id", col("event_type"),
+      Seq(col("event_type") === "view", col("event_type") === "click"),
+      firstMatch = false)
+      .as[(Long, Option[String])].collect().toMap
+    assert(last == Map(1L -> Some("error")))
+  }
+
+  // --- statistical tests ----------------------------------------------
+
+  test("welchT: hand-computed two-sample case matches the closed form; " +
+      "degenerate cells (n<2 or both constant) are NULL") {
+    val df = Seq((1L, true, 1L), (1L, true, 2L), (1L, true, 3L),
+      (1L, false, 2L), (1L, false, 4L), (1L, false, 6L), (1L, false, 8L),
+      (2L, true, 5L), (2L, false, 3L), (2L, false, 4L), // n1 = 1
+      (3L, true, 7L), (3L, true, 7L), (3L, false, 7L), (3L, false, 7L))
+      .toDF("k", "a", "x")
+    val out = Aggregates.welchT(df, "k", col("a"), col("x"))
+      .as[(Long, Option[Double], Option[Double])]
+      .collect().map { case (k, t, d) => k -> ((t, d)) }.toMap
+    // A = [1,2,3]: m 2, v 1; B = [2,4,6,8]: m 5, v 20/3
+    val t = (2.0 - 5.0) / math.sqrt(1.0 / 3 + (20.0 / 3) / 4)
+    assert(math.abs(out(1L)._1.get - t) < 1e-6)
+    val se1 = 1.0 / 3; val se2 = (20.0 / 3) / 4
+    val dfW = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / 2 + se2 * se2 / 3)
+    assert(math.abs(out(1L)._2.get - dfW) < 1e-6)
+    assert(out(2L) == ((None, None)))
+    assert(out(3L) == ((None, None)))
+  }
+
+  test("mannWhitneyU: exact U with average tie ranks; empty sample " +
+      "is NULL") {
+    val df = Seq((1L, true, 1L), (1L, true, 2L), (1L, false, 3L),
+      (1L, false, 4L),                             // clean: U = 0
+      (2L, true, 1L), (2L, true, 1L), (2L, false, 1L), (2L, false, 2L),
+      (3L, false, 9L))                             // n1 = 0
+      .toDF("k", "a", "x")
+    val out = Aggregates.mannWhitneyU(df, "k", col("a"), col("x"))
+      .as[(Long, Option[Double], Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some(0.0), 2L, 2L)))
+    // ties: three 1s share avg rank 2 → R1 = 4, U1 = 1, U2 = 3
+    assert(out(2L) == ((Some(1.0), 2L, 2L)))
+    assert(out(3L) == ((None, 0L, 1L)))
+  }
 }

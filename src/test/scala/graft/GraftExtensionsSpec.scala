@@ -41,6 +41,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("char_entropy", "cosine_sim", "kmv_distinct", "misra_gries"))
+      Seq("char_entropy", "cosine_sim", "kmv_distinct", "misra_gries",
+        "misra_gries_w"))
   }
 }
