@@ -440,6 +440,71 @@ object Aggregates {
       .withColumnRenamed("__k", keyCol)
   }
 
+  /** ClickHouse `boundingRatio(x, y)`: per key, the slope between the
+    * leftmost and rightmost points — (y@maxX − y@minX)/(maxX − minX),
+    * ties on x broken by the unique `tieCol` (CH picks an arbitrary
+    * row; the tie column makes it deterministic). Two struct-extreme
+    * aggregates, no window; NULL when the key has a single distinct x.
+    */
+  def boundingRatio(df: DataFrame, keyCol: String, x: Column, y: Column,
+                    tieCol: String): DataFrame = {
+    import graft.functions.Rounding.pround
+    val row = struct(x.as("x"), col(tieCol).as("t"), y.as("y"))
+    df.groupBy(col(keyCol))
+      .agg(max(row).as("__hi"), min(row).as("__lo"))
+      .select(col(keyCol),
+        when(col("__hi.x") =!= col("__lo.x"),
+          pround((col("__hi.y") - col("__lo.y")).cast("double") /
+            (col("__hi.x") - col("__lo.x")).cast("double"), 9))
+          .as("bounding_ratio"))
+  }
+
+  /** ClickHouse `cramersV(a, b)` / `contingency(a, b)`: association
+    * between two categorical columns per key, from EXACT contingency
+    * counts. χ² is computed by the identity
+    * χ² = n·(Σᵢⱼ nᵢⱼ²/(nᵢ·nⱼ)) − n, with each rational term
+    * nᵢⱼ²/(nᵢ·nⱼ) rounded at 1e-12 and summed as DECIMAL(38,15) (the
+    * entropy/klDrift discipline — division is the only inexact step,
+    * so per-term quantization + an exact sum makes the statistic
+    * order-independent and cross-engine identical). Then
+    * V = √(χ²/(n·min(r−1, c−1))) and C = √(χ²/(χ² + n)), prounded.
+    * One pass for cell counts; row/column marginals derive from the
+    * |cells| frame (map-side combinable, never a second data scan);
+    * NULL V when either side is constant (min(r−1, c−1) = 0).
+    */
+  def categoricalAssociation(df: DataFrame, keyCol: String, a: Column,
+                             b: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val cells = df
+      .select(col(keyCol).as("__k"), a.as("__a"), b.as("__b"))
+      .groupBy("__k", "__a", "__b").agg(count(lit(1)).as("__nij"))
+    val rows = cells.groupBy("__k", "__a").agg(sum(col("__nij")).as("__ni"))
+    val cols = cells.groupBy("__k", "__b").agg(sum(col("__nij")).as("__nj"))
+    val dims = cells.groupBy("__k")
+      .agg(sum(col("__nij")).as("__n"),
+        countDistinct(col("__a")).as("__r"),
+        countDistinct(col("__b")).as("__c"))
+    val term = pround(
+      (col("__nij") * col("__nij")).cast("double") /
+        (col("__ni") * col("__nj")).cast("double"), 12)
+      .cast("decimal(38,15)")
+    val joined = cells
+      .join(rows, Seq("__k", "__a"))
+      .join(cols, Seq("__k", "__b"))
+      .groupBy("__k").agg(sum(term).as("__s"))
+      .join(dims, Seq("__k"))
+    val nD = col("__n").cast("double")
+    // clamp at 0: per-term 1e-12 rounding can leave a tiny negative
+    // residue on an independent table, which would NaN the sqrt
+    val chi2 = greatest(nD * col("__s").cast("double") - nD, lit(0.0))
+    val minDim = least(col("__r") - 1, col("__c") - 1).cast("double")
+    joined.select(col("__k").as(keyCol),
+      pround(chi2, 6).as("chi2"),
+      when(minDim > 0, pround(sqrt(chi2 / (nD * minDim)), 9))
+        .as("cramers_v"),
+      pround(sqrt(chi2 / (chi2 + nD)), 9).as("contingency_coef"))
+  }
+
   /** ClickHouse `welchTTest(x)` over a boolean sample split: per key,
     * the Welch two-sample t statistic and Welch–Satterthwaite degrees
     * of freedom, from ONE pass of conditional integer sums

@@ -568,6 +568,27 @@ object Extensions {
         .orderBy("user_id")
     }),
 
+    // ClickHouse boundingRatio: per user, the cents-per-day slope
+    // between the first and last observation day — two struct-extreme
+    // aggregates, deterministic tie-break on event_id.
+    "agg_bounding_ratio" -> ((s, dir) =>
+      graft.operators.Aggregates.boundingRatio(t(s, dir, "events"),
+        "user_id",
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))),
+        floor(col("value") * 100 + 0.5), "event_id")
+        .orderBy("user_id")),
+
+    // ClickHouse cramersV/contingency: association between event type
+    // and 6-hour day segment per ISO week — exact contingency counts,
+    // per-term 1e-12 rounding + decimal sum (the klDrift discipline).
+    "agg_cramers_v" -> ((s, dir) =>
+      graft.operators.Aggregates.categoricalAssociation(
+        t(s, dir, "events")
+          .withColumn("week", date_trunc("week", col("ts"))),
+        "week", col("event_type"),
+        floor(hour(col("ts")) / 6).cast("long"))
+        .orderBy("week")),
+
     // ClickHouse sequenceNextNode('backward','first_match'): scan
     // newest→oldest — the most recent view whose immediately-older
     // event is a click; report the event older still. Same window
@@ -2753,6 +2774,61 @@ object Extensions {
          |  END AS avg_if_purchase
          |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
     },
+    "agg_bounding_ratio" ->
+      s"""WITH v AS (SELECT user_id AS k,
+         |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |               AS x,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS y, event_id
+         |           FROM events),
+         |w AS (SELECT k, x, y,
+         |        row_number() OVER (PARTITION BY k
+         |          ORDER BY x DESC, event_id DESC) AS rx,
+         |        row_number() OVER (PARTITION BY k
+         |          ORDER BY x ASC, event_id ASC) AS rn
+         |      FROM v),
+         |g AS (SELECT k,
+         |        max(CASE WHEN rx = 1 THEN x END) AS hx,
+         |        max(CASE WHEN rx = 1 THEN y END) AS hy,
+         |        max(CASE WHEN rn = 1 THEN x END) AS lx,
+         |        max(CASE WHEN rn = 1 THEN y END) AS ly
+         |      FROM w GROUP BY 1)
+         |SELECT k AS user_id,
+         |  CASE WHEN hx <> lx THEN ${Rounding.sqlPround(
+          "CAST(hy - ly AS DOUBLE) / CAST(hx - lx AS DOUBLE)", 9)}
+         |  END AS bounding_ratio
+         |FROM g ORDER BY user_id""".stripMargin,
+    "agg_cramers_v" ->
+      s"""WITH v AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS k,
+         |             event_type AS a,
+         |             CAST(floor(date_part('hour', ts) / 6) AS BIGINT) AS b
+         |           FROM events),
+         |cells AS (SELECT k, a, b, count(*) AS nij FROM v GROUP BY 1, 2, 3),
+         |rr AS (SELECT k, a, sum(nij) AS ni FROM cells GROUP BY 1, 2),
+         |cc AS (SELECT k, b, sum(nij) AS nj FROM cells GROUP BY 1, 2),
+         |d AS (SELECT k, sum(nij) AS n, count(DISTINCT a) AS nr,
+         |             count(DISTINCT b) AS nc
+         |      FROM cells GROUP BY 1),
+         |t AS (SELECT cells.k,
+         |        CAST(${Rounding.sqlPround(
+          "CAST(nij*nij AS DOUBLE) / CAST(ni*nj AS DOUBLE)", 12)}
+         |             AS DECIMAL(38,15)) AS t
+         |      FROM cells
+         |      JOIN rr ON rr.k = cells.k AND rr.a = cells.a
+         |      JOIN cc ON cc.k = cells.k AND cc.b = cells.b),
+         |s AS (SELECT k, sum(t) AS s FROM t GROUP BY 1),
+         |f AS (SELECT s.k,
+         |        greatest(CAST(d.n AS DOUBLE) * CAST(s.s AS DOUBLE)
+         |          - CAST(d.n AS DOUBLE), 0.0) AS chi2,
+         |        CAST(d.n AS DOUBLE) AS nd,
+         |        least(d.nr - 1, d.nc - 1) AS md
+         |      FROM s JOIN d ON d.k = s.k)
+         |SELECT k AS week, ${Rounding.sqlPround("chi2", 6)} AS chi2,
+         |  CASE WHEN md > 0 THEN
+         |    ${Rounding.sqlPround("sqrt(chi2 / (nd * CAST(md AS DOUBLE)))", 9)}
+         |  END AS cramers_v,
+         |  ${Rounding.sqlPround("sqrt(chi2 / (chi2 + nd))", 9)}
+         |    AS contingency_coef
+         |FROM f ORDER BY week""".stripMargin,
     "seq_next_node_backward" ->
       s"""WITH v AS (SELECT user_id AS k, event_type,
          |             row_number() OVER w AS rn,

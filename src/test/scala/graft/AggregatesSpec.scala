@@ -286,6 +286,29 @@ class AggregatesSpec extends SparkSpec {
     assert(last == Map(1L -> Some("error")))
   }
 
+  test("boundingRatio: slope between the extreme-x points; constant x " +
+      "is NULL") {
+    val df = Seq((1L, 0L, 1L, 10L), (1L, 2L, 7L, 11L), (1L, 1L, 99L, 12L),
+      (2L, 5L, 3L, 13L), (2L, 5L, 9L, 14L)).toDF("k", "x", "y", "tie")
+    val out = Aggregates.boundingRatio(df, "k", col("x"), col("y"), "tie")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(3.0), 2L -> None))
+  }
+
+  test("categoricalAssociation: identical columns score V = 1, " +
+      "independent uniform columns score chi2 = 0 and V = 0") {
+    val dep = Seq((1L, "a", "a"), (1L, "a", "a"), (1L, "b", "b"),
+      (1L, "b", "b")).toDF("k", "a", "b")
+    val d = Aggregates.categoricalAssociation(dep, "k", col("a"), col("b"))
+      .as[(Long, Double, Option[Double], Double)].collect().head
+    assert(d._3.contains(1.0) && d._2 == 4.0)
+    val ind = Seq((1L, "a", "x"), (1L, "a", "y"), (1L, "b", "x"),
+      (1L, "b", "y")).toDF("k", "a", "b")
+    val i = Aggregates.categoricalAssociation(ind, "k", col("a"), col("b"))
+      .as[(Long, Double, Option[Double], Double)].collect().head
+    assert(i._2 == 0.0 && i._3.contains(0.0) && i._4 == 0.0)
+  }
+
   // --- statistical tests ----------------------------------------------
 
   test("welchT: hand-computed two-sample case matches the closed form; " +
