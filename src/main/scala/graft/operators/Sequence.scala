@@ -83,14 +83,51 @@ object Sequence {
     */
   def matchTimed(events: DataFrame, keyCol: String, tsCol: String,
                  conds: Seq[Column], maxGapSec: Seq[Option[Long]])
+      : DataFrame =
+    matchTimedBounds(events, keyCol, tsCol, conds,
+      maxGapSec.map(_.map(n => TimeBound("<=", n))))
+
+  /** A ClickHouse `(?t op N)` inter-step condition: `op` one of
+    * `<=`, `<`, `>=`, `>` applied to the gap `ts(eᵢ₊₁) − ts(eᵢ)` in
+    * seconds — one condition per gap, CH's own grammar shape.
+    */
+  final case class TimeBound(op: String, seconds: Long) {
+    require(Seq("<=", "<", ">=", ">").contains(op),
+      s"time-bound op must be one of <=, <, >=, >; got '$op'")
+    require(seconds > 0, s"time bound must be positive, got $seconds")
+  }
+
+  /** The full `sequenceMatch` time-condition grammar:
+    * `'(?1)(?t op N₁)(?2)(?t op N₂)(?3)…'` with any per-gap single
+    * comparison (`None` = plain `.*`).
+    *
+    * Exactness under mixed bounds: let Sᵢ be the set of valid level-i
+    * positions. A probe at time t is a valid level-(i+1) position iff
+    * Sᵢ intersects the gap's admissible window — and for a SINGLE
+    * comparison per gap that window is a half-line, so the
+    * intersection test is decided by ONE extreme of Sᵢ∩(−∞, t):
+    *
+    *  - max-bounds (`<=`, `<`): ∃p ∈ [t−N, t) ⟺ the LATEST valid
+    *    position before t is recent enough — running MAX;
+    *  - min-bounds (`>=`, `>`): ∃p ≤ t−N ⟺ the EARLIEST valid
+    *    position is old enough — running MIN.
+    *
+    * Both extremes ride the same ascending growing
+    * (unboundedPreceding, −1) frame — WindowExec maintains them
+    * incrementally, O(n) per key, one union+window pass per level
+    * (a two-sided bound on ONE gap would need interval reasoning;
+    * CH's grammar has one comparison per gap, and so does this).
+    * Equal instants never chain (strict increase): probes sort before
+    * builds at equal t, so the backward frame excludes the tie.
+    */
+  def matchTimedBounds(events: DataFrame, keyCol: String, tsCol: String,
+                       conds: Seq[Column], gaps: Seq[Option[TimeBound]])
       : DataFrame = {
     require(conds.length >= 2,
-      s"matchTimed needs at least two conditions, got ${conds.length}")
-    require(maxGapSec.length == conds.length - 1,
-      s"maxGapSec must have one entry per step gap " +
-        s"(${conds.length - 1}), got ${maxGapSec.length}")
-    require(maxGapSec.flatten.forall(_ > 0),
-      s"time bounds must be positive: $maxGapSec")
+      s"matchTimedBounds needs at least two conditions, got ${conds.length}")
+    require(gaps.length == conds.length - 1,
+      s"gaps must have one entry per step gap " +
+        s"(${conds.length - 1}), got ${gaps.length}")
     def evts(c: Column) = events.filter(c)
       .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__t"))
       .distinct()
@@ -100,19 +137,34 @@ object Sequence {
     for (i <- 1 until conds.length) {
       val builds = valid.withColumn("__tag", lit(0))
       val probes = evts(conds(i)).withColumn("__tag", lit(1))
-      // latest valid level-i position strictly before this probe:
+      // extremes of the valid level-i set strictly before this probe:
       // ascending growing frame, probes sort before builds on ties
       val w = Window.partitionBy("__k")
         .orderBy(col("__t"), col("__tag").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      val prevMax = max(when(col("__tag") === 0, col("__t"))).over(w)
-      val gapOk = maxGapSec(i - 1) match {
-        case Some(n) => col("__t") - col("__prev") <= n * 1000000L
-        case None    => lit(true)
+      val buildT = when(col("__tag") === 0, col("__t"))
+      val ok = gaps(i - 1) match {
+        case None =>
+          col("__prevMax").isNotNull
+        case Some(TimeBound("<=", n)) =>
+          col("__prevMax").isNotNull &&
+            col("__t") - col("__prevMax") <= n * 1000000L
+        case Some(TimeBound("<", n)) =>
+          col("__prevMax").isNotNull &&
+            col("__t") - col("__prevMax") < n * 1000000L
+        case Some(TimeBound(">=", n)) =>
+          col("__prevMin").isNotNull &&
+            col("__t") - col("__prevMin") >= n * 1000000L
+        case Some(TimeBound(">", n)) =>
+          col("__prevMin").isNotNull &&
+            col("__t") - col("__prevMin") > n * 1000000L
+        case Some(b) =>
+          throw new IllegalArgumentException(s"unreachable bound $b")
       }
       valid = builds.unionByName(probes)
-        .withColumn("__prev", prevMax)
-        .filter(col("__tag") === 1 && col("__prev").isNotNull && gapOk)
+        .withColumn("__prevMax", max(buildT).over(w))
+        .withColumn("__prevMin", min(buildT).over(w))
+        .filter(col("__tag") === 1 && ok)
         .select("__k", "__t")
     }
     keys.join(valid.select(col("__k")).distinct()

@@ -362,6 +362,17 @@ object Extensions {
         Seq(Some(SeqTimedGapSec), Some(SeqTimedGapSec)))
         .orderBy("user_id")),
 
+    // The full (?t op N) grammar: signup →(≤2h) view →(≥24h) purchase
+    // — a max-bound gap decided by the LATEST valid predecessor and a
+    // min-bound gap decided by the EARLIEST, both running extremes of
+    // the same ascending growing frame (53/150 users match).
+    "seq_match_min_gap" -> ((s, dir) =>
+      graft.operators.Sequence.matchTimedBounds(t(s, dir, "events"),
+        "user_id", "ts", SeqSpanConds.map(col("event_type") === _),
+        Seq(Some(graft.operators.Sequence.TimeBound("<=", 7200L)),
+          Some(graft.operators.Sequence.TimeBound(">=", 86400L))))
+        .orderBy("user_id")),
+
     // ClickHouse sequenceCount('(?1)(?2)'): view IMMEDIATELY followed
     // by click in the view/click subsequence (other events skipped),
     // ties broken by event_id — one lag window, linear on hot keys.
@@ -2550,6 +2561,23 @@ object Extensions {
          |FROM keys LEFT JOIN v3 ON v3.k = keys.k
          |ORDER BY user_id""".stripMargin
     },
+    "seq_match_min_gap" ->
+      s"""WITH sg AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |            FROM events WHERE event_type = '${SeqSpanConds(0)}'),
+         |vw AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |       FROM events WHERE event_type = '${SeqSpanConds(1)}'),
+         |pu AS (SELECT DISTINCT user_id AS k, epoch_us(ts) AS t
+         |       FROM events WHERE event_type = '${SeqSpanConds(2)}'),
+         |v2 AS (SELECT vw.k, vw.t FROM vw WHERE EXISTS
+         |        (SELECT 1 FROM sg WHERE sg.k = vw.k AND sg.t < vw.t
+         |         AND vw.t - sg.t <= ${7200L * 1000000L})),
+         |v3 AS (SELECT DISTINCT pu.k FROM pu WHERE EXISTS
+         |        (SELECT 1 FROM v2 WHERE v2.k = pu.k AND v2.t < pu.t
+         |         AND pu.t - v2.t >= ${86400L * 1000000L})),
+         |keys AS (SELECT DISTINCT k FROM sg)
+         |SELECT keys.k AS user_id, (v3.k IS NOT NULL) AS matched
+         |FROM keys LEFT JOIN v3 ON v3.k = keys.k
+         |ORDER BY user_id""".stripMargin,
     "seq_count_pairs" ->
       s"""WITH f AS (
          |  SELECT user_id AS k, ts, event_id,

@@ -252,4 +252,56 @@ class SequenceSpec extends SparkSpec {
       .select("hll_est").as[Double].head()
     assert(union == direct)
   }
+
+  // --- (?t op N) full grammar ----------------------------------------
+
+  private def bounds(df: org.apache.spark.sql.DataFrame,
+                     conds: Seq[String],
+                     gs: Seq[Option[Sequence.TimeBound]])
+      : Map[Long, Boolean] =
+    Sequence.matchTimedBounds(df, "user_id", "ts",
+      conds.map(col("event_type") === _), gs)
+      .as[(Long, Boolean)].collect().toMap
+
+  test("min-gap bounds: decided by the EARLIEST valid predecessor — " +
+      "a key whose latest middle event is too recent still matches " +
+      "through the earlier one") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"),   // 11 h before purchase
+      (1L, "2024-01-01 20:00:00", "view"),   // 2 h before: too recent
+      (1L, "2024-01-01 22:00:00", "purchase"))
+    assert(bounds(df, Seq("signup", "view", "purchase"),
+      Seq(Some(Sequence.TimeBound("<=", 43200L)),
+        Some(Sequence.TimeBound(">=", 3L * 3600L)))) == Map(1L -> true))
+    // tighten the min gap past the earliest view: no chain
+    assert(bounds(df, Seq("signup", "view", "purchase"),
+      Seq(Some(Sequence.TimeBound("<=", 43200L)),
+        Some(Sequence.TimeBound(">=", 12L * 3600L)))) == Map(1L -> false))
+  }
+
+  test("(?t>=N) is inclusive at the exact bound, (?t>N) is strict; " +
+      "(?t<N) excludes the exact bound") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "view"),      // gap 1 h exactly
+      (1L, "2024-01-01 12:00:00", "purchase"))  // gap 1 h exactly
+    def g(op1: String, op2: String) =
+      bounds(df, Seq("signup", "view", "purchase"),
+        Seq(Some(Sequence.TimeBound(op1, 3600L)),
+          Some(Sequence.TimeBound(op2, 3600L))))
+    assert(g("<=", ">=") == Map(1L -> true))
+    assert(g("<=", ">") == Map(1L -> false))
+    assert(g("<", ">=") == Map(1L -> false))
+  }
+
+  test("time-bound guards: bad operator and non-positive bound fail " +
+      "loudly") {
+    intercept[IllegalArgumentException] {
+      Sequence.TimeBound("==", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sequence.TimeBound(">=", 0L)
+    }
+  }
 }
