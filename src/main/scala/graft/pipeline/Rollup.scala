@@ -271,6 +271,64 @@ object Rollup {
       .select(col("__gk.*"), col("funnel_level"))
   }
 
+  // --- topK as AggregatingMergeTree state -----------------------------
+
+  /** ClickHouse's `topKState` combinator: the mergeable per-key state
+    * is the Misra–Gries counter list itself (≤ k (item, count) rows —
+    * O(k) per key regardless of input size, the same bounded-state
+    * contract as the KMV list and the HLL registers). Built by the
+    * weighted sketch with weight 1 — [[graft.functions.MisraGries]]'s
+    * frequency guarantee verbatim.
+    */
+  def aggregateTopKState(batch: DataFrame, keys: Seq[String],
+                         itemCol: Column, k: Int): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(graft.functions.MisraGriesWeighted.column(batch.sparkSession,
+        itemCol, lit(1L), k).as("topk_state"))
+
+  /** topK-state merge (`topKMerge`): explode the stored counter lists
+    * and re-fold them through the WEIGHTED sketch — feeding a counter
+    * (item, count) as one weighted entry IS the mergeable-summaries
+    * rule, so the weighted aggregate built for `topKWeighted` is
+    * exactly the state-merge operator for the unweighted sketch. Below
+    * saturation (a key's distinct items ≤ k) no counter is ever
+    * decremented, so merge(build(bᵢ)) ≡ build(all) EXACTLY for any
+    * batch split — the regime the e2e oracle pins; above saturation
+    * every merge order stays within the N/(k+1) guarantee (spec'd, the
+    * sketch's own contract).
+    */
+  def mergeTopKStates(states: Seq[DataFrame], keys: Seq[String], k: Int)
+      : DataFrame = {
+    require(states.nonEmpty, "mergeTopKStates: no states")
+    states.foreach(s => require(s.columns.contains("topk_state"),
+      "not a topK state frame (missing topk_state) — was it written by " +
+        "aggregateTopKState?"))
+    val all = states.reduce(_ unionByName _)
+    all
+      .select(keys.map(col) :+ explode(col("topk_state")).as("__e"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.MisraGriesWeighted.column(all.sparkSession,
+        col("__e.item"), col("__e.count"), k).as("topk_state"))
+  }
+
+  /** Read side: the top `n` items per key from the stored counter
+    * list — explode + rank by (count desc, item asc), the sketch's
+    * own deterministic output order. `WindowGroupLimit` bounds the
+    * rank shuffle at ~n rows per partition; state lists are ≤ k rows
+    * per key by construction anyway. */
+  def finalizeTopK(state: DataFrame, keys: Seq[String], n: Int)
+      : DataFrame = {
+    require(n >= 1, s"finalizeTopK: n must be positive, got $n")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__e.count").desc, col("__e.item"))
+    state
+      .select(keys.map(col) :+ explode(col("topk_state")).as("__e"): _*)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .select(keys.map(col) ++ Seq(col("__e.item").as("item"),
+        col("__e.count").as("cnt"), col("__r").as("rnk")): _*)
+  }
+
   /** Finalize a state into the read-side aggregate row: count, sum,
     * min, max, avg, and the KMV distinct estimate `(k−1)/frac(kth)`
     * (exact `n_seen` below saturation). The estimator arithmetic is

@@ -197,6 +197,38 @@ object Pipelines {
         .orderBy("user_id", "day")
     }),
 
+    // ClickHouse topKState/topKMerge over AggregatingMergeTree: the
+    // per-key-day Misra–Gries counter list as mergeable state, folded
+    // across three mid-day-split batches through the WEIGHTED sketch
+    // (a counter fed as one weighted entry IS the summaries merge).
+    // 5 distinct event types ≪ k=32 ⇒ no counter ever decrements ⇒
+    // the merged sketch is EXACTLY the one-shot GROUP BY count — the
+    // regime the oracle can pin (the KMV-exactness convention).
+    "pipeline_rollup_topk_e2e" -> ((s, dir) => {
+      import graft.pipeline.Rollup
+      val keys = Seq("user_id", "day")
+      val src = Tables.load(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      def cut(a: String) = lit(a).cast("timestamp")
+      val b1 = src.filter(col("ts") < cut("2024-01-11 12:00:00"))
+      val b2 = src.filter(col("ts") >= cut("2024-01-11 12:00:00") &&
+        col("ts") < cut("2024-01-21 12:00:00"))
+      val b3 = src.filter(col("ts") >= cut("2024-01-21 12:00:00"))
+      val base = scratch("graft_topk_rollup")
+      val k = 32
+      Rollup.aggregateTopKState(b1, keys, col("event_type"), k)
+        .write.parquet(s"$base/g1")
+      Rollup.mergeTopKStates(Seq(s.read.parquet(s"$base/g1"),
+        Rollup.aggregateTopKState(b2, keys, col("event_type"), k)),
+        keys, k).write.parquet(s"$base/g2")
+      Rollup.mergeTopKStates(Seq(s.read.parquet(s"$base/g2"),
+        Rollup.aggregateTopKState(b3, keys, col("event_type"), k)),
+        keys, k).write.parquet(s"$base/g3")
+      Rollup.finalizeTopK(s.read.parquet(s"$base/g3"), keys, 3)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("user_id", "day", "rnk")
+    }),
+
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
     // checksum (the decode stage itself is exercised in the test suite —
     // deterministic stub, no SQL equivalent).
@@ -372,6 +404,18 @@ object Pipelines {
     },
     // Greedy funnel replica PER (user, day) — chains confined to the
     // day's events, exactly what the stored per-key-day state holds.
+    "pipeline_rollup_topk_e2e" ->
+      s"""WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |             event_type AS item, count(*) AS cnt
+         |           FROM events GROUP BY 1, 2, 3),
+         |r AS (SELECT user_id, day, item, cnt,
+         |        row_number() OVER (PARTITION BY user_id, day
+         |          ORDER BY cnt DESC, item) AS rnk
+         |      FROM c)
+         |SELECT user_id, day, item, CAST(cnt AS BIGINT) AS cnt,
+         |       CAST(rnk AS BIGINT) AS rnk
+         |FROM r WHERE rnk <= 3
+         |ORDER BY user_id, day, rnk""".stripMargin,
     "pipeline_rollup_funnel_e2e" -> {
       val wUs = FunnelWindowSec * 1000000L
       s"""WITH ev AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,

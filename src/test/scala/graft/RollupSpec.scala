@@ -225,4 +225,58 @@ class RollupSpec extends SparkSpec {
     // σ ≈ 1.04/√256 = 6.5%; 4σ = 26%
     assert(bigEst > 1480 && bigEst < 2520, s"estimate $bigEst for 2000")
   }
+
+  // --- topK state (ClickHouse topKState/topKMerge) --------------------
+
+  private def topkRows(state: DataFrame): Set[(String, String, Long)] =
+    Rollup.finalizeTopK(state, Seq("g"), 10)
+      .select($"g", $"item", $"cnt").as[(String, String, Long)]
+      .collect().toSet
+
+  test("topK state below saturation: merge(build(bᵢ)) ≡ build(all) ≡ " +
+      "the exact GROUP BY for any batch split") {
+    val rows = Seq.fill(5)(("g", "a")) ++ Seq.fill(3)(("g", "b")) ++
+      Seq(("g", "c"), ("h", "z"))
+    val all = rows.toDF("g", "item")
+    val k = 8
+    val oneShot = Rollup.aggregateTopKState(all, Seq("g"), $"item", k)
+    val exact = Set(("g", "a", 5L), ("g", "b", 3L), ("g", "c", 1L),
+      ("h", "z", 1L))
+    assert(topkRows(oneShot) == exact)
+    // adversarial split: duplicates straddle batches
+    val (r1, r2) = rows.splitAt(4)
+    val merged = Rollup.mergeTopKStates(Seq(
+      Rollup.aggregateTopKState(r1.toDF("g", "item"), Seq("g"), $"item", k),
+      Rollup.aggregateTopKState(r2.toDF("g", "item"), Seq("g"), $"item", k)),
+      Seq("g"), k)
+    assert(topkRows(merged) == exact)
+  }
+
+  test("topK state above saturation: heavy items survive any merge " +
+      "order within the N/(k+1) guarantee; state stays bounded at k") {
+    // 40×a, 24×b, 8 singletons; k = 2 → bound = 72/3 = 24: 'a' must
+    // survive with count in [16, 40]
+    val rows = Seq.fill(40)(("g", "a")) ++ Seq.fill(24)(("g", "b")) ++
+      (1 to 8).map(i => ("g", s"s$i"))
+    val k = 2
+    val (r1, r2) = rows.splitAt(30)
+    val merged = Rollup.mergeTopKStates(Seq(
+      Rollup.aggregateTopKState(r1.toDF("g", "item"), Seq("g"), $"item", k),
+      Rollup.aggregateTopKState(r2.toDF("g", "item"), Seq("g"), $"item", k)),
+      Seq("g"), k)
+    val state = merged.select($"topk_state").as[Seq[(String, Long)]]
+      .head()
+    assert(state.size <= k)
+    val a = state.toMap.get("a")
+    assert(a.nonEmpty, s"heavy item 'a' missing from $state")
+    assert(a.get <= 40L && a.get >= 40L - 24L, s"count ${a.get}")
+  }
+
+  test("topK merge rejects a non-state frame loudly") {
+    val bogus = Seq(("g", 1L)).toDF("g", "n")
+    val err = intercept[IllegalArgumentException] {
+      Rollup.mergeTopKStates(Seq(bogus), Seq("g"), 4)
+    }
+    assert(err.getMessage.contains("topk_state"))
+  }
 }
