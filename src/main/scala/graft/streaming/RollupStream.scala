@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.pipeline.Rollup
@@ -90,6 +91,47 @@ object RollupStream {
         spark.read.parquet(s"$statePath/gen=$g"), keys, steps, windowSec)
       case None => throw new IllegalStateException(
         s"funnel state at $statePath has no committed generation")
+    }
+
+  // --- topK state maintenance -----------------------------------------
+
+  /** The topK twin of [[maintainSink]]: each micro-batch reduces to
+    * its Misra–Gries counter-list state
+    * ([[Rollup.aggregateTopKState]]) and folds into the stored state
+    * through the weighted sketch ([[Rollup.mergeTopKStates]]) — CH's
+    * `topKState` materialized view. Replay safety comes from the
+    * generation versioning, not merge idempotency: a replayed batch
+    * re-reads the same committed predecessor and overwrites its own
+    * generation (the scalar-state design — sums aren't idempotent
+    * either). */
+  def maintainTopKSink(events: DataFrame, statePath: String,
+                       keys: Seq[String], itemCol: String, k: Int,
+                       keepGenerations: Int = 3): DataStreamWriter[Row] = {
+    requireKeep(keepGenerations)
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeTopKBatch(batch, statePath, keys, itemCol, k, batchId,
+          keepGenerations)
+      }
+  }
+
+  def mergeTopKBatch(batch: DataFrame, statePath: String,
+                     keys: Seq[String], itemCol: String, k: Int,
+                     batchId: Long, keepGenerations: Int = 3): Unit =
+    foldGeneration(batch.sparkSession, statePath, batchId, keepGenerations,
+      Rollup.aggregateTopKState(batch, keys, col(itemCol), k),
+      (base, inc) => Rollup.mergeTopKStates(Seq(base, inc), keys, k))
+
+  /** Latest committed topK state, ranked to per-key top-n rows. */
+  def readFinalizedTopK(spark: SparkSession, statePath: String,
+                        keys: Seq[String], n: Int): DataFrame =
+    latestCommittedGen(spark, statePath, before = Long.MaxValue) match {
+      case Some(g) => Rollup.finalizeTopK(
+        spark.read.parquet(s"$statePath/gen=$g"), keys, n)
+      case None => throw new IllegalStateException(
+        s"topK state at $statePath has no committed generation")
     }
 
   /** Shared generation fold: merge `inc` onto the latest committed

@@ -127,6 +127,40 @@ class RollupStreamSpec extends SparkSpec {
     assert(replayed == streamed)
   }
 
+  test("streamed topK-state maintenance converges to the one-shot " +
+    "exact counts below saturation; replaying the last batch is a " +
+    "no-op (generation overwrite, not merge idempotency)") {
+    val src = tempDir("topk_stream_src")
+    val state = tempDir("topk_stream_state")
+    val ckpt = tempDir("topk_stream_ckpt")
+    // duplicates straddle the micro-batches
+    val b1 = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("h", "z"))
+    val b2 = Seq(("g", "a"), ("g", "b"), ("g", "c"))
+    def writeBatch(r: Seq[(String, String)]): Unit =
+      r.toDF("g", "item").coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("g STRING, item STRING").parquet(src)
+      val q = RollupStream.maintainTopKSink(stream, state, Seq("g"),
+        "item", k = 8)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(b1); runOnce()
+    writeBatch(b2); runOnce()
+    def readTop: Set[(String, String, Long)] =
+      RollupStream.readFinalizedTopK(spark, state, Seq("g"), n = 10)
+        .select($"g", $"item", $"cnt").as[(String, String, Long)]
+        .collect().toSet
+    val streamed = readTop
+    assert(streamed == Set(("g", "a", 3L), ("g", "b", 2L),
+      ("g", "c", 1L), ("h", "z", 1L)))
+    // replay of the final batchId overwrites its own generation
+    RollupStream.mergeTopKBatch(b2.toDF("g", "item"), state, Seq("g"),
+      "item", k = 8, batchId = 1L)
+    assert(readTop == streamed)
+  }
+
   test("keepGenerations < 2 is rejected: pruning the immediate " +
     "predecessor would break replay idempotency") {
     val state = tempDir("rollup_keep_guard")
