@@ -284,6 +284,18 @@ object Pipelines {
         .orderBy("event_id")
     }),
 
+    // ClickHouse FORMAT JSONEachRow: the same bulk-interchange contract
+    // as the CSV dialect (µs timestamps, explicit nulls, schema-enforced
+    // read) over CH's default row-stream format.
+    "jsoneachrow_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_jsoneachrow")
+      graft.sources.IO.writeJsonEachRow(e, path)
+      graft.sources.IO.readJsonEachRow(s, path,
+        graft.streaming.EventStream.eventsSchema)
+        .orderBy("event_id")
+    }),
+
     // S10/S11: multi-statement script runner with {{ params.* }}
     // substitution (op:36-55) — DDL (temp view) then query.
     "ddl_script_runner" -> ((s, dir) =>
@@ -449,6 +461,8 @@ object Pipelines {
         |       count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
     "csv_bulk_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "jsoneachrow_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "zorder_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id",

@@ -95,6 +95,38 @@ object IO {
       .option("timestampFormat", CsvTsFormat)
       .csv(path)
 
+  // --- JSONEachRow interchange (ClickHouse FORMAT JSONEachRow) --------
+
+  /** ClickHouse's `JSONEachRow` wire format: one JSON object per line,
+    * the interchange format CH clients default to for row streams.
+    * Spark's json source IS newline-delimited JSON, so the mapping is
+    * direct; the two contract points that need pinning are µs-precision
+    * timestamps (default JSON output truncates to millis — the CSV
+    * dialect's lesson) and schema-enforced reads (CH reads the format
+    * against the table's types; schema inference would silently widen
+    * or re-type columns, so the reader takes an explicit StructType).
+    * Executors read line-splittable files directly — bulk load
+    * parallelism comes free, same as the CSV path.
+    */
+  private val JsonTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def readJsonEachRow(spark: SparkSession, path: String,
+                      schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    spark.read
+      .option("timestampFormat", JsonTsFormat)
+      .schema(schema)
+      .json(path)
+
+  def writeJsonEachRow(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", JsonTsFormat)
+      // CH JSONEachRow carries nulls explicitly; Spark's json writer
+      // drops null fields by default, which would make a null-then-read
+      // row lose its column under a non-nullable reader schema
+      .option("ignoreNullFields", "false")
+      .json(path)
+
   // --- S5/S6/L3/M1: the engine's canonical fact-table write -----------
 
   /** Write a fact table the way the reference's DDL lays it out:

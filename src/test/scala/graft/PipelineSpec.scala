@@ -215,6 +215,19 @@ class PipelineSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("JSONEachRow round-trips explicit nulls and µs timestamps " +
+      "under a schema-enforced read") {
+    val path = tempDir("jsoneachrow")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456"), "a"),
+      (2L, null.asInstanceOf[java.sql.Timestamp], null))
+      .toDF("id", "ts", "name")
+    graft.sources.IO.writeJsonEachRow(df, path)
+    val back = graft.sources.IO.readJsonEachRow(spark, path, df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("listMonthPartitions reflects written months (S3)") {
     val path = tempDir("parts")
     graft.sources.IO.writeFact(events, path, "ts", "event_id",
