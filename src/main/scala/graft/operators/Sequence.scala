@@ -198,19 +198,53 @@ object Sequence {
     */
   def countAdjacentPairs(events: DataFrame, keyCol: String, tsCol: String,
                          tieCol: String, c1: Column, c2: Column)
-      : DataFrame = {
-    val lab = when(c1, lit(1)).otherwise(when(c2, lit(2)))
+      : DataFrame =
+    countAdjacentRuns(events, keyCol, tsCol, tieCol, Seq(c1, c2))
+      .withColumnRenamed("run_count", "pair_count")
+
+  /** `sequenceCount('(?1)(?2)…(?k)')` for any pattern length: per key,
+    * how many times the k conditions appear CONSECUTIVELY in the
+    * condition-filtered subsequence (events matching no condition are
+    * skipped — ClickHouse's rule). One lag-composition window pass:
+    * an occurrence is a position whose k−1 predecessors in the
+    * filtered stream carry labels k−1 … 1.
+    *
+    * RESTRICTIONS (both the caller's contract, as in the pair form):
+    *  - conditions must be MUTUALLY EXCLUSIVE (CASE labeling, first
+    *    match wins — an event satisfying two conditions serves only
+    *    the earlier label);
+    *  - the label pattern must not overlap itself (no proper prefix of
+    *    `1…k` equals a suffix — automatic when `conds.head` and
+    *    `conds.last` are distinct conditions, e.g. distinct event
+    *    types): then no event can belong to two occurrences, so the
+    *    raw position count EQUALS ClickHouse's greedy non-overlapping
+    *    count. A self-overlapping pattern like (A)(B)(A) would need
+    *    left-to-right consumption, which a per-position count cannot
+    *    express.
+    *
+    * `tieCol` must be unique per key. Cost: one filtered scan, k−1
+    * lags over one exchange, a grouped sum — linear on hot keys.
+    */
+  def countAdjacentRuns(events: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, conds: Seq[Column]): DataFrame = {
+    require(conds.length >= 2,
+      s"countAdjacentRuns needs at least two conditions, got ${conds.length}")
+    val k = conds.length
+    val lab = conds.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+      case (acc, (c, i)) => when(c, lit(i + 1)).otherwise(acc)
+    }
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__tie"))
+    val hit = (1 until k)
+      .map(j => lag(col("__lab"), j).over(w) === (k - j))
+      .foldLeft(col("__lab") === k)(_ && _)
     events
       .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
         col(tieCol).as("__tie"), lab.as("__lab"))
       .filter(col("__lab").isNotNull)
-      .withColumn("__prev", lag(col("__lab"), 1).over(w))
+      .withColumn("__hit", hit)
       .groupBy("__k")
-      .agg(
-        sum(when(col("__prev") === 1 && col("__lab") === 2, 1L)
-          .otherwise(0L)).as("pair_count"))
-      .withColumn("matched", col("pair_count") > 0)
+      .agg(sum(when(col("__hit"), 1L).otherwise(0L)).as("run_count"))
+      .withColumn("matched", col("run_count") > 0)
       .withColumnRenamed("__k", keyCol)
   }
 }

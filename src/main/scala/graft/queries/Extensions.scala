@@ -382,6 +382,17 @@ object Extensions {
         col("event_type") === "view", col("event_type") === "click")
         .orderBy("user_id")),
 
+    // ClickHouse sequenceCount('(?1)(?2)(?3)'): view→click→purchase
+    // CONSECUTIVE in the condition-filtered subsequence — the k-ary
+    // lag composition (non-self-overlapping pattern ⇒ position count
+    // = greedy non-overlap count).
+    "seq_count_triples" -> ((s, dir) =>
+      graft.operators.Sequence.countAdjacentRuns(t(s, dir, "events"),
+        "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .orderBy("user_id")),
+
     // ClickHouse groupArraySorted(N) + arrayStringConcat: the N
     // smallest user_ids per event type as a joined string — the one
     // deterministic reading of ClickHouse's order-sensitive array
@@ -2593,6 +2604,23 @@ object Extensions {
          |            AS BIGINT) AS pair_count,
          |       CAST(sum(CASE WHEN prev = 1 AND lab = 2 THEN 1 ELSE 0 END)
          |            AS BIGINT) > 0 AS matched
+         |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "seq_count_triples" ->
+      s"""WITH f AS (
+         |  SELECT user_id AS k, ts, event_id,
+         |         CASE WHEN event_type = 'view' THEN 1
+         |              WHEN event_type = 'click' THEN 2
+         |              WHEN event_type = 'purchase' THEN 3 END AS lab
+         |  FROM events
+         |  WHERE event_type IN ('view', 'click', 'purchase')),
+         |l AS (SELECT k, lab, lag(lab, 1) OVER w AS p1,
+         |             lag(lab, 2) OVER w AS p2
+         |      FROM f WINDOW w AS (PARTITION BY k ORDER BY ts, event_id))
+         |SELECT k AS user_id,
+         |       CAST(sum(CASE WHEN lab = 3 AND p1 = 2 AND p2 = 1
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS run_count,
+         |       CAST(sum(CASE WHEN lab = 3 AND p1 = 2 AND p2 = 1
+         |                     THEN 1 ELSE 0 END) AS BIGINT) > 0 AS matched
          |FROM l GROUP BY 1 ORDER BY user_id""".stripMargin,
     "sketch_hll_estimate" -> hllEstimateOracle("CAST(user_id AS VARCHAR)"),
     "sketch_hll_dense" -> hllEstimateOracle("CAST(event_id AS VARCHAR)"),

@@ -253,6 +253,38 @@ class SequenceSpec extends SparkSpec {
     assert(union == direct)
   }
 
+  test("k-ary adjacent runs: consecutive in the FILTERED subsequence — " +
+      "a non-matching event between steps does not break the run, a " +
+      "condition-matching one does") {
+    def runs(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
+      Sequence.countAdjacentRuns(df, "user_id", "ts", "event_id",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val df = events(
+      // user 1: view, ERROR(skipped), click, purchase → 1 run
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:10:00", "error"),
+      (1L, "2024-01-01 10:20:00", "click"),
+      (1L, "2024-01-01 10:30:00", "purchase"),
+      // user 2: view, PURCHASE (matches a condition → breaks), click,
+      // purchase → 0 runs
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:10:00", "purchase"),
+      (2L, "2024-01-01 10:20:00", "click"),
+      (2L, "2024-01-01 10:30:00", "purchase"),
+      // user 3: two complete disjoint runs → 2
+      (3L, "2024-01-01 10:00:00", "view"),
+      (3L, "2024-01-01 10:10:00", "click"),
+      (3L, "2024-01-01 10:20:00", "purchase"),
+      (3L, "2024-01-01 11:00:00", "view"),
+      (3L, "2024-01-01 11:10:00", "click"),
+      (3L, "2024-01-01 11:20:00", "purchase"))
+    assert(runs(df) == Map(1L -> ((1L, true)), 2L -> ((0L, false)),
+      3L -> ((2L, true))))
+  }
+
   // --- (?t op N) full grammar ----------------------------------------
 
   private def bounds(df: org.apache.spark.sql.DataFrame,
