@@ -387,6 +387,37 @@ object Aggregates {
         col("bin_count"))
   }
 
+  /** ClickHouse `runningDifference(v)`: per key, each row's value
+    * minus the previous row's in `(ts, tie)` order — 0 for the first
+    * row (CH's rule). One lag window, row-level output (the per-key
+    * sum of the positive half is [[deltaSum]]).
+    */
+  def runningDifference(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, value: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__v", value)
+      .withColumn("running_diff",
+        coalesce(col("__v") - lag(col("__v"), 1).over(w), lit(0L)))
+      .drop("__v")
+  }
+
+  /** ClickHouse `groupArrayMovingAvg(W)(v)`: [[movingSum]] divided by
+    * the FIXED window size W (CH divides by W even on the short
+    * prefix — the documented difference from a prefix-count average).
+    * Integral inputs keep the sliding sum exact; only the final
+    * division runs in double, prounded per element.
+    */
+  def movingAvg(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, value: Column, window: Int): DataFrame = {
+    import graft.functions.Rounding.pround
+    movingSum(df, keyCol, tsCol, tieCol, value, window)
+      .select(col(keyCol),
+        transform(col("moving_sums"),
+          s => pround(s.cast("double") / lit(window.toDouble), 9))
+          .as("moving_avgs"))
+  }
+
   /** ClickHouse `sequenceNextNode('forward', 'first_match')(ts, next,
     * c₁, …, c_k)`: per key, scan the FULL event stream in `(ts, tie)`
     * order, find the EARLIEST position i where the k CONSECUTIVE

@@ -508,6 +508,26 @@ object Extensions {
             .as("moving_sums"))
         .orderBy("user_id")),
 
+    // ClickHouse runningDifference: per-event cent delta vs the
+    // previous event of the same user (0 on the first) — row-level
+    // lag output.
+    "agg_running_difference" -> ((s, dir) =>
+      graft.operators.Aggregates.runningDifference(t(s, dir, "events"),
+        "user_id", "ts", "event_id", floor(col("value") * 100 + 0.5))
+        .select(col("event_id"), col("user_id"), col("running_diff"))
+        .orderBy("event_id")),
+
+    // ClickHouse groupArrayMovingAvg(3): the moving sums divided by
+    // the FIXED window size (CH divides by W even on the short
+    // prefix), prounded doubles compared element-wise via posexplode.
+    "agg_moving_avg" -> ((s, dir) =>
+      graft.operators.Aggregates.movingAvg(t(s, dir, "events"),
+        "user_id", "ts", "event_id", floor(col("value") * 100 + 0.5),
+        MovingSumW)
+        .select(col("user_id"),
+          posexplode(col("moving_avgs")).as(Seq("pos", "mov_avg")))
+        .orderBy("user_id", "pos")),
+
     // ClickHouse sequenceNextNode('forward','first_match'): the event
     // type right after the earliest view→click CONSECUTIVE run in each
     // user's full stream (10/150 fixture users never have one → NULL).
@@ -2713,6 +2733,29 @@ object Extensions {
          |      FROM p)
          |SELECT k AS user_id, CAST(max(o) AS BIGINT) AS max_intersections
          |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "agg_running_difference" ->
+      s"""WITH v AS (SELECT event_id, user_id,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v, ts
+         |           FROM events)
+         |SELECT event_id, user_id,
+         |       CAST(coalesce(v - lag(v) OVER (PARTITION BY user_id
+         |         ORDER BY ts, event_id), 0) AS BIGINT) AS running_diff
+         |FROM v ORDER BY event_id""".stripMargin,
+    "agg_moving_avg" ->
+      s"""WITH v AS (SELECT user_id AS k, ts, event_id,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+         |           FROM events),
+         |m AS (SELECT k, ts, event_id,
+         |        sum(v) OVER (PARTITION BY k ORDER BY ts, event_id
+         |          ROWS BETWEEN ${MovingSumW - 1} PRECEDING AND CURRENT ROW)
+         |          AS ms
+         |      FROM v)
+         |SELECT k AS user_id,
+         |       CAST(row_number() OVER (PARTITION BY k ORDER BY ts, event_id)
+         |            AS INT) - 1 AS pos,
+         |       ${Rounding.sqlPround(
+          s"CAST(ms AS DOUBLE) / ${MovingSumW.toDouble}", 9)} AS mov_avg
+         |FROM m ORDER BY user_id, pos""".stripMargin,
     "agg_moving_sum" ->
       s"""WITH v AS (SELECT user_id AS k, ts, event_id,
          |             CAST(floor(value*100 + 0.5) AS BIGINT) AS v

@@ -220,6 +220,25 @@ class AggregatesSpec extends SparkSpec {
     assert(out((2L, 0L)) == ((5.0, 5.0, 2L)))    // constant key
   }
 
+  test("runningDifference: 0 on the first row, signed lag deltas " +
+      "after; movingAvg divides by the FIXED window even on the " +
+      "short prefix") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", "m", 10L),
+      (1L, "2024-01-01 11:00:00", "m", 7L),
+      (1L, "2024-01-01 12:00:00", "m", 13L))
+    val diffs = Aggregates.runningDifference(df, "user_id", "ts",
+      "event_id", col("value"))
+      .select($"event_id", $"running_diff").as[(Long, Long)]
+      .collect().toMap
+    assert(diffs == Map(0L -> 0L, 1L -> -3L, 2L -> 6L))
+    val avgs = Aggregates.movingAvg(df, "user_id", "ts", "event_id",
+      col("value"), 3).as[(Long, Seq[Double])].collect().toMap
+    // sums 10, 17, 30 over the FIXED divisor 3
+    assert(avgs(1L).map(x => math.round(x * 1e6) / 1e6.toDouble) ==
+      Seq(3.333333, 5.666667, 10.0))
+  }
+
   // --- sequenceNextNode ----------------------------------------------
 
   private def next(df: DataFrame): Map[Long, Option[String]] =
