@@ -62,6 +62,32 @@ object ScaleStress {
     spark.stop()
   }
 
+  /** Blocks until the async listener bus has delivered every queued
+    * event, so per-stage spill/peak attribution is exact.
+    * `SparkContext.listenerBus` is `private[spark]` — which compiles to
+    * a public JVM method, so one reflective hop reaches the public
+    * `LiveListenerBus.waitUntilEmpty()`. If the reflective path ever
+    * breaks (renamed in a future Spark), falls back to polling for
+    * quiescence rather than reverting to a blind fixed sleep.
+    */
+  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch {
+      case _: Throwable =>
+        // quiescence poll: done when two consecutive 100 ms samples see
+        // no queued events land (bounded at 5 s)
+        val deadline = System.nanoTime() + 5000000000L
+        var settled = 0
+        while (settled < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          settled += 1
+        }
+    }
+  }
+
   /** Runs every stress stage; a stage is ok=false if it throws OR (for
     * the guard stages) its explicit bound is violated. Each stage's
     * spill bytes and peak execution memory are captured via a
@@ -87,10 +113,11 @@ object ScaleStress {
           false
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener-bus drain: stage-completed events are async; a short
-      // settle keeps the per-stage attribution honest without private
-      // waitUntilEmpty APIs
-      Thread.sleep(200)
+      // listener-bus drain: stage-completed events are async; a fixed
+      // sleep can mis-attribute a late event to the NEXT stage (masking
+      // a real spill or flakily failing an innocent stage) — drain the
+      // bus properly instead
+      drainListenerBus(spark)
       val spilled = metrics.spill
       val ok = bodyOk && (!noSpill || spilled == 0L)
       if (bodyOk && noSpill && spilled > 0L)
@@ -400,6 +427,54 @@ object ScaleStress {
         pipeline.Rollup.merge(st, keys, 64), keys, 64)
         .write.format("noop").mode("overwrite").save()
     }
+    // ---- skew-join comparison: one 100k-row hot key, both mitigations --
+    // A fact side with a planted 100k-row hot key (the reference's
+    // user_id = -1 null-repair sentinel at crawl scale) joins a 10k-row
+    // dim FORCED to shuffle (broadcast disabled — at 100 TB the dim
+    // that matters won't broadcast). The two mitigations run side by
+    // side and their seconds land in STRESS.json as the recorded
+    // comparison: AQE's runtime skew split (thresholds tuned so the
+    // hot partition qualifies at test scale) vs the explicit
+    // Skew.saltedJoin(16). AQE is the engine default (no dim
+    // duplication, adapts to observed bytes); saltedJoin stays the
+    // documented fallback for planned skew AQE's byte thresholds never
+    // see. Both must agree on the join cardinality.
+    locally {
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> conf.getOption(k))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "262144")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "262144")
+      try {
+        val facts = spark.range(100000)
+          .select(lit(-1L).as("k"), $"id".as("payload"))
+          .unionAll(spark.range(900000)
+            .select(pmod($"id", lit(10000L)).as("k"), $"id".as("payload")))
+        val dim = spark.range(10000)
+          .select($"id".as("dk"), concat(lit("attr_"), $"id").as("attr"))
+          .unionAll(Seq((-1L, "anonymous")).toDF("dk", "attr"))
+        var nPlain = 0L
+        var nSalt = 0L
+        time("skew: 100k hot key, plain shuffle join under AQE skew split") {
+          nPlain = facts.join(dim, $"k" === $"dk").count()
+        }
+        time("skew: 100k hot key, explicit salted(16) join") {
+          nSalt = operators.Skew.saltedJoin(facts, dim, "k", "dk", 16).count()
+        }
+        check("skew: both mitigations agree on the join cardinality (1M)") {
+          nPlain == 1000000L && nSalt == nPlain
+        }
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+    }
+
     bigEmb.unpersist(blocking = false)
     bigDocs.unpersist(blocking = false)
     spark.sparkContext.removeSparkListener(metrics)

@@ -11,6 +11,72 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared selection pass for the Misra–Gries family: the (k+1)-th
+  * largest counter value, WITHOUT sorting the whole table — the shrink
+  * rule runs once per saturated update row, so an O(k log k) sort there
+  * would put a sort in the per-row hot path of a 100 TB vocabulary
+  * scan. The saturated-update case (exactly k+1 counters) is a single
+  * min pass; the merge case (up to 2k counters) falls back to
+  * median-of-three quickselect, expected O(k).
+  */
+private[functions] object MgSelect {
+
+  /** Value such that subtracting it leaves at most k positive counters
+    * — the (k+1)-th largest of `vals` (callers guarantee
+    * `vals.length > k`). Mutates `vals` (scratch copy expected).
+    */
+  def kPlus1thLargest(vals: Array[Long], k: Int): Long = {
+    if (vals.length == k + 1) {
+      // the saturated-update hot path: (k+1)-th largest of k+1 = min
+      var m = vals(0); var i = 1
+      while (i < vals.length) { if (vals(i) < m) m = vals(i); i += 1 }
+      m
+    } else quickselect(vals, 0, vals.length - 1, k)
+  }
+
+  /** In-place quickselect for the element that would land at
+    * DESCENDING rank `target` (0-based); expected O(n), median-of-3
+    * pivot so runs of equal/ordered counts stay linear.
+    */
+  @annotation.tailrec
+  private def quickselect(a: Array[Long], lo: Int, hi: Int,
+                          target: Int): Long = {
+    if (lo == hi) a(lo)
+    else {
+      val mid = lo + (hi - lo) / 2
+      // median-of-three pivot, descending order
+      if (a(mid) > a(lo)) swap(a, lo, mid)
+      if (a(hi) > a(lo)) swap(a, lo, hi)
+      if (a(hi) > a(mid)) swap(a, mid, hi)
+      val pivot = a(mid)
+      swap(a, mid, hi)
+      var store = lo
+      var i = lo
+      while (i < hi) {
+        if (a(i) > pivot) { swap(a, i, store); store += 1 }
+        i += 1
+      }
+      swap(a, store, hi)
+      if (target == store) a(store)
+      else if (target < store) quickselect(a, lo, store - 1, target)
+      else quickselect(a, store + 1, hi, target)
+    }
+  }
+
+  private def swap(a: Array[Long], i: Int, j: Int): Unit = {
+    val t = a(i); a(i) = a(j); a(j) = t
+  }
+
+  /** Snapshot of the counter values as a scratch array. */
+  def values(buf: java.util.HashMap[String, Long]): Array[Long] = {
+    val out = new Array[Long](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
 /** Misra–Gries heavy-hitters sketch as a `TypedImperativeAggregate`:
   * the frequent-items counterpart of [[KmvDistinct]] in the engine's
   * custom-aggregate tier.
@@ -74,10 +140,9 @@ case class MisraGries(child: Expression, k: Int,
     }
     if (buf.size > k) {
       // (k+1)-th largest count = the amount to subtract so at most k
-      // counters stay positive (mergeable-summaries rule)
-      import scala.jdk.CollectionConverters._
-      val counts = buf.values().asScala.toArray.sorted(Ordering[Long].reverse)
-      decrementAll(buf, counts(k))
+      // counters stay positive (mergeable-summaries rule); selection
+      // pass, not a sort — merge of two k-summaries is ≤ 2k values
+      decrementAll(buf, MgSelect.kPlus1thLargest(MgSelect.values(buf), k))
     }
     buf
   }
@@ -186,12 +251,14 @@ case class MisraGriesWeighted(child: Expression, weight: Expression, k: Int,
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
 
-  /** Past k counters: subtract the (k+1)-th largest, drop ≤ 0. */
+  /** Past k counters: subtract the (k+1)-th largest, drop ≤ 0. This
+    * runs on EVERY update row once saturated, so the selection is a
+    * single O(k) pass ([[MgSelect]] — the saturated case is a min
+    * scan), never a sort.
+    */
   private def shrink(buf: java.util.HashMap[String, Long]): Unit =
     if (buf.size > k) {
-      import scala.jdk.CollectionConverters._
-      val counts = buf.values().asScala.toArray.sorted(Ordering[Long].reverse)
-      val d = counts(k)
+      val d = MgSelect.kPlus1thLargest(MgSelect.values(buf), k)
       val it = buf.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -213,7 +213,12 @@ object Aggregates {
     */
   def argMinMax(df: DataFrame, keyCol: String, arg: Column, ord: Column,
                 tieCol: String): DataFrame = {
-    val row = struct(ord.as("o"), col(tieCol).as("t"), arg.as("a"))
+    // NULL-ord rows must be skipped (CH argMin/argMax ignore them), but
+    // a non-null struct containing a NULL field still participates in
+    // min/max and NULL sorts lowest in struct order — so NULL the whole
+    // struct instead; min/max skip NULL inputs.
+    val row = when(ord.isNotNull,
+      struct(ord.as("o"), col(tieCol).as("t"), arg.as("a")))
     df.groupBy(col(keyCol))
       .agg(max(row).getField("a").as("arg_max"),
         min(row).getField("a").as("arg_min"))
@@ -346,8 +351,11 @@ object Aggregates {
       lit(4.0) * mu * (col("__s3").cast("double") / n) +
       lit(6.0) * mu * mu * (col("__s2").cast("double") / n) -
       lit(3.0) * mu * mu * mu * mu
+    // m2 = Σx²/n − μ² can cancel to a tiny negative for near-constant
+    // large-magnitude x; ClickHouse's stddevPop returns 0 there, sqrt
+    // of a negative would give NaN — clamp (mirrored in the oracle SQL).
     s.select(col("__k").as(keyCol),
-      pround(sqrt(m2), 9).as("stddev_pop"),
+      pround(sqrt(greatest(m2, lit(0.0))), 9).as("stddev_pop"),
       when(m2 > 0, pround(m3 / (m2 * sqrt(m2)), 9)).as("skew_pop"),
       when(m2 > 0, pround(m4 / (m2 * m2), 9)).as("kurt_pop"))
   }
@@ -555,10 +563,14 @@ object Aggregates {
         x.as("__x"))
       .groupBy("__k")
       .agg(
-        sum(when(col("__a"), 1L).otherwise(0L)).as("__n1"),
+        // n counts only rows whose x actually contributes to Σx/Σx² —
+        // a NULL x row must not deflate the mean/variance denominators
+        sum(when(col("__a") && col("__x").isNotNull, 1L).otherwise(0L))
+          .as("__n1"),
         sum(when(col("__a"), col("__x"))).as("__s1"),
         sum(when(col("__a"), col("__x") * col("__x"))).as("__ss1"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("__n2"),
+        sum(when(!col("__a") && col("__x").isNotNull, 1L).otherwise(0L))
+          .as("__n2"),
         sum(when(!col("__a"), col("__x"))).as("__s2"),
         sum(when(!col("__a"), col("__x") * col("__x"))).as("__ss2"))
     def nd(c: String) = col(c).cast("double")

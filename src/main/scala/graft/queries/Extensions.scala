@@ -2702,7 +2702,7 @@ object Extensions {
          |      ORDER BY value DESC, event_id DESC) AS rx,
          |    row_number() OVER (PARTITION BY event_type
          |      ORDER BY value ASC, event_id ASC) AS rn
-         |  FROM events)
+         |  FROM events WHERE value IS NOT NULL)
          |SELECT event_type,
          |       max(CASE WHEN rx = 1 THEN user_id END) AS arg_max,
          |       max(CASE WHEN rn = 1 THEN user_id END) AS arg_min
@@ -2847,7 +2847,7 @@ object Extensions {
          |          - 3.0*mu*mu*mu*mu AS m4
          |      FROM d)
          |SELECT event_type,
-         |  ${Rounding.sqlPround("sqrt(m2)", 9)} AS stddev_pop,
+         |  ${Rounding.sqlPround("sqrt(greatest(m2, 0.0))", 9)} AS stddev_pop,
          |  CASE WHEN m2 > 0 THEN
          |    ${Rounding.sqlPround("m3 / (m2 * sqrt(m2))", 9)}
          |  END AS skew_pop,
@@ -2955,10 +2955,11 @@ object Extensions {
          |           FROM events
          |           WHERE event_type IN ('purchase', 'view')),
          |s AS (SELECT k,
-         |        sum(CASE WHEN a THEN 1 ELSE 0 END) AS n1,
+         |        sum(CASE WHEN a AND x IS NOT NULL THEN 1 ELSE 0 END) AS n1,
          |        sum(CASE WHEN a THEN x END) AS s1,
          |        sum(CASE WHEN a THEN x*x END) AS ss1,
-         |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS n2,
+         |        sum(CASE WHEN NOT a AND x IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS n2,
          |        sum(CASE WHEN NOT a THEN x END) AS s2,
          |        sum(CASE WHEN NOT a THEN x*x END) AS ss2
          |      FROM v GROUP BY 1),

@@ -144,6 +144,22 @@ class AggregatesSpec extends SparkSpec {
     assert(out == Map(1L -> (("u30", "u10"))))
   }
 
+  test("argMinMax: NULL-ord rows are skipped (CH semantics) — they " +
+      "neither win min nor max; an all-NULL key yields NULL args") {
+    val df = Seq(
+      (1L, Some(5L), "u10", 0L), (1L, None, "uNN", 1L),
+      (1L, Some(9L), "u20", 2L),
+      (2L, Option.empty[Long], "uX", 3L), (2L, None, "uY", 4L))
+      .toDF("user_id", "value", "event_type", "event_id")
+    val out = Aggregates.argMinMax(df, "user_id", col("event_type"),
+      col("value"), "event_id")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, mx, mn) => k -> ((mx, mn)) }.toMap
+    // without the NULL guard, min(struct) would return "uNN" for arg_min
+    assert(out == Map(1L -> ((Some("u20"), Some("u10"))),
+      2L -> ((None, None))))
+  }
+
   // --- interval sweeps ------------------------------------------------
 
   private def intervals(rows: (Long, Long, Long)*): DataFrame =
@@ -205,6 +221,17 @@ class AggregatesSpec extends SparkSpec {
       .collect().map { case (k, s, sk, ku) => k -> ((s, sk, ku)) }.toMap
     assert(out(1L) == ((Some(5.0), Some(0.0), Some(1.0))))
     assert(out(2L) == ((Some(0.0), None, None)))
+  }
+
+  test("moments: catastrophic cancellation (constant 12345678.9 × 7 " +
+      "gives m2 = -0.03125 in double) clamps stddev to 0, not NaN") {
+    // one partition so the double summation order is deterministic
+    val df = Seq.fill(7)((1L, 12345678.9)).toDF("k", "x").repartition(1)
+    val out = Aggregates.moments(df, "k", col("x"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(out._2.contains(0.0),
+      s"stddev_pop must clamp negative m2 to 0, got ${out._2}")
   }
 
   test("histogram: equal-width bins cover [min, max], the max value " +
@@ -349,6 +376,19 @@ class AggregatesSpec extends SparkSpec {
     assert(math.abs(out(1L)._2.get - dfW) < 1e-6)
     assert(out(2L) == ((None, None)))
     assert(out(3L) == ((None, None)))
+  }
+
+  test("welchT: NULL x rows don't deflate n — key 1's statistic is " +
+      "identical with NULL-x padding rows added") {
+    val base = Seq((1L, true, Some(1L)), (1L, true, Some(2L)),
+      (1L, true, Some(3L)), (1L, false, Some(2L)), (1L, false, Some(4L)),
+      (1L, false, Some(6L)), (1L, false, Some(8L)))
+    val padded = base ++ Seq((1L, true, Option.empty[Long]),
+      (1L, false, None), (1L, false, None))
+    def run(rows: Seq[(Long, Boolean, Option[Long])]) =
+      Aggregates.welchT(rows.toDF("k", "a", "x"), "k", col("a"), col("x"))
+        .as[(Long, Option[Double], Option[Double])].head()
+    assert(run(base) == run(padded))
   }
 
   test("mannWhitneyU: exact U with average tie ranks; empty sample " +
