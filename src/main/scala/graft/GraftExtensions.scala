@@ -21,6 +21,9 @@ import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries, 
   *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
   *   - `misra_gries(x, k)`  heavy-hitters sketch (aggregate)
   *   - `misra_gries_w(x, w, k)`  weighted heavy-hitters (topKWeighted)
+  *   - `dict_get('d', 'attr', key)` / `dict_get_or_default(...)`  CH
+  *     dictGet over a registered broadcast dictionary
+  *     ([[graft.functions.Dictionaries]])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -78,7 +81,21 @@ object GraftExtensions {
           "misra_gries_w: k must be a constant (literal) expression")
         MisraGriesWeighted(exprs.head, exprs(1),
           exprs(2).eval(null).asInstanceOf[Number].intValue())
-      }))
+      }),
+    // CH dictGet surface (J1's SQL consumer form): the builders resolve
+    // against the server-scoped Dictionaries registry at analysis time,
+    // so a script using them fails loudly if the dictionary was never
+    // created — same contract as CH's "dictionary not found"
+    (new FunctionIdentifier("dict_get"),
+      new ExpressionInfo(classOf[graft.functions.DictGetExpr].getName,
+        "dict_get"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.Dictionaries.buildDictGet(exprs)),
+    (new FunctionIdentifier("dict_get_or_default"),
+      new ExpressionInfo(classOf[graft.functions.DictGetExpr].getName,
+        "dict_get_or_default"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.Dictionaries.buildDictGetOrDefault(exprs)))
 
   /** Install on an already-running session (tests, notebooks). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =

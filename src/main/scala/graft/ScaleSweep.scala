@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 scale sweep: volume-validates the 100× posture of the heavy
+  * tier. Every scale claim elsewhere is design-argued (banded candidate
+  * generation, checkpoint-cut iteration, broadcast stats frames) and
+  * hot-key-stressed (ScaleStress); this main is the missing EMPIRICAL
+  * leg — the same registry entries run at sf0.1 and at a 10×-amplified
+  * sf1.0, and the artifact records per-query wall time, spill bytes and
+  * shuffle volume. The pass bound is ≤ `MaxRatio`× time at 10× data
+  * (linear with a generous constant for fixed overheads) and zero
+  * spill at BOTH scales.
+  *
+  * Amplification preserves workload SHAPE, not just row count —
+  * naively copying rows 10× would plant 10-cliques of duplicates and
+  * quadratically inflate every dedup tier's candidate pairs (a
+  * different, harder workload):
+  *   - documents: ×10 with disjoint doc_ids and a copy-specific token
+  *     interleaved every 4 words — each copy keeps its own planted
+  *     near-dup structure, but cross-copy shingle sets differ, so
+  *     candidate pairs scale linearly as they would on 10× real data;
+  *   - embeddings: ×10 with disjoint vec_ids under a per-copy random
+  *     DIAGONAL SIGN FLIP — an isometry, so intra-copy geometry
+  *     (cluster structure, near-dup pairs) is preserved exactly while
+  *     cross-copy cosines decorrelate;
+  *   - orders/lineitem (the graph tier's bipartite edges): ×10 with
+  *     consistently offset keys — 10 disjoint copies of the same graph,
+  *     the shape 10× more users/orders would have;
+  *   - events: ×10 with offset ids and month-shifted timestamps (the
+  *     ScaleStress convention).
+  *
+  * Run: `sbt "runMain graft.ScaleSweep"` (optionally
+  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_DIR). Writes `SCALE.json` in
+  * the repo root — the committed evidence artifact, same landing rule
+  * as BENCH.json/STRESS.json.
+  */
+object ScaleSweep {
+
+  /** The heavy tier under test: the slowest non-diagnostic registry
+    * entries (BENCH.json ranking) across the dedup / graph / semantic /
+    * text / corpus families. `ann_index_build` (a timed build) and
+    * `emb_cluster_silhouette` (a guarded quadratic diagnostic over a
+    * fixed ≤10k sample) are excluded by design; `emb_knn_clusters` is
+    * slice-bounded (constant work at any sf) and would only measure
+    * noise.
+    */
+  val Sweep: Seq[String] = Seq(
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_verified",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "dedup_source_overlap",
+    "dedup_cluster_alternating",
+    "sem_dedup_fixed",
+    "graph_pagerank",
+    "graph_hits",
+    "text_repetition",
+    "span_dedup_clean",
+    "corpus_split_leakage_safe")
+
+  val Factor = 10
+  /** Linear-with-constant bound: ≤ 12× time at 10× data. */
+  val MaxRatio = 12.0
+
+  final case class SweepResult(name: String, secBase: Double,
+                               secBig: Double, ratio: Double,
+                               spillBytes: Long, shuffleWrite: Long,
+                               peakExecMem: Long, ok: Boolean,
+                               note: String)
+
+  private class MetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var spill = 0L
+    @volatile var peak = 0L
+    @volatile var shuffleWrite = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        spill += m.memoryBytesSpilled + m.diskBytesSpilled
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        peak = math.max(peak, m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = { spill = 0L; peak = 0L; shuffleWrite = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val spark = Sessions.local(32, "scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generateIfAbsent(spark, base, big)
+
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      try {
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(500) }
+    }
+    def timed(name: String, dir: String): (Double, Long, Long, Long, String) = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val note = try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        ""
+      } catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      (sec, metrics.spill, metrics.shuffleWrite, metrics.peak, note)
+    }
+
+    // JIT/codegen warm-up off the sweep clock
+    timed(Sweep.head, base)
+
+    val results = Sweep.map { name =>
+      val (s0, spill0, _, _, note0) = timed(name, base)
+      val (s1, spill1, shuf1, peak1, note1) = timed(name, big)
+      val ratio = s1 / s0
+      val ok = note0.isEmpty && note1.isEmpty && ratio <= MaxRatio &&
+        spill0 == 0L && spill1 == 0L
+      val r = SweepResult(name, s0, s1, ratio, spill1, shuf1, peak1, ok,
+        (note0 + note1).take(200))
+      println(f"SCALE ${if (r.ok) "ok " else "FAIL"} $name " +
+        f"${r.secBase}%.2f s -> ${r.secBig}%.2f s (x${r.ratio}%.2f) " +
+        f"spill=${r.spillBytes} shufWrite=${r.shuffleWrite}")
+      r
+    }
+
+    val entries = results.map(r =>
+      "\"" + r.name + "\":{\"sf01_sec\":" + f"${r.secBase}%.3f" +
+        ",\"sf1_sec\":" + f"${r.secBig}%.3f" +
+        ",\"ratio\":" + f"${r.ratio}%.2f" +
+        ",\"ok\":" + r.ok +
+        ",\"spillBytes\":" + r.spillBytes +
+        ",\"shuffleWriteBytes\":" + r.shuffleWrite +
+        ",\"peakExecMem\":" + r.peakExecMem +
+        (if (r.note.nonEmpty) ",\"note\":\"" + r.note.replace("\"", "'") + "\"" else "") +
+        "}").mkString("{", ",", "}")
+    val line = s"""{"scale_ok":${results.forall(_.ok)},"factor":$Factor,""" +
+      s""""max_ratio":$MaxRatio,"queries":$entries}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    if (results.exists(!_.ok)) sys.exit(1)
+    spark.stop()
+  }
+
+  // --- amplified-fixture generation ------------------------------------
+
+  /** Id offset keeping copies disjoint and far from fixture id ranges. */
+  private val Off = 10000000L
+
+  def generateIfAbsent(spark: SparkSession, base: String,
+                       big: String): Unit = {
+    val marker = new java.io.File(s"$big/_GENERATED")
+    if (marker.exists()) return
+    import spark.implicits._
+
+    // documents: copy-specific token interleaved every 4 words
+    val docs = Tables.load(spark, base, "documents")
+      .as[(Long, String, String, String, Long)]
+    amplified(spark, docs) { case ((id, text, lang, source, _), i) =>
+      val t = perturbText(text, i)
+      (id + i * Off, t, lang, source, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+
+    // embeddings: per-copy diagonal sign flip (intra-copy isometry)
+    val emb = Tables.load(spark, base, "embeddings")
+      .as[(Long, Array[Float], Int)]
+    amplified(spark, emb) { case ((id, v, label), i) =>
+      (id + i * Off, flipSigns(v, i), label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    // orders + lineitem: consistently offset keys → 10 disjoint graphs
+    val orders = Tables.load(spark, base, "orders")
+    unioned(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100 * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
+    }.write.mode("overwrite").parquet(s"$big/orders.parquet")
+    val li = Tables.load(spark, base, "lineitem")
+    unioned(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100 * Off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
+    }.write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+
+    // events: the ScaleStress amplification convention
+    val ev = Tables.load(spark, base, "events")
+    unioned(ev) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i % 6} MONTHS"))
+    }.write.mode("overwrite").parquet(s"$big/events.parquet")
+
+    // small dims copied as-is (queries outside the sweep may probe them)
+    Seq("customer", "supplier", "part", "nation", "region").foreach { t =>
+      try Tables.load(spark, base, t).write.mode("overwrite")
+        .parquet(s"$big/$t.parquet")
+      catch { case _: Throwable => () }
+    }
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  private def amplified[T, U: org.apache.spark.sql.Encoder](
+      spark: SparkSession, ds: org.apache.spark.sql.Dataset[T])(
+      f: (T, Long) => U): org.apache.spark.sql.Dataset[U] =
+    (0 until Factor).map(i => ds.map(r => f(r, i.toLong)))
+      .reduce(_.unionAll(_))
+
+  private def unioned(df: DataFrame)(f: (DataFrame, Long) => DataFrame)
+      : DataFrame =
+    (0 until Factor).map(i => f(df, i.toLong)).reduce(_.unionByName(_))
+
+  /** Interleave a copy-specific, position-varying token every 4 words:
+    * copy 0 is the original; other copies keep every intra-copy shingle
+    * relationship (all docs in a copy are transformed identically) while
+    * cross-copy shingle sets disagree everywhere — near-dup structure
+    * scales linearly instead of planting ×10 cliques.
+    */
+  def perturbText(text: String, copy: Long): String =
+    if (copy == 0L) text
+    else {
+      val words = text.split(' ')
+      val sb = new StringBuilder(text.length + text.length / 3)
+      var i = 0
+      while (i < words.length) {
+        sb.append(words(i)).append(' ')
+        if (i % 4 == 3) sb.append('g').append(copy).append('x')
+          .append(i).append(' ')
+        i += 1
+      }
+      sb.result().trim
+    }
+
+  /** Per-copy deterministic ±1 diagonal: Fibonacci-hash bit of
+    * (copy, dim). Copy 0 is identity.
+    */
+  def flipSigns(v: Array[Float], copy: Long): Array[Float] =
+    if (copy == 0L) v
+    else {
+      val out = new Array[Float](v.length)
+      var j = 0
+      while (j < v.length) {
+        val h = (copy * 1000003L + j) * 0x9E3779B97F4A7C15L
+        out(j) = if (((h >>> 62) & 1L) == 1L) -v(j) else v(j)
+        j += 1
+      }
+      out
+    }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Mp4, Multimodal}
 import graft.pipeline.{IncrementalLoad, PartitionSwapLoad}
 
 /** End-to-end pipeline queries: each runs a whole composed job (write +
@@ -241,6 +241,32 @@ object Pipelines {
         .orderBy("doc_id")
     }),
 
+    // MP4 container metadata: per document, a deterministic
+    // (geometry, frame count, cadence) is synthesized into a byte-real
+    // ISO BMFF container (Mp4.build) and parsed BACK through the
+    // independent box walk (Mp4.parseMeta) — the oracle recomputes the
+    // same fields closed-form, so any drift between the builder, the
+    // parser, and the spec'd layout breaks the row. Runs as a typed map
+    // in the documents scan partition — no shuffle, no driver decode.
+    "multimodal_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val w = (16 + (id % 16) * 8).toInt
+          val h = (16 + (id % 9) * 8).toInt
+          val frames = 1 + id % 60
+          val delta = 20 + (id % 5) * 10
+          val m = Mp4.parseMeta(Mp4.build(w, h, frames, delta))
+            .getOrElse(throw new IllegalStateException(
+              s"unparseable synthesized mp4 for doc $id"))
+          (id, m.brand, m.codec, m.width, m.height, m.n_frames,
+            m.duration_ms)
+        }
+        .toDF("doc_id", "brand", "codec", "width", "height", "n_frames",
+          "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     // §2.10 streaming tier: watermarked tumbling-window aggregation run
     // through Structured Streaming (memory sink), checked against the
     // one-shot batch SQL — stream/batch equivalence as an oracle test.
@@ -293,6 +319,20 @@ object Pipelines {
       graft.sources.IO.writeJsonEachRow(e, path)
       graft.sources.IO.readJsonEachRow(s, path,
         graft.streaming.EventStream.eventsSchema)
+        .orderBy("event_id")
+    }),
+
+    // ClickHouse FORMAT RowBinary: the native-protocol bulk transport
+    // (hook:27-40,92-112) — LE fixed-width numerics, LEB128-length
+    // strings, DateTime64(6) µs, Nullable flag bytes; unsplittable by
+    // construction, so parallelism is per-file (one per partition).
+    "rowbinary_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_rowbinary")
+      graft.sources.RowBinary.write(e, path)
+      // the read schema is the wire contract — nullability decides the
+      // flag-byte layout, so it must be the writer's exact StructType
+      graft.sources.RowBinary.read(s, path, e.schema)
         .orderBy("event_id")
     }),
 
@@ -464,6 +504,16 @@ object Pipelines {
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "jsoneachrow_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "rowbinary_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "multimodal_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand, 'avc1' AS codec,
+        |       CAST(16 + (doc_id % 16) * 8 AS INT) AS width,
+        |       CAST(16 + (doc_id % 9) * 8 AS INT) AS height,
+        |       CAST(1 + doc_id % 60 AS BIGINT) AS n_frames,
+        |       CAST((1 + doc_id % 60) * (20 + (doc_id % 5) * 10) AS BIGINT)
+        |         AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "zorder_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id",
     "ddl_script_runner" ->

@@ -137,6 +137,26 @@ object ReferenceParity {
         .orderBy("p_brand", "s_name")
     }),
 
+    // J1 (SQL consumer form): the reference's downstream BI SQL calls
+    // dictGet per row — expressed here PURELY in SQL through the
+    // GraftExtensions dict_get surface, run via the script runner (the
+    // path a reference user's .sql files take). The dictionary is the
+    // broadcast hash table; the codegen'd probe stays inside the scan's
+    // WholeStageCodegen span — no join node, no shuffle.
+    "j1_dict_get_sql" -> ((s, dir) => {
+      graft.functions.Dictionaries.create(s, "dg_customers",
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment"), "c_custkey")
+      t(s, dir, "events").createOrReplaceTempView("dg_events")
+      graft.sources.IO.runScript(s,
+        """SELECT event_id, user_id,
+          |  dict_get_or_default('dg_customers', 'c_name', user_id,
+          |                      'undefined') AS user_name,
+          |  dict_get_or_default('dg_customers', 'c_mktsegment', user_id,
+          |                      'undefined') AS segment
+          |FROM dg_events ORDER BY event_id;""".stripMargin).get
+    }),
+
     // J2: anti-join — keys absent from the other side (customers with no
     // high-value order, so the result is non-trivial at every sf).
     "j2_anti_missing" -> ((s, dir) =>
@@ -1052,6 +1072,12 @@ object ReferenceParity {
         |LEFT JOIN part p ON l.l_partkey = p.p_partkey
         |LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |GROUP BY p.p_brand, s.s_name ORDER BY p.p_brand, s.s_name""".stripMargin,
+    "j1_dict_get_sql" ->
+      """SELECT e.event_id, e.user_id,
+        |       coalesce(c.c_name, 'undefined') AS user_name,
+        |       coalesce(c.c_mktsegment, 'undefined') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "j2_anti_missing" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)

@@ -41,7 +41,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("char_entropy", "cosine_sim", "kmv_distinct", "misra_gries",
-        "misra_gries_w"))
+      Seq("char_entropy", "cosine_sim", "dict_get", "dict_get_or_default",
+        "kmv_distinct", "misra_gries", "misra_gries_w"))
   }
 }

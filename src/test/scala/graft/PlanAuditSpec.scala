@@ -590,4 +590,43 @@ class PlanAuditSpec extends SparkSpec {
         "pushdown (a mega-group would ship its full distinct set):\n" +
         cap.take(3000))
   }
+
+  test("AQE splits the planted hot-key shuffle join (skew=true in the " +
+      "final adaptive plan) — the engine's default skew mitigation; " +
+      "Skew.saltedJoin is the fallback for skew AQE's byte thresholds " +
+      "never see") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "65536")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+    try {
+      val facts = spark.range(200000)
+        .select(lit(-1L).as("k"), $"id".as("payload"))
+        .unionAll(spark.range(100000)
+          .select(pmod($"id", lit(10000L)).as("k"), $"id".as("payload")))
+      val dim = spark.range(10000).select($"id".as("dk"))
+        .unionAll(Seq(-1L).toDF("dk"))
+      // a bare join result: a downstream distribution requirement
+      // (e.g. groupBy(k)) would make the skew split add a shuffle and
+      // AQE would rightly decline it — the guard pins the SPLITTABLE
+      // shape. Execute THIS df's own query execution (count() plans a
+      // separate one and leaves this AQE plan unfinalized).
+      val j = facts.join(dim, $"k" === $"dk")
+      assert(j.queryExecution.toRdd.count() == 300000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the hot partition:\n" + p.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

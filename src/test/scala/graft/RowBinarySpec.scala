@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.RowBinary
+
+/** ClickHouse FORMAT RowBinary interchange: byte-level layout pinned
+  * against the public spec (LE numerics, LEB128 string lengths,
+  * Nullable flag bytes, DateTime64(6) µs, Array counts), plus
+  * roundtrips over every supported type and the loud-failure contract
+  * for truncated streams and unsupported types.
+  */
+class RowBinarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def allBytes(dir: String): Array[Byte] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".rowbinary")).sortBy(_.getName)
+    files.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+  }
+
+  test("golden bytes: non-nullable (Int64, String) row matches the " +
+      "spec layout — 8 LE bytes then LEB128 length + UTF-8") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(258L, "ab")), schema).coalesce(1)
+    val dir = tmp("graft_rb_golden")
+    RowBinary.write(df, dir)
+    val bytes = allBytes(dir)
+    // 258 = 0x0102 → LE: 02 01 00*6; "ab" → len 02, 0x61 0x62
+    assert(bytes.toSeq == Seq[Byte](2, 1, 0, 0, 0, 0, 0, 0, 2, 0x61, 0x62))
+  }
+
+  test("golden bytes: Nullable flag byte precedes the value (0x00 = " +
+      "present, 0x01 = NULL with no payload)") {
+    val schema = StructType(Seq(StructField("v", IntegerType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(7), Row(null)), schema).coalesce(1)
+    val dir = tmp("graft_rb_null")
+    RowBinary.write(df, dir)
+    assert(allBytes(dir).toSeq == Seq[Byte](0, 7, 0, 0, 0, 1))
+  }
+
+  test("golden bytes: LEB128 length for a 200-char string is two bytes " +
+      "(0xC8 0x01)") {
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("x" * 200)), schema).coalesce(1)
+    val dir = tmp("graft_rb_varint")
+    RowBinary.write(df, dir)
+    val b = allBytes(dir)
+    assert((b(0) & 0xff) == 0xc8 && b(1) == 1 && b.length == 202)
+  }
+
+  test("roundtrip: every supported type survives, including µs " +
+      "timestamps, Date32, Bool, Binary, Array(Float32) and NULLs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i32", IntegerType),
+      StructField("i16", ShortType),
+      StructField("i8", ByteType),
+      StructField("f32", FloatType),
+      StructField("f64", DoubleType),
+      StructField("b", BooleanType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("d", DateType),
+      StructField("arr", ArrayType(FloatType, containsNull = false))))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val rows = java.util.List.of(
+      Row(1L, 42, 7.toShort, 3.toByte, 1.5f, 2.25, true, "héllo",
+        Array[Byte](1, 2, 3), ts, java.sql.Date.valueOf("2024-03-01"),
+        Seq(0.5f, -1.0f)),
+      Row(2L, null, null, null, null, null, null, null, null, null, null,
+        Seq.empty[Float]))
+    val df = spark.createDataFrame(rows, schema).repartition(2)
+    val dir = tmp("graft_rb_rt")
+    RowBinary.write(df, dir)
+    val back = RowBinary.read(spark, dir, schema).orderBy("id").collect()
+    assert(back.length == 2)
+    val r = back(0)
+    assert(r.getLong(0) == 1L && r.getInt(1) == 42 && r.getShort(2) == 7 &&
+      r.getByte(3) == 3 && r.getFloat(4) == 1.5f && r.getDouble(5) == 2.25 &&
+      r.getBoolean(6) && r.getString(7) == "héllo" &&
+      r.getAs[Array[Byte]](8).toSeq == Seq[Byte](1, 2, 3) &&
+      r.getTimestamp(9) == ts &&
+      r.getDate(10) == java.sql.Date.valueOf("2024-03-01") &&
+      r.getSeq[Float](11) == Seq(0.5f, -1.0f))
+    val n = back(1)
+    assert((1 to 10).forall(n.isNullAt) && n.getSeq[Float](11).isEmpty)
+  }
+
+  test("roundtrip: events fixture at sf with multiple partitions — " +
+      "one file per non-empty partition, full row parity") {
+    val e = Tables.load(spark, sf, "events").repartition(4)
+    val dir = tmp("graft_rb_events")
+    RowBinary.write(e, dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".rowbinary"))
+    assert(nFiles > 1, s"expected per-partition files, got $nFiles")
+    val back = RowBinary.read(spark, dir, e.schema)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      e.orderBy("event_id").collect().toSeq)
+  }
+
+  test("loud failure: truncated stream names the column and offset; " +
+      "unsupported type rejected before any write") {
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row("hello world")), schema).coalesce(1)
+    val dir = tmp("graft_rb_trunc")
+    RowBinary.write(df, dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".rowbinary")).head
+    val full = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, full.dropRight(3))
+    // drop the local-FS checksum sidecar so the DECODER's truncation
+    // detection is what fires, not Hadoop's CRC
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    val err = intercept[Exception] {
+      RowBinary.read(spark, dir, schema).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(chain.exists(_.contains("truncated")))
+
+    val bad = Seq((1L, Map("k" -> 1L))).toDF("id", "m")
+    intercept[IllegalArgumentException] {
+      RowBinary.write(bad, tmp("graft_rb_bad"))
+    }
+  }
+
+  test("chType: documents the wire contract for the supported set") {
+    assert(RowBinary.chType(TimestampType) == "DateTime64(6)")
+    assert(RowBinary.chType(ArrayType(FloatType, containsNull = false)) ==
+      "Array(Float32)")
+    assert(RowBinary.chType(ArrayType(StringType, containsNull = true)) ==
+      "Array(Nullable(String))")
+  }
+}
