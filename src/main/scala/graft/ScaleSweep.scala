@@ -244,8 +244,13 @@ object ScaleSweep {
       sb.result().trim
     }
 
-  /** Per-copy deterministic ±1 diagonal: Fibonacci-hash bit of
-    * (copy, dim). Copy 0 is identity.
+  /** Per-copy deterministic ±1 diagonal: splitmix64-finalized bit of
+    * (copy, dim). Copy 0 is identity. The non-linear finalizer matters:
+    * a LINEAR hash of (copy, dim) makes two copies' sign patterns
+    * shifted evaluations of the same sequence — measured up to 90 %
+    * agreement between copy pairs, i.e. cross-copy cosine ≈ 0.8× intra,
+    * which re-plants the near-dup cliques the flip exists to prevent
+    * (found as a diameter-cap blowup in the first sweep run).
     */
   def flipSigns(v: Array[Float], copy: Long): Array[Float] =
     if (copy == 0L) v
@@ -253,8 +258,11 @@ object ScaleSweep {
       val out = new Array[Float](v.length)
       var j = 0
       while (j < v.length) {
-        val h = (copy * 1000003L + j) * 0x9E3779B97F4A7C15L
-        out(j) = if (((h >>> 62) & 1L) == 1L) -v(j) else v(j)
+        var z = copy * 0x9E3779B97F4A7C15L + j
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        out(j) = if ((z & 1L) == 1L) -v(j) else v(j)
         j += 1
       }
       out

@@ -159,7 +159,7 @@ object CorpusBuildJob {
       val hashedImages = hashes.count()
       val pairs = Multimodal.imageDupPairs(hashes, maxHamming)
         .select("id_a", "id_b")
-      val labels = DedupCluster.components(
+      val labels = DedupCluster.componentsAlternating(
         hashes.select(col("doc_id")), "doc_id", pairs)
       val canonicalImages = m.toDF().join(
         labels.filter(col("id") === col("cluster_id"))
@@ -231,7 +231,7 @@ object CorpusBuildJob {
     // canonical (min-id) member
     val pairs = Dedup.minHashLshPairs(relined, "doc_id", "text",
       shingleN, bands, rowsPerBand)
-    val labels = DedupCluster.components(relined, "doc_id", pairs)
+    val labels = DedupCluster.componentsAlternating(relined, "doc_id", pairs)
     val deduped = relined.join(
       labels.filter(col("id") === col("cluster_id"))
         .select(col("id").as("doc_id")),

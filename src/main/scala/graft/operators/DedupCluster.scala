@@ -156,10 +156,13 @@ object DedupCluster {
     * `checkpointEvery`-round lineage cut as label propagation bounds
     * plan depth.
     *
-    * Kept alongside label propagation rather than replacing it: for the
-    * COMMON near-dup shape (cliques and short chains, diameter ≤ ~4)
-    * propagation does fewer exchanges per round (one join vs two
-    * star steps) and converges just as fast. Pick by expected topology;
+    * THE DEFAULT for every consumer of an unbounded pair frame
+    * (semDedup, leakage-safe split, kNN clusters, canonicalize, the
+    * corpus job): the sf1.0 scale sweep found a >10-hop cosine chain at
+    * just 20k vectors, i.e. the diameter+1 round budget of label
+    * propagation fails exactly when the corpus grows. Plain
+    * [[components]] stays available for topologies with a KNOWN
+    * diameter bound (it does one join per round vs two star steps);
     * both fail loudly on a round-budget miss.
     *
     * @param pairs columns (id_a, id_b) — undirected near-dup edges
@@ -219,24 +222,46 @@ object DedupCluster {
 
     var pinned: DataFrame = null
     var round = 0
+    val tInit = System.nanoTime()
     var edgeCount = edges.count()
+    if (sys.props.contains("graft.cc.debug"))
+      System.err.println(f"[cc] initial edge materialization: $edgeCount " +
+        f"edges in ${(System.nanoTime() - tInit) / 1e9}%.1f s")
     var converged = edgeCount == 0
     while (round < maxRounds && !converged) {
+      val dbg = sys.props.contains("graft.cc.debug")
+      def lap(what: String, t0: Long): Long = {
+        val t = System.nanoTime()
+        if (dbg) System.err.println(
+          f"[cc]   round ${round + 1} $what: ${(t - t0) / 1e9}%.1f s")
+        t
+      }
+      var t = System.nanoTime()
       val step = smallStar(largeStar(edges))
       val isCut = (round + 1) % checkpointEvery == 0
+      // EVERY round truncates the logical plan (LogicalRDD), not just
+      // the reliable cuts: persist() caches data but keeps the full
+      // self-referencing star lineage in the LOGICAL tree, and Catalyst
+      // walks trees, not DAGs — analysis cost quadrupled per round and
+      // the round-3 checkpoint paid ~115 s of pure driver-side
+      // analysis on a 279-edge graph (found by the round-11 probe).
+      // localCheckpoint is the plan cut; the reliable checkpoint every
+      // `checkpointEvery` rounds remains the durability cut.
       val materialized =
         if (isCut && reliable) Dedup.materializeDetached(step)
-        else if (isCut) step.localCheckpoint(false)
-        else step.persist()
+        else step.localCheckpoint(false)
+      t = lap("materialize", t)
       // Fixpoint = the canonical edge set is unchanged. Both frames are
       // distinct + identically oriented, so equal counts plus an empty
       // one-directional difference (new ⊆ old) prove set equality —
       // one count job (which also materializes the round) + one
       // anti-join probe, instead of a two-sided diff.
       val newCount = materialized.count()
+      t = lap("count", t)
       val changed = newCount != edgeCount ||
         materialized.join(edges, Seq("src", "dst"), "left_anti")
           .limit(1).count() > 0
+      t = lap("anti-join probe", t)
       if (edges ne pinned) edges.unpersist(blocking = false)
       if (isCut) {
         if (pinned != null) pinned.unpersist(blocking = false)
@@ -246,6 +271,10 @@ object DedupCluster {
       edgeCount = newCount
       converged = !changed
       round += 1
+      if (sys.props.contains("graft.cc.debug"))
+        System.err.println(f"[cc] alternating round $round: " +
+          f"$edgeCount edges, converged=$converged, " +
+          f"t=${(System.nanoTime() - tInit) / 1e9}%.1f s")
     }
     if (!converged) {
       edges.unpersist(blocking = false)

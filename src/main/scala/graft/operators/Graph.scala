@@ -89,7 +89,10 @@ object Graph {
   def knnClusters(vectors: DataFrame, idCol: String, vecCol: String,
                   k: Int, maxRounds: Int = 20,
                   knn: Option[DataFrame] = None): DataFrame =
-    DedupCluster.components(vectors, idCol,
+    // alternating-star: mutual-kNN graphs form long chains by
+    // construction (density ridges), so the log-diameter contraction is
+    // the only round budget that survives corpus growth
+    DedupCluster.componentsAlternating(vectors, idCol,
       mutualKnnEdges(vectors, idCol, vecCol, k, knn), maxRounds)
 
   /** Per-vector silhouette score of a clustering — the standard

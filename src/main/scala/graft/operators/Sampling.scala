@@ -88,7 +88,11 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        val256: Int, test256: Int): DataFrame = {
-    val labels = DedupCluster.components(docs, idCol, pairs)
+    // alternating-star: near-dup pair frames chain transitively, so
+    // component diameter is unbounded — label propagation's diameter+1
+    // round budget is the wrong contract for a split that must never
+    // fail on a bigger corpus (policy set by the sf1.0 sweep finding)
+    val labels = DedupCluster.componentsAlternating(docs, idCol, pairs)
     val out = Dedup.materializeDetached(
       docs.join(labels, docs(idCol) === labels("id"))
         .select(docs(idCol), col("cluster_id"),

@@ -1074,9 +1074,14 @@ object Similarity {
         .filter(cosN(col("va"), col("vb")) >= minCosine)
         .select(col("id_a").as("hit_id")).distinct()
       // components among batch rows only; kept-attachment then flows
-      // along them: a component is redundant iff any member hit kept
-      val labels = DedupCluster.components(newCells.select(col("cand_id")),
-        "cand_id", newPairs)
+      // along them: a component is redundant iff any member hit kept.
+      // Alternating-star, NOT label propagation: a within-cell cosine
+      // graph can chain (v₁~v₂~…~vₙ each ≥ minCosine, endpoints
+      // unrelated), so diameter is unbounded — the sf1.0 sweep found a
+      // >10-hop chain at just 20k vectors. Star contraction converges
+      // in O(log n) rounds regardless of diameter.
+      val labels = DedupCluster.componentsAlternating(
+        newCells.select(col("cand_id")), "cand_id", newPairs)
       val tainted = labels.join(keptHits, col("id") === col("hit_id"))
         .select(col("cluster_id").as("bad_cluster")).distinct()
       val csims = newCells.join(broadcast(centDf), Seq("cell"))
@@ -1135,8 +1140,12 @@ object Similarity {
         .filter(col("id_a") < col("id_b"))
         .filter(cosN(col("va"), col("vb")) >= minCosine)
         .select("id_a", "id_b")
-      val labels = DedupCluster.components(cells.select(col("cand_id")),
-        "cand_id", pairs)
+      // alternating-star for the same reason as the incremental path:
+      // cosine chains make the component diameter unbounded, and label
+      // propagation's diameter+1 rounds blow the budget exactly when
+      // the corpus grows (found empirically by the sf1.0 scale sweep)
+      val labels = DedupCluster.componentsAlternating(
+        cells.select(col("cand_id")), "cand_id", pairs)
       val keep = withSim.select(col("cand_id"), col("csim"))
         .join(labels, col("cand_id") === col("id"))
         .groupBy(col("cluster_id"))
