@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{Mp4, Multimodal}
+import graft.multimodal.{Mp4, Multimodal, Webm}
 import graft.pipeline.{IncrementalLoad, PartitionSwapLoad}
 
 /** End-to-end pipeline queries: each runs a whole composed job (write +
@@ -267,6 +267,27 @@ object Pipelines {
         .orderBy("doc_id")
     }),
 
+    // WebM/Matroska container metadata: the EBML twin of
+    // multimodal_video_meta — per-doc deterministic geometry/duration
+    // synthesized into byte-real EBML (Webm.build), walked back
+    // independently (Webm.parseMeta), oracle recomputed closed-form.
+    "multimodal_webm_meta" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents").select("doc_id").as[Long]
+        .map { id =>
+          val w = (32 + (id % 12) * 16).toInt
+          val h = (32 + (id % 7) * 16).toInt
+          val durMs = 1000L + (id % 90) * 250L
+          val m = Webm.parseMeta(Webm.build(w, h, durMs))
+            .getOrElse(throw new IllegalStateException(
+              s"unparseable synthesized webm for doc $id"))
+          (id, m.docType, m.codec, m.width, m.height, m.duration_ms)
+        }
+        .toDF("doc_id", "doc_type", "codec", "width", "height",
+          "duration_ms")
+        .orderBy("doc_id")
+    }),
+
     // §2.10 streaming tier: watermarked tumbling-window aggregation run
     // through Structured Streaming (memory sink), checked against the
     // one-shot batch SQL — stream/batch equivalence as an oracle test.
@@ -506,6 +527,12 @@ object Pipelines {
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "multimodal_webm_meta" ->
+      """SELECT doc_id, 'webm' AS doc_type, 'V_VP9' AS codec,
+        |       CAST(32 + (doc_id % 12) * 16 AS INT) AS width,
+        |       CAST(32 + (doc_id % 7) * 16 AS INT) AS height,
+        |       CAST(1000 + (doc_id % 90) * 250 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_video_meta" ->
       """SELECT doc_id, 'isom' AS brand, 'avc1' AS codec,
         |       CAST(16 + (doc_id % 16) * 8 AS INT) AS width,

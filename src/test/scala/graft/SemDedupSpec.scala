@@ -102,6 +102,24 @@ class SemDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("nlist"), "the error must say what to raise")
   }
 
+  test("a 30-hop cosine chain in one cell clusters to ONE component " +
+      "(diameter-independent star contraction — the sf1.0 sweep " +
+      "regression: label propagation's round budget died here)") {
+    // unit vectors rotating 5° per step: adjacent cosine ≈ 0.9962 links,
+    // skip-one ≈ 0.9848 does not at minCosine 0.995 → a pure 30-hop chain
+    val n = 31
+    val chain = (0 until n).map { i =>
+      val th = math.toRadians(5.0 * i)
+      (i.toLong + 1L,
+        Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupWithCentroids(chain, "vec_id",
+      "embedding", Seq(Seq(1f, 0f, 0f, 0f)), minCosine = 0.995)
+      .select("vec_id").as[Long].collect()
+    // one component ⇒ exactly one kept representative
+    assert(kept.length == 1, s"expected 1 survivor, got ${kept.toSeq}")
+  }
+
   test("kept rows carry ALL corpus columns (left-semi, no projection loss)") {
     val withExtra = df.withColumn("label",
       org.apache.spark.sql.functions.col("vec_id") * 10)
