@@ -30,6 +30,10 @@ object ScaleStress {
       extends org.apache.spark.scheduler.SparkListener {
     @volatile var spill = 0L
     @volatile var peak = 0L
+    /** Monotone count of delivered stage-completed events — the real
+      * quiescence signal the drain fallback polls (never reset).
+      */
+    @volatile var delivered = 0L
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -37,6 +41,7 @@ object ScaleStress {
         spill += m.memoryBytesSpilled + m.diskBytesSpilled
         peak = math.max(peak, m.peakExecutionMemory)
       }
+      delivered += 1
     }
     def reset(): Unit = { spill = 0L; peak = 0L }
   }
@@ -70,20 +75,27 @@ object ScaleStress {
     * breaks (renamed in a future Spark), falls back to polling for
     * quiescence rather than reverting to a blind fixed sleep.
     */
-  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession,
+                               deliveredCount: () => Long): Unit = {
     val sc = spark.sparkContext
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
       bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
     } catch {
       case _: Throwable =>
-        // quiescence poll: done when two consecutive 100 ms samples see
-        // no queued events land (bounded at 5 s)
+        // quiescence poll over a REAL signal: the listener's delivered
+        // event counter must hold still across two consecutive 100 ms
+        // samples (bounded at 5 s) — a bare fixed sleep would quietly
+        // reintroduce the late-event mis-attribution this drain exists
+        // to prevent
         val deadline = System.nanoTime() + 5000000000L
         var settled = 0
+        var last = deliveredCount()
         while (settled < 2 && System.nanoTime() < deadline) {
           Thread.sleep(100)
-          settled += 1
+          val now = deliveredCount()
+          settled = if (now == last) settled + 1 else 0
+          last = now
         }
     }
   }
@@ -117,7 +129,7 @@ object ScaleStress {
       // sleep can mis-attribute a late event to the NEXT stage (masking
       // a real spill or flakily failing an innocent stage) — drain the
       // bus properly instead
-      drainListenerBus(spark)
+      drainListenerBus(spark, () => metrics.delivered)
       val spilled = metrics.spill
       val ok = bodyOk && (!noSpill || spilled == 0L)
       if (bodyOk && noSpill && spilled > 0L)

@@ -61,8 +61,22 @@ object ScaleSweep {
     "span_dedup_clean",
     "corpus_split_leakage_safe")
 
+  /** The SECOND decade (sf1 → sf10, ×100 total amplification): the five
+    * heaviest sweep entries re-measured at another 10× — the empirical
+    * knee-hunt the 100 TB posture rests on. Bounded to the heavy tier
+    * because the sf10 fixtures are ~1.7 GB parquet / ~6 GB shuffle on
+    * the graph entries; the light tier adds wall-clock, not evidence.
+    */
+  val Sweep10: Seq[String] = Seq(
+    "dedup_minhash_verified",
+    "graph_pagerank",
+    "graph_hits",
+    "sem_dedup_fixed",
+    "corpus_split_leakage_safe")
+
   val Factor = 10
-  /** Linear-with-constant bound: ≤ 12× time at 10× data. */
+  val Factor10 = 100
+  /** Linear-with-constant bound: ≤ 12× time PER 10× data decade. */
   val MaxRatio = 12.0
 
   final case class SweepResult(name: String, secBase: Double,
@@ -91,10 +105,12 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val big10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR", "/tmp/graft_sf10")
     val spark = Sessions.local(32, "scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
-    generateIfAbsent(spark, base, big)
+    generateIfAbsent(spark, base, big, Factor)
+    generateIfAbsent(spark, base, big10, Factor10)
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -135,23 +151,60 @@ object ScaleSweep {
       r
     }
 
-    val entries = results.map(r =>
-      "\"" + r.name + "\":{\"sf01_sec\":" + f"${r.secBase}%.3f" +
-        ",\"sf1_sec\":" + f"${r.secBig}%.3f" +
-        ",\"ratio\":" + f"${r.ratio}%.2f" +
-        ",\"ok\":" + r.ok +
-        ",\"spillBytes\":" + r.spillBytes +
-        ",\"shuffleWriteBytes\":" + r.shuffleWrite +
-        ",\"peakExecMem\":" + r.peakExecMem +
-        (if (r.note.nonEmpty) ",\"note\":\"" + r.note.replace("\"", "'") + "\"" else "") +
-        "}").mkString("{", ",", "}")
+    // second decade: the heavy five at sf10, ratio vs their own sf1 time
+    val sf1Sec = results.map(r => r.name -> r.secBig).toMap
+    val results10 = Sweep10.map { name =>
+      val (s10, spill10, shuf10, peak10, note10) = timed(name, big10)
+      val s1 = sf1Sec(name)
+      val ratio = s10 / s1
+      val ok = note10.isEmpty && ratio <= MaxRatio && spill10 == 0L
+      val r = SweepResult(name, s1, s10, ratio, spill10, shuf10, peak10, ok,
+        note10.take(200))
+      println(f"SCALE10 ${if (r.ok) "ok " else "FAIL"} $name " +
+        f"${r.secBase}%.2f s -> ${r.secBig}%.2f s (x${r.ratio}%.2f) " +
+        f"spill=${r.spillBytes} shufWrite=${r.shuffleWrite}")
+      r
+    }
+
+    def block(rs: Seq[SweepResult], loField: String, hiField: String) =
+      rs.map(r =>
+        "\"" + r.name + "\":{\"" + loField + "\":" + f"${r.secBase}%.3f" +
+          ",\"" + hiField + "\":" + f"${r.secBig}%.3f" +
+          ",\"ratio\":" + f"${r.ratio}%.2f" +
+          ",\"ok\":" + r.ok +
+          ",\"spillBytes\":" + r.spillBytes +
+          ",\"shuffleWriteBytes\":" + r.shuffleWrite +
+          ",\"peakExecMem\":" + r.peakExecMem +
+          (if (r.note.nonEmpty) ",\"note\":\"" + jsonEscape(r.note) + "\"" else "") +
+          "}").mkString("{", ",", "}")
     val line = s"""{"scale_ok":${results.forall(_.ok)},"factor":$Factor,""" +
-      s""""max_ratio":$MaxRatio,"queries":$entries}"""
+      s""""max_ratio":$MaxRatio,"queries":${block(results, "sf01_sec", "sf1_sec")},""" +
+      s""""scale10_ok":${results10.forall(_.ok)},"factor10":$Factor10,""" +
+      s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    if (results.exists(!_.ok)) sys.exit(1)
+    if ((results ++ results10).exists(!_.ok)) sys.exit(1)
     spark.stop()
+  }
+
+  /** JSON string escape for the note field: quotes, backslashes and
+    * control characters (exception messages carry all three) — a raw
+    * replace of quotes alone left the committed artifact invalid JSON
+    * whenever a message contained a backslash or newline.
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.result()
   }
 
   // --- amplified-fixture generation ------------------------------------
@@ -160,7 +213,7 @@ object ScaleSweep {
   private val Off = 10000000L
 
   def generateIfAbsent(spark: SparkSession, base: String,
-                       big: String): Unit = {
+                       big: String, factor: Int = Factor): Unit = {
     val marker = new java.io.File(s"$big/_GENERATED")
     if (marker.exists()) return
     import spark.implicits._
@@ -168,7 +221,7 @@ object ScaleSweep {
     // documents: copy-specific token interleaved every 4 words
     val docs = Tables.load(spark, base, "documents")
       .as[(Long, String, String, String, Long)]
-    amplified(spark, docs) { case ((id, text, lang, source, _), i) =>
+    amplified(spark, docs, factor) { case ((id, text, lang, source, _), i) =>
       val t = perturbText(text, i)
       (id + i * Off, t, lang, source, t.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -177,19 +230,20 @@ object ScaleSweep {
     // embeddings: per-copy diagonal sign flip (intra-copy isometry)
     val emb = Tables.load(spark, base, "embeddings")
       .as[(Long, Array[Float], Int)]
-    amplified(spark, emb) { case ((id, v, label), i) =>
+    amplified(spark, emb, factor) { case ((id, v, label), i) =>
       (id + i * Off, flipSigns(v, i), label)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
-    // orders + lineitem: consistently offset keys → 10 disjoint graphs
+    // orders + lineitem: consistently offset keys → `factor` disjoint
+    // copies of the same bipartite graph
     val orders = Tables.load(spark, base, "orders")
-    unioned(orders) { (df, i) =>
+    unioned(orders, factor) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100 * Off))
         .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
     }.write.mode("overwrite").parquet(s"$big/orders.parquet")
     val li = Tables.load(spark, base, "lineitem")
-    unioned(li) { (df, i) =>
+    unioned(li, factor) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100 * Off))
         .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
@@ -197,7 +251,7 @@ object ScaleSweep {
 
     // events: the ScaleStress amplification convention
     val ev = Tables.load(spark, base, "events")
-    unioned(ev) { (df, i) =>
+    unioned(ev, factor) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * Off))
         .withColumn("user_id", col("user_id") + lit(i * Off))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i % 6} MONTHS"))
@@ -214,14 +268,14 @@ object ScaleSweep {
   }
 
   private def amplified[T, U: org.apache.spark.sql.Encoder](
-      spark: SparkSession, ds: org.apache.spark.sql.Dataset[T])(
+      spark: SparkSession, ds: org.apache.spark.sql.Dataset[T], factor: Int)(
       f: (T, Long) => U): org.apache.spark.sql.Dataset[U] =
-    (0 until Factor).map(i => ds.map(r => f(r, i.toLong)))
+    (0 until factor).map(i => ds.map(r => f(r, i.toLong)))
       .reduce(_.unionAll(_))
 
-  private def unioned(df: DataFrame)(f: (DataFrame, Long) => DataFrame)
-      : DataFrame =
-    (0 until Factor).map(i => f(df, i.toLong)).reduce(_.unionByName(_))
+  private def unioned(df: DataFrame, factor: Int)(
+      f: (DataFrame, Long) => DataFrame): DataFrame =
+    (0 until factor).map(i => f(df, i.toLong)).reduce(_.unionByName(_))
 
   /** Interleave a copy-specific, position-varying token every 4 words:
     * copy 0 is the original; other copies keep every intra-copy shingle

@@ -26,8 +26,17 @@ import org.apache.spark.sql.types._
   * not a dictionary, it's a join. `dict_get` returns NULL on a missing
   * key (CH `dictGetOrNull`); `dict_get_or_default(d, a, key, dflt)` is
   * CH `dictGetOrDefault`. Refresh = call [[Dictionaries.create]] again
-  * (the TTL loop lives in [[graft.pipeline.DictionaryRefresh]]); the
-  * old broadcast is released.
+  * (the TTL loop lives in [[graft.pipeline.DictionaryRefresh]]).
+  *
+  * Refresh is DRAIN-SAFE: the displaced broadcast is `unpersist`ed
+  * (lazily), never `destroy`ed — unpersist drops the executor copies
+  * but keeps the driver value, so a query mid-flight (or a cached
+  * plan) still bound to the old `Dict` re-fetches and finishes with
+  * the snapshot it started with. That is exactly CH's LIFETIME
+  * contract (create_tables.sql:48-67): a reload never aborts running
+  * queries, it only changes what NEW queries see. `destroy()` (which
+  * frees the driver value too and makes any later use throw) is
+  * reserved for [[Dictionaries.drop]], the explicit teardown.
   */
 object Dictionaries {
 
@@ -78,8 +87,12 @@ object Dictionaries {
             s"(hashed layout requires unique keys)")
     }
     val bc = spark.sparkContext.broadcast(map)
+    // drain-safe swap: unpersist (not destroy) the displaced broadcast —
+    // in-flight queries bound to it re-fetch from the retained driver
+    // value and complete; executor blocks are freed; ContextCleaner
+    // reclaims the driver copy once the last plan reference is gone
     Option(registry.put(name, Dict(keyType, attrs, bc)))
-      .foreach(_.bc.destroy())
+      .foreach(_.bc.unpersist(blocking = false))
     register(spark)
   }
 

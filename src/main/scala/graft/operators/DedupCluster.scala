@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object DedupCluster {
 
+  /** Fully releases a discarded loop frame. `Dataset.unpersist` only
+    * drops CacheManager entries — for a `localCheckpoint`ed frame the
+    * data lives as RDD-level blocks behind a `LogicalRDD`, which plain
+    * unpersist does NOT free, so each round's edge blocks would linger
+    * until ContextCleaner GC (unbounded storage growth across rounds on
+    * a long loop). Unpersist both layers; for plain-persist frames the
+    * RDD arm is a no-op.
+    */
+  private[operators] def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** @param pairs columns (id_a, id_b) — undirected near-dup edges
     * @param maxRounds round budget; convergence needs component
     *        diameter + 1 rounds (one per hop plus a final zero-change
@@ -81,11 +98,11 @@ object DedupCluster {
       val changed = materialized
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .filter(col("cluster_id") =!= col("prev")).count()
-      if (labels ne pinned) labels.unpersist(blocking = false)
+      if (labels ne pinned) release(labels)
       if (isCut) {
         // the new cut truncates lineage at `materialized`; nothing
         // downstream can reach the previous cut's blocks any more
-        if (pinned != null) pinned.unpersist(blocking = false)
+        if (pinned != null) release(pinned)
         pinned = if (reliable) null else materialized
       }
       labels = materialized
@@ -100,8 +117,8 @@ object DedupCluster {
       // blocks, so no recompute), then release both loop frames. The
       // caller releases the returned frame as documented.
       val out = labels.localCheckpoint(eager = true)
-      labels.unpersist(blocking = false)
-      pinned.unpersist(blocking = false)
+      release(labels)
+      release(pinned)
       (out, converged)
     }
   }
@@ -262,9 +279,9 @@ object DedupCluster {
         materialized.join(edges, Seq("src", "dst"), "left_anti")
           .limit(1).count() > 0
       t = lap("anti-join probe", t)
-      if (edges ne pinned) edges.unpersist(blocking = false)
+      if (edges ne pinned) release(edges)
       if (isCut) {
-        if (pinned != null) pinned.unpersist(blocking = false)
+        if (pinned != null) release(pinned)
         pinned = if (reliable) null else materialized
       }
       edges = materialized
@@ -277,8 +294,8 @@ object DedupCluster {
           f"t=${(System.nanoTime() - tInit) / 1e9}%.1f s")
     }
     if (!converged) {
-      edges.unpersist(blocking = false)
-      if (pinned != null && (pinned ne edges)) pinned.unpersist(blocking = false)
+      release(edges)
+      if (pinned != null && (pinned ne edges)) release(pinned)
       throw new IllegalStateException(
         s"DedupCluster.componentsAlternating: no fixpoint after " +
           s"$maxRounds rounds — star contraction needs ~log2(n) rounds, " +
@@ -291,8 +308,8 @@ object DedupCluster {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
     val out = Dedup.materializeDetached(labels)
-    edges.unpersist(blocking = false)
-    if (pinned != null) pinned.unpersist(blocking = false)
+    release(edges)
+    if (pinned != null && (pinned ne edges)) release(pinned)
     out
   }
 

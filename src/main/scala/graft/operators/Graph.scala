@@ -118,7 +118,6 @@ object Graph {
     */
   def silhouette(vectors: DataFrame, idCol: String, vecCol: String,
                  labels: DataFrame, maxEval: Long = 10000L): DataFrame = {
-    val spark = vectors.sparkSession
     // persisted once: the labeled join otherwise re-evaluates for the
     // guard count AND for each cross-join side (3 computations). The
     // cache outlives the call (the result is lazy) but is bounded by
@@ -139,9 +138,64 @@ object Graph {
             "raise maxEval deliberately")
       }
     }
-    val a = v.select(col("id").as("ida"), col("cluster_id").as("ca"),
+    silhouetteScores(v, v)
+  }
+
+  /** Sampled silhouette — the SCALE path: the right side of the
+    * pairwise pass is a bounded, deterministic stratified sample (up to
+    * `perCluster` representatives per cluster, chosen by a stable hash
+    * of the id), so cost is O(n · sample) instead of O(n²) and the
+    * broadcast side is the sample, never the corpus. No input-size
+    * guard needed — [[silhouette]]'s `maxEval` cap is the EXACT path's
+    * hard bound; here the sample size IS the knob, and only the sample
+    * itself is guarded (`maxSampleRows`, the broadcast bound).
+    *
+    * Estimator contract: a(i)/b(i) become means over the sampled
+    * members of each cluster — unbiased for the true per-cluster mean
+    * distances; in the FULL-COVERAGE regime (perCluster ≥ every cluster
+    * size) every pair is present and the result is EXACTLY
+    * [[silhouette]] (the hash order stops mattering once nothing is
+    * dropped) — the regime the oracle row pins, per the KMV-exactness
+    * convention. Sampling noise shrinks as 1/√perCluster; GraphSpec
+    * pins an agreement band at perCluster = 8 on the fixture.
+    */
+  def silhouetteSampled(vectors: DataFrame, idCol: String, vecCol: String,
+                        labels: DataFrame, perCluster: Int = 256,
+                        maxSampleRows: Long = 100000L): DataFrame = {
+    require(perCluster >= 2,
+      "silhouetteSampled: perCluster must be >= 2 (own-cluster means " +
+        "need at least one non-self representative)")
+    import org.apache.spark.sql.expressions.Window
+    // lazy — deliberately NOT persisted: the corpus-scale side is
+    // streamed once by the final pass; only the bounded sample is pinned
+    val v = vectors.join(labels, vectors(idCol) === labels("id"))
+      .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
+    val sampled = v.withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("rnk") <= perCluster).drop("rnk")
+      .persist()
+    val nSample = sampled.count()
+    if (maxSampleRows > 0 && nSample > maxSampleRows) {
+      sampled.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"silhouetteSampled: $nSample sampled rows > maxSampleRows=" +
+          s"$maxSampleRows — the sample is broadcast whole, so with this " +
+          "many clusters lower perCluster (or raise maxSampleRows only " +
+          "if every executor can hold the sample)")
+    }
+    silhouetteScores(v, sampled)
+  }
+
+  /** Shared silhouette tail: pairwise 10⁻⁶-unit distances from every
+    * `all` row to every (broadcast) `bSide` row, per-(point, cluster)
+    * means, own vs min-foreign, (b−a)/max(a,b) with pround(6).
+    */
+  private def silhouetteScores(all: DataFrame, bSide: DataFrame): DataFrame = {
+    val spark = all.sparkSession
+    val a = all.select(col("id").as("ida"), col("cluster_id").as("ca"),
       col("v").as("va"))
-    val b = v.select(col("id").as("idb"), col("cluster_id").as("cb"),
+    val b = bSide.select(col("id").as("idb"), col("cluster_id").as("cb"),
       col("v").as("vb"))
     val d6 = floor((lit(1.0) -
       Similarity.cosineFused(spark, col("va"), col("vb"))) * lit(1.0e6)
@@ -158,7 +212,7 @@ object Graph {
     val s = when(col("a6").isNull || col("b6").isNull ||
         greatest(col("a6"), col("b6")) <= 0, lit(0.0))
       .otherwise((col("b6") - col("a6")) / greatest(col("a6"), col("b6")))
-    v.join(own, Seq("id"), "left").join(other, Seq("id"), "left")
+    all.join(own, Seq("id"), "left").join(other, Seq("id"), "left")
       .select(col("id"), col("cluster_id"),
         graft.functions.Rounding.pround(s, 6).as("sil"))
   }

@@ -965,6 +965,21 @@ object Extensions {
         .orderBy("vec_id")
     }),
 
+    // Sampled silhouette pinned in its FULL-COVERAGE regime (perCluster
+    // ≥ every cluster size ⇒ the estimator degenerates to the exact
+    // metric — the KMV-exactness convention): proves the O(n·sample)
+    // scale path computes the same statistic the quadratic diagnostic
+    // does. GraphSpec separately bounds the estimator error at a
+    // genuinely small perCluster.
+    "emb_silhouette_sampled" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").filter(col("vec_id") < KnnSlice)
+      val labels = Graph.knnClusters(sub, "vec_id", "embedding", k = KnnK)
+      Graph.silhouetteSampled(sub, "vec_id", "embedding", labels,
+        perCluster = KnnSlice)
+        .select(col("id").as("vec_id"), col("cluster_id"), col("sil"))
+        .orderBy("vec_id")
+    }),
+
     // Retrieval/RAG-style sliding-window chunking: one row per
     // overlapping 64-word window (stride 48 → 16 words of shared
     // context). Pure array codegen + posexplode — the shape that turns
@@ -3656,6 +3671,32 @@ object Extensions {
     // distances (unit cancels in the ratio), per-(vector, cluster)
     // means, min over foreign clusters, pround(6) only at the end.
     "emb_cluster_silhouette" ->
+      s"""WITH RECURSIVE $knnClustersCte,
+         |va AS (
+         |  SELECT s.vec_id AS id, cc.cluster_id, s.embedding AS v
+         |  FROM sub s JOIN cc ON cc.id = s.vec_id),
+         |pd AS (
+         |  SELECT x.id AS ida, x.cluster_id AS ca, y.cluster_id AS cb,
+         |    CAST(floor((1.0 - ${cosSql("x.v", "y.v")}) * 1000000.0 + 0.5)
+         |         AS BIGINT) AS d6
+         |  FROM va x JOIN va y ON y.id <> x.id),
+         |mm AS (
+         |  SELECT ida, ca, cb, CAST(sum(d6) AS DOUBLE) / count(*) AS m
+         |  FROM pd GROUP BY 1, 2, 3),
+         |aa AS (SELECT ida AS id, m AS a6 FROM mm WHERE ca = cb),
+         |bb AS (SELECT ida AS id, min(m) AS b6 FROM mm WHERE ca <> cb
+         |       GROUP BY 1)
+         |SELECT va.id AS vec_id, va.cluster_id,
+         |  ${Rounding.sqlPround(
+             "CASE WHEN aa.a6 IS NULL OR bb.b6 IS NULL " +
+               "OR greatest(aa.a6, bb.b6) <= 0 THEN 0.0 " +
+               "ELSE (bb.b6 - aa.a6) / greatest(aa.a6, bb.b6) END", 6)} AS sil
+         |FROM va LEFT JOIN aa ON aa.id = va.id
+         |LEFT JOIN bb ON bb.id = va.id
+         |ORDER BY vec_id""".stripMargin,
+
+    // Full-coverage sampled silhouette ≡ exact silhouette: same CTE.
+    "emb_silhouette_sampled" ->
       s"""WITH RECURSIVE $knnClustersCte,
          |va AS (
          |  SELECT s.vec_id AS id, cc.cluster_id, s.embedding AS v

@@ -307,6 +307,37 @@ object Pipelines {
       } finally q.stop()
     }),
 
+    // Streaming ⇄ batch dict_get parity: foreachBatch enriches each
+    // micro-batch through the SQL dictionary surface (the same
+    // codegen'd broadcast probe the batch J1 row uses) and appends to
+    // the target. The final target must equal the one-shot batch
+    // enrichment — the last seam between the two tiers closed by an
+    // oracle row, and the shape a DictionaryRefresh-driven streaming
+    // job has between dictionary reloads.
+    "streaming_dict_enrich" -> ((s, dir) => {
+      graft.functions.Dictionaries.create(s, "sd_customers",
+        Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_mktsegment"), "c_custkey")
+      val staged = scratch("graft_sdict_src")
+      Tables.load(s, dir, "events").write.parquet(staged)
+      val target = scratch("graft_sdict_out")
+      val q = graft.streaming.EventStream.readEvents(s, staged)
+        .writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", scratch("graft_sdict_ckpt"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.selectExpr("event_id", "user_id",
+            "dict_get_or_default('sd_customers', 'c_name', user_id, " +
+              "'undefined') AS user_name",
+            "dict_get_or_default('sd_customers', 'c_mktsegment', " +
+              "user_id, 'undefined') AS segment")
+            .write.mode("append").parquet(target)
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(target).orderBy("event_id")
+    }),
+
     // S7: CSV bulk load with the reference dialect (header, ';', NULL
     // literal, quoting disabled — hook:92-112) — write+read round trip
     // must be lossless against the source.
@@ -355,6 +386,23 @@ object Pipelines {
       // flag-byte layout, so it must be the writer's exact StructType
       graft.sources.RowBinary.read(s, path, e.schema)
         .orderBy("event_id")
+    }),
+
+    // RowBinary Decimal lanes: a money-typed lineitem slice rides the
+    // transport as Decimal32/64/128 (unscaled LE ints sized by
+    // precision) and must round-trip value-exactly. Quantities are
+    // integral, so the decimal↔float bridge at the oracle compare is
+    // exact by construction.
+    "rowbinary_decimal_roundtrip" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(9,2)").as("qty_d32"),
+          col("l_quantity").cast("decimal(18,4)").as("qty_d64"),
+          (-col("l_quantity")).cast("decimal(38,10)").as("qty_d128"))
+      val path = scratch("graft_rowbinary_dec")
+      graft.sources.RowBinary.write(li, path)
+      graft.sources.RowBinary.read(s, path, li.schema)
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // S10/S11: multi-statement script runner with {{ params.* }}
@@ -521,12 +569,24 @@ object Pipelines {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w, event_type,
         |       count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+    "streaming_dict_enrich" ->
+      """SELECT e.event_id, e.user_id,
+        |       coalesce(c.c_name, 'undefined') AS user_name,
+        |       coalesce(c.c_mktsegment, 'undefined') AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "csv_bulk_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "jsoneachrow_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "rowbinary_decimal_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_quantity AS DECIMAL(9,2)) AS qty_d32,
+        |       CAST(l_quantity AS DECIMAL(18,4)) AS qty_d64,
+        |       CAST(-l_quantity AS DECIMAL(38,10)) AS qty_d128
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "multimodal_webm_meta" ->
       """SELECT doc_id, 'webm' AS doc_type, 'V_VP9' AS codec,
         |       CAST(32 + (doc_id % 12) * 16 AS INT) AS width,

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * numerics little-endian, String as unsigned-LEB128 length + UTF-8
   * bytes, Array as LEB128 count + elements, Nullable(T) as a 0x00/0x01
   * flag byte before the value, DateTime64(6) as Int64 epoch-µs, Date32
-  * as Int32 epoch-days. Because lengths are embedded, the format is NOT
+  * as Int32 epoch-days, Decimal(P,S) as the unscaled integer in a
+  * fixed-width LE lane sized by precision (Decimal32/64/128). Because lengths are embedded, the format is NOT
   * line-splittable — a file is a unit of work. Parallelism therefore
   * comes from the FILE COUNT, exactly like CH's per-shard insert
   * streams: the writer emits one file per input partition (size files
@@ -52,12 +53,22 @@ object RowBinary {
     case BinaryType => "String"
     case TimestampType => "DateTime64(6)"
     case DateType => "Date32"
+    case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
     case ArrayType(e, n) =>
       s"Array(${if (n) s"Nullable(${chType(e)})" else chType(e)})"
     case other =>
       throw new IllegalArgumentException(
         s"RowBinary: unsupported Spark type $other")
   }
+
+  /** CH carries Decimal(P,S) as the UNSCALED integer in a fixed-width
+    * little-endian two's-complement lane sized by precision alone:
+    * Decimal32 (P≤9) = Int32, Decimal64 (P≤18) = Int64, Decimal128
+    * (P≤38) = Int128. Spark's DecimalType caps at P=38, so Int256
+    * never occurs.
+    */
+  private def decimalWidth(p: Int): Int =
+    if (p <= 9) 4 else if (p <= 18) 8 else 16
 
   // --- write -----------------------------------------------------------
 
@@ -141,6 +152,31 @@ object RowBinary {
       case DateType =>
         writeIntLE(out,
           Math.toIntExact(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay))
+      case d: DecimalType =>
+        // setScale with no rounding mode throws on a scale mismatch —
+        // the wire scale is the schema's, a silent re-quantize would be
+        // a data change
+        val unscaled = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue()
+        decimalWidth(d.precision) match {
+          case 4 => writeIntLE(out, unscaled.intValueExact())
+          case 8 => writeLongLE(out, unscaled.longValueExact())
+          case _ =>
+            // two's-complement big-endian from BigInteger, sign-extended
+            // to 16 bytes, emitted reversed (little-endian)
+            if (unscaled.bitLength() > 127)
+              throw new IllegalArgumentException(
+                s"RowBinary: decimal overflow in column '$name': " +
+                  s"$unscaled does not fit Decimal128")
+            val be = unscaled.toByteArray
+            val pad = if (unscaled.signum() < 0) 0xff else 0x00
+            var i = 0
+            while (i < 16) { // LE byte i = BE byte counted from the end
+              val j = be.length - 1 - i
+              out.write(if (j >= 0) be(j).toInt else pad)
+              i += 1
+            }
+        }
       case ArrayType(elem, containsNull) =>
         val xs = v.asInstanceOf[scala.collection.Seq[Any]]
         writeVarint(out, xs.length.toLong)
@@ -224,18 +260,28 @@ object RowBinary {
       case DoubleType => bb.getDouble()
       case BooleanType => bb.get() != 0
       case StringType =>
-        val n = readVarint(bb)
-        val b = new Array[Byte](n); bb.get(b)
+        val b = readLengthPrefixed(bb)
         new String(b, StandardCharsets.UTF_8)
-      case BinaryType =>
-        val n = readVarint(bb)
-        val b = new Array[Byte](n); bb.get(b); b
+      case BinaryType => readLengthPrefixed(bb)
       case TimestampType =>
         val us = bb.getLong()
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
       case DateType =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(bb.getInt().toLong))
+      case d: DecimalType =>
+        val unscaled = decimalWidth(d.precision) match {
+          case 4 => java.math.BigInteger.valueOf(bb.getInt().toLong)
+          case 8 => java.math.BigInteger.valueOf(bb.getLong())
+          case _ =>
+            val le = new Array[Byte](16)
+            bb.get(le)
+            val be = new Array[Byte](16) // reverse LE → BE for BigInteger
+            var i = 0
+            while (i < 16) { be(i) = le(15 - i); i += 1 }
+            new java.math.BigInteger(be)
+        }
+        new java.math.BigDecimal(unscaled, d.scale)
       case ArrayType(elem, containsNull) =>
         val n = readVarint(bb)
         val xs = new Array[Any](n)
@@ -246,6 +292,21 @@ object RowBinary {
         throw new IllegalArgumentException(
           s"RowBinary: unsupported Spark type $other")
     }
+  }
+
+  /** Varint length + payload bytes. The length is validated against the
+    * REMAINING buffer before allocating: a corrupt stream or schema
+    * mismatch must hit the documented loud truncation error, not a
+    * multi-GB speculative allocation/OOM.
+    */
+  private def readLengthPrefixed(bb: ByteBuffer): Array[Byte] = {
+    val n = readVarint(bb)
+    if (n > bb.remaining())
+      throw new IllegalStateException(
+        s"RowBinary: truncated stream at byte ${bb.position()} — " +
+          s"length $n exceeds the ${bb.remaining()} bytes remaining " +
+          "(schema mismatch or corrupt file)")
+    val b = new Array[Byte](n); bb.get(b); b
   }
 
   private def readVarint(bb: ByteBuffer): Int = {

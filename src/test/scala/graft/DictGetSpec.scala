@@ -97,6 +97,66 @@ class DictGetSpec extends SparkSpec {
     intercept[Exception] { q.collect() }
   }
 
+  test("refresh is drain-safe: a plan bound BEFORE the refresh still " +
+      "evaluates after it (old snapshot), instead of dying on a " +
+      "destroyed broadcast — the CH LIFETIME reload contract") {
+    Dictionaries.create(spark, "dg_drain", dim, "k")
+    Seq(1L, 2L).toDF("uid").createOrReplaceTempView("dg_drain_f")
+    val bound = spark.sql(
+      "SELECT dict_get('dg_drain', 'name', uid) FROM dg_drain_f")
+    // force analysis + physical planning: the expression is now bound
+    // to the CURRENT broadcast object
+    bound.queryExecution.executedPlan
+    Dictionaries.create(spark, "dg_drain",
+      Seq((1L, "ALICE2", "Y"), (2L, "BOB2", "Z"))
+        .toDF("k", "name", "segment"), "k")
+    // the displaced broadcast was unpersisted, not destroyed: the bound
+    // plan re-fetches the driver value and serves its original snapshot
+    assert(bound.as[String].collect().toSet == Set("alice", "bob"))
+    // new plans see the refreshed dictionary
+    assert(spark.sql(
+      "SELECT dict_get('dg_drain', 'name', uid) FROM dg_drain_f")
+      .as[String].collect().toSet == Set("ALICE2", "BOB2"))
+  }
+
+  test("refresh under concurrent queries: a TTL loop re-creating the " +
+      "dictionary while queries run never aborts one, and every result " +
+      "is a consistent snapshot") {
+    Dictionaries.create(spark, "dg_race",
+      Seq((1L, "a0", "S"), (2L, "b0", "S")).toDF("k", "name", "segment"),
+      "k")
+    Seq(1L, 2L).toDF("uid").createOrReplaceTempView("dg_race_f")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val refresherErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val refresher = new Thread(() => {
+      var gen = 0L
+      try while (!stop.get()) {
+        gen += 1
+        Dictionaries.create(spark, "dg_race",
+          Seq((1L, s"a$gen", "S"), (2L, s"b$gen", "S"))
+            .toDF("k", "name", "segment"), "k")
+      } catch { case t: Throwable => refresherErr.set(t) }
+    })
+    refresher.start()
+    try {
+      (1 to 40).foreach { _ =>
+        // each query binds whatever generation is current at analysis
+        // time; with destroy-on-refresh this collect() throws
+        // "Broadcast used after destroy" under the racing refresher
+        val rows = spark.sql(
+          """SELECT uid, dict_get('dg_race', 'name', uid) AS n
+            |FROM dg_race_f""".stripMargin)
+          .as[(Long, String)].collect().toMap
+        // snapshot consistency: both keys answer from ONE generation
+        assert(rows.keySet == Set(1L, 2L))
+        assert(rows(1L).stripPrefix("a") == rows(2L).stripPrefix("b"),
+          s"torn snapshot: $rows")
+      }
+    } finally { stop.set(true); refresher.join(30000) }
+    assert(refresherErr.get() == null,
+      s"refresher thread failed: ${refresherErr.get()}")
+  }
+
   test("timestamp and non-string attribute types round through the " +
       "internal representation") {
     val d = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),

@@ -153,6 +153,46 @@ class GraphSpec extends SparkSpec {
       "seeding every node must reduce to uniform PageRank exactly")
   }
 
+  test("silhouetteSampled: full coverage equals exact silhouette " +
+      "row-for-row; a small sample stays inside the agreement band; no " +
+      "input-size bound (the guard is on the SAMPLE, loud)") {
+    // 3 gaussian-ish blobs of 30, spread enough that exact silhouette
+    // is high but not degenerate
+    def blob(ids: Range, axis: Int) = ids.map { id =>
+      val v = Array.fill(4)(0.02f * (id % 7))
+      v(axis) = 1f
+      v(3) += 0.005f * (id % 11)
+      (id.toLong, v)
+    }
+    val vecs = (blob(1 to 30, 0) ++ blob(101 to 130, 1) ++
+      blob(201 to 230, 2)).toDF("vec_id", "embedding")
+    val labels = vecs.select($"vec_id".as("id"),
+      ($"vec_id" / 100).cast("long").as("cluster_id"))
+    val exact = Graph.silhouette(vecs, "vec_id", "embedding", labels,
+      maxEval = 0L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // full coverage (perCluster >= every cluster size) ≡ exact
+    val full = Graph.silhouetteSampled(vecs, "vec_id", "embedding", labels,
+      perCluster = 30)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(full == exact, "full-coverage sample must equal the exact metric")
+    // small sample: every point still scored, mean abs deviation bounded
+    val approx = Graph.silhouetteSampled(vecs, "vec_id", "embedding",
+      labels, perCluster = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(approx.keySet == exact.keySet,
+      "the sampled estimator must score EVERY point, not just the sample")
+    val mad = exact.keys.map(k => math.abs(approx(k) - exact(k))).sum /
+      exact.size
+    assert(mad < 0.1, s"mean abs deviation $mad out of band at perCluster=8")
+    // no corpus-size guard on the sampled path — only the sample bound
+    val e = intercept[IllegalStateException] {
+      Graph.silhouetteSampled(vecs, "vec_id", "embedding", labels,
+        perCluster = 30, maxSampleRows = 10L)
+    }
+    assert(e.getMessage.contains("maxSampleRows"))
+  }
+
   test("silhouette: an over-maxEval slice fails loudly instead of " +
       "broadcasting the corpus into the quadratic crossJoin") {
     val big = spark.range(0, 50).select($"id".as("vec_id"),

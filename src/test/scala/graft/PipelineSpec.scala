@@ -153,6 +153,35 @@ class PipelineSpec extends SparkSpec {
     assert(loads == 2)
   }
 
+  test("TTL loop also drives the dict_get SQL surface: one reload " +
+      "refreshes both the join-form frame and the SQL dictionary, and " +
+      "a plan bound before the reload drains safely") {
+    var now = 0L
+    var gen = 0
+    val dict = DictionaryRefresh.asSqlDict(spark, "dr_sql", "k",
+      () => { gen += 1; Seq((1L, s"v$gen")).toDF("k", "name") },
+      ttlMillis = 1000, clock = () => now)
+    Seq(1L).toDF("uid").createOrReplaceTempView("dr_sql_f")
+    def sqlAnswer = spark.sql(
+      "SELECT dict_get('dr_sql', 'name', uid) FROM dr_sql_f")
+    // first get(): join form and SQL form serve the same snapshot
+    val join1 = dict.get()
+    assert(join1.as[(Long, String)].head() == ((1L, "v1")))
+    assert(sqlAnswer.as[String].head() == "v1")
+    // bind a plan against generation 1, then cross the TTL boundary
+    val bound = sqlAnswer
+    bound.queryExecution.executedPlan
+    now = 1500
+    assert(dict.get().as[(Long, String)].head() == ((1L, "v2")))
+    assert(sqlAnswer.as[String].head() == "v2")
+    // the pre-reload plan still answers from its own snapshot (the
+    // drain-safe unpersist swap), never a destroyed-broadcast error
+    assert(bound.as[String].head() == "v1")
+    // within TTL: no further reload on either surface
+    dict.get()
+    assert(gen == 2 && sqlAnswer.as[String].head() == "v2")
+  }
+
   test("script runner substitutes params and executes statements in order (S10/S11)") {
     val out = graft.sources.IO.runScript(spark,
       """CREATE OR REPLACE TEMP VIEW sr_test AS SELECT {{ params.n }} AS x;

@@ -58,6 +58,77 @@ class RowBinarySpec extends SparkSpec {
     assert((b(0) & 0xff) == 0xc8 && b(1) == 1 && b.length == 202)
   }
 
+  test("golden bytes: Decimal lanes are the unscaled int, LE, sized by " +
+      "precision alone — Decimal32/64/128 for P≤9/18/38") {
+    val schema = StructType(Seq(
+      StructField("d9", DecimalType(9, 2), nullable = false),
+      StructField("d18", DecimalType(18, 4), nullable = false),
+      StructField("d38", DecimalType(38, 10), nullable = false)))
+    val df = spark.createDataFrame(java.util.List.of(Row(
+      new java.math.BigDecimal("123.45"),     // unscaled 12345 = 0x3039
+      new java.math.BigDecimal("-1.0001"),    // unscaled -10001
+      new java.math.BigDecimal("-2.0000000001") // unscaled -20000000001
+    )), schema).coalesce(1)
+    val dir = tmp("graft_rb_dec")
+    RowBinary.write(df, dir)
+    val b = allBytes(dir)
+    assert(b.length == 4 + 8 + 16)
+    // Decimal32: 12345 = 0x00003039 → LE 39 30 00 00
+    assert(b.take(4).map(_ & 0xff).toSeq == Seq(0x39, 0x30, 0x00, 0x00))
+    // Decimal64: -10001 = 0x...FFFFD8EF → LE EF D8 FF FF FF FF FF FF
+    assert(b.slice(4, 12).map(_ & 0xff).toSeq ==
+      Seq(0xef, 0xd8, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff))
+    // Decimal128: -20000000001 = -0x4A817C801 → two's complement
+    // 0x...FFFB57E837FF → LE FF 37 E8 57 FB FF*11
+    assert(b.slice(12, 28).map(_ & 0xff).toSeq ==
+      Seq(0xff, 0x37, 0xe8, 0x57, 0xfb) ++ Seq.fill(11)(0xff))
+  }
+
+  test("decimal roundtrip: all three lane widths, negatives, nulls and " +
+      "extreme unscaled values survive; scale mismatch fails loudly") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d9", DecimalType(9, 2)),
+      StructField("d18", DecimalType(18, 0)),
+      StructField("d38", DecimalType(38, 10))))
+    val maxD18 = new java.math.BigDecimal(new java.math.BigInteger("9" * 18))
+    val maxD38 = new java.math.BigDecimal(
+      new java.math.BigInteger("9" * 38), 10)
+    val rows = java.util.List.of(
+      Row(1L, new java.math.BigDecimal("0.01"),
+        maxD18,
+        maxD38),
+      Row(2L, new java.math.BigDecimal("-9999999.99"),
+        maxD18.negate(),
+        maxD38.negate()),
+      Row(3L, null, null, null))
+    val df = spark.createDataFrame(rows, schema).coalesce(1)
+    val dir = tmp("graft_rb_dec_rt")
+    RowBinary.write(df, dir)
+    val back = RowBinary.read(spark, dir, schema).orderBy("id").collect()
+    assert(back.map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(RowBinary.chType(DecimalType(9, 2)) == "Decimal(9, 2)")
+    assert(RowBinary.chType(DecimalType(38, 10)) == "Decimal(38, 10)")
+  }
+
+  test("loud failure: a length prefix past the end of the buffer " +
+      "reports truncation instead of attempting the allocation") {
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val dir = tmp("graft_rb_len")
+    new java.io.File(dir).mkdirs()
+    // varint 0xC0 0x84 0x3D = 1000000 declared bytes, only 2 present
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.rowbinary"),
+      Array[Byte](0xc0.toByte, 0x84.toByte, 0x3d, 0x61, 0x62))
+    val err = intercept[Exception] {
+      RowBinary.read(spark, dir, schema).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(chain.exists(m => m.contains("truncated") && m.contains("exceeds")))
+  }
+
   test("roundtrip: every supported type survives, including µs " +
       "timestamps, Date32, Bool, Binary, Array(Float32) and NULLs") {
     val schema = StructType(Seq(
