@@ -66,6 +66,16 @@ object ScaleSweep {
     * knee-hunt the 100 TB posture rests on. Bounded to the heavy tier
     * because the sf10 fixtures are ~1.7 GB parquet / ~6 GB shuffle on
     * the graph entries; the light tier adds wall-clock, not evidence.
+    *
+    * RUN DECADE 2 WITH HEAP SCALED TO DATA (`SPARK_DRIVER_MEM=64g`):
+    * on a cluster, 10× data comes with ~10× aggregate executor memory;
+    * holding one box's 8 GB heap constant while data grows 100× from
+    * sf0.1 measures the heap, not the plans — the first 8 GB run
+    * spilled ~96 GB on `graph_pagerank` purely from a ~75 MB/task
+    * execution budget. SCALE.json records `heap_gb` so the artifact is
+    * self-describing. That first run also caught a REAL knee: the HITS
+    * normalization total overflowed int64 at 60 M edges (|E|·10¹²
+    * units), fixed by 128-bit DECIMAL sums in [[operators.Graph.hits]].
     */
   val Sweep10: Seq[String] = Seq(
     "dedup_minhash_verified",
@@ -177,8 +187,10 @@ object ScaleSweep {
           ",\"peakExecMem\":" + r.peakExecMem +
           (if (r.note.nonEmpty) ",\"note\":\"" + jsonEscape(r.note) + "\"" else "") +
           "}").mkString("{", ",", "}")
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     val line = s"""{"scale_ok":${results.forall(_.ok)},"factor":$Factor,""" +
-      s""""max_ratio":$MaxRatio,"queries":${block(results, "sf01_sec", "sf1_sec")},""" +
+      s""""max_ratio":$MaxRatio,"heap_gb":$heapGb,""" +
+      s""""queries":${block(results, "sf01_sec", "sf1_sec")},""" +
       s""""scale10_ok":${results10.forall(_.ok)},"factor10":$Factor10,""" +
       s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),

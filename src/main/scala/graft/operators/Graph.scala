@@ -405,7 +405,12 @@ object Graph {
     * Iteration k: `a_raw(i) = Σ_{j→i} hq_{k−1}(j)` (exact integer
     * sum), L1-normalize and re-quantize `aq = floor(a_raw/Σa_raw ·
     * 10¹² + 0.5)`, then symmetrically `h_raw(i) = Σ_{i→j} aq(j)`.
-    * The int64→double casts before the divide round identically
+    * The integer sums run in DECIMAL(38,0) — 128-bit, matching
+    * DuckDB's BIGINT→HUGEINT sum promotion: with int64 sums the
+    * FIRST half-step's global total is |E|·10¹², which overflows a
+    * long past ~9.2 M edges (found empirically by the sf10 scale
+    * sweep at 60 M edges; sf1's 6 M edges fit by one bit). The
+    * integer→double casts before the divide round identically
     * (IEEE nearest) in every engine, so the unrolled-CTE oracle
     * (`graph_hits`) hash-matches bit-for-bit. L1 (not the textbook
     * L2) normalization is deliberate: it needs no sqrt, scales
@@ -441,6 +446,7 @@ object Graph {
     // and re-quantize — active rows only; cut lineage periodically
     def normalize(raw: DataFrame, outCol: String, force: Boolean)
         : DataFrame = {
+      // q is DECIMAL(38,0); its sum stays decimal — exact at any |E|
       val total = raw.agg(sum(col("q")).as("t"))
       val next = raw.crossJoin(broadcast(total))
         .select(col("rid").as("id"),
@@ -467,11 +473,16 @@ object Graph {
     val rawPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pinRaw(df: DataFrame): DataFrame = { rawPins += df.persist(); df }
     for (k <- 1 to iters) {
+      // 128-bit sums: per-node long sums are safe until a ~9.2M-degree
+      // hub, but the normalize total is |E|-scaled and NOT safe — and a
+      // decimal sum is exactly what the DuckDB oracle's HUGEINT does
       val araw = pinRaw(e.join(hq, e("src") === hq("id"))
-        .groupBy(e("dst").as("rid")).agg(sum(col("hq")).as("q")))
+        .groupBy(e("dst").as("rid"))
+        .agg(sum(col("hq").cast("decimal(38,0)")).as("q")))
       aq = normalize(araw, "aq", force = k == iters)
       val hraw = pinRaw(e.join(aq, e("dst") === aq("id"))
-        .groupBy(e("src").as("rid")).agg(sum(col("aq")).as("q")))
+        .groupBy(e("src").as("rid"))
+        .agg(sum(col("aq").cast("decimal(38,0)")).as("q")))
       hq = normalize(hraw, "hq", force = k == iters)
     }
     rawPins.foreach(_.unpersist())
