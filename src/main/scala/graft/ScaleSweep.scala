@@ -55,6 +55,7 @@ object ScaleSweep {
     "dedup_source_overlap",
     "dedup_cluster_alternating",
     "sem_dedup_fixed",
+    "sem_dedup_scaled",
     "graph_pagerank",
     "graph_hits",
     "text_repetition",
@@ -81,7 +82,12 @@ object ScaleSweep {
     "dedup_minhash_verified",
     "graph_pagerank",
     "graph_hits",
-    "sem_dedup_fixed",
+    // the SCALED-nlist form, not sem_dedup_fixed: the fixed-8-centroid
+    // oracle form is quadratic past its design envelope by construction
+    // (measured ×59.6 at sf10 — cell occupancy 25k ⇒ Σcell² ≈ 5·10⁹
+    // pairs); its scaladoc's "nlist must grow with the corpus" rule IS
+    // the scale path, so that is what decade 2 measures.
+    "sem_dedup_scaled",
     "corpus_split_leakage_safe")
 
   val Factor = 10
@@ -131,7 +137,7 @@ object ScaleSweep {
         bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
       } catch { case _: Throwable => Thread.sleep(500) }
     }
-    def timed(name: String, dir: String): (Double, Long, Long, Long, String) = {
+    def timedOnce(name: String, dir: String): (Double, Long, Long, Long, String) = {
       metrics.reset()
       val t0 = System.nanoTime()
       val note = try {
@@ -143,9 +149,20 @@ object ScaleSweep {
       drain()
       (sec, metrics.spill, metrics.shuffleWrite, metrics.peak, note)
     }
+    // Min-of-2 per measurement (the BENCH/BASELINE comparability rule):
+    // a single pass right after a heavy query inherits its GC/page-cache
+    // aftermath — one observed 2.9 s query read 74 s single-pass. Spill
+    // is taken from the min-time pass; a spill that reproduces on the
+    // faster pass is real, one that doesn't was the aftermath's.
+    def timed(name: String, dir: String): (Double, Long, Long, Long, String) = {
+      val a = timedOnce(name, dir)
+      if (a._5.nonEmpty) return a // a failure repeats; don't pay it twice
+      val b = timedOnce(name, dir)
+      if (a._1 <= b._1) a else b
+    }
 
     // JIT/codegen warm-up off the sweep clock
-    timed(Sweep.head, base)
+    timedOnce(Sweep.head, base)
 
     val results = Sweep.map { name =>
       val (s0, spill0, _, _, note0) = timed(name, base)

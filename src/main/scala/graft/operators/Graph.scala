@@ -405,15 +405,21 @@ object Graph {
     * Iteration k: `a_raw(i) = Σ_{j→i} hq_{k−1}(j)` (exact integer
     * sum), L1-normalize and re-quantize `aq = floor(a_raw/Σa_raw ·
     * 10¹² + 0.5)`, then symmetrically `h_raw(i) = Σ_{i→j} aq(j)`.
-    * The integer sums run in DECIMAL(38,0) — 128-bit, matching
-    * DuckDB's BIGINT→HUGEINT sum promotion: with int64 sums the
-    * FIRST half-step's global total is |E|·10¹², which overflows a
-    * long past ~9.2 M edges (found empirically by the sf10 scale
-    * sweep at 60 M edges; sf1's 6 M edges fit by one bit). The
-    * integer→double casts before the divide round identically
-    * (IEEE nearest) in every engine, so the unrolled-CTE oracle
-    * (`graph_hits`) hash-matches bit-for-bit. L1 (not the textbook
-    * L2) normalization is deliberate: it needs no sqrt, scales
+    *
+    * Overflow posture (found empirically by the sf10 scale sweep at
+    * 60 M edges; sf1's 6 M fit by one bit): the GLOBAL normalizer
+    * Σ raw is |E|·10¹²-scaled on the first half-step and
+    * degree·10¹²-scaled after, so THAT one O(nodes) reduction runs
+    * in DECIMAL(38,0) — 128-bit, matching DuckDB's BIGINT→HUGEINT
+    * sum promotion. The hot per-node sums stay int64 (a decimal sum
+    * on the O(E) path measured ~10× slower): every per-node value is
+    * ≤ degree·10¹², which the loud `maxDegree` guard bounds below
+    * Long.Max — the `triangles` hub discipline; a 9 M-in-degree hub
+    * needs capping before link analysis anyway. The integer→double
+    * casts before the divide round identically (IEEE nearest) in
+    * every engine, so the unrolled-CTE oracle (`graph_hits`)
+    * hash-matches bit-for-bit. L1 (not the textbook L2)
+    * normalization is deliberate: it needs no sqrt, scales
     * identically, and leaves the ranking unchanged.
     *
     * Scale shape is pageRank's: one persisted edge frame, per
@@ -427,7 +433,8 @@ object Graph {
     * them, and no per-step left join exists at all.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int, checkpointEvery: Int = 4): DataFrame = {
+           iters: Int, checkpointEvery: Int = 4,
+           maxDegree: Long = 8000000L): DataFrame = {
     require(iters >= 1)
     val spark = edges.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
@@ -437,6 +444,24 @@ object Graph {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().persist()
     require(nodes.count() > 0, "empty edge frame")
+    // loud int64-overflow guard on the hot per-node sums: each raw
+    // value is ≤ degree·10¹², so a hub past ~9.2 M edges would
+    // silently wrap the long sum. One map-side-combinable degree pass
+    // up front; <= 0 disables for callers that pre-capped.
+    if (maxDegree > 0) {
+      val hub = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .agg(max(col("d")).as("m")).head().getLong(0)
+      if (hub > maxDegree) {
+        e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"hits: max node degree $hub > maxDegree=$maxDegree — per-node " +
+            "int64 raw sums are degree-bounded by degree*1e12 and a hub " +
+            "this size overflows them; cap hub degrees first (or raise " +
+            "maxDegree only below ~9.2e6, the Long.Max/1e12 bound)")
+      }
+    }
     // the final join reads BOTH families' last cuts, so two pins stay
     // alive: unpersisting only cuts older than the previous one
     var pinnedPrev: DataFrame = null
@@ -446,8 +471,9 @@ object Graph {
     // and re-quantize — active rows only; cut lineage periodically
     def normalize(raw: DataFrame, outCol: String, force: Boolean)
         : DataFrame = {
-      // q is DECIMAL(38,0); its sum stays decimal — exact at any |E|
-      val total = raw.agg(sum(col("q")).as("t"))
+      // the one |E|-scaled reduction: 128-bit decimal sum over the
+      // O(nodes) partials (DuckDB's HUGEINT promotion, exact at any |E|)
+      val total = raw.agg(sum(col("q").cast("decimal(38,0)")).as("t"))
       val next = raw.crossJoin(broadcast(total))
         .select(col("rid").as("id"),
           floor(col("q").cast("double") /
@@ -473,16 +499,13 @@ object Graph {
     val rawPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def pinRaw(df: DataFrame): DataFrame = { rawPins += df.persist(); df }
     for (k <- 1 to iters) {
-      // 128-bit sums: per-node long sums are safe until a ~9.2M-degree
-      // hub, but the normalize total is |E|-scaled and NOT safe — and a
-      // decimal sum is exactly what the DuckDB oracle's HUGEINT does
+      // per-node sums stay int64 (the hot O(E) path): each is bounded
+      // by degree·10¹², which the maxDegree guard keeps below Long.Max
       val araw = pinRaw(e.join(hq, e("src") === hq("id"))
-        .groupBy(e("dst").as("rid"))
-        .agg(sum(col("hq").cast("decimal(38,0)")).as("q")))
+        .groupBy(e("dst").as("rid")).agg(sum(col("hq")).as("q")))
       aq = normalize(araw, "aq", force = k == iters)
       val hraw = pinRaw(e.join(aq, e("dst") === aq("id"))
-        .groupBy(e("src").as("rid"))
-        .agg(sum(col("aq").cast("decimal(38,0)")).as("q")))
+        .groupBy(e("src").as("rid")).agg(sum(col("aq")).as("q")))
       hq = normalize(hraw, "hq", force = k == iters)
     }
     rawPins.foreach(_.unpersist())

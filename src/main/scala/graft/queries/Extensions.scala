@@ -1676,6 +1676,23 @@ object Extensions {
         "embedding", SemCents, 0.4)
         .select("vec_id").orderBy("vec_id")),
 
+    // SemDeDup in its SCALE posture: nlist grows with the corpus so
+    // cell occupancy (and with it the within-cell pair count, the
+    // Σ cell² term) stays ~constant — the design rule the operator's
+    // scaladoc states and the sf10 sweep proved empirically: the
+    // 8-fixed-centroid oracle form above went quadratic (×59.6 at 10×
+    // data, 200k vectors / 25k-row cells) exactly as predicted.
+    // Trained KMeans quantizer ⇒ no SQL oracle (rows-only check, the
+    // ann_index_build convention); policy/recall pinned in SemDedupSpec,
+    // and THIS form is what the second scale decade sweeps.
+    "sem_dedup_scaled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      val nlist = math.max(8L, n / 1500L).toInt
+      Similarity.semDedup(e, "vec_id", "embedding", nlist, 0.4)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // Incremental SemDeDup: the corpus below vec_id 400 is deduplicated
     // once (stage 1), then the remaining rows arrive as a batch and
     // only the semantically-novel ones are admitted — kept×kept is
