@@ -147,6 +147,15 @@ object ScaleSweep {
       } catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
+      // measurement isolation: release every block the query pinned.
+      // Operators return persisted frames under a "caller owns the
+      // unpersist" contract, and a 40+-measurement sweep of leftovers
+      // otherwise fills the storage pool — observed as 58 GB RSS on the
+      // 64 GB heap and a late-sweep ~10× slowdown from pure GC churn
+      // (corpus_split sf1: 12 s early in a sweep, 119 s as entry 38).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (sec, metrics.spill, metrics.shuffleWrite, metrics.peak, note)
     }
     // Min-of-2 per measurement (the BENCH/BASELINE comparability rule):
