@@ -153,6 +153,22 @@ class GraphSpec extends SparkSpec {
       "seeding every node must reduce to uniform PageRank exactly")
   }
 
+  test("hits: a hub past maxDegree fails loudly (per-node int64 raw " +
+      "sums are degree-bounded by degree*1e12 — the sf10 overflow " +
+      "boundary made a guard), <= 0 disables for pre-capped callers") {
+    val star = (1 to 20).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.hits(star, "src", "dst", iters = 1, maxDegree = 10L)
+    }
+    assert(e.getMessage.contains("maxDegree"))
+    // disabled guard: the same graph runs, hub gets max hub mass
+    val out = Graph.hits(star, "src", "dst", iters = 2, maxDegree = 0L)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._1 > 0.99, s"star center carries all hub mass: $out")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6,
+      "authority mass L1-normalizes to 1")
+  }
+
   test("silhouetteSampled: full coverage equals exact silhouette " +
       "row-for-row; a small sample stays inside the agreement band; no " +
       "input-size bound (the guard is on the SAMPLE, loud)") {
