@@ -255,7 +255,9 @@ object Graph {
           val cut = if (reliable) next.checkpoint()
                     else next.localCheckpoint()
           if (!reliable) { // see DedupCluster on why the cut stays pinned
-            if (pinned != null) pinned.unpersist()
+            // release() (not bare unpersist): a localCheckpoint's data
+            // lives as RDD blocks a Dataset.unpersist does not free
+            if (pinned != null) DedupCluster.release(pinned)
             pinned = cut
           }
           cut
@@ -321,7 +323,7 @@ object Graph {
           val cut = if (reliable) next.checkpoint()
                     else next.localCheckpoint()
           if (!reliable) {
-            if (pinned != null) pinned.unpersist()
+            if (pinned != null) DedupCluster.release(pinned)
             pinned = cut
           }
           cut
@@ -483,7 +485,7 @@ object Graph {
       if (force || cuts % checkpointEvery == 0) {
         val cut = if (reliable) next.checkpoint() else next.localCheckpoint()
         if (!reliable) {
-          if (pinnedPrev != null) pinnedPrev.unpersist()
+          if (pinnedPrev != null) DedupCluster.release(pinnedPrev)
           pinnedPrev = pinnedLast
           pinnedLast = cut
         }
