@@ -78,6 +78,15 @@ object Bench {
             ok = false
         }
         (System.nanoTime() - t0) / 1e9
+        // NOTE on isolation, measured in r12: per-measurement
+        // clearCache + unpersist-all-RDDs (the fix that stabilized the
+        // 19-entry ScaleSweep) was tried here and made the LATE entries
+        // of this 478-measurement run ~4× slower (cluster/corpus-split
+        // 7.7→34 s at position ~430, while a fresh JVM with the same
+        // isolation reads 9-11 s) — mass async block-removal churn
+        // outweighs the leftover-cache pressure at this run length, so
+        // Bench keeps the r10+ min-of-2 warm-min convention and stays
+        // round-over-round comparable.
       }
       (name, times.min, ok)
     }
