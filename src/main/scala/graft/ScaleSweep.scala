@@ -79,7 +79,11 @@ object ScaleSweep {
     * units), fixed by 128-bit DECIMAL sums in [[operators.Graph.hits]].
     */
   val Sweep10: Seq[String] = Seq(
+    "dedup_exact",
     "dedup_minhash_verified",
+    "dedup_cluster_alternating",
+    "text_repetition",
+    "span_dedup_clean",
     "graph_pagerank",
     "graph_hits",
     // the SCALED-nlist form, not sem_dedup_fixed: the fixed-8-centroid
