@@ -25,13 +25,18 @@ object Bench {
     spark.sparkContext.setCheckpointDir(
       java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
 
+    // oracle-gated entries plus the bench/sweep-only shapes: the latter
+    // are timed here like any other query (they ARE production shapes —
+    // e.g. the scaled-nlist SemDeDup) but carry no correctness dump
+    val allQueries = SparkEntry.queries ++ SparkEntry.sweepQueries
+
     def materialize(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      allQueries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
     // JIT/codegen warm-up on a representative mix (scan, join+agg, HOFs).
     Seq("s2_scan_projection", "q1_pricing_summary", "ann_brute_topk")
-      .filter(SparkEntry.queries.contains)
+      .filter(allQueries.contains)
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
 
     // Optional name filter (regex, full match) for quick per-query
@@ -62,7 +67,7 @@ object Bench {
     // passes is the standard contention-robust estimator for a
     // deterministic workload — noise only ever ADDS time.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = allQueries.keys.toSeq.sorted
       .filter(n => only.forall(_.matches(n)))
     // A failed query is RECORDED (query_ok=false + loud stderr), never
     // swallowed: an exception thrown in 0.1 s would otherwise masquerade

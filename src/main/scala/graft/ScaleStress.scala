@@ -191,7 +191,7 @@ object ScaleStress {
       val labels = operators.DedupCluster
         .componentsAlternating(chainDocs, "doc_id", chain)
       val allMin = labels.agg(max("cluster_id"), count(lit(1))).head()
-      labels.unpersist(blocking = false)
+      operators.DedupCluster.release(labels)
       allMin.getLong(0) == 1L && allMin.getLong(1) == n.toLong
     }
 

@@ -94,10 +94,24 @@ object ScaleSweep {
     "sem_dedup_scaled",
     "corpus_split_leakage_safe")
 
+  /** The HALF-DECADE knee probe (sf10 → sf30-equivalent, ×300 total):
+    * round 12 ranked the graph tier the closest thing to a knee (worst
+    * per-decade ratio 6.85, 8.3 GB shuffle, 21.5 GB peak exec mem), so
+    * its two iterative loops get one more scale step to locate the
+    * bend before production does. The sf30 fixture carries ONLY the
+    * graph inputs (orders + lineitem, the edge bipartition) — the
+    * other families' fixtures would triple generation time and add no
+    * evidence at this step.
+    */
+  val SweepKnee: Seq[String] = Seq("graph_pagerank", "graph_hits")
+
   val Factor = 10
   val Factor10 = 100
+  val FactorKnee = 300
   /** Linear-with-constant bound: ≤ 12× time PER 10× data decade. */
   val MaxRatio = 12.0
+  /** The same bound pro-rated to the ×3 half-decade: 12^log10(3). */
+  val MaxRatioKnee: Double = math.pow(MaxRatio, math.log10(3.0))
 
   final case class SweepResult(name: String, secBase: Double,
                                secBig: Double, ratio: Double,
@@ -105,7 +119,7 @@ object ScaleSweep {
                                peakExecMem: Long, ok: Boolean,
                                note: String)
 
-  private class MetricsListener
+  private[graft] class MetricsListener
       extends org.apache.spark.scheduler.SparkListener {
     @volatile var spill = 0L
     @volatile var peak = 0L
@@ -126,11 +140,13 @@ object ScaleSweep {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val big10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR", "/tmp/graft_sf10")
+    val big30 = sys.env.getOrElse("SPARK_GRAFT_SCALE30_DIR", "/tmp/graft_sf30")
     val spark = Sessions.local(32, "scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
     generateIfAbsent(spark, base, big, Factor)
     generateIfAbsent(spark, base, big10, Factor10)
+    generateGraphOnlyIfAbsent(spark, base, big30, FactorKnee)
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -145,7 +161,7 @@ object ScaleSweep {
       metrics.reset()
       val t0 = System.nanoTime()
       val note = try {
-        SparkEntry.queries(name)(spark, dir)
+        (SparkEntry.queries ++ SparkEntry.sweepQueries)(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         ""
       } catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
@@ -206,6 +222,22 @@ object ScaleSweep {
       r
     }
 
+    // half-decade knee probe: graph loops at sf30, ratio vs their own
+    // sf10 time against the pro-rated linear-with-constant bound
+    val sf10Sec = results10.map(r => r.name -> r.secBig).toMap
+    val resultsKnee = SweepKnee.map { name =>
+      val (s30, spill30, shuf30, peak30, note30) = timed(name, big30)
+      val s10 = sf10Sec(name)
+      val ratio = s30 / s10
+      val ok = note30.isEmpty && ratio <= MaxRatioKnee && spill30 == 0L
+      val r = SweepResult(name, s10, s30, ratio, spill30, shuf30, peak30,
+        ok, note30.take(200))
+      println(f"SCALE30 ${if (r.ok) "ok " else "FAIL"} $name " +
+        f"${r.secBase}%.2f s -> ${r.secBig}%.2f s (x${r.ratio}%.2f) " +
+        f"spill=${r.spillBytes} shufWrite=${r.shuffleWrite}")
+      r
+    }
+
     def block(rs: Seq[SweepResult], loField: String, hiField: String) =
       rs.map(r =>
         "\"" + r.name + "\":{\"" + loField + "\":" + f"${r.secBase}%.3f" +
@@ -222,11 +254,14 @@ object ScaleSweep {
       s""""max_ratio":$MaxRatio,"heap_gb":$heapGb,""" +
       s""""queries":${block(results, "sf01_sec", "sf1_sec")},""" +
       s""""scale10_ok":${results10.forall(_.ok)},"factor10":$Factor10,""" +
-      s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")}}"""
+      s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")},""" +
+      s""""knee_ok":${resultsKnee.forall(_.ok)},"factor30":$FactorKnee,""" +
+      s""""max_ratio_knee":$MaxRatioKnee,""" +
+      s""""queries_sf30":${block(resultsKnee, "sf10_sec", "sf30_sec")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    if ((results ++ results10).exists(!_.ok)) sys.exit(1)
+    if ((results ++ results10 ++ resultsKnee).exists(!_.ok)) sys.exit(1)
     spark.stop()
   }
 
@@ -305,6 +340,32 @@ object ScaleSweep {
         .parquet(s"$big/$t.parquet")
       catch { case _: Throwable => () }
     }
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  /** Graph-only amplified fixture (orders + lineitem, the inputs of the
+    * bipartite edge queries): the knee probe's ×300 step would spend
+    * most of its wall-clock amplifying documents/embeddings it never
+    * reads. Same key-offset scheme as [[generateIfAbsent]], so the
+    * ×300 fixture is `factor` disjoint copies of the sf0.1 graph —
+    * component structure preserved, |E| and |V| scaled linearly.
+    */
+  def generateGraphOnlyIfAbsent(spark: SparkSession, base: String,
+                                big: String, factor: Int): Unit = {
+    val marker = new java.io.File(s"$big/_GENERATED")
+    if (marker.exists()) return
+    val orders = Tables.load(spark, base, "orders")
+    unioned(orders, factor) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100 * Off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Off))
+    }.write.mode("overwrite").parquet(s"$big/orders.parquet")
+    val li = Tables.load(spark, base, "lineitem")
+    unioned(li, factor) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100 * Off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
+    }.write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     marker.getParentFile.mkdirs()
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }

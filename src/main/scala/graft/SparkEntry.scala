@@ -44,4 +44,14 @@ object SparkEntry {
     */
   def benchBuilds: Map[String, (SparkSession, String) => Unit] =
     Extensions.benchBuilds
+
+  /** Bench/sweep-only query shapes — timed by [[Bench]] and swept by
+    * [[ScaleSweep]] but EXCLUDED from [[queries]] (and so from the
+    * driver's correctness dump): each has no SQL-expressible oracle by
+    * construction (trained models), and its correctness is pinned by an
+    * oracle-checked sibling plus specs instead. Keys must not collide
+    * with [[queries]].
+    */
+  def sweepQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Extensions.sweepQueries
 }

@@ -176,7 +176,7 @@ object CorpusBuildJob {
       kept.write.mode("overwrite").parquet(s"$outDir/media_canonical")
       audioWin.write.mode("overwrite")
         .parquet(s"$outDir/media_audio_windows")
-      labels.unpersist(blocking = false)
+      DedupCluster.release(labels)
 
       val canonicalRows = spark.read
         .parquet(s"$outDir/media_canonical").count()
@@ -236,7 +236,7 @@ object CorpusBuildJob {
       labels.filter(col("id") === col("cluster_id"))
         .select(col("id").as("doc_id")),
       Seq("doc_id"), "left_semi").persist()
-    labels.unpersist(blocking = false)
+    DedupCluster.release(labels)
     val afterDocDedup = deduped.count()
 
     // 5: semantic dedup over feature-hashed embeddings — reordered or

@@ -29,12 +29,29 @@ object DedupCluster {
     * data lives as RDD-level blocks behind a `LogicalRDD`, which plain
     * unpersist does NOT free, so each round's edge blocks would linger
     * until ContextCleaner GC (unbounded storage growth across rounds on
-    * a long loop). Unpersist both layers; for plain-persist frames the
-    * RDD arm is a no-op.
+    * a long loop).
+    *
+    * The RDD arm fires ONLY when the released frame IS the checkpoint —
+    * i.e. its analyzed plan ROOT is the `LogicalRDD`. Matching anywhere
+    * deeper in the tree would free blocks the frame merely REFERENCES:
+    * a plain-persisted loop round built on top of a pinned
+    * localCheckpoint embeds the pin's `LogicalRDD` in its own plan, so
+    * a tree-walk release of that round would delete the pin's blocks —
+    * the only copy, lineage already truncated — while later rounds
+    * still recompute from it (found by the round-12 review; under cache
+    * eviction or executor loss the recompute dies on missing checkpoint
+    * blocks). For plain-persist frames the root is an operator node and
+    * the RDD arm is a no-op, as intended.
+    *
+    * This is also the REQUIRED release path for frames the loops RETURN
+    * (components / componentsAlternating hand back localCheckpoints in
+    * non-reliable mode): a caller-side bare `unpersist` leaves their
+    * RDD blocks pinned until ContextCleaner GC — exactly the leak class
+    * this helper exists to close.
     */
-  private[operators] def release(df: DataFrame): Unit = {
+  private[graft] def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
@@ -132,7 +149,7 @@ object DedupCluster {
     val (labels, converged) =
       componentsWithStatus(docs, idCol, pairs, maxRounds)
     if (!converged) {
-      labels.unpersist(blocking = false)
+      release(labels)
       throw new IllegalStateException(
         s"DedupCluster.components: no fixpoint after $maxRounds rounds — " +
           "a component has diameter >= maxRounds; raise maxRounds " +
@@ -358,7 +375,7 @@ object DedupCluster {
       .agg(count(lit(1)).as("n_members"))
       .withColumnRenamed("cluster_id", idCol)
     val out = Dedup.materializeDetached(agg)
-    labels.unpersist(blocking = false)
+    release(labels)
     out
   }
 }

@@ -167,24 +167,39 @@ object Graph {
         "need at least one non-self representative)")
     import org.apache.spark.sql.expressions.Window
     // lazy — deliberately NOT persisted: the corpus-scale side is
-    // streamed once by the final pass; only the bounded sample is pinned
+    // streamed once by the final pass; the bounded sample lives only
+    // as a driver-local relation (below), so nothing stays cached
     val v = vectors.join(labels, vectors(idCol) === labels("id"))
       .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
     val sampled = v.withColumn("rnk", row_number().over(
         Window.partitionBy("cluster_id")
           .orderBy(xxhash64(col("id")), col("id"))))
       .filter(col("rnk") <= perCluster).drop("rnk")
-      .persist()
-    val nSample = sampled.count()
-    if (maxSampleRows > 0 && nSample > maxSampleRows) {
-      sampled.unpersist(blocking = false)
+    // The sample is bounded and broadcast-destined, so it is pulled to
+    // the driver ONCE here (a BroadcastExchange collects its build side
+    // driver-side anyway — same memory profile, same bound) and
+    // re-emitted as a local relation: the size guard and the broadcast
+    // share the single corpus pass, and no cache entry or RDD block
+    // outlives the call — the previous persist()ed sample survived the
+    // success path as an undocumented ≤100k-row pin (round-12 review).
+    // The limit caps the collect BEFORE the guard fires, so an
+    // over-sized sample costs maxSampleRows+1 rows of driver memory,
+    // never the full sample.
+    val bounded =
+      if (maxSampleRows > 0)
+        sampled.limit(math.min(maxSampleRows + 1L, Int.MaxValue.toLong).toInt)
+      else sampled
+    val rows = bounded.collect()
+    if (maxSampleRows > 0 && rows.length > maxSampleRows) {
       throw new IllegalStateException(
-        s"silhouetteSampled: $nSample sampled rows > maxSampleRows=" +
-          s"$maxSampleRows — the sample is broadcast whole, so with this " +
-          "many clusters lower perCluster (or raise maxSampleRows only " +
-          "if every executor can hold the sample)")
+        s"silhouetteSampled: > maxSampleRows=$maxSampleRows sampled rows " +
+          "— the sample is broadcast whole, so with this many clusters " +
+          "lower perCluster (or raise maxSampleRows only if every " +
+          "executor can hold the sample)")
     }
-    silhouetteScores(v, sampled)
+    val local = vectors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sampled.schema)
+    silhouetteScores(v, local)
   }
 
   /** Shared silhouette tail: pairwise 10⁻⁶-unit distances from every
@@ -230,7 +245,18 @@ object Graph {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one persisted (src, dst, deg) frame feeds every iteration
+    // One persisted (src, dst, deg) frame feeds every iteration. Its
+    // partitioning is already the right one at scale with NO explicit
+    // repartition: past the broadcast threshold the degree join is a
+    // src-keyed shuffle join, so the cache holds hash(src) partitions
+    // and each iteration's rank join moves only the O(|V|) rank frame;
+    // below the threshold ranks itself broadcasts and nothing edge-
+    // scale moves either way. Round-13 measured the alternatives and
+    // kept this AQE-planned shape: a forced repartition(src) +
+    // SHUFFLE_HASH-hinted rank join left sf10 shuffle bytes UNCHANGED
+    // (8.26 GB — the per-iteration shuffle is the map-side-combined
+    // partial-sum exchange of the dst aggregation, not the join) and
+    // DOUBLED wall-clock (129.9 s -> 257.6 s); see PLANS.md round 13.
     val ed = e.join(deg, "src").persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
@@ -492,6 +518,16 @@ object Graph {
         cut
       } else next
     }
+    // One cached copy of the edge frame serves BOTH half-step join keys
+    // (src for the authority sum, dst for the hub sum), and the per-
+    // half-step exchanges stay whatever AQE plans at the observed sizes.
+    // Round 13 measured the "obvious" scale fix — one hash-pinned
+    // cached copy PER KEY so no half-step ever exchanges O(|E|) — and
+    // it LOST at sf10: total shuffle dropped 9.57 GB -> 5.76 GB but
+    // wall-clock DOUBLED (91.9 s -> 184.0 s), with a SHUFFLE_HASH hint
+    // on the score side measuring the same 2x; shuffle-byte
+    // minimization is not the objective function once the exchanged
+    // frames pipeline well. Details in PLANS.md round 13.
     var hq = nodes.withColumn("hq", lit(Unit12.toLong))
     var aq: DataFrame = null
     // each raw-sum frame is read twice (its broadcast total, then the

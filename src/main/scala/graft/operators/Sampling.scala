@@ -97,7 +97,7 @@ object Sampling {
       docs.join(labels, docs(idCol) === labels("id"))
         .select(docs(idCol), col("cluster_id"),
           splitLabel(col("cluster_id"), val256, test256).as("split")))
-    labels.unpersist(blocking = false)
+    DedupCluster.release(labels)
     out
   }
 

@@ -1095,7 +1095,7 @@ object Similarity {
           .as("keep_id"))
         .select(col("keep_id"))
       val out = Dedup.materializeDetached(keep)
-      labels.unpersist(blocking = false)
+      DedupCluster.release(labels)
       newBatch.join(out, col(idCol) === col("keep_id"), "left_semi")
     } finally {
       newCells.unpersist(blocking = false)
@@ -1153,7 +1153,7 @@ object Similarity {
           .as("keep_id"))
         .select(col("keep_id"))
       val out = Dedup.materializeDetached(keep)
-      labels.unpersist(blocking = false)
+      DedupCluster.release(labels)
       out
     } finally cells.unpersist(blocking = false)
   }

@@ -1676,23 +1676,6 @@ object Extensions {
         "embedding", SemCents, 0.4)
         .select("vec_id").orderBy("vec_id")),
 
-    // SemDeDup in its SCALE posture: nlist grows with the corpus so
-    // cell occupancy (and with it the within-cell pair count, the
-    // Σ cell² term) stays ~constant — the design rule the operator's
-    // scaladoc states and the sf10 sweep proved empirically: the
-    // 8-fixed-centroid oracle form above went quadratic (×59.6 at 10×
-    // data, 200k vectors / 25k-row cells) exactly as predicted.
-    // Trained KMeans quantizer ⇒ no SQL oracle (rows-only check, the
-    // ann_index_build convention); policy/recall pinned in SemDedupSpec,
-    // and THIS form is what the second scale decade sweeps.
-    "sem_dedup_scaled" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val n = e.count()
-      val nlist = math.max(8L, n / 1500L).toInt
-      Similarity.semDedup(e, "vec_id", "embedding", nlist, 0.4)
-        .select("vec_id").orderBy("vec_id")
-    }),
-
     // Incremental SemDeDup: the corpus below vec_id 400 is deduplicated
     // once (stage 1), then the remaining rows arrive as a batch and
     // only the semantically-novel ones are admitted — kept×kept is
@@ -2285,6 +2268,32 @@ object Extensions {
     * the catalog is in-memory per JVM, so a fresh Verify/Bench run
     * always builds at least once from its own sfDir before querying.
     */
+  /** Bench/sweep-ONLY registry — query shapes that are deliberately NOT
+    * in [[queries]] and therefore never reach the driver's correctness
+    * dump: a trained-KMeans quantizer has no SQL replica, so an entry
+    * here would land as a permanently-unverifiable `err="no_oracle"`
+    * row in the gate (round 12's one such row). The ann_index_build
+    * convention, extended from builds to full query shapes: Bench times
+    * them and ScaleSweep sweeps them; correctness lives in their
+    * oracle-checked siblings (sem_dedup_fixed pins the identical arc on
+    * fixed centroids) plus the policy/recall specs (SemDedupSpec).
+    */
+  val sweepQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup in its SCALE posture: nlist grows with the corpus so
+    // cell occupancy (and with it the within-cell pair count, the
+    // Σ cell² term) stays ~constant — the design rule the operator's
+    // scaladoc states and the sf10 sweep proved empirically: the
+    // 8-fixed-centroid oracle form (sem_dedup_fixed) went quadratic
+    // (×59.6 at 10× data, 200k vectors / 25k-row cells) exactly as
+    // predicted. THIS form is what the second scale decade sweeps.
+    "sem_dedup_scaled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = e.count()
+      val nlist = math.max(8L, n / 1500L).toInt
+      Similarity.semDedup(e, "vec_id", "embedding", nlist, 0.4)
+        .select("vec_id").orderBy("vec_id")
+    }))
+
   val benchBuilds: Map[String, (SparkSession, String) => Unit] = Map(
     "text_bm25_index_build" -> ((s, dir) => buildBm25Index(s, dir)),
     "dedup_minhash_index_build" -> ((s, dir) => buildSigIndex(s, dir)),

@@ -319,6 +319,15 @@ object RowBinary {
       b = bb.get()
     }
     v |= (b & 0x7fL) << shift
-    Math.toIntExact(v)
+    // A high-shift chunk can set the sign bit (v < 0) and a 5-chunk
+    // varint can exceed Int.MaxValue — both mean a corrupt stream or
+    // schema mismatch, and both must raise the same loud diagnostic as
+    // the truncation guard, not wrap into a negative array size or
+    // surface as a bare ArithmeticException.
+    if (v < 0L || v > Int.MaxValue)
+      throw new IllegalStateException(
+        s"RowBinary: varint length $v out of Int range at byte " +
+          s"${bb.position()} — stream corrupt or schema mismatch")
+    v.toInt
   }
 }

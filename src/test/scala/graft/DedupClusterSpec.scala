@@ -100,6 +100,33 @@ class DedupClusterSpec extends SparkSpec {
     } finally saved.foreach(sc.setCheckpointDir)
   }
 
+  test("release is root-only: frees a checkpoint's own blocks, never " +
+      "blocks a released frame merely REFERENCES") {
+    import org.apache.spark.sql.functions.col
+    val sc = spark.sparkContext
+    val ck = (1L to 100L).toDF("id").localCheckpoint(true)
+    val ckRddId = ck.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+    assert(sc.getPersistentRDDs.contains(ckRddId))
+    // a plain-persisted frame built ON TOP of the checkpoint embeds the
+    // checkpoint's LogicalRDD in its analyzed plan — exactly the shape
+    // of a non-cut loop round over a pinned cut. Releasing it must drop
+    // only its own cache entry: a tree-walk release would free the
+    // pin's blocks (the ONLY copy — lineage is truncated) while later
+    // rounds still recompute from it (round-12 review finding).
+    val derived = ck.filter(col("id") > 10L).persist()
+    derived.count()
+    DedupCluster.release(derived)
+    assert(sc.getPersistentRDDs.contains(ckRddId),
+      "release(derived) freed the referenced checkpoint's blocks")
+    assert(ck.count() == 100L)
+    // releasing the checkpoint ITSELF must free its RDD blocks — the
+    // arm Dataset.unpersist alone does not cover
+    DedupCluster.release(ck)
+    assert(!sc.getPersistentRDDs.contains(ckRddId),
+      "release(checkpoint) left the checkpoint RDD registered")
+  }
+
   test("alternating star contraction: same labels as propagation, in " +
       "O(log n) rounds on a long chain") {
     val docs = (1L to 7L).toDF("doc_id")

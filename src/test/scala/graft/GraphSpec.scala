@@ -209,6 +209,24 @@ class GraphSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSampleRows"))
   }
 
+  test("silhouetteSampled: no cache entry or RDD block outlives the " +
+      "call — the sample rides a driver-local relation") {
+    // the SCALE path is meant for repeated production use, so the
+    // round-12-flagged success-path persist leak must stay closed
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val vecs = (1L to 40L).map(id =>
+      (id, Array(1f * (id % 2), 1f - (id % 2), 0.01f * id)))
+      .toDF("vec_id", "embedding")
+    val labels = vecs.select($"vec_id".as("id"),
+      ($"vec_id" % 2).cast("long").as("cluster_id"))
+    val out = Graph.silhouetteSampled(vecs, "vec_id", "embedding", labels,
+      perCluster = 5)
+    assert(out.count() == 40L)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "silhouetteSampled left persistent RDDs behind")
+  }
+
   test("silhouette: an over-maxEval slice fails loudly instead of " +
       "broadcasting the corpus into the quadratic crossJoin") {
     val big = spark.range(0, 50).select($"id".as("vec_id"),

@@ -20,6 +20,26 @@ class QueriesContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle — the gate's zero-err invariant") {
+    // A queries entry without oracleSql lands in the driver gate as
+    // err="no_oracle", indistinguishable from broken (round 12's one
+    // such row). Shapes that cannot have a SQL oracle by construction
+    // belong in sweepQueries, not here.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"query without oracle: $missing")
+  }
+
+  test("sweep-only registry: no key collisions, every entry runs") {
+    val overlap = SparkEntry.sweepQueries.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"sweepQueries shadowing queries: $overlap")
+    val oracled = SparkEntry.sweepQueries.keySet & SparkEntry.oracleSql.keySet
+    assert(oracled.isEmpty,
+      s"sweepQueries with an oracle belong in queries: $oracled")
+    SparkEntry.sweepQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name: 0 rows")
+    }
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

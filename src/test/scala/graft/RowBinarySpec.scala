@@ -129,6 +129,27 @@ class RowBinarySpec extends SparkSpec {
     assert(chain.exists(m => m.contains("truncated") && m.contains("exceeds")))
   }
 
+  test("loud failure: a varint length past Int range (or sign-wrapped) " +
+      "reports corruption, not a negative allocation") {
+    val schema = StructType(Seq(StructField("s", StringType, nullable = false)))
+    val dir = tmp("graft_rb_bigvarint")
+    new java.io.File(dir).mkdirs()
+    // varint 0x80 0x80 0x80 0x80 0x08 = 2^31: one past Int.MaxValue, so
+    // an Int-narrowed length would wrap negative and slip past the
+    // `n > remaining` truncation guard into new Array[Byte](negative)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.rowbinary"),
+      Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+        0x08, 0x61, 0x62))
+    val err = intercept[Exception] {
+      RowBinary.read(spark, dir, schema).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(chain.exists(m => m.contains("out of Int range")),
+      "expected the loud varint-range diagnostic")
+  }
+
   test("roundtrip: every supported type survives, including µs " +
       "timestamps, Date32, Bool, Binary, Array(Float32) and NULLs") {
     val schema = StructType(Seq(
