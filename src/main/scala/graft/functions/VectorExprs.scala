@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -139,9 +139,105 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Binary (sign) quantization: pack each vector's per-dimension sign
+  * bits into `ceil(d/64)` longs — bit `i mod 64` of word `i / 64` is
+  * set iff `v(i) >= 0`, the same sign rule as
+  * [[graft.operators.Similarity.signBucket]]. 32× smaller than the
+  * float32 vector; Hamming distance over the codes approximates
+  * angular distance (Charikar STOC'02 — `P[sign disagree] = θ/π`),
+  * which makes a packed-code scan the cheapest possible ANN shortlist
+  * pass. A dimension count not divisible by 64 leaves the top bits of
+  * the last word zero on BOTH operands, so [[HammingCodeDistance]]
+  * never sees phantom disagreements.
+  */
+case class SignPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dbl = VecElem.isDouble(child.dataType)
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (VecElem.read(v, i, dbl) >= 0.0) words(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ga = VecElem.accessor(child.dataType)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $w = new long[($n + 63) >>> 6];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ((double) $v.$ga($i) >= 0.0) $w[$i >>> 6] |= 1L << ($i & 63);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between two [[SignPack]] code arrays:
+  * `Σ_w bitCount(a_w ^ b_w)` — the number of dimensions whose signs
+  * disagree. One `Long.bitCount` per 64 dimensions, the entire reason
+  * the codes are packed; `HammingPackSpec`-style equivalence with the
+  * naive per-dimension disagreement count is pinned in SimilaritySpec.
+  */
+case class HammingCodeDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hamming_codes"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
-  /** Register both primitives on the session (idempotent); usable from
+  /** Register the primitives on the session (idempotent); usable from
     * SQL text and, via the column helpers, the DataFrame API.
     */
   def register(spark: SparkSession): Unit = {
@@ -149,6 +245,11 @@ object VectorExprs {
       "dot_f", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_dist_sq", exprs => L2DistanceSq(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_pack", exprs => SignPack(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_codes",
+      exprs => HammingCodeDistance(exprs.head, exprs(1)), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -159,5 +260,15 @@ object VectorExprs {
   def l2DistSq(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("l2_dist_sq", a, b)
+  }
+
+  def signPack(spark: SparkSession, v: Column): Column = {
+    register(spark)
+    call_function("sign_pack", v)
+  }
+
+  def hammingCodes(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("hamming_codes", a, b)
   }
 }

@@ -136,4 +136,53 @@ object Contamination {
       .filter(col("containment") >= minContainment)
       .select("eval_id", "train_id", "n_common", "containment")
   }
+
+  /** SEMANTIC contamination: training rows whose EMBEDDING is close to
+    * an eval-set embedding — paraphrased or translated benchmark
+    * leakage that shares no n-gram with the eval text, the gap the
+    * lexical [[overlap]] pass cannot see (the published complement:
+    * embedding-similarity decontamination as in the Llama/phi data
+    * cards and SemDeDup's cross-split use).
+    *
+    * Scale shape: the EVAL side (benchmarks — thousands to a million
+    * rows, never corpus-scale) is sign-bucketed and BROADCAST, so the
+    * corpus pays one map-side bucket probe + a handful of fused cosine
+    * evaluations per row — no corpus shuffle at all, the same
+    * discipline as the bloom prefilter above. The sign-bucket is the
+    * recall trade (same-orthant candidates only, as
+    * [[Similarity.nearDupPairs]] documents); production raises `bits`
+    * with corpus size to keep per-bucket eval candidates small.
+    *
+    * @return (train_id, eval_id, score) — every flagged pair, cosine
+    *         rounded at 6 for cross-engine determinism
+    */
+  def semanticOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                      vecCol: String, bits: Int,
+                      minCosine: Double): DataFrame = {
+    val spark = train.sparkSession
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("cv"),
+      Similarity.signBucket(col(vecCol), bits).as("bucket"))
+    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("qv"),
+      Similarity.signBucket(col(vecCol), bits).as("bucket"))
+    tr.join(broadcast(ev), Seq("bucket"))
+      .withColumn("score",
+        Similarity.cosineFused(spark, col("qv"), col("cv")))
+      .filter(col("score") >= minCosine)
+      .select("train_id", "eval_id", "score")
+  }
+
+  /** The corpus after semantic decontamination: drop every training row
+    * [[semanticOverlap]] flags against the eval set. One broadcast
+    * anti-join on the flagged id set (flagged rows ∝ leakage, tiny by
+    * construction) — the embedding twin of the lexical
+    * `decontaminated_corpus` composition.
+    */
+  def semanticDecontaminated(train: DataFrame, eval: DataFrame,
+                             idCol: String, vecCol: String, bits: Int,
+                             minCosine: Double): DataFrame = {
+    val flagged = semanticOverlap(train, eval, idCol, vecCol, bits,
+      minCosine)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

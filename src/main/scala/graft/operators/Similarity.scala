@@ -931,6 +931,61 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** Binary (sign) quantization ANN: every vector's per-dimension sign
+    * bits pack into `ceil(d/64)` longs (32× smaller than float32 —
+    * [[graft.functions.SignPack]]), the Hamming distance over the
+    * packed codes is the shortlist metric (Charikar STOC'02: sign
+    * disagreements estimate the angle, one `Long.bitCount` per 64
+    * dims), and the k·overquery shortlist re-ranks with the exact
+    * fused cosine. The cheapest trained-state-free rung of the ANN
+    * ladder — below matryoshka (which still scans dPrefix floats) and
+    * far below SQ8/PQ in both bytes and multiplies.
+    *
+    * Scale shape: identical to [[truncatedRerankTopK]] — a map-only
+    * broadcast-query scan whose shortlist exchange carries only
+    * (query_id, cand_id, hamming), then a broadcast-join re-rank over
+    * k·overquery rows per query. At index time the codes column can be
+    * stored (it is a plain `array<long>`), making the scan read
+    * d/8 bytes per candidate instead of 4d.
+    *
+    * Deterministic: shortlist ties break (hamming asc, cand_id),
+    * re-rank ties (score desc, cand_id) — the brute-force contract.
+    * Whole arc is trained-state-free, so `ann_binary_topk` hash-matches
+    * a complete DuckDB replica (naive sign-disagreement count — packed
+    * equivalence is pinned in SimilaritySpec).
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        overquery: Int = 5): DataFrame = {
+    require(k >= 1, s"k >= 1 required: $k")
+    require(overquery >= 1, s"overquery >= 1 required: $overquery")
+    val spark = corpus.sparkSession
+    import graft.functions.VectorExprs
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorExprs.signPack(spark, col(vecCol)).as("qcodes"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      VectorExprs.signPack(spark, col(vecCol)).as("ccodes"))
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    val shortIds = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("hamming",
+        VectorExprs.hammingCodes(spark, col("qcodes"), col("ccodes")))
+      .select("query_id", "cand_id", "hamming")
+      .withColumn("r", row_number().over(wH))
+      .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id")
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    c.select("cand_id", "cv").join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("score", cosineFused(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "score", "rank")
+  }
+
   /** Embedding near-duplicate pairs: sign-bucket prefilter (same-bucket
     * candidates only — one equi-join shuffle) then exact cosine
     * threshold. The embedding analogue of MinHash-LSH + verify.

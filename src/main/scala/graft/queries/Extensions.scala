@@ -1492,6 +1492,19 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // Binary (sign) quantization ANN: packed sign-bit codes (1 bit/dim,
+    // 32× below float32), Hamming shortlist, exact cosine re-rank.
+    // Zero trained state, so the WHOLE arc — pack, Hamming ordering,
+    // shortlist cut, re-rank — hash-matches the DuckDB replica (which
+    // counts sign disagreements dimension-wise; packed ≡ naive is
+    // pinned in SimilaritySpec).
+    "ann_binary_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryHammingTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
     // The full IVF-SQ8 composition with fixed coarse cells: cells
     // bound candidates, 8-bit scalar codes bound bytes, exact re-rank
     // restores precision — and with the cells fixed the whole path
@@ -1653,6 +1666,29 @@ object Extensions {
     "emb_near_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id",
         "embedding", LshBits, 0.4).orderBy("id_a", "id_b")),
+
+    // SEMANTIC decontamination, detect stage: training embeddings close
+    // to an eval-set embedding (paraphrase leakage no n-gram overlap
+    // sees). Eval side broadcast — the corpus never shuffles. The 0.3
+    // threshold is fixture-calibrated (isotropic synthetic embeddings
+    // top out near cosine 0.5 — emb_near_dup's documented band).
+    "contamination_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Contamination.semanticOverlap(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", LshBits, 0.3)
+        .orderBy("train_id", "eval_id")
+    }),
+
+    // ... and the remove stage: the corpus rows that survive.
+    "decontaminated_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.operators.Contamination.semanticDecontaminated(
+        e.filter(col("vec_id") >= 20), e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", LshBits, 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
 
     // The dedup arc on the EMBEDDING modality: near-dup pairs →
     // connected components → canonical manifest, the same cluster
@@ -4479,6 +4515,27 @@ object Extensions {
          |  FROM rer)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
 
+    // Binary-quantization replica: Hamming = dimension-wise count of
+    // sign disagreements (>= 0 on both engines — the packed-code form
+    // is bit-equivalent by construction), shortlist ties (hamming,
+    // cand_id), re-rank with the shared rounded-cosine expression.
+    "ann_binary_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |s AS (
+         |  SELECT query_id, cand_id, qv, cv FROM (
+         |    SELECT q.query_id, c.cand_id, q.qv, c.cv,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (SELECT count(*) FROM generate_series(1, 64) t(i)
+         |         WHERE (q.qv[i] >= 0) <> (c.cv[i] >= 0)), c.cand_id) AS r
+         |    FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id)
+         |  WHERE r <= ${AnnK * AnnOverquery}),
+         |rer AS (SELECT query_id, cand_id, $cosineExpr AS score FROM s)
+         |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+
     // order — generate_series sums sequentially like l2Sql) → raw-
     // double shortlist cut → rounded exact-L2 re-rank. Every term is
     // an IEEE-exact double op shared with the Spark expressions.
@@ -4664,6 +4721,30 @@ object Extensions {
          |  SELECT id_a, id_b, $cosineExpr AS score
          |  FROM a JOIN b ON a.bucket = b.bucket AND a.id_a < b.id_b)
          |WHERE score >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "contamination_semantic" ->
+      s"""WITH tr AS (SELECT vec_id AS train_id, embedding AS cv, ${bucketExpr("embedding")} AS bucket
+         |            FROM embeddings WHERE vec_id >= 20),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS qv, ${bucketExpr("embedding")} AS bucket
+         |       FROM embeddings WHERE vec_id < 20)
+         |SELECT train_id, eval_id, score FROM (
+         |  SELECT train_id, eval_id, $cosineExpr AS score
+         |  FROM tr JOIN ev ON tr.bucket = ev.bucket)
+         |WHERE score >= 0.3 ORDER BY train_id, eval_id""".stripMargin,
+
+    "decontaminated_semantic" ->
+      s"""WITH tr AS (SELECT vec_id AS train_id, embedding AS cv, ${bucketExpr("embedding")} AS bucket
+         |            FROM embeddings WHERE vec_id >= 20),
+         |ev AS (SELECT vec_id AS eval_id, embedding AS qv, ${bucketExpr("embedding")} AS bucket
+         |       FROM embeddings WHERE vec_id < 20),
+         |flagged AS (
+         |  SELECT DISTINCT train_id FROM (
+         |    SELECT train_id, $cosineExpr AS score
+         |    FROM tr JOIN ev ON tr.bucket = ev.bucket)
+         |  WHERE score >= 0.3)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id >= 20 AND vec_id NOT IN (SELECT train_id FROM flagged)
+         |ORDER BY vec_id""".stripMargin,
     "emb_dedup_canonical" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
          |a AS (SELECT vec_id AS id_a, embedding AS qv, bucket FROM v),

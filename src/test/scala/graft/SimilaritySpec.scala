@@ -552,4 +552,78 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dist") && e.getMessage.contains("reserved"))
   }
+
+  // --- binary (sign) quantization -----------------------------------------
+
+  test("packed sign-code Hamming equals the naive per-dimension " +
+      "disagreement count (incl. d not divisible by 64, zeros, -0.0)") {
+    import graft.functions.VectorExprs
+    // deterministic pseudo-random 70-dim vectors: exercises the partial
+    // last word (top 58 bits must stay zero on both operands) plus the
+    // sign-rule edges 0.0f (>= 0 → bit set) and -0.0f (== 0.0 → set)
+    def vec(seed: Long): Array[Float] = {
+      var z = seed
+      Array.tabulate(70) { i =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        val r = ((z >>> 33).toInt % 1000) / 100.0f - 4.9f
+        if (i == 3) 0.0f else if (i == 7) -0.0f else r
+      }
+    }
+    val rows = (0L until 20L).map(s => (s, vec(s), vec(s + 7)))
+      .toDF("id", "va", "vb")
+    val got = rows.select($"id",
+      VectorExprs.hammingCodes(spark,
+        VectorExprs.signPack(spark, $"va"),
+        VectorExprs.signPack(spark, $"vb")).as("packed"),
+      aggregate(zip_with($"va", $"vb",
+        (x, y) => when((x >= 0f) =!= (y >= 0f), 1).otherwise(0)),
+        lit(0), (a, v) => a + v).as("naive"))
+      .as[(Long, Int, Int)].collect()
+    got.foreach { case (id, packed, naive) =>
+      assert(packed == naive, s"id=$id packed=$packed naive=$naive")
+    }
+    // code width: ceil(70/64) = 2 words
+    val w = rows.select(size(VectorExprs.signPack(spark, $"va")))
+      .as[Int].head()
+    assert(w == 2)
+  }
+
+  test("binary-quantized top-k at full overquery equals brute-force " +
+      "cosine top-k (re-rank is exact)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 5
+    val full = Similarity.binaryHammingTopK(emb, queries, "vec_id",
+      "embedding", k, overquery = n / k + 1)
+      .select("query_id", "cand_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k)
+      .select($"query_id", $"cand_id", $"score", $"rank".cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full == brute,
+      "shortlist covering the whole corpus must reduce to brute force")
+  }
+
+  test("binary-quantized top-k keeps useful recall at 1 bit/dim and " +
+      "the overquery lever is monotone") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def recallAt(oq: Int): Double = {
+      val got = Similarity.binaryHammingTopK(emb, queries, "vec_id",
+        "embedding", k, overquery = oq)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r5 = recallAt(5)
+    val r20 = recallAt(20)
+    assert(r5 >= 0.4, s"binary recall@$k (oq=5) = $r5")
+    assert(r20 >= r5, s"overquery must not lose recall: $r20 < $r5")
+    assert(r20 >= 0.7, s"binary recall@$k (oq=20) = $r20")
+  }
 }

@@ -488,4 +488,43 @@ class TrainingPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("increasing"))
   }
+
+  test("semantic contamination flags embedding-near train rows and the " +
+      "decontaminated corpus drops exactly those") {
+    // eval vector along +x; train 101 is a near-paraphrase of it
+    // (same direction, different magnitude, tiny y jitter), train 102
+    // is orthogonal (clean), train 103 is OPPOSITE — same |cosine| but
+    // a different orthant, documenting the sign-bucket recall trade
+    // (and cosine -1 < threshold anyway)
+    val eval = Seq((1L, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (101L, Array(3f, 0.1f, 0f, 0f)),
+      (102L, Array(0f, 1f, 0f, 0f)),
+      (103L, Array(-1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val flagged = Contamination.semanticOverlap(train, eval, "vec_id",
+      "embedding", bits = 4, minCosine = 0.9)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(flagged == Set((101L, 1L)))
+    val kept = Contamination.semanticDecontaminated(train, eval, "vec_id",
+      "embedding", bits = 4, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L))
+  }
+
+  test("semantic contamination: multiple eval hits yield one pair row " +
+      "each but a single drop") {
+    val eval = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(1f, 0.05f))).toDF("vec_id", "embedding")
+    val train = Seq((10L, Array(2f, 0.01f))).toDF("vec_id", "embedding")
+    val pairs = Contamination.semanticOverlap(train, eval, "vec_id",
+      "embedding", bits = 2, minCosine = 0.9)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)))
+    val kept = Contamination.semanticDecontaminated(train, eval, "vec_id",
+      "embedding", bits = 2, minCosine = 0.9).count()
+    assert(kept == 0L)
+  }
 }
