@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries, MisraGriesWeighted}
+import graft.functions.{CharEntropy, CmSketch, CosineSimilarity, KmvDistinct, MisraGries, MisraGriesWeighted, PhraseHits}
 
 /** Session-extension entry point (SURVEY §2.11 registration path): start
   * any session with
@@ -21,6 +21,8 @@ import graft.functions.{CharEntropy, CosineSimilarity, KmvDistinct, MisraGries, 
   *   - `kmv_distinct(x, k)` KMV distinct-count sketch (aggregate)
   *   - `misra_gries(x, k)`  heavy-hitters sketch (aggregate)
   *   - `misra_gries_w(x, w, k)`  weighted heavy-hitters (topKWeighted)
+  *   - `cm_sketch(x, d, w)`  Count–Min frequency sketch (aggregate)
+  *   - `phrase_hits(s, array(…))`  Aho–Corasick blocklist scan (scalar)
   *   - `dict_get('d', 'attr', key)` / `dict_get_or_default(...)`  CH
   *     dictGet over a registered broadcast dictionary
   *     ([[graft.functions.Dictionaries]])
@@ -81,6 +83,22 @@ object GraftExtensions {
           "misra_gries_w: k must be a constant (literal) expression")
         MisraGriesWeighted(exprs.head, exprs(1),
           exprs(2).eval(null).asInstanceOf[Number].intValue())
+      }),
+    (new FunctionIdentifier("cm_sketch"),
+      new ExpressionInfo(classOf[CmSketch].getName, "cm_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "cm_sketch(col, depth, width)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "cm_sketch: depth and width must be constant (literal) expressions")
+        CmSketch(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue(),
+          exprs(2).eval(null).asInstanceOf[Number].intValue())
+      }),
+    (new FunctionIdentifier("phrase_hits"),
+      new ExpressionInfo(classOf[PhraseHits].getName, "phrase_hits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "phrase_hits(text, array('a','b',…))")
+        PhraseHits(exprs.head, exprs(1))
       }),
     // CH dictGet surface (J1's SQL consumer form): the builders resolve
     // against the server-scoped Dictionaries registry at analysis time,

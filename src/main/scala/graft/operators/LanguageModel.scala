@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -192,6 +192,116 @@ object LanguageModel {
       .withColumn("perplexity",
         Rounding.pround(pow(lit(2.0), col("xent")), 4))
       .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
+
+  /** (id, prev3, prev2, prev, token) per position — [[tokenPositions3]]
+    * plus the third-order context; still one posexplode and three
+    * `element_at`s inside the same row. prev3 is null at positions 1–3.
+    */
+  private def tokenPositions4(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), col("ws"), posexplode(col("ws")))
+      .select(col(idCol),
+        when(col("pos") < 3, lit(null))
+          .otherwise(element_at(col("ws"), col("pos") - 2)).as("prev3"),
+        when(col("pos") < 2, lit(null))
+          .otherwise(element_at(col("ws"), col("pos") - 1)).as("prev2"),
+        when(col("pos") === 0, lit(null))
+          .otherwise(element_at(col("ws"), col("pos"))).as("prev"),
+        col("col").as("token"))
+
+  /** Train: 4-gram counts — (prev3, prev2, prev, token, cnt4);
+    * document boundaries respected (positions 1–3 contribute no
+    * 4-gram).
+    */
+  def fourgramLm(reference: DataFrame, textCol: String): DataFrame =
+    tokenPositions4(reference.select(lit(0L).as("_id"),
+      col(textCol)), "_id", textCol)
+      .filter(col("prev3").isNotNull)
+      .groupBy("prev3", "prev2", "prev", "token")
+      .agg(count(lit(1)).as("cnt4"))
+
+  /** Score under a STUPID-BACKOFF 4-gram LM (Brants et al. EMNLP'07 —
+    * the distributed web-scale LM: no discount estimation, no
+    * normalization, every quantity a raw MapReduce-style count):
+    *
+    *   S(w | ctx_k) = cnt_k / ctx_k              if cnt_k > 0
+    *                = β · S(w | ctx_{k−1})        otherwise  (β = 0.4)
+    *
+    * with the add-α unigram of [[crossEntropy]] as the always-positive
+    * base case. The ladder starts at the HIGHEST order the position
+    * supports (a document-initial token scores its unigram with NO
+    * β-penalty — there was no backoff failure, just no context), so
+    * the penalty counts only genuine unseen-context hops:
+    * multiplier = β^(avail − used). S is a score, not a probability
+    * (Σ_w S > 1 is possible) — exactly the published trade: for
+    * filtering/ranking, relative fluency is what matters, and the
+    * score is computable with four count tables and zero smoothing
+    * passes. `sb_bits` = mean −log2 S per token (xent-shaped, but on
+    * the score scale; comparable only across docs scored by the SAME
+    * LM, which is all a quality gate compares).
+    *
+    * β powers are computed ONCE in Scala and the printed doubles
+    * injected into both engines (0.4·0.4 ≠ the literal 0.16 in IEEE —
+    * the lambda-complement rule of [[crossEntropyBigram]]).
+    *
+    * Scale shape: SEVEN one-row-per-key LEFT joins (4/3/2-gram, their
+    * contexts, unigram) against the token sequence — still no pair
+    * fan-out on hot tokens, output ∝ corpus token count; n-gram tables
+    * are map-side-combinable groupBys of the same posexplode. This is
+    * why stupid backoff IS the 100 TB LM: every stage is a count join,
+    * nothing global beyond the one-row stats broadcast.
+    */
+  def stupidBackoff4(docs: DataFrame, idCol: String, textCol: String,
+                     uniLm: DataFrame, bigLm: DataFrame, triLm: DataFrame,
+                     fourLm: DataFrame, beta: Double = 0.4,
+                     alpha: Double = 0.5): DataFrame = {
+    require(beta > 0 && beta < 1, s"backoff beta in (0,1): $beta")
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    val b1 = beta; val b2 = beta * beta; val b3 = b2 * beta
+    val ctx2 = bigLm.groupBy(col("prev")).agg(sum(col("cnt2")).as("ctx2"))
+    val ctx3 = triLm.groupBy(col("prev2"), col("prev"))
+      .agg(sum(col("cnt3")).as("ctx3"))
+    val ctx4 = fourLm.groupBy(col("prev3"), col("prev2"), col("prev"))
+      .agg(sum(col("cnt4")).as("ctx4"))
+    val stats = uniLm.agg(sum(col("cnt")).cast("double").as("lm_total"),
+      count(lit(1)).cast("double").as("lm_vocab"))
+    val pUni = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("lm_total") + lit(alpha) * (col("lm_vocab") + lit(1.0)))
+    // highest order this POSITION supports (prev3 null at pos 1-3, …)
+    val avail = when(col("prev3").isNotNull, lit(4))
+      .when(col("prev2").isNotNull, lit(3))
+      .when(col("prev").isNotNull, lit(2)).otherwise(lit(1))
+    def betaPow(hops: Column): Column =
+      when(hops === 0, lit(1.0)).when(hops === 1, lit(b1))
+        .when(hops === 2, lit(b2)).otherwise(lit(b3))
+    val s4 = col("cnt4").cast("double") / col("ctx4").cast("double")
+    val s3 = col("cnt3").cast("double") / col("ctx3").cast("double")
+    val s2 = col("cnt2").cast("double") / col("ctx2").cast("double")
+    val score =
+      when(col("cnt4").isNotNull && col("ctx4").isNotNull, s4)
+        .when(col("cnt3").isNotNull && col("ctx3").isNotNull,
+          betaPow(avail - 3) * s3)
+        .when(col("cnt2").isNotNull && col("ctx2").isNotNull,
+          betaPow(avail - 2) * s2)
+        .otherwise(betaPow(avail - 1) * pUni)
+    tokenPositions4(docs, idCol, textCol)
+      .join(fourLm, Seq("prev3", "prev2", "prev", "token"), "left")
+      .join(ctx4, Seq("prev3", "prev2", "prev"), "left")
+      .join(triLm, Seq("prev2", "prev", "token"), "left")
+      .join(ctx3, Seq("prev2", "prev"), "left")
+      .join(bigLm, Seq("prev", "token"), "left")
+      .join(ctx2, Seq("prev"), "left")
+      .join(uniLm, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logs",
+        Rounding.pround(log2(score), 9).cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logs")).as("s"))
+      .withColumn("sb_bits",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_tokens"), col("sb_bits"))
   }
 
   /** Score under the interpolated TRIGRAM LM — the next rung of the

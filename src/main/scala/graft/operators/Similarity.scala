@@ -1158,6 +1158,84 @@ object Similarity {
     }
   }
 
+  // --- SSL-prototypes data pruning ---------------------------------------
+
+  /** Cluster-conditional prototypicality pruning (Sorscher et al.
+    * NeurIPS'22, "Beyond neural scaling laws", arXiv:2206.14486):
+    * score every example by cosine similarity to its cluster centroid
+    * (high = prototypical/easy, low = marginal/hard) and keep a fixed
+    * FRACTION per cluster — by default the HARDEST examples, the
+    * paper's winning policy when data is abundant (the 100 TB corpus
+    * case: easy examples are redundant, the decision boundary lives in
+    * the tail). `keepHardest = false` flips to keep-easy, the paper's
+    * policy for the scarce-data regime. Pruning per CLUSTER (not one
+    * global threshold) is what keeps the kept set covering all modes —
+    * a global cut would empty the tightest clusters first.
+    *
+    * Deterministic by construction: cell assignment is the
+    * [[corpusCellAssignment]] argmin (fused dot, (dist, cell)
+    * tie-break), proto_sim the pround(6) cosine, the per-cell keep
+    * budget ceil(keepFrac·n_cell) (exact IEEE for dyadic keepFrac),
+    * rank ties break on the id — so the fixed-centroid form is fully
+    * hash-checkable against a SQL replica (`prune_prototypes`).
+    *
+    * Scale shape: one corpus×k broadcast assign scan (map-side
+    * combinable min_by — nothing corpus×k-sized shuffles), the k-row
+    * cell-count frame broadcast back, and ONE shuffle by cell for the
+    * per-cell rank window. No pairwise term anywhere — this prunes at
+    * O(corpus·k), which is why it composes with SemDeDup rather than
+    * replacing it (dedup kills copies, pruning kills redundancy).
+    *
+    * Returns (idCol, cell, proto_sim) of the KEPT rows.
+    */
+  def prototypesPruneWithCentroids(corpus: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   centroids: Seq[Seq[Float]],
+                                   keepFrac: Double,
+                                   keepHardest: Boolean = true): DataFrame = {
+    val centDf = corpus.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cell", "centroid")
+    prototypesPruneFrom(corpus, idCol, vecCol, centDf, keepFrac, keepHardest)
+  }
+
+  /** [[prototypesPruneWithCentroids]] with a KMeans-trained quantizer
+    * (bounded deterministic train sample — the [[semDedup]] contract);
+    * the trained form has no SQL oracle, its policy is spec-tested.
+    */
+  def prototypesPrune(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, keepFrac: Double,
+                      keepHardest: Boolean = true, seed: Long = 42L,
+                      maxTrain: Int = 1 << 16): DataFrame = {
+    val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
+      vecCol, nlist, seed)
+    prototypesPruneFrom(corpus, idCol, vecCol, centDf, keepFrac, keepHardest)
+  }
+
+  private def prototypesPruneFrom(corpus: DataFrame, idCol: String,
+                                  vecCol: String, centDf: DataFrame,
+                                  keepFrac: Double,
+                                  keepHardest: Boolean): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac in (0,1]: $keepFrac")
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val cosN = (x: Column, y: Column) => Rounding.pround(
+      graft.functions.CosineSimilarity.column(spark, x, y), 6)
+    val sims = corpusCellAssignment(corpus, idCol, vecCol, centDf)
+      .join(broadcast(centDf), Seq("cell"))
+      .select(col("cand_id").as(idCol), col("cell"),
+        cosN(col("cv"), col("centroid")).as("proto_sim"))
+    val counts = sims.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    val order = if (keepHardest) col("proto_sim").asc else col("proto_sim").desc
+    val w = Window.partitionBy("cell").orderBy(order, col(idCol))
+    sims.join(broadcast(counts), Seq("cell"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        ceil(col("n_cell").cast("double") * lit(keepFrac)).cast("long"))
+      .select(col(idCol), col("cell"), col("proto_sim"))
+  }
+
   /** The SemDeDup core: (keep_id) — one row per kept document. The
     * cell assignment is pinned across its three consumers (skew guard,
     * pair generation, keep selection); the returned frame is

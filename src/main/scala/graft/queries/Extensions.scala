@@ -35,6 +35,20 @@ object Extensions {
   private val KmvK = 256
   // Top-N vocabulary for the OOV-rate QA row.
   private val OovVocabN = 1000
+  // Count–Min grid: 4 rows × 512 cells ⇒ ε = e/512 ≈ 0.5% of N,
+  // δ = e^-4 ≈ 1.8% — plenty for the ~30-term fixture vocabulary,
+  // small enough that collisions occur and over_err is non-trivially 0
+  private val CmDepth = 4
+  private val CmWidth = 512
+  private val CmTopN = 20
+  // C4-style blocklist for the phrase_hits gate: two-word phrases and
+  // single terms from the fixture vocabulary, plus one never-matching
+  // entry so the automaton's miss path is exercised in the oracle row
+  private val Blocklist =
+    Seq("fast table", "slow small", "vector", "merge batch", "zzz never")
+  // SSL-prototypes pruning: keep the hardest half of every cell
+  // (dyadic fraction — ceil(0.5·n) is IEEE-exact in both engines)
+  private val PruneKeepFrac = 0.5
   // mix_epoch_plan: temperature, token budget, per-source epoch cap —
   // sized so some fixture sources hit the cap and some don't.
   private val EpochTau = 0.5
@@ -182,6 +196,56 @@ object Extensions {
         graft.operators.LanguageModel.bigramLm(d, "text"),
         graft.operators.LanguageModel.trigramLm(d, "text"))
         .orderBy("doc_id")
+    }),
+
+    // Stupid backoff (Brants et al. EMNLP'07) — the distributed
+    // web-scale LM: raw-count 4-gram score with β=0.4 backoff hops,
+    // position-aware ladder (document-initial tokens pay no penalty),
+    // add-α unigram base. Seven one-row-per-key left joins; β powers
+    // are Scala-computed doubles injected into both engines.
+    "text_stupid_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.stupidBackoff4(d, "doc_id", "text",
+        graft.operators.LanguageModel.unigramLm(d, "text"),
+        graft.operators.LanguageModel.bigramLm(d, "text"),
+        graft.operators.LanguageModel.trigramLm(d, "text"),
+        graft.operators.LanguageModel.fourgramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
+    // blocklist phrase matched in ONE automaton pass per document —
+    // O(|text|+hits) regardless of list size, vs N contains() probes.
+    // Exploded to (doc_id, term) rows so the hit SET is what both
+    // engines hash (zero-hit docs are absent from both).
+    "text_blocklist" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        explode(graft.functions.PhraseHits.column(s, col("text"),
+          Blocklist)).as("term"))
+        .orderBy("doc_id", "term")),
+
+    // Count–Min sketch accuracy report: the grid built by the custom
+    // mergeable aggregate (md5-celled, so DuckDB rebuilds the SAME
+    // grid), probed for the top-N exact terms — est = min over rows,
+    // over_err = est − exact ≥ 0 by construction (CM never
+    // underestimates; the oracle checks the exact collision pattern).
+    "sketch_cm_accuracy" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val sketch = toks.agg(graft.functions.CmSketch.column(s,
+        col("term"), CmDepth, CmWidth).as("cells"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(CmTopN)
+      val est = least((0 until CmDepth).map { j =>
+        val cell = (conv(substring(md5(
+          concat(col("term"), lit(":cm" + j))), 1, 8), 16, 10)
+          .cast("long") % CmWidth).cast("int")
+        element_at(col("cells"), cell + lit(j * CmWidth) + lit(1))
+      }: _*)
+      top.crossJoin(broadcast(sketch))
+        .select(col("term"), col("n"), est.as("cm_est"))
+        .withColumn("over_err", col("cm_est") - col("n"))
+        .orderBy(col("n").desc, col("term"))
     }),
 
     // Per-source quota cap (Gopher/RefinedWeb domain caps): at most 10
@@ -1711,6 +1775,17 @@ object Extensions {
       Similarity.semDedupWithCentroids(t(s, dir, "embeddings"), "vec_id",
         "embedding", SemCents, 0.4)
         .select("vec_id").orderBy("vec_id")),
+
+    // SSL-prototypes pruning (Sorscher et al. NeurIPS'22): keep the
+    // HARDEST ceil(0.5·n) examples of every cluster, hardness = low
+    // cosine to the cell centroid. Fixed dyadic centroids ⇒ the whole
+    // arc (argmin cells, pround(6) proto_sim, per-cell rank cut) is
+    // hash-matched; the trained-KMeans form is policy-tested in
+    // SimilaritySpec (the semDedup/sem_dedup_fixed split).
+    "prune_prototypes" -> ((s, dir) =>
+      Similarity.prototypesPruneWithCentroids(t(s, dir, "embeddings"),
+        "vec_id", "embedding", SemCents, PruneKeepFrac)
+        .orderBy("vec_id")),
 
     // Incremental SemDeDup: the corpus below vec_id 400 is deduplicated
     // once (stage 1), then the remaining rows arrive as a batch and
@@ -3421,6 +3496,86 @@ object Extensions {
         |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "text_stupid_backoff" -> {
+      val b1 = 0.4
+      val b2 = b1 * b1 // 0.4·0.4 ≠ the literal 0.16 in IEEE — inject
+      val b3 = b2 * b1 // the Scala-printed doubles into both engines
+      s"""WITH lm AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_total,
+        |              CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT doc_id, ws[i] AS token,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev,
+        |               CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS prev2,
+        |               CASE WHEN i <= 3 THEN NULL ELSE ws[i-3] END AS prev3
+        |        FROM pos),
+        |big AS (SELECT prev, token, count(*) AS cnt2 FROM seq
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx2 AS (SELECT prev, sum(cnt2) AS ctx2 FROM big GROUP BY 1),
+        |tri AS (SELECT prev2, prev, token, count(*) AS cnt3 FROM seq
+        |        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT prev2, prev, sum(cnt3) AS ctx3 FROM tri GROUP BY 1, 2),
+        |four AS (SELECT prev3, prev2, prev, token, count(*) AS cnt4 FROM seq
+        |         WHERE prev3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |ctx4 AS (SELECT prev3, prev2, prev, sum(cnt4) AS ctx4 FROM four GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(log2(CASE
+        |      WHEN f4.cnt4 IS NOT NULL AND c4.ctx4 IS NOT NULL
+        |        THEN CAST(f4.cnt4 AS DOUBLE) / CAST(c4.ctx4 AS DOUBLE)
+        |      WHEN t3.cnt3 IS NOT NULL AND c3.ctx3 IS NOT NULL
+        |        THEN (CASE (s.avail - 3) WHEN 0 THEN 1.0 ELSE $b1 END)
+        |             * CAST(t3.cnt3 AS DOUBLE) / CAST(c3.ctx3 AS DOUBLE)
+        |      WHEN b.cnt2 IS NOT NULL AND c2.ctx2 IS NOT NULL
+        |        THEN (CASE (s.avail - 2) WHEN 0 THEN 1.0 WHEN 1 THEN $b1 ELSE $b2 END)
+        |             * CAST(b.cnt2 AS DOUBLE) / CAST(c2.ctx2 AS DOUBLE)
+        |      ELSE (CASE (s.avail - 1) WHEN 0 THEN 1.0 WHEN 1 THEN $b1 WHEN 2 THEN $b2 ELSE $b3 END)
+        |           * ((COALESCE(u.cnt, 0) + 0.5) / (t_total + 0.5 * (v + 1)))
+        |      END) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logs
+        |  FROM (SELECT *, CASE WHEN prev3 IS NOT NULL THEN 4
+        |                       WHEN prev2 IS NOT NULL THEN 3
+        |                       WHEN prev IS NOT NULL THEN 2 ELSE 1 END AS avail
+        |        FROM seq) s
+        |  LEFT JOIN four f4 ON f4.prev3 = s.prev3 AND f4.prev2 = s.prev2
+        |                   AND f4.prev = s.prev AND f4.token = s.token
+        |  LEFT JOIN ctx4 c4 ON c4.prev3 = s.prev3 AND c4.prev2 = s.prev2
+        |                   AND c4.prev = s.prev
+        |  LEFT JOIN tri t3 ON t3.prev2 = s.prev2 AND t3.prev = s.prev
+        |                  AND t3.token = s.token
+        |  LEFT JOIN ctx3 c3 ON c3.prev2 = s.prev2 AND c3.prev = s.prev
+        |  LEFT JOIN big b ON b.prev = s.prev AND b.token = s.token
+        |  LEFT JOIN ctx2 c2 ON c2.prev = s.prev
+        |  LEFT JOIN lm u ON u.token = s.token
+        |  CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logs) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sb_bits
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "text_blocklist" ->
+      s"""SELECT doc_id, unnest(list_filter(
+         |  ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},
+         |  w -> contains(text, w))) AS term
+         |FROM documents ORDER BY doc_id, term""".stripMargin,
+    "sketch_cm_accuracy" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         |t AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+         |rj AS (SELECT term, n, unnest(generate_series(0, ${CmDepth - 1})) AS j FROM t),
+         |cm AS (SELECT term, n, j,
+         |         CAST(${hex8ToInt("substr(md5(term || ':cm' || CAST(j AS VARCHAR)), 1, 8)")} % $CmWidth AS BIGINT) AS cell
+         |       FROM rj),
+         |cells AS (SELECT j, cell, CAST(sum(n) AS BIGINT) AS cnt FROM cm GROUP BY 1, 2),
+         |top AS (SELECT term, n FROM t ORDER BY n DESC, term LIMIT $CmTopN),
+         |probe AS (
+         |  SELECT tp.term, tp.n, c.cnt
+         |  FROM top tp JOIN cm m ON m.term = tp.term
+         |  JOIN cells c ON c.j = m.j AND c.cell = m.cell)
+         |SELECT term, n, min(cnt) AS cm_est,
+         |       CAST(min(cnt) - n AS BIGINT) AS over_err
+         |FROM probe GROUP BY term, n ORDER BY n DESC, term""".stripMargin,
     "source_quota_cap" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
@@ -4806,6 +4961,35 @@ object Extensions {
          |    FROM cc JOIN sims s ON s.vec_id = cc.id)
          |  WHERE rn = 1)
          |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin,
+
+    // SSL-prototypes replica: the sem_dedup_fixed assign/sims stages,
+    // then a per-cell rank cut at ceil(keepFrac·n_cell) — hardest
+    // (lowest centroid cosine) first, ties to the smaller id.
+    "prune_prototypes" ->
+      s"""WITH cents AS (
+         |  ${SemCents.indices.map(c =>
+             s"SELECT $c AS cell, ${semCentArray(c)}::DOUBLE[] AS cv, ${semCentSumSq(c)} AS ss")
+             .mkString("\n  UNION ALL\n  ")}),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ((SELECT sum(e.embedding[i]::DOUBLE * c.cv[i]) FROM generate_series(1, 64) t(i)) * (-2) + c.ss),
+         |        c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |sims AS (
+         |  SELECT a.vec_id, a.cell, ${cosSql("a.embedding", "c.cv")} AS proto_sim
+         |  FROM assign a JOIN cents c ON a.cell = c.cell),
+         |cnt AS (SELECT cell, count(*) AS n_cell FROM sims GROUP BY 1),
+         |ranked AS (
+         |  SELECT s.vec_id, s.cell, s.proto_sim, c.n_cell,
+         |         row_number() OVER (PARTITION BY s.cell
+         |                            ORDER BY s.proto_sim, s.vec_id) AS rn
+         |  FROM sims s JOIN cnt c ON c.cell = s.cell)
+         |SELECT vec_id, cell, proto_sim FROM ranked
+         |WHERE rn <= CAST(ceil(CAST(n_cell AS DOUBLE) * $PruneKeepFrac) AS BIGINT)
+         |ORDER BY vec_id""".stripMargin,
 
     // Two-stage replica: stage 1 = sem_dedup_fixed over vec_id<400;
     // stage 2 = batch components + kept-attachment + keep-outlier rule.

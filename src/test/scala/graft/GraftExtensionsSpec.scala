@@ -41,7 +41,33 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("char_entropy", "cosine_sim", "dict_get", "dict_get_or_default",
-        "kmv_distinct", "misra_gries", "misra_gries_w"))
+      Seq("char_entropy", "cm_sketch", "cosine_sim", "dict_get",
+        "dict_get_or_default", "kmv_distinct", "misra_gries",
+        "misra_gries_w", "phrase_hits"))
+  }
+
+  test("cm_sketch and phrase_hits are callable from SQL after install") {
+    GraftExtensions.install(spark)
+    // 3 distinct keys on a wide grid: every point estimate is exact
+    val cells = spark.sql(
+      """SELECT cm_sketch(CAST(id % 3 AS STRING), 2, 1024) AS c
+        |FROM range(0, 30)""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(cells.sum == 30 * 2 && cells.count(_ > 0) <= 6)
+    val hits = spark.sql(
+      "SELECT phrase_hits('the quick brown fox', " +
+        "array('quick brown', 'fox', 'cat')) AS h")
+      .head().getSeq[String](0)
+    assert(hits == Seq("quick brown", "fox"))
+    // non-foldable phrase list fails with the contract message
+    val e = intercept[Exception] {
+      spark.sql("SELECT phrase_hits(CAST(id AS STRING), " +
+        "array(CAST(id AS STRING))) FROM range(0, 3)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(e).exists(_.contains("foldable")),
+      s"unexpected error: ${e.getMessage}")
   }
 }

@@ -399,6 +399,67 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(c3.headOption.getOrElse(0L) == 5L)
   }
 
+  test("stupid backoff: hand-computed in-corpus score, position-aware " +
+      "ladder, penalty direction, β-hop count") {
+    import graft.operators.LanguageModel
+    def lms(ref: org.apache.spark.sql.DataFrame) =
+      (LanguageModel.unigramLm(ref, "text"),
+        LanguageModel.bigramLm(ref, "text"),
+        LanguageModel.trigramLm(ref, "text"),
+        LanguageModel.fourgramLm(ref, "text"))
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    // the training doc scored under itself: every n-gram conditional
+    // is 1 (log 0); only position 1 pays, and it pays the PLAIN add-α
+    // unigram — avail=1 there, so no β hop (document-initial tokens
+    // had no context to back off FROM)
+    val ref = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val (uni, big, tri, four) = lms(ref)
+    val got = LanguageModel.stupidBackoff4(ref, "doc_id", "text",
+      uni, big, tri, four).select($"sb_bits").as[Double].head()
+    val pA = 1.5 / 8.0 // (1+0.5)/(5+0.5·6)
+    val l9 = math.floor(math.log(pA) / math.log(2.0) * 1e9 + 0.5) / 1e9
+    assert(got == r6(-l9 / 5))
+
+    // single-token docs: the whole ladder is position-capped at the
+    // unigram with NO penalty — bit-identical to the unigram scorer
+    val cand1 = Seq((10L, "a"), (11L, "zz")).toDF("doc_id", "text")
+    val sb1 = LanguageModel.stupidBackoff4(cand1, "doc_id", "text",
+      uni, big, tri, four)
+      .select($"doc_id", $"sb_bits").as[(Long, Double)].collect().toMap
+    val xe1 = LanguageModel.crossEntropy(cand1, "doc_id", "text", uni)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(sb1 == xe1)
+
+    // penalty direction: same tokens, scrambled order — the 4-grams
+    // are unseen, every late position backs off, bits strictly rise
+    val scrambled = Seq((20L, "b d a e c")).toDF("doc_id", "text")
+    val sbScr = LanguageModel.stupidBackoff4(scrambled, "doc_id", "text",
+      uni, big, tri, four).select($"sb_bits").as[Double].head()
+    assert(sbScr > got, s"backoff penalty missing: $sbScr vs $got")
+
+    // β-hop count is avail−used, not a flat penalty: "c d e" starts
+    // mid-sentence — pos 3 has avail=3 and a SEEN trigram (c,d,e)… via
+    // training doc, so it scores cnt3/ctx3 = 1 with zero hops, while
+    // pos 1 (c) and pos 2 (d|c, seen bigram) also pay no hop. Total =
+    // unigram cost of c only.
+    val tail = Seq((30L, "c d e")).toDF("doc_id", "text")
+    val sbTail = LanguageModel.stupidBackoff4(tail, "doc_id", "text",
+      uni, big, tri, four).select($"sb_bits").as[Double].head()
+    val pC = 1.5 / 8.0
+    val lC = math.floor(math.log(pC) / math.log(2.0) * 1e9 + 0.5) / 1e9
+    assert(sbTail == r6(-lC / 3))
+
+    // deterministic under repartitioning (the distributed-sum claim)
+    val d = Tables.load(spark, sf, "documents")
+    val (u2, b2, t2, f2) = lms(d)
+    val once = LanguageModel.stupidBackoff4(d, "doc_id", "text",
+      u2, b2, t2, f2).orderBy("doc_id").collect().toSeq
+    val again = LanguageModel.stupidBackoff4(d.repartition(7), "doc_id",
+      "text", u2, b2, t2, f2).orderBy("doc_id").collect().toSeq
+    assert(once == again)
+  }
+
   test("per-source quota cap: deterministic, bounded per group, " +
       "identity when the cap does not bind") {
     import graft.operators.Sampling
