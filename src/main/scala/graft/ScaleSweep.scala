@@ -59,6 +59,11 @@ object ScaleSweep {
     "graph_pagerank",
     "graph_hits",
     "text_repetition",
+    // the 4-gram LM: its n-gram tables grow ∝ corpus tokens and the
+    // scorer is a 7-way token-keyed join — the newest family with a
+    // plausible knee, swept from round 14 on (added after round 13's
+    // sweep run; its sf0.1→sf1 probe is in PLANS.md round 13)
+    "text_stupid_backoff",
     "span_dedup_clean",
     "corpus_split_leakage_safe")
 
@@ -68,7 +73,8 @@ object ScaleSweep {
     * because the sf10 fixtures are ~1.7 GB parquet / ~6 GB shuffle on
     * the graph entries; the light tier adds wall-clock, not evidence.
     *
-    * RUN DECADE 2 WITH HEAP SCALED TO DATA (`SPARK_DRIVER_MEM=64g`):
+    * RUN DECADE 2 WITH HEAP SCALED TO DATA (64 GB+; since round 13 the
+    * whole sweep runs at `SPARK_DRIVER_MEM=100g` for the knee step):
     * on a cluster, 10× data comes with ~10× aggregate executor memory;
     * holding one box's 8 GB heap constant while data grows 100× from
     * sf0.1 measures the heap, not the plans — the first 8 GB run
@@ -102,6 +108,20 @@ object ScaleSweep {
     * graph inputs (orders + lineitem, the edge bipartition) — the
     * other families' fixtures would triple generation time and add no
     * evidence at this step.
+    *
+    * HEAP FOLLOWS DATA AT THIS STEP TOO (run the whole sweep with
+    * `SPARK_DRIVER_MEM=100g` — the 128 GiB box's feasible share of the
+    * ~192 GB pro-rata analog): round 13 measured the knee step at the
+    * decade-2 64 GB convention and found a pure MEMORY-ANALOG knee,
+    * not a plan knee — pagerank spilled 34.7 GB (peak exec demand
+    * 68.7 GB > the 64 GB pool) yet stayed ×2.36; hits stayed
+    * zero-spill but paid ×8.77 in GC/eviction churn (45 GB peak on a
+    * 64 GB heap evicts the 180 M-edge cache between half-steps). The
+    * SAME binaries at 100 GB: pagerank 199.6 s ×2.10 zero-spill, hits
+    * 141.8 s ×2.87 zero-spill — both inside the pro-rated bound
+    * (GraphProbe, idle box, min-of-2; PLANS.md round 13). On a
+    * cluster, 3× data arrives with 3× aggregate executor memory —
+    * the 100 GB regime, not the 64 GB one.
     */
   val SweepKnee: Seq[String] = Seq("graph_pagerank", "graph_hits")
 

@@ -627,4 +627,58 @@ object Profile {
     dv.unpersist(blocking = false)
     detached
   }
+
+  /** Zipf rank–frequency fit per group: least-squares slope of
+    * ln(freq) over ln(rank) across the group's term distribution, plus
+    * the Pearson correlation of the fit. Natural text sits near slope
+    * −1 with |corr| ≈ 1 (Zipf's law); templated/boilerplate corpora
+    * flatten the head (slope → 0), id-like token streams flatten
+    * everything (corr → 0) — a one-number corpus-shape QA beside
+    * [[klDrift]]'s cross-source drift and the OOV/fertility meters.
+    *
+    * Cross-engine exactness: ln(rank) and ln(freq) are quantized to
+    * integer 10⁻⁹ units (the log2-at-9 discipline), all five sums run
+    * as exact 128-bit integers (DECIMAL(38,0) here, HUGEINT in the
+    * DuckDB replica — x·y ≈ 1.6·10¹⁹ overflows int64, which is why
+    * the operands cast BEFORE multiplying), and only the final
+    * slope/corr divisions (and one IEEE sqrt) run in double, pround(6).
+    * Degenerate groups (one distinct term ⇒ zero x-variance) report
+    * NULL fit, the linearFit convention.
+    *
+    * Scale shape: one map-side-combinable term count, one per-group
+    * rank window (the frequency table is |vocab| rows, not corpus
+    * rows), one combinable five-sum aggregate. Nothing corpus-sized
+    * is sorted.
+    */
+  def zipfFit(docs: DataFrame, groupCol: String, term: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Rounding.pround
+    val d38 = DecimalType(38, 0)
+    val t = docs.groupBy(col(groupCol).as("__k"), term.as("__t"))
+      .agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy("__k").orderBy(col("__f").desc, col("__t"))
+    val xy = t.withColumn("__r", row_number().over(w))
+      .select(col("__k"),
+        floor(log(col("__r").cast("double")) * 1e9 + 0.5).cast("long")
+          .cast(d38).as("__x"),
+        floor(log(col("__f").cast("double")) * 1e9 + 0.5).cast("long")
+          .cast(d38).as("__y"))
+    val s = xy.groupBy("__k").agg(count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val dx = col("__n").cast(d38) * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__n").cast(d38) * col("__syy") - col("__sy") * col("__sy")
+    val num = col("__n").cast(d38) * col("__sxy") - col("__sx") * col("__sy")
+    s.select(col("__k").as(groupCol),
+      col("__n").as("n_terms"),
+      when(dx =!= 0,
+        pround(num.cast("double") / dx.cast("double"), 6)).as("zipf_slope"),
+      when(dx =!= 0 && dy =!= 0,
+        pround(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6)).as("fit_corr"))
+      .orderBy(groupCol)
+  }
 }

@@ -19,36 +19,55 @@ object Quality {
 
   /** Reject thresholds; verdict precedence is the declaration order
     * below (a doc failing several checks reports the first).
+    * `blockedPhrases` arms the C4-style bad-words gate: any phrase of
+    * the list contained in the text rejects the document — matched by
+    * ONE Aho–Corasick pass ([[graft.functions.PhraseHits]]), so the
+    * gate's cost is O(|text|) however long the list is. Empty list
+    * (the default) = gate off, signals and schema unchanged.
     */
   final case class Thresholds(
       minTokens: Long = 15,
       maxTokens: Long = 1 << 20,
       allowedLangs: Seq[String] = Seq("en", "de", "es", "fr"),
       minQuality: Double = 0.0,
-      maxDupWordRatio: Double = 1.0)
+      maxDupWordRatio: Double = 1.0,
+      blockedPhrases: Seq[String] = Seq.empty)
 
   /** Per-document signals + verdict: `too_short` | `too_long` |
-    * `bad_lang` | `low_quality` | `repetitive` | `keep`.
+    * `bad_lang` | `blocked` | `low_quality` | `repetitive` | `keep`.
+    * With the blocklist armed the output carries one extra signal
+    * column `n_blocked` (distinct blocklist phrases present) and the
+    * `blocked` arm sits after `bad_lang` — C4 drops bad-words pages
+    * outright, before any quality scoring.
     */
   def verdict(docs: DataFrame, idCol: String, textCol: String,
               t: Thresholds): DataFrame = {
     val c = col(textCol)
-    docs.select(col(idCol),
+    val blockedSig =
+      if (t.blockedPhrases.isEmpty) Nil
+      else Seq(size(graft.functions.PhraseHits.column(
+        docs.sparkSession, c, t.blockedPhrases)).as("n_blocked"))
+    val sig = docs.select(Seq(col(idCol),
       TextFunctions.tokenCount(c).as("n_tokens"),
       TextFunctions.langId(c).as("lang_id"),
       TextFunctions.qualityScore(c).as("quality"),
-      TextFunctions.dupWordRatio(c).as("dup_word_ratio"))
-      .withColumn("verdict",
+      TextFunctions.dupWordRatio(c).as("dup_word_ratio")) ++ blockedSig: _*)
+    val base =
+      when(col("n_tokens").isNull, "null_text")
         // a null document must not fall through every threshold `when`
         // (null comparisons are null, not false) into "keep"
-        when(col("n_tokens").isNull, "null_text")
-          .when(col("n_tokens") < t.minTokens, "too_short")
-          .when(col("n_tokens") > t.maxTokens, "too_long")
-          .when(!col("lang_id").isin(t.allowedLangs.map(x => x: Any): _*),
-            "bad_lang")
-          .when(col("quality") < t.minQuality, "low_quality")
-          .when(col("dup_word_ratio") > t.maxDupWordRatio, "repetitive")
-          .otherwise("keep"))
+        .when(col("n_tokens") < t.minTokens, "too_short")
+        .when(col("n_tokens") > t.maxTokens, "too_long")
+        .when(!col("lang_id").isin(t.allowedLangs.map(x => x: Any): _*),
+          "bad_lang")
+    val withBlock =
+      if (t.blockedPhrases.isEmpty) base
+      else base.when(col("n_blocked") > 0, "blocked")
+    sig.withColumn("verdict",
+      withBlock
+        .when(col("quality") < t.minQuality, "low_quality")
+        .when(col("dup_word_ratio") > t.maxDupWordRatio, "repetitive")
+        .otherwise("keep"))
   }
 
   /** The filtered corpus itself: original rows that pass every check —
@@ -58,11 +77,16 @@ object Quality {
   def clean(docs: DataFrame, idCol: String, textCol: String,
             t: Thresholds): DataFrame = {
     val c = col(textCol)
+    val blockOk =
+      if (t.blockedPhrases.isEmpty) lit(true)
+      else size(graft.functions.PhraseHits.column(
+        docs.sparkSession, c, t.blockedPhrases)) === 0
     docs.filter(
       c.isNotNull &&
         TextFunctions.tokenCount(c).between(t.minTokens, t.maxTokens) &&
         TextFunctions.langId(c)
           .isin(t.allowedLangs.map(x => x: Any): _*) &&
+        blockOk &&
         TextFunctions.qualityScore(c) >= t.minQuality &&
         TextFunctions.dupWordRatio(c) <= t.maxDupWordRatio)
   }

@@ -329,6 +329,73 @@ object Rollup {
         col("__e.count").as("cnt"), col("__r").as("rnk")): _*)
   }
 
+  /** Count–Min frequency state per key (`cm`: the flattened depth×width
+    * grid of [[graft.functions.CmSketch]]) — the AggregatingMergeTree
+    * leg for POINT-FREQUENCY queries, completing the stored-state
+    * family (scalars + KMV/HLL = distinct, topK = which-are-heavy,
+    * CM = how often is THIS term, for any term, after the fact).
+    * State size is O(depth·width) per key regardless of input rows.
+    */
+  def aggregateCmState(batch: DataFrame, keys: Seq[String],
+                       termCol: Column, depth: Int, width: Int)
+      : DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(graft.functions.CmSketch.column(batch.sparkSession,
+        termCol, depth, width).as("cm"))
+
+  /** CM-state merge: grids of the same geometry add cell-wise — the
+    * unconditionally associative+commutative case of the family (no
+    * saturation regime, no mode conversion), so build(all) ≡
+    * merge(build(bᵢ)) EXACTLY for any batch split. The fold is
+    * posexplode → (key, cell) integer sums → ordered rebuild (the HLL
+    * register idiom above); a state whose grid size disagrees with
+    * depth·width raises loudly instead of silently truncating the
+    * rebuilt array.
+    */
+  def mergeCmStates(states: Seq[DataFrame], keys: Seq[String],
+                    depth: Int, width: Int): DataFrame = {
+    require(states.nonEmpty, "mergeCmStates: no states")
+    states.foreach(s => require(s.columns.contains("cm"),
+      "not a CM state frame (missing cm) — was it written by " +
+        "aggregateCmState?"))
+    val dw = depth * width
+    val all = states.reduce(_ unionByName _)
+      .withColumn("cm", when(size(col("cm")) === lit(dw), col("cm"))
+        .otherwise(raise_error(concat(
+          lit(s"mergeCmStates: grid size != $dw (depth=$depth, " +
+            s"width=$width) — state built with different geometry: "),
+          size(col("cm")).cast("string")))))
+    all.select(keys.map(col) :+ posexplode(col("cm")): _*)
+      .groupBy(keys.map(col) :+ col("pos"): _*)
+      .agg(sum(col("col")).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("__c"))))
+        .as("__g"))
+      .withColumn("cm", transform(sequence(lit(0), lit(dw - 1)),
+        i => coalesce(element_at(col("__g"), i), lit(0L))))
+      .drop("__g")
+  }
+
+  /** Read side: point-frequency estimates for a (small, broadcast)
+    * probe-term frame against every stored key — est = min over the
+    * depth rows of the term's cell, never below the true count. The
+    * probe cells are the same md5 arithmetic the sketch's update uses
+    * ([[graft.functions.CmSketch.cell]]), spelled in builtin
+    * expressions so a stored grid is queryable from plain SQL too.
+    */
+  def finalizeCm(state: DataFrame, keys: Seq[String], terms: DataFrame,
+                 termCol: String, depth: Int, width: Int): DataFrame = {
+    val est = least((0 until depth).map { j =>
+      val cell = (conv(substring(md5(
+        concat(col(termCol), lit(":cm" + j))), 1, 8), 16, 10)
+        .cast("long") % width).cast("int")
+      element_at(col("cm"), cell + lit(j * width) + lit(1))
+    }: _*)
+    state.crossJoin(broadcast(terms.select(col(termCol))))
+      .select(keys.map(col) ++ Seq(col(termCol),
+        est.as("cm_est")): _*)
+  }
+
   /** Finalize a state into the read-side aggregate row: count, sum,
     * min, max, avg, and the KMV distinct estimate `(k−1)/frac(kth)`
     * (exact `n_seen` below saturation). The estimator arithmetic is

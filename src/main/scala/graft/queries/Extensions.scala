@@ -213,6 +213,17 @@ object Extensions {
         .orderBy("doc_id")
     }),
 
+    // Zipf rank–frequency fit per source: natural text slopes to ≈ −1
+    // (Zipf's law); templated/id-heavy sources flatten — the
+    // corpus-shape QA number beside mix_kl_drift and OOV. Exact
+    // 128-bit integer sums of 1e-9-quantized logs; only the final
+    // divisions are IEEE.
+    "corpus_zipf_fit" -> ((s, dir) =>
+      graft.operators.Profile.zipfFit(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"))),
+
     // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
     // blocklist phrase matched in ONE automaton pass per document —
     // O(|text|+hits) regardless of list size, vs N contains() probes.
@@ -1446,6 +1457,20 @@ object Extensions {
           minTokens = 15, maxTokens = 90,
           allowedLangs = Seq("en", "de", "es", "fr"),
           minQuality = 0.55, maxDupWordRatio = 0.68))
+        .orderBy("doc_id")),
+
+    // The same composed pass with the C4 bad-words gate ARMED: any
+    // blocklist phrase (one Aho–Corasick pass) rejects the doc with
+    // verdict 'blocked' ahead of the quality checks. Same thresholds
+    // as corpus_quality_verdict, so the diff between the two rows IS
+    // the gate's effect.
+    "corpus_blocklist_verdict" -> ((s, dir) =>
+      graft.operators.Quality.verdict(t(s, dir, "documents"), "doc_id",
+        "text", graft.operators.Quality.Thresholds(
+          minTokens = 15, maxTokens = 90,
+          allowedLangs = Seq("en", "de", "es", "fr"),
+          minQuality = 0.55, maxDupWordRatio = 0.68,
+          blockedPhrases = Blocklist))
         .orderBy("doc_id")),
 
     // Line-level (CCNet-style) dedup: 10-word chunks recurring in > 2
@@ -3555,6 +3580,32 @@ object Extensions {
         |       floor(CAST(-sum(logs) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sb_bits
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "corpus_zipf_fit" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |              FROM documents),
+         |t AS (SELECT source, term, count(*) AS f FROM toks GROUP BY 1, 2),
+         |r AS (SELECT source, term, f,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY f DESC, term) AS rnk
+         |      FROM t),
+         |xy AS (SELECT source,
+         |         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000000 + 0.5) AS HUGEINT) AS x,
+         |         CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000000 + 0.5) AS HUGEINT) AS y
+         |       FROM r),
+         |s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM xy GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n_terms,
+         |  CASE WHEN n * sxx - sx * sx != 0 THEN
+         |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |          / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+         |  END AS zipf_slope,
+         |  CASE WHEN n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0 THEN
+         |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         |          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                 * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         |  END AS fit_corr
+         |FROM s ORDER BY source""".stripMargin,
     "text_blocklist" ->
       s"""SELECT doc_id, unnest(list_filter(
          |  ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},
@@ -4198,6 +4249,35 @@ object Extensions {
          |  CASE WHEN n_tokens < 15 THEN 'too_short'
          |       WHEN n_tokens > 90 THEN 'too_long'
          |       WHEN lang_id NOT IN ('en', 'de', 'es', 'fr') THEN 'bad_lang'
+         |       WHEN quality < 0.55 THEN 'low_quality'
+         |       WHEN dup_word_ratio > 0.68 THEN 'repetitive'
+         |       ELSE 'keep' END AS verdict
+         |FROM l ORDER BY doc_id""".stripMargin,
+    // the armed-gate twin: one extra signal (n_blocked — distinct
+    // blocklist phrases contained) and the 'blocked' arm after bad_lang
+    "corpus_blocklist_verdict" ->
+      s"""WITH sig AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $markerScores,
+         |    $qualitySqlExpr AS quality,
+         |    floor((1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS dup_word_ratio,
+         |    CAST(len(list_filter(
+         |      ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},
+         |      w -> contains(text, w))) AS INT) AS n_blocked
+         |  FROM documents),
+         |l AS (SELECT *,
+         |  CASE WHEN s_en + s_de + s_es + s_fr > 0 THEN
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS lang_id FROM sig)
+         |SELECT doc_id, n_tokens, lang_id, quality, dup_word_ratio, n_blocked,
+         |  CASE WHEN n_tokens < 15 THEN 'too_short'
+         |       WHEN n_tokens > 90 THEN 'too_long'
+         |       WHEN lang_id NOT IN ('en', 'de', 'es', 'fr') THEN 'bad_lang'
+         |       WHEN n_blocked > 0 THEN 'blocked'
          |       WHEN quality < 0.55 THEN 'low_quality'
          |       WHEN dup_word_ratio > 0.68 THEN 'repetitive'
          |       ELSE 'keep' END AS verdict

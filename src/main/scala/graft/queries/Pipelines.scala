@@ -43,6 +43,20 @@ object Pipelines {
       s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
     }.mkString("(", " + ", ")")
 
+  // cm-rollup e2e: grid geometry + probe size (Extensions' CM query
+  // uses its own constants; these are deliberately smaller so the
+  // per-source grids collide more)
+  private val CmDepth = 4
+  private val CmWidth = 256
+  private val CmProbeN = 10
+
+  // the 8-hex-digit (first 4 md5 bytes) variant for the CM cell replica
+  private def hex8ToInt(hx: String): String =
+    (1 to 8).map { i =>
+      val f = 1L << (4 * (8 - i))
+      s"(strpos('0123456789abcdef', substr($hx,$i,1))-1)*$f.0"
+    }.mkString("(", " + ", ")")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // v2 flagship (SURVEY.md §3.2): cold start on the first half of the
     // month, then a true incremental run over the full source; final
@@ -227,6 +241,38 @@ object Pipelines {
       Rollup.finalizeTopK(s.read.parquet(s"$base/g3"), keys, 3)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("user_id", "day", "rnk")
+    }),
+
+    // cmState over AggregatingMergeTree: per-SOURCE Count–Min grids
+    // maintained across three batch merges (cell-wise integer adds —
+    // the unconditionally exact merge of the state family), then
+    // point-frequency probes for the global top terms. merge(build(bᵢ))
+    // ≡ build(all) by construction, so the one-shot DuckDB grid replica
+    // IS the merge proof.
+    "pipeline_rollup_cm_e2e" -> ((s, dir) => {
+      import graft.pipeline.Rollup
+      val keys = Seq("source")
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("term"))
+      val b1 = toks.filter(col("doc_id") % 3 === 0)
+      val b2 = toks.filter(col("doc_id") % 3 === 1)
+      val b3 = toks.filter(col("doc_id") % 3 === 2)
+      val base = scratch("graft_cm_rollup")
+      Rollup.aggregateCmState(b1, keys, col("term"), CmDepth, CmWidth)
+        .write.parquet(s"$base/g1")
+      Rollup.mergeCmStates(Seq(s.read.parquet(s"$base/g1"),
+        Rollup.aggregateCmState(b2, keys, col("term"), CmDepth, CmWidth)),
+        keys, CmDepth, CmWidth).write.parquet(s"$base/g2")
+      Rollup.mergeCmStates(Seq(s.read.parquet(s"$base/g2"),
+        Rollup.aggregateCmState(b3, keys, col("term"), CmDepth, CmWidth)),
+        keys, CmDepth, CmWidth).write.parquet(s"$base/g3")
+      val probe = toks.groupBy("term").agg(count(lit(1)).as("gn"))
+        .orderBy(col("gn").desc, col("term")).limit(CmProbeN)
+      Rollup.finalizeCm(s.read.parquet(s"$base/g3"), keys, probe,
+        "term", CmDepth, CmWidth)
+        .orderBy("source", "term")
     }),
 
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
@@ -560,6 +606,33 @@ object Pipelines {
          |       CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3
          |ORDER BY user_id, day, rnk""".stripMargin,
+    // one-shot grid replica: per-source md5-celled counts, probe = min
+    // over depth rows with empty cells at 0 (the grid's default)
+    "pipeline_rollup_cm_e2e" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |              FROM documents),
+         |t AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+         |rj AS (SELECT source, term, n,
+         |         unnest(generate_series(0, ${CmDepth - 1})) AS j FROM t),
+         |cm AS (SELECT source, j,
+         |         CAST(${hex8ToInt("substr(md5(term || ':cm' || CAST(j AS VARCHAR)), 1, 8)")} % $CmWidth AS BIGINT) AS cell,
+         |         n FROM rj),
+         |cells AS (SELECT source, j, cell, CAST(sum(n) AS BIGINT) AS cnt
+         |          FROM cm GROUP BY 1, 2, 3),
+         |gtot AS (SELECT term, count(*) AS gn FROM toks GROUP BY 1),
+         |top AS (SELECT term FROM gtot ORDER BY gn DESC, term LIMIT $CmProbeN),
+         |probe AS (SELECT s.source, tp.term, j.j,
+         |            CAST(${hex8ToInt("substr(md5(tp.term || ':cm' || CAST(j.j AS VARCHAR)), 1, 8)")} % $CmWidth AS BIGINT) AS cell
+         |          FROM (SELECT DISTINCT source FROM documents) s
+         |          CROSS JOIN top tp
+         |          CROSS JOIN generate_series(0, ${CmDepth - 1}) j(j)),
+         |est AS (SELECT p.source, p.term,
+         |          min(COALESCE(c.cnt, 0)) AS cm_est
+         |        FROM probe p LEFT JOIN cells c
+         |          ON c.source = p.source AND c.j = p.j AND c.cell = p.cell
+         |        GROUP BY 1, 2)
+         |SELECT source, term, cm_est FROM est
+         |ORDER BY source, term""".stripMargin,
     "pipeline_rollup_funnel_e2e" -> {
       val wUs = FunnelWindowSec * 1000000L
       s"""WITH ev AS (SELECT user_id AS k, CAST(ts AS DATE) AS day,

@@ -134,6 +134,45 @@ object RollupStream {
         s"topK state at $statePath has no committed generation")
     }
 
+  /** Count–Min maintenance: each micro-batch reduces to its own grid
+    * ([[Rollup.aggregateCmState]]) and adds cell-wise into the stored
+    * state ([[Rollup.mergeCmStates]]) — the frequency-sketch MV. Same
+    * generation-versioned replay safety as the scalar states (cell
+    * adds aren't idempotent either). */
+  def maintainCmSink(events: DataFrame, statePath: String,
+                     keys: Seq[String], termCol: String, depth: Int,
+                     width: Int, keepGenerations: Int = 3)
+      : DataStreamWriter[Row] = {
+    requireKeep(keepGenerations)
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCmBatch(batch, statePath, keys, termCol, depth, width,
+          batchId, keepGenerations)
+      }
+  }
+
+  def mergeCmBatch(batch: DataFrame, statePath: String, keys: Seq[String],
+                   termCol: String, depth: Int, width: Int, batchId: Long,
+                   keepGenerations: Int = 3): Unit =
+    foldGeneration(batch.sparkSession, statePath, batchId, keepGenerations,
+      Rollup.aggregateCmState(batch, keys, col(termCol), depth, width),
+      (base, inc) => Rollup.mergeCmStates(Seq(base, inc), keys, depth,
+        width))
+
+  /** Latest committed CM state, probed for `terms` point frequencies. */
+  def readFinalizedCm(spark: SparkSession, statePath: String,
+                      keys: Seq[String], terms: DataFrame, termCol: String,
+                      depth: Int, width: Int): DataFrame =
+    latestCommittedGen(spark, statePath, before = Long.MaxValue) match {
+      case Some(g) => Rollup.finalizeCm(
+        spark.read.parquet(s"$statePath/gen=$g"), keys, terms, termCol,
+        depth, width)
+      case None => throw new IllegalStateException(
+        s"CM state at $statePath has no committed generation")
+    }
+
   /** Shared generation fold: merge `inc` onto the latest committed
     * predecessor (strictly before `batchId`), land as `gen=<batchId>`,
     * prune. */

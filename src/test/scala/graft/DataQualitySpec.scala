@@ -190,4 +190,28 @@ class DataQualitySpec extends SparkSpec {
       Profile.weightedQuantiles(df, "g", "v", "w", Seq(0.5, 0.5))
     }
   }
+
+  test("zipfFit: a planted Zipf-1 distribution fits slope ~ -1 with " +
+    "|corr| ~ 1; a uniform distribution fits slope 0; a single-term " +
+    "group reports NULL (degenerate)") {
+    // term i appears floor(1200/i) times: exact Zipf with exponent -1
+    val zipf = (1 to 40).flatMap(i =>
+      Seq.fill(1200 / i)(("z", s"t%02d".format(i))))
+    val unif = (1 to 40).flatMap(i => Seq.fill(30)(("u", s"t%02d".format(i))))
+    val solo = Seq.fill(100)(("s", "only"))
+    val df = (zipf ++ unif ++ solo).toDF("g", "term")
+    val out = Profile.zipfFit(df, "g", $"term")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val (zn, zs, zc) = out("z")
+    assert(zn == 40 && zs.exists(s => s > -1.1 && s < -0.9), s"$zs")
+    assert(zc.exists(_ < -0.99), s"corr $zc")
+    val (_, us, _) = out("u")
+    // uniform: every frequency equal -> flat line, slope exactly 0
+    assert(us.contains(0.0), s"$us")
+    val (sn, ss, sc) = out("s")
+    // one distinct term: rank variance is zero, fit is undefined
+    assert(sn == 1 && ss.isEmpty && sc.isEmpty)
+  }
 }

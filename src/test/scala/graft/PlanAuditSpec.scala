@@ -629,4 +629,41 @@ class PlanAuditSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("blocklist scan is map-only: no join, and the single exchange is " +
+      "the deterministic output sort") {
+    val p = plan("text_blocklist")
+    assert(!p.contains("Join"), "blocklist gate grew a join:\n" + p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, // rangepartitioning for the oracle orderBy only
+      s"expected 1 exchange (output sort), got $exchanges:\n" + p.take(2000))
+  }
+
+  test("armed quality verdict stays one codegen'd projection: no join, " +
+      "no aggregate, one output-sort exchange") {
+    val p = plan("corpus_blocklist_verdict")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "composed verdict no longer map-only:\n" + p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("cm sketch accuracy: the grid reduces to ONE broadcast row, the " +
+      "top-N side is a TakeOrdered, the probe join is broadcast") {
+    val p = plan("sketch_cm_accuracy")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N degraded to a global sort:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "single-row sketch frame not broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("prototypes pruning: every join is broadcast (centroids and the " +
+      "k-row cell-count frame); no corpus-side SMJ, no cartesian") {
+    val p = plan("prune_prototypes")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pruning grew a corpus-scale join:\n" + p.take(3000))
+    assert(p.contains("Window"), p.take(2000)) // the per-cell rank cut
+  }
 }

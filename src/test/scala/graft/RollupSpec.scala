@@ -184,6 +184,43 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("CM state: merge(build(bi)) equals build(all) grid-for-grid for " +
+    "any split; probe never underestimates; geometry mismatch is loud") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", s"t${i % 17}"))
+    val all = rows.toDF("g", "term")
+    val oneShot = Rollup.aggregateCmState(all, keys, $"term", 3, 32)
+      .as[(String, Seq[Long])].collect().toMap
+    // adversarial split: uneven thirds, one empty-ish slice per key
+    val parts = Seq(
+      rows.take(7), rows.slice(7, 180), rows.drop(180))
+      .map(_.toDF("g", "term"))
+      .map(Rollup.aggregateCmState(_, keys, $"term", 3, 32))
+    val merged = Rollup.mergeCmStates(parts, keys, 3, 32)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(merged == oneShot)
+    // probe: estimate >= exact for every (g, term)
+    val probe = all.select($"term").distinct()
+    val est = Rollup.finalizeCm(Rollup.mergeCmStates(parts, keys, 3, 32),
+      keys, probe, "term", 3, 32)
+      .as[(String, String, Long)].collect()
+      .map { case (g, t, e) => (g, t) -> e }.toMap
+    val exact = all.groupBy("g", "term").count()
+      .as[(String, String, Long)].collect()
+      .map { case (g, t, n) => (g, t) -> n }.toMap
+    exact.foreach { case (k2, n) =>
+      assert(est(k2) >= n, s"$k2: est ${est(k2)} < exact $n")
+    }
+    // a state built with different geometry must raise, not truncate
+    val wrong = Rollup.aggregateCmState(all, keys, $"term", 2, 32)
+    val ex = intercept[Exception] {
+      Rollup.mergeCmStates(Seq(parts.head, wrong), keys, 3, 32).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(ex).exists(_.contains("grid size")), ex.getMessage)
+  }
+
   test("merge rejects an old-format state frame (missing sketch " +
     "column) with an actionable message instead of undercounting") {
     val st = Rollup.aggregateState(df(Seq(("a", 1.0, 1L))), keys, "v", "u", K)

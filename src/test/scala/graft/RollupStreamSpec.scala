@@ -161,6 +161,49 @@ class RollupStreamSpec extends SparkSpec {
     assert(readTop == streamed)
   }
 
+  test("streamed CM-state maintenance equals the one-shot grid; point " +
+    "probes see every batch; replaying the last batch is a no-op") {
+    val src = tempDir("cm_stream_src")
+    val state = tempDir("cm_stream_state")
+    val ckpt = tempDir("cm_stream_ckpt")
+    val b1 = Seq(("g", "a"), ("g", "a"), ("g", "b"), ("h", "z"))
+    val b2 = Seq(("g", "a"), ("g", "c"), ("h", "z"))
+    def writeBatch(r: Seq[(String, String)]): Unit =
+      r.toDF("g", "term").coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("g STRING, term STRING").parquet(src)
+      val q = RollupStream.maintainCmSink(stream, state, Seq("g"),
+        "term", depth = 3, width = 64)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(b1); runOnce()
+    writeBatch(b2); runOnce()
+    val probe = Seq("a", "b", "c", "z").toDF("term")
+    def readEst: Map[(String, String), Long] =
+      RollupStream.readFinalizedCm(spark, state, Seq("g"), probe, "term",
+        depth = 3, width = 64)
+        .as[(String, String, Long)].collect()
+        .map { case (g, t, e) => (g, t) -> e }.toMap
+    val streamed = readEst
+    // 4 keys in 64 cells: estimates are exact here, and the streamed
+    // grid must equal the one-shot grid over the union of batches
+    val oneShot = graft.pipeline.Rollup.aggregateCmState(
+      (b1 ++ b2).toDF("g", "term"), Seq("g"), $"term", 3, 64)
+    val oneShotEst = graft.pipeline.Rollup.finalizeCm(oneShot, Seq("g"),
+      probe, "term", 3, 64)
+      .as[(String, String, Long)].collect()
+      .map { case (g, t, e) => (g, t) -> e }.toMap
+    assert(streamed == oneShotEst)
+    assert(streamed(("g", "a")) == 3L && streamed(("h", "z")) == 2L &&
+      streamed(("h", "a")) == 0L)
+    // replay: same batchId re-lands its own generation, counts unchanged
+    RollupStream.mergeCmBatch(b2.toDF("g", "term"), state, Seq("g"),
+      "term", depth = 3, width = 64, batchId = 1L)
+    assert(readEst == streamed)
+  }
+
   test("keepGenerations < 2 is rejected: pruning the immediate " +
     "predecessor would break replay idempotency") {
     val state = tempDir("rollup_keep_guard")

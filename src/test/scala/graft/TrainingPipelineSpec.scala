@@ -171,6 +171,34 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("blocklist gate: armed thresholds add the n_blocked signal and " +
+    "the blocked verdict after bad_lang; clean drops blocked docs") {
+    val docs = Seq(
+      (1L, "the a of to and in is it that bad stuff here ok then"), // blocked
+      (2L, "the a of to and in is it that all fine here ok then"),  // keep
+      (3L, ("uno dos tres bad stuff " * 4).trim))    // bad_lang wins precedence
+      .toDF("doc_id", "text")
+    val base = Quality.Thresholds(minTokens = 5, maxTokens = 100,
+      minQuality = 0.0, maxDupWordRatio = 1.0)
+    val armed = base.copy(blockedPhrases = Seq("bad stuff", "zz"))
+    val v = Quality.verdict(docs, "doc_id", "text", armed)
+    // armed schema: the extra signal column, then the verdict
+    assert(v.columns.toSeq == Seq("doc_id", "n_tokens", "lang_id",
+      "quality", "dup_word_ratio", "n_blocked", "verdict"))
+    val got = v.collect()
+      .map(r => r.getLong(0) -> (r.getInt(5), r.getString(6))).toMap
+    assert(got(1L) == (1, "blocked"))
+    assert(got(2L) == (0, "keep"))
+    assert(got(3L)._2 == "bad_lang") // precedence: lang gate first
+    val kept = Quality.clean(docs, "doc_id", "text", armed)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // unarmed (default) thresholds: schema and verdicts unchanged
+    val plain = Quality.verdict(docs, "doc_id", "text", base)
+    assert(!plain.columns.contains("n_blocked"))
+    assert(plain.collect().map(r => r.getString(5)).count(_ == "keep") == 2)
+  }
+
   test("shuffled packing reorders within the group but conserves totals") {
     val docs = (1L to 20L).map(i => (i, "g", 100L)).toDF("doc_id", "grp", "n")
     val plain = Packing.packBins(docs, "doc_id", "grp", col("n"), 512)
