@@ -364,4 +364,159 @@ object LanguageModel {
         Rounding.pround(pow(lit(2.0), col("xent")), 4))
       .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
   }
+
+  /** Score under an interpolated KNESER–NEY bigram LM (Kneser & Ney,
+    * ICASSP'95; the interpolated form of Chen & Goodman, CSL'99 — the
+    * smoothing KenLM itself implements, one rung of principle above
+    * the fixed-weight Jelinek–Mercer mixtures):
+    *
+    *   p(w | prev) = max(cnt2(prev,w) − D, 0) / ctx2(prev)
+    *               + (D · N1+(prev,·) / ctx2(prev)) · p_cont(w)
+    *
+    * where N1+(prev,·) is the number of DISTINCT continuations of
+    * `prev` and p_cont is the CONTINUATION unigram — p_cont(w) ∝
+    * N1+(·,w), the number of distinct contexts w follows, not its raw
+    * frequency. That substitution is the whole point of KN: "Francisco"
+    * is frequent but follows only "San", so its backoff mass is tiny —
+    * raw-frequency backoff (the JM rungs above) systematically
+    * overweights such burst tokens. Within a seen context the discount
+    * ledger balances EXACTLY: Σ_w p(w|prev) = 1 − D·N1+(prev,·)/ctx2 ·
+    * (1 − Σ_w p_cont(w)) — the discounted mass D·N1+(prev,·) is
+    * redistributed through p_cont with nothing lost (pinned in
+    * TrainingPipelineSpec). Unseen contexts and document-initial
+    * positions score p_cont directly (no context ⇒ the base
+    * distribution, no discount paid). p_cont carries the repo's add-α
+    * floor — (N1+(·,w) + α) / (T + α·(V_c + 1)) with T the total
+    * bigram-TYPE count — so OOV tokens stay finite, the same
+    * deliberate trade as every other scorer in this file.
+    *
+    * Scale shape: ALL model state derives from the one bigram-count
+    * table — ctx2/N1+(prev,·) is a groupBy(prev) over it,
+    * N1+(·,w) a groupBy(token), T/V_c a one-row broadcast; every
+    * training aggregate is map-side combinable, and scoring is three
+    * one-row-per-key LEFT joins against the token sequence (no pair
+    * fan-out on hot tokens, output ∝ corpus token count). Same float
+    * discipline as the rest of the ladder: log2 rounded at 9, exact
+    * DECIMAL(38,12) per-doc sums, D and α injected as the identical
+    * double literals into both engines (0.75 and 0.5 are exactly
+    * representable, so the SQL literals ARE the Scala values).
+    */
+  def kneserNeyBigram(docs: DataFrame, idCol: String, textCol: String,
+                      bigLm: DataFrame, discount: Double = 0.75,
+                      alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    // one groupBy(prev): the context total AND the distinct-follower
+    // count ride the same exchange (bigLm rows are distinct pairs, so
+    // count(*) IS N1+(prev,·))
+    val ctx = bigLm.groupBy(col("prev"))
+      .agg(sum(col("cnt2")).as("ctx2"), count(lit(1)).as("n1a"))
+    // continuation counts: distinct left contexts per token
+    val cont = bigLm.groupBy(col("token")).agg(count(lit(1)).as("n1b"))
+    val stats = cont.agg(sum(col("n1b")).cast("double").as("bt_total"),
+      count(lit(1)).cast("double").as("cv"))
+    val pCont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("bt_total") + lit(alpha) * (col("cv") + lit(1.0)))
+    val pDisc = greatest(
+      coalesce(col("cnt2"), lit(0L)).cast("double") - lit(discount),
+      lit(0.0)) / col("ctx2").cast("double")
+    val lam = (lit(discount) * col("n1a").cast("double")) /
+      col("ctx2").cast("double")
+    // prev null (document-initial) never matches the ctx join, so the
+    // single ctx2-null test covers both "no context" and "unseen
+    // context" — both score the base distribution
+    val p = when(col("ctx2").isNotNull, pDisc + lam * pCont)
+      .otherwise(pCont)
+    tokenPositions(docs, idCol, textCol)
+      .join(bigLm, Seq("prev", "token"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        Rounding.pround(log2(p), 9).cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
+      .withColumn("xent",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .withColumn("perplexity",
+        Rounding.pround(pow(lit(2.0), col("xent")), 4))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
+
+  /** Score under the interpolated Kneser–Ney TRIGRAM LM — the full
+    * Chen & Goodman recursion [[kneserNeyBigram]] is the base case of.
+    * The level below the top does NOT use raw counts: it uses
+    * continuation TYPE counts derived from the trigram table —
+    *
+    *   p(w|u,v) = max(c₃(u,v,w) − D, 0)/ctx₃(u,v)
+    *            + (D·N1+(u,v,·)/ctx₃(u,v)) · p_c(w|v)
+    *   p_c(w|v) = max(N1+(·,v,w) − D, 0)/N1+(·,v,·)
+    *            + (D·N1+T(v,·)/N1+(·,v,·)) · p_cont(w)
+    *
+    * with N1+(·,v,w) the number of distinct u such that (u,v,w) was
+    * seen (how many contexts the bigram continues — the same
+    * burst-token correction [[kneserNeyBigram]] applies one level
+    * down) and p_cont the add-α continuation unigram over bigram
+    * types. Positions with no usable context cascade down the same
+    * ladder (pos 2 scores p_c(w|v), pos 1 scores p_cont(w), unseen
+    * (u,v) likewise falls to p_c — and a (u,v) seen as trigram context
+    * guarantees v is seen as a middle, so the cascade never dangles).
+    *
+    * Scale shape: every model frame is a groupBy over the ONE trigram
+    * type table (itself a map-side-combinable count off one
+    * posexplode) plus the bigram table for the base; scoring is five
+    * one-row-per-key LEFT joins + a one-row broadcast — the same
+    * no-fan-out discipline as the whole ladder. Float rules unchanged
+    * (log2@9, DECIMAL(38,12) sums, D/α exact dyadic literals).
+    */
+  def kneserNeyTrigram(docs: DataFrame, idCol: String, textCol: String,
+                       bigLm: DataFrame, triLm: DataFrame,
+                       discount: Double = 0.75,
+                       alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
+    // top level: token counts and distinct-continuation counts per (u,v)
+    val ctx3 = triLm.groupBy(col("prev2"), col("prev"))
+      .agg(sum(col("cnt3")).as("ctx3"), count(lit(1)).as("n1a3"))
+    // middle level: continuation TYPE counts — triLm rows are distinct
+    // (u,v,w) types, so count(*) per (v,w) IS N1+(·,v,w)
+    val n2 = triLm.groupBy(col("prev"), col("token"))
+      .agg(count(lit(1)).as("n2"))
+    val ctxc = n2.groupBy(col("prev"))
+      .agg(sum(col("n2")).as("ctxc2"), count(lit(1)).as("n1ac"))
+    // base: add-α continuation unigram over bigram types
+    val cont = bigLm.groupBy(col("token")).agg(count(lit(1)).as("n1b"))
+    val stats = cont.agg(sum(col("n1b")).cast("double").as("bt_total"),
+      count(lit(1)).cast("double").as("cv"))
+    val pCont = (coalesce(col("n1b"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("bt_total") + lit(alpha) * (col("cv") + lit(1.0)))
+    val pMid = greatest(
+      coalesce(col("n2"), lit(0L)).cast("double") - lit(discount),
+      lit(0.0)) / col("ctxc2").cast("double") +
+      (lit(discount) * col("n1ac").cast("double")) /
+        col("ctxc2").cast("double") * pCont
+    val pC = when(col("ctxc2").isNotNull, pMid).otherwise(pCont)
+    val pTop = greatest(
+      coalesce(col("cnt3"), lit(0L)).cast("double") - lit(discount),
+      lit(0.0)) / col("ctx3").cast("double") +
+      (lit(discount) * col("n1a3").cast("double")) /
+        col("ctx3").cast("double") * pC
+    val p = when(col("ctx3").isNotNull, pTop).otherwise(pC)
+    tokenPositions3(docs, idCol, textCol)
+      .join(triLm, Seq("prev2", "prev", "token"), "left")
+      .join(ctx3, Seq("prev2", "prev"), "left")
+      .join(n2, Seq("prev", "token"), "left")
+      .join(ctxc, Seq("prev"), "left")
+      .join(cont, Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("logp",
+        Rounding.pround(log2(p), 9).cast(DecimalType(38, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("s"))
+      .withColumn("xent",
+        Rounding.pround((-col("s")).cast("double") / col("n_tokens"), 6))
+      .withColumn("perplexity",
+        Rounding.pround(pow(lit(2.0), col("xent")), 4))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
+  }
 }

@@ -225,6 +225,39 @@ object Pca {
     * codegen blow-up at any d). Pure map, no shuffle; works for
     * trained loadings and for any fixed rotation alike.
     */
+  /** Seeded Johnson–Lindenstrauss sign matrix: k rows × dim columns of
+    * ±1/√k (Achlioptas, JCSS 2003 — database-friendly random
+    * projections: ±1 entries satisfy the JL lemma with the same
+    * distortion bound as Gaussians, at one multiply-free sign per
+    * term). The data-INDEPENDENT sibling of the trained loadings
+    * ladder: PCA needs a gram pass and an eigensolve, Matryoshka needs
+    * MRL-trained embeddings — a JL matrix needs neither, so it is the
+    * dimension-reduction rung that works on day 0 against any
+    * embedding column, at any corpus size, with zero training state
+    * to version or refresh.
+    *
+    * Determinism: each sign derives from MD5("jl:seed:j:i") byte-0
+    * parity — reproducible across JVMs and injectable as literals into
+    * an oracle replica. `k` must be a power of FOUR so 1/√k is a dyadic
+    * rational (0.25, 0.0625, …): every matrix entry is then exactly
+    * representable and the SQL literal IS the Scala double, the
+    * SemCents convention.
+    */
+  def jlSigns(dim: Int, k: Int, seed: String): Seq[Seq[Double]] = {
+    require(dim >= 1, s"dim >= 1 required: $dim")
+    require(k >= 1 && (k & (k - 1)) == 0 &&
+      Integer.numberOfTrailingZeros(k) % 2 == 0,
+      s"k must be a power of 4 so 1/sqrt(k) is exact: $k")
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) inv else -inv
+      }
+    }
+  }
+
   def project(df: DataFrame, idCol: String, vecCol: String,
               loadings: Seq[Seq[Double]], scale: Int = 6): DataFrame = {
     require(loadings.nonEmpty, "at least one loading row required")

@@ -931,6 +931,64 @@ object Similarity {
       .select("query_id", "cand_id", "dist", "rank")
   }
 
+  /** Johnson–Lindenstrauss two-stage ANN: stage 1 ranks candidates by
+    * L2 over a k-dim SEEDED SIGN PROJECTION ([[Pca.jlSigns]] —
+    * Achlioptas ±1/√k entries, JL lemma distance preservation), stage 2
+    * re-ranks the k·overquery shortlist with full-dimension exact L2.
+    * The data-independent rung of the prefilter ladder: matryoshka
+    * assumes MRL-trained embeddings and PCA needs a gram pass — a JL
+    * prefilter works on ANY embedding column with no training state at
+    * all, and the projection is a pure map (kProj fused dots per row)
+    * that can be precomputed and stored at index time (kProj doubles
+    * per row, d/kProj× smaller than the raw vectors — the stage-1 scan
+    * then never touches the float column).
+    *
+    * Scale shape: identical to [[truncatedRerankTopK]] — broadcast
+    * query side, map-only stage-1 scan whose shortlist exchange
+    * carries (query_id, cand_id, approx) slim rows, broadcast-join
+    * re-rank over k·overquery rows per query. Pure closed-form
+    * arithmetic end to end (seeded signs are dyadic literals), so the
+    * WHOLE arc is oracle-checkable — no other trained-free rung gives
+    * a tunable prefilter dimension independent of how the embeddings
+    * were produced.
+    */
+  def jlRerankTopK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   signs: Seq[Seq[Double]], overquery: Int = 5): DataFrame = {
+    require(signs.nonEmpty, "at least one projection row required")
+    require(k >= 1, s"k >= 1 required: $k")
+    val spark = corpus.sparkSession
+    def proj(v: Column): Column = array(signs.map { row =>
+      graft.functions.VectorExprs.dot(spark, v, typedLit(row.toArray))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      proj(col(vecCol)).as("qp"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      proj(col(vecCol)).as("cp"))
+    val approx = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qp"), col("cp"))
+    import org.apache.spark.sql.expressions.Window
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist"), col("cand_id"))
+    val shortIds = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id"))
+      .withColumn("approx_dist", approx)
+      .select("query_id", "cand_id", "approx_dist")
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * overquery)
+      .select("query_id", "cand_id")
+    val exact = graft.functions.VectorExprs.l2DistSq(spark,
+      col("qv"), col("cv"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("dist"), col("cand_id"))
+    c.join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(q.select("query_id", "qv")), Seq("query_id"))
+      .withColumn("dist", Rounding.pround(exact, 6))
+      .withColumn("rank", row_number().over(wK).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "dist", "rank")
+  }
+
   /** Binary (sign) quantization ANN: every vector's per-dimension sign
     * bits pack into `ceil(d/64)` longs (32× smaller than float32 —
     * [[graft.functions.SignPack]]), the Hamming distance over the

@@ -95,6 +95,14 @@ object Extensions {
   // nprobe for the FIXED-model stored indexes (8 SemCents cells, vs
   // the trained index's AnnNlist=16)
   private val FixedNprobe = 3
+  // Johnson–Lindenstrauss sign projection: 64 → 16 dims, seeded —
+  // k=16 is a power of 4 so every matrix entry is exactly ±0.25 and
+  // the SQL literals ARE the Scala doubles (the SemCents convention)
+  private val JlK = 16
+  private lazy val JlSigns: Seq[Seq[Double]] =
+    graft.operators.Pca.jlSigns(64, JlK, "jl13")
+  private def jlArray(j: Int): String =
+    JlSigns(j).map(_.toString).mkString("[", ", ", "]")
   // fixed dyadic logistic-regression model for the hash-matched
   // classifier-inference row (training is spec-pinned, not oracled)
   private val LrFixedModel = Classifier.LogRegModel(
@@ -210,6 +218,30 @@ object Extensions {
         graft.operators.LanguageModel.bigramLm(d, "text"),
         graft.operators.LanguageModel.trigramLm(d, "text"),
         graft.operators.LanguageModel.fourgramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Interpolated Kneser–Ney bigram (the KenLM smoothing): absolute
+    // discount D=0.75 with the discounted mass redistributed through
+    // the CONTINUATION unigram (distinct-context counts, not raw
+    // frequency). All model state derives from the one bigram table;
+    // scoring is three one-row-per-key left joins.
+    "text_kneser_ney" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.kneserNeyBigram(d, "doc_id", "text",
+        graft.operators.LanguageModel.bigramLm(d, "text"))
+        .orderBy("doc_id")
+    }),
+
+    // The full KN recursion one order up: trigram top with raw counts,
+    // continuation-TYPE-count middle (N1+(·,v,w) from the trigram type
+    // table), add-α continuation-unigram base — what KenLM computes,
+    // order 3.
+    "text_kneser_ney3" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.LanguageModel.kneserNeyTrigram(d, "doc_id", "text",
+        graft.operators.LanguageModel.bigramLm(d, "text"),
+        graft.operators.LanguageModel.trigramLm(d, "text"))
         .orderBy("doc_id")
     }),
 
@@ -1579,6 +1611,57 @@ object Extensions {
         "vec_id", "embedding", AnnK, dPrefix = 16,
         overquery = AnnOverquery)
         .orderBy("query_id", "rank")
+    }),
+
+    // Johnson–Lindenstrauss two-stage ANN: seeded ±1/√k sign projection
+    // (Achlioptas) as the stage-1 metric — the data-INDEPENDENT
+    // prefilter rung (matryoshka needs MRL-trained embeddings, PCA a
+    // gram pass; JL works on any embedding column with zero trained
+    // state), exact full-dim re-rank. Dyadic matrix entries, so the
+    // whole arc hash-matches.
+    "ann_jl_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.jlRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, JlSigns, overquery = AnnOverquery)
+        .orderBy("query_id", "rank")
+    }),
+
+    // The stored form of the same projection: per-vector k-dim JL
+    // coordinates (rounded at 6), exploded to scalar rows — the
+    // projection arithmetic itself is hash-matched, mirroring
+    // emb_pca_project.
+    "emb_jl_project" -> ((s, dir) =>
+      graft.operators.Pca.project(t(s, dir, "embeddings"), "vec_id",
+        "embedding", JlSigns)
+        .select(col("vec_id"), posexplode(col("vec")))
+        .toDF("vec_id", "dim", "value")
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("value"))
+        .orderBy("vec_id", "dim")),
+
+    // JL lemma QA: per-pair ratio of projected to exact L2² over a
+    // deterministic pair sample — the empirical distortion the
+    // prefilter actually pays at k=16 (E[ratio]=1, spread ~√(2/k)).
+    "emb_jl_distortion" -> ((s, dir) => {
+      val spark = s
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 32)
+      val proj = graft.operators.Pca.project(emb, "vec_id", "embedding",
+        JlSigns)
+      val withP = emb.join(proj, "vec_id")
+      val a = withP.select(col("vec_id").as("vec_a"),
+        col("embedding").as("av"), col("vec").as("ap"))
+      val b = withP.select(col("vec_id").as("vec_b"),
+        col("embedding").as("bv"), col("vec").as("bp"))
+      val d2 = graft.functions.Rounding.pround(
+        graft.functions.VectorExprs.l2DistSq(spark, col("av"), col("bv")), 6)
+      val d2p = graft.functions.Rounding.pround(
+        graft.functions.VectorExprs.l2DistSq(spark, col("ap"), col("bp")), 6)
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .withColumn("d2", d2).withColumn("d2_jl", d2p)
+        .withColumn("ratio", when(col("d2") > 0,
+          graft.functions.Rounding.pround(col("d2_jl") / col("d2"), 6)))
+        .select("vec_a", "vec_b", "d2", "d2_jl", "ratio")
+        .orderBy("vec_a", "vec_b")
     }),
 
     // Binary (sign) quantization ANN: packed sign-bit codes (1 bit/dim,
@@ -3580,6 +3663,82 @@ object Extensions {
         |       floor(CAST(-sum(logs) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS sb_bits
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "text_kneser_ney3" -> {
+      val d = 0.75
+      val a = 0.5
+      // the base and the two interpolation levels, spelled once each and
+      // substituted — expression order mirrors the Spark columns exactly
+      val pcont = s"((COALESCE(n.n1b, 0) + $a) / (bt_total + $a * (cv + 1)))"
+      val pmid = s"greatest(CAST(COALESCE(m.n2, 0) AS DOUBLE) - $d, 0.0) / CAST(mc.ctxc2 AS DOUBLE)" +
+        s" + (($d * CAST(mc.n1ac AS DOUBLE)) / CAST(mc.ctxc2 AS DOUBLE)) * $pcont"
+      val pc = s"CASE WHEN mc.ctxc2 IS NOT NULL THEN $pmid ELSE $pcont END"
+      val ptop = s"greatest(CAST(COALESCE(t3.cnt3, 0) AS DOUBLE) - $d, 0.0) / CAST(c3.ctx3 AS DOUBLE)" +
+        s" + (($d * CAST(c3.n1a3 AS DOUBLE)) / CAST(c3.ctx3 AS DOUBLE)) * ($pc)"
+      s"""WITH pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT doc_id, ws[i] AS token,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev,
+        |               CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS prev2
+        |        FROM pos),
+        |big AS (SELECT prev, token, count(*) AS cnt2 FROM seq
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tri AS (SELECT prev2, prev, token, count(*) AS cnt3 FROM seq
+        |        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |ctx3 AS (SELECT prev2, prev, sum(cnt3) AS ctx3, count(*) AS n1a3
+        |         FROM tri GROUP BY 1, 2),
+        |n2 AS (SELECT prev, token, count(*) AS n2 FROM tri GROUP BY 1, 2),
+        |ctxc AS (SELECT prev, sum(n2) AS ctxc2, count(*) AS n1ac FROM n2 GROUP BY 1),
+        |cont AS (SELECT token, count(*) AS n1b FROM big GROUP BY 1),
+        |st AS (SELECT CAST(sum(n1b) AS DOUBLE) AS bt_total,
+        |              CAST(count(*) AS DOUBLE) AS cv FROM cont),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(log2(CASE WHEN c3.ctx3 IS NOT NULL THEN $ptop
+        |                         ELSE $pc END) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM seq s
+        |  LEFT JOIN tri t3 ON t3.prev2 = s.prev2 AND t3.prev = s.prev AND t3.token = s.token
+        |  LEFT JOIN ctx3 c3 ON c3.prev2 = s.prev2 AND c3.prev = s.prev
+        |  LEFT JOIN n2 m ON m.prev = s.prev AND m.token = s.token
+        |  LEFT JOIN ctxc mc ON mc.prev = s.prev
+        |  LEFT JOIN cont n ON n.token = s.token
+        |  CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
+        |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "text_kneser_ney" -> {
+      val d = 0.75 // exactly representable — the SQL literal IS the Scala value
+      val a = 0.5
+      s"""WITH pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT doc_id, ws[i] AS token,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS prev
+        |        FROM pos),
+        |big AS (SELECT prev, token, count(*) AS cnt2 FROM seq
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cnt2) AS ctx2, count(*) AS n1a FROM big GROUP BY 1),
+        |cont AS (SELECT token, count(*) AS n1b FROM big GROUP BY 1),
+        |st AS (SELECT CAST(sum(n1b) AS DOUBLE) AS bt_total,
+        |              CAST(count(*) AS DOUBLE) AS cv FROM cont),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(log2(CASE WHEN c.ctx2 IS NOT NULL
+        |      THEN greatest(CAST(COALESCE(b.cnt2, 0) AS DOUBLE) - $d, 0.0) / CAST(c.ctx2 AS DOUBLE)
+        |           + (($d * CAST(c.n1a AS DOUBLE)) / CAST(c.ctx2 AS DOUBLE))
+        |             * ((COALESCE(n.n1b, 0) + $a) / (bt_total + $a * (cv + 1)))
+        |      ELSE ((COALESCE(n.n1b, 0) + $a) / (bt_total + $a * (cv + 1)))
+        |      END) * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)) AS logp
+        |  FROM seq s
+        |  LEFT JOIN big b ON b.prev = s.prev AND b.token = s.token
+        |  LEFT JOIN ctx c ON c.prev = s.prev
+        |  LEFT JOIN cont n ON n.token = s.token
+        |  CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS xent,
+        |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "corpus_zipf_fit" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
          |              FROM documents),
@@ -4749,6 +4908,80 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
          |  FROM rer)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+
+    // JL replica: raw-double sign projection (same sequential fold as
+    // the fused dot), raw projected-L2 shortlist, rounded exact-L2
+    // re-rank — the dyadic ±0.25 literals ARE the Scala matrix.
+    "ann_jl_topk" -> {
+      val centsRows = (0 until JlK).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS j, ${jlArray(j)}::DOUBLE[] AS arr")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH cents AS (
+         |  $centsRows),
+         |pj AS (SELECT e.vec_id, c.j,
+         |         (SELECT sum(e.embedding[i]::DOUBLE * c.arr[i])
+         |          FROM generate_series(1, 64) t(i)) AS v
+         |       FROM embeddings e CROSS JOIN cents c),
+         |pv AS (SELECT vec_id, list(v ORDER BY j) AS p FROM pj GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, p.p AS qp
+         |      FROM embeddings e JOIN pv p ON p.vec_id = e.vec_id WHERE e.vec_id < 10),
+         |c AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, p.p AS cp
+         |      FROM embeddings e JOIN pv p ON p.vec_id = e.vec_id),
+         |s AS (
+         |  SELECT query_id, cand_id, qv, cv FROM (
+         |    SELECT q.query_id, c.cand_id, q.qv, c.cv,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        (SELECT sum((q.qp[i] - c.cp[i]) * (q.qp[i] - c.cp[i]))
+         |         FROM generate_series(1, $JlK) t(i)), c.cand_id) AS r
+         |    FROM c CROSS JOIN q WHERE c.cand_id <> q.query_id)
+         |  WHERE r <= ${AnnK * AnnOverquery}),
+         |rer AS (SELECT query_id, cand_id, ${l2Sql("qv", "cv")} AS dist FROM s)
+         |SELECT query_id, cand_id, dist, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS rank
+         |  FROM rer)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Stored-projection replica: one sequential-fold dot per JL row,
+    // rounded at 6 — mirrors emb_pca_project.
+    "emb_jl_project" -> {
+      val centsRows = (0 until JlK).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS dim, ${jlArray(j)}::DOUBLE[] AS arr")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH cents AS (
+         |  $centsRows)
+         |SELECT e.vec_id, c.dim,
+         |  floor((SELECT sum(e.embedding[i]::DOUBLE * c.arr[i])
+         |         FROM generate_series(1, 64) t(i)) * 1000000 + 0.5) / 1000000 AS value
+         |FROM embeddings e CROSS JOIN cents c
+         |ORDER BY vec_id, dim""".stripMargin
+    },
+
+    // Distortion replica: rounded projections (the stored form), then
+    // the same rounded L2² on both spaces and a rounded quotient.
+    "emb_jl_distortion" -> {
+      val centsRows = (0 until JlK).map(j =>
+        s"SELECT CAST($j AS BIGINT) AS j, ${jlArray(j)}::DOUBLE[] AS arr")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH cents AS (
+         |  $centsRows),
+         |e32 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |pj AS (SELECT e.vec_id, c.j,
+         |         floor((SELECT sum(e.embedding[i]::DOUBLE * c.arr[i])
+         |                FROM generate_series(1, 64) t(i)) * 1000000 + 0.5) / 1000000 AS v
+         |       FROM e32 e CROSS JOIN cents c),
+         |pv AS (SELECT vec_id, list(v ORDER BY j) AS p FROM pj GROUP BY vec_id),
+         |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${l2Sql("a.embedding", "b.embedding")} AS d2,
+         |         floor((SELECT sum((pa.p[i] - pb.p[i]) * (pa.p[i] - pb.p[i]))
+         |                FROM generate_series(1, $JlK) t(i)) * 1000000 + 0.5) / 1000000 AS d2_jl
+         |       FROM e32 a JOIN e32 b ON a.vec_id < b.vec_id
+         |       JOIN pv pa ON pa.vec_id = a.vec_id
+         |       JOIN pv pb ON pb.vec_id = b.vec_id)
+         |SELECT vec_a, vec_b, d2, d2_jl,
+         |       CASE WHEN d2 > 0 THEN floor(d2_jl / d2 * 1000000 + 0.5) / 1000000 END AS ratio
+         |FROM pr ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     // Binary-quantization replica: Hamming = dimension-wise count of
     // sign disagreements (>= 0 on both engines — the packed-code form

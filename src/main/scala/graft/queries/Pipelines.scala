@@ -408,6 +408,18 @@ object Pipelines {
         .orderBy("event_id")
     }),
 
+    // ORC interchange: the columnar lake format beside parquet (what a
+    // Hive/Trino consumer reads natively) — schema-enforced read, µs
+    // timestamps native, stripe-splittable. Content must round-trip
+    // losslessly.
+    "orc_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_orc")
+      graft.sources.IO.writeOrc(e, path)
+      graft.sources.IO.readOrc(s, path, e.schema)
+        .orderBy("event_id")
+    }),
+
     // ClickHouse FORMAT JSONEachRow: the same bulk-interchange contract
     // as the CSV dialect (µs timestamps, explicit nulls, schema-enforced
     // read) over CH's default row-stream format.
@@ -674,6 +686,8 @@ object Pipelines {
     "csv_bulk_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "jsoneachrow_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "orc_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",

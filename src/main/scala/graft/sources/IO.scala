@@ -127,6 +127,24 @@ object IO {
       .option("ignoreNullFields", "false")
       .json(path)
 
+  /** ORC interchange: the columnar interchange format beside parquet —
+    * what a Hive/Trino-side consumer of the same lake reads natively.
+    * Spark's orc source is built in (vectorized reader, predicate
+    * pushdown, column pruning — the same scan contract as parquet), so
+    * the mapping is direct; the contract point worth pinning is the
+    * schema-enforced read (same reasoning as the JSONEachRow reader:
+    * interchange formats are read against the TABLE's types, never
+    * inferred). Timestamps are µs-native in ORC — no format bridge
+    * needed — and files are stripe-splittable, so bulk parallelism
+    * comes free.
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   // --- S5/S6/L3/M1: the engine's canonical fact-table write -----------
 
   /** Write a fact table the way the reference's DDL lays it out:

@@ -257,6 +257,19 @@ class PipelineSpec extends SparkSpec {
       df.orderBy("id").collect().toSeq)
   }
 
+  test("ORC round-trips nulls and µs timestamps under a " +
+      "schema-enforced read") {
+    val path = tempDir("orc")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123456"), "a"),
+      (2L, null.asInstanceOf[java.sql.Timestamp], null))
+      .toDF("id", "ts", "name")
+    graft.sources.IO.writeOrc(df, path)
+    val back = graft.sources.IO.readOrc(spark, path, df.schema)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("listMonthPartitions reflects written months (S3)") {
     val path = tempDir("parts")
     graft.sources.IO.writeFact(events, path, "ts", "event_id",

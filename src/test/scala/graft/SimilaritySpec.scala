@@ -275,6 +275,70 @@ class SimilaritySpec extends SparkSpec {
     assert(r20 >= 0.7, s"matryoshka recall@$k (oq=20) = $r20")
   }
 
+  test("JL sign projection: dyadic seeded matrix, corpus-covering " +
+      "overquery recovers exact L2, recall monotone in overquery") {
+    import graft.operators.Pca
+    // the matrix contract: k×dim, every entry exactly ±1/√k (dyadic at
+    // power-of-4 k), deterministic per seed, seed-sensitive
+    val m1 = Pca.jlSigns(64, 16, "jl13")
+    val m2 = Pca.jlSigns(64, 16, "jl13")
+    val m3 = Pca.jlSigns(64, 16, "other")
+    assert(m1.size == 16 && m1.forall(_.size == 64))
+    assert(m1.flatten.forall(v => v == 0.25 || v == -0.25))
+    assert(m1 == m2 && m1 != m3)
+    // both sign populations present (a constant matrix would be a
+    // broken hash, not a projection)
+    assert(m1.flatten.count(_ > 0) > 300 && m1.flatten.count(_ < 0) > 300)
+    intercept[IllegalArgumentException](Pca.jlSigns(64, 8, "s"))
+
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 10
+    val n = emb.count().toInt
+    val brute = {
+      val q = queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val c = emb.select($"vec_id".as("cand_id"), $"embedding".as("cv"))
+      val l2 = org.apache.spark.sql.functions.aggregate(
+        zip_with($"qv", $"cv", (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }), lit(0.0), (a, v) => a + v)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id").orderBy($"d", $"cand_id")
+      c.crossJoin(broadcast(q))
+        .filter($"cand_id" =!= $"query_id")
+        .withColumn("d", l2)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select("query_id", "cand_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    // shortlist covering the whole corpus ⇒ the exact re-rank IS the
+    // answer, projection quality irrelevant — the recovery invariant
+    // every prefilter rung pins
+    val all = Similarity.jlRerankTopK(emb, queries, "vec_id", "embedding",
+      k, m1, overquery = n / k + 1)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == brute,
+      "corpus-covering JL shortlist must equal brute-force L2 exactly")
+
+    def recallAt(oq: Int): Double = {
+      val got = Similarity.jlRerankTopK(emb, queries, "vec_id", "embedding",
+        k, m1, overquery = oq)
+        .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute.map(t => (t._1, t._2))).size.toDouble / brute.size
+    }
+    // isotropic 64d→16d is the hardest regime for ANY projection (no
+    // variance structure to exploit; distortion std ≈ √(2/16) = 35%);
+    // the floor is accordingly modest — real embedding spaces have
+    // low intrinsic dimension and land far higher
+    val r5 = recallAt(5)
+    val r20 = recallAt(20)
+    assert(r5 >= 0.3, s"JL recall@$k (oq=5) = $r5")
+    assert(r20 >= r5, s"overquery must not lose recall: $r20 < $r5")
+    assert(r20 >= 0.7, s"JL recall@$k (oq=20) = $r20")
+  }
+
   test("stored IVF-PQ index: from-index results equal the in-memory path " +
       "and keep useful recall vs exact L2") {
     val emb = Tables.load(spark, sf, "embeddings")

@@ -616,4 +616,121 @@ class TrainingPipelineSpec extends SparkSpec {
       "embedding", bits = 2, minCosine = 0.9).count()
     assert(kept == 0L)
   }
+
+  test("kneser-ney bigram: hand-computed score, discount ledger balance, " +
+      "continuation-vs-frequency ordering, partition independence") {
+    import graft.operators.LanguageModel
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def l9(p: Double): Double =
+      math.floor(math.log(p) / math.log(2.0) * 1e9 + 0.5) / 1e9
+
+    // ref "a b a c a b": bigrams (a,b):2 (b,a):1 (a,c):1 (c,a):1;
+    // ctx2(a)=3 n1a(a)=2; n1b: a←2, b←1, c←1; T=4 types, Vc=3
+    val ref = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val big = LanguageModel.bigramLm(ref, "text")
+    def pCont(n1b: Long): Double =
+      (n1b.toDouble + 0.5) / (4.0 + 0.5 * (3.0 + 1.0))
+    // doc "a b": pos1 scores the continuation base (no context, no
+    // discount paid); pos2 the full discounted+interpolated bigram —
+    // expression order mirrors the operator exactly
+    val pB = (2.0 - 0.75) / 3.0 + ((0.75 * 2.0) / 3.0) * pCont(1L)
+    val expected = r6(-(l9(pCont(2L)) + l9(pB)) / 2.0)
+    val got = LanguageModel.kneserNeyBigram(
+      Seq((10L, "a b")).toDF("doc_id", "text"), "doc_id", "text", big)
+      .select($"xent").as[Double].head()
+    assert(got == expected, s"hand-computed KN mismatch: $got vs $expected")
+
+    // discount ledger: Σ_w p(w|a) over the continuation vocab must
+    // equal 1 − λ(a)·(1 − Σ_w p_cont(w)) — the D·N1+(a,·) of discounted
+    // mass is redistributed through p_cont with nothing lost. Recover
+    // each p(w|a) from scored two-token docs (xent is rounded at 6, so
+    // the recovered sum carries ~1e-5 of quantization).
+    val docs = Seq((20L, "a a"), (21L, "a b"), (22L, "a c"))
+      .toDF("doc_id", "text")
+    val xents = LanguageModel.kneserNeyBigram(docs, "doc_id", "text", big)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    val recovered = xents.values.map { xe =>
+      math.pow(2.0, -(2.0 * xe) - l9(pCont(2L)))
+    }.sum
+    val lamA = (0.75 * 2.0) / 3.0
+    val sumCont = pCont(2L) + pCont(1L) + pCont(1L)
+    val ledger = 1.0 - lamA * (1.0 - sumCont)
+    assert(math.abs(recovered - ledger) < 1e-4,
+      s"KN ledger broken: $recovered vs $ledger")
+
+    // the KN point: equal raw frequency, different context diversity.
+    // "francisco" (3×, always after "san") must score BELOW "common"
+    // (3×, after three distinct contexts) when neither has a usable
+    // context — continuation counts, not frequency, set backoff mass.
+    val burst = Seq(
+      (1L, "san francisco san francisco san francisco x common y common z common"))
+      .toDF("doc_id", "text")
+    val bigB = LanguageModel.bigramLm(burst, "text")
+    val probes = Seq((30L, "q francisco"), (31L, "q common"))
+      .toDF("doc_id", "text")
+    val xb = LanguageModel.kneserNeyBigram(probes, "doc_id", "text", bigB)
+      .select($"doc_id", $"xent").as[(Long, Double)].collect().toMap
+    assert(xb(30L) > xb(31L),
+      s"burst token not demoted: francisco ${xb(30L)} vs common ${xb(31L)}")
+
+    // exact-decimal sums: partitioning cannot move the result
+    val many = (0L until 40L).map(i => (i, "a b a c " * (i % 5 + 1).toInt))
+      .toDF("doc_id", "text")
+    val once = LanguageModel.kneserNeyBigram(many, "doc_id", "text", big)
+      .orderBy("doc_id").collect()
+    val again = LanguageModel.kneserNeyBigram(many.repartition(7),
+      "doc_id", "text", big).orderBy("doc_id").collect()
+    assert(once.sameElements(again))
+  }
+
+  test("kneser-ney trigram: hand-computed recursion through the " +
+      "continuation-type middle level; position cascade") {
+    import graft.operators.LanguageModel
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def l9(p: Double): Double =
+      math.floor(math.log(p) / math.log(2.0) * 1e9 + 0.5) / 1e9
+
+    // ref "a b c a b d a b c": trigram types (a,b,c):2 (b,c,a) (c,a,b)
+    // (a,b,d) (b,d,a) (d,a,b); ctx3(a,b)=3, N1+(a,b,·)=2;
+    // middle N1+(·,v,w): (a,b):2 (b,c):1 (c,a):1 (b,d):1 (d,a):1;
+    // ctxc2(a)=2 n1ac(a)=1, ctxc2(b)=2 n1ac(b)=2;
+    // bigram types: b←1, c←1, a←2, d←1 ⇒ T=5, Vc=4
+    val ref = Seq((1L, "a b c a b d a b c")).toDF("doc_id", "text")
+    val big = LanguageModel.bigramLm(ref, "text")
+    val tri = LanguageModel.trigramLm(ref, "text")
+    def pCont(n1b: Long): Double =
+      (n1b.toDouble + 0.5) / (5.0 + 0.5 * (4.0 + 1.0))
+    // scoring doc "a b c": pos1 = continuation base of a; pos2 = the
+    // TYPE-count middle level p_c(b|a); pos3 = the full top recursion
+    // p(c|a,b) with p_c(c|b) nested — orders of operations mirror the
+    // operator columns exactly
+    val pMidBgA = (2.0 - 0.75) / 2.0 + ((0.75 * 1.0) / 2.0) * pCont(1L)
+    val pMidCgB = (1.0 - 0.75) / 2.0 + ((0.75 * 2.0) / 2.0) * pCont(1L)
+    val pTop = (2.0 - 0.75) / 3.0 + ((0.75 * 2.0) / 3.0) * pMidCgB
+    val expected =
+      r6(-(l9(pCont(2L)) + l9(pMidBgA) + l9(pTop)) / 3.0)
+    val got = LanguageModel.kneserNeyTrigram(
+      Seq((10L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      big, tri).select($"xent").as[Double].head()
+    assert(got == expected, s"hand-computed KN3 mismatch: $got vs $expected")
+
+    // unseen (u,v) context cascades to the middle level, not the base:
+    // "z a b" pos3 has prev2=z unseen ⇒ scores p_c(b|a); pos2 (a|z)
+    // has prev=z never a middle ⇒ base; pos1 base of z (OOV ⇒ α floor)
+    val casc = LanguageModel.kneserNeyTrigram(
+      Seq((20L, "z a b")).toDF("doc_id", "text"), "doc_id", "text",
+      big, tri).select($"xent").as[Double].head()
+    val expCasc =
+      r6(-(l9(pCont(0L)) + l9(pCont(2L)) + l9(pMidBgA)) / 3.0)
+    assert(casc == expCasc, s"cascade mismatch: $casc vs $expCasc")
+
+    // partition independence (exact decimal sums)
+    val many = (0L until 30L).map(i => (i, "a b c a b d " * (i % 3 + 1).toInt))
+      .toDF("doc_id", "text")
+    val once = LanguageModel.kneserNeyTrigram(many, "doc_id", "text",
+      big, tri).orderBy("doc_id").collect()
+    val again = LanguageModel.kneserNeyTrigram(many.repartition(7),
+      "doc_id", "text", big, tri).orderBy("doc_id").collect()
+    assert(once.sameElements(again))
+  }
 }
