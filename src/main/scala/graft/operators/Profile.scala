@@ -681,4 +681,54 @@ object Profile {
           sqrt(dx.cast("double") * dy.cast("double")), 6)).as("fit_corr"))
       .orderBy(groupCol)
   }
+
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF shape, Grootendorst
+    * 2022): the top-k terms that CHARACTERIZE each class (source,
+    * cluster, language …) rather than merely occur in it —
+    *
+    *   score(t, c) = (n_{t,c} / N_c) · ln(1 + A / n_t)
+    *
+    * with n_{t,c} the term's count in the class, N_c the class's token
+    * total (so common-in-class wins), n_t the corpus-wide count and A
+    * the mean class size (so corpus-common terms are damped; ln(1+·)
+    * keeps the damp positive even for terms above mean-class
+    * frequency). The corpus-QA companion to [[zipfFit]] and
+    * `mix_kl_drift`: "what is each source actually made of" as a
+    * query.
+    *
+    * Scale shape: three map-side-combinable groupBys off the same
+    * exploded token stream (class×term, class, term) — everything
+    * after the first aggregation is vocabulary-sized, not
+    * corpus-sized; the scalar A rides a one-row broadcast, the
+    * ranking window partitions by class over per-class vocab only.
+    * Float discipline: the one transcendental (ln) is absorbed at the
+    * repo-standard 9-digit rounding BEFORE ranking, so an ulp of
+    * math-library skew cannot flip an ORDER BY across engines; ties
+    * break lexicographically.
+    */
+  def classTfIdf(tokens: DataFrame, classCol: String, term: Column,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1 required: $k")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.pround
+    val tc = tokens.groupBy(col(classCol).as("__c"), term.as("__t"))
+      .agg(count(lit(1)).as("__ntc"))
+    val cTot = tc.groupBy("__c").agg(sum(col("__ntc")).as("__nc"))
+    val tTot = tc.groupBy("__t").agg(sum(col("__ntc")).as("__nt"))
+    val stats = cTot.agg((sum(col("__nc")).cast("double") /
+      count(lit(1)).cast("double")).as("__a"))
+    val raw = (col("__ntc").cast("double") / col("__nc").cast("double")) *
+      log(lit(1.0) + col("__a") / col("__nt").cast("double"))
+    val w = Window.partitionBy("__c").orderBy(col("__s9").desc, col("__t"))
+    tc.join(cTot, Seq("__c"))
+      .join(tTot, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__s9", pround(raw, 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("__c").as(classCol), col("__t").as("term"),
+        col("__ntc").as("n_term"), pround(col("__s9"), 6).as("score"),
+        col("rank"))
+      .orderBy(col(classCol), col("rank"))
+  }
 }

@@ -113,6 +113,42 @@ object Similarity {
       .select("query_id", "cand_id", "score", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step, Karpukhin et al. EMNLP'20): for each anchor, the
+    * k most-similar candidates with a DIFFERENT label — the negatives
+    * that actually move a contrastive loss, vs random negatives the
+    * model already separates. Same brute-force contract as
+    * [[bruteForceTopK]] (broadcast anchors, map-only scan, slim
+    * (query_id, cand_id, score) shuffle, ties (score desc, cand_id))
+    * plus the label-mismatch gate — null-safe, so unlabeled rows are
+    * negatives for every anchor rather than silently vanishing. At
+    * scale the same shortlist ladder applies upstream (JL / binary /
+    * IVF prefilter, then this exact re-rank over the shortlist);
+    * `neg_label` rides along so the mined pairs are self-describing.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int,
+                        scoreFn: (Column, Column) => Column = cosine(_, _))
+      : DataFrame = {
+    require(k >= 1, s"k >= 1 required: $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neg_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id") &&
+        !(col("neg_label") <=> col("__ql")))
+      .withColumn("score", scoreFn(col("qv"), col("cv")))
+      .select("query_id", "cand_id", "neg_label", "score")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "neg_label", "score", "rank")
+  }
+
   /** Approximate top-k via sign-bucket LSH: candidates limited to the
     * query's bucket. Same output shape as bruteForceTopK; recall trades
     * against the 2^bits candidate reduction.

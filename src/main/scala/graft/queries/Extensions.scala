@@ -256,6 +256,16 @@ object Extensions {
           explode(TextFunctions.tokens(col("text"))).as("term")),
         "source", col("term"))),
 
+    // c-TF-IDF (BERTopic shape): the top-10 terms that CHARACTERIZE
+    // each source — in-class frequency damped by corpus-wide
+    // commonness. Everything past the first combinable groupBy is
+    // vocabulary-sized; ln absorbed at 9 digits BEFORE ranking.
+    "corpus_class_tfidf" -> ((s, dir) =>
+      graft.operators.Profile.classTfIdf(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"), 10)),
+
     // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
     // blocklist phrase matched in ONE automaton pass per document —
     // O(|text|+hits) regardless of list size, vs N contains() probes.
@@ -1545,6 +1555,17 @@ object Extensions {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", AnnK)
         .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hard-negative mining (DPR/SimCSE data prep): per anchor, the
+    // AnnK most-similar candidates with a DIFFERENT label — the
+    // negatives a contrastive loss actually learns from. Brute contract
+    // + null-safe label-mismatch gate.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", AnnK)
         .orderBy("query_id", "rank")
     }),
 
@@ -3765,6 +3786,25 @@ object Extensions {
          |                 * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) / 1000000
          |  END AS fit_corr
          |FROM s ORDER BY source""".stripMargin,
+    "corpus_class_tfidf" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         |              FROM documents),
+         |tc AS (SELECT source, term, count(*) AS ntc FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT source, sum(ntc) AS nc FROM tc GROUP BY 1),
+         |tt AS (SELECT term, sum(ntc) AS nt FROM tc GROUP BY 1),
+         |st AS (SELECT CAST(sum(nc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a FROM ct),
+         |sc AS (SELECT tc.source, tc.term, tc.ntc,
+         |         floor((CAST(tc.ntc AS DOUBLE) / CAST(ct.nc AS DOUBLE))
+         |               * ln(1.0 + a / CAST(tt.nt AS DOUBLE)) * 1000000000 + 0.5) / 1000000000 AS s9
+         |       FROM tc JOIN ct ON ct.source = tc.source
+         |               JOIN tt ON tt.term = tc.term
+         |       CROSS JOIN st)
+         |SELECT source, term, ntc AS n_term,
+         |       floor(s9 * 1000000 + 0.5) / 1000000 AS score, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY source
+         |                                   ORDER BY s9 DESC, term) AS rank
+         |      FROM sc)
+         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     "text_blocklist" ->
       s"""SELECT doc_id, unnest(list_filter(
          |  ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},
@@ -4855,6 +4895,18 @@ object Extensions {
          |  SELECT q.query_id, c.cand_id, $cosineExpr AS score
          |  FROM c, q WHERE c.cand_id != q.query_id)
          |SELECT query_id, cand_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS neg_label FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id, c.cand_id, c.neg_label, $cosineExpr AS score
+         |  FROM c, q WHERE c.cand_id != q.query_id
+         |             AND c.neg_label IS DISTINCT FROM q.ql)
+         |SELECT query_id, cand_id, neg_label, score, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,

@@ -214,4 +214,30 @@ class DataQualitySpec extends SparkSpec {
     // one distinct term: rank variance is zero, fit is undefined
     assert(sn == 1 && ss.isEmpty && sc.isEmpty)
   }
+
+  test("classTfIdf: class-distinctive terms outrank corpus-common ones; " +
+      "per-class budget and rank contract hold") {
+    // "the" floods every class; each class has its own marker term at
+    // LOWER in-class count than "the" — raw frequency would rank "the"
+    // first everywhere, c-TF-IDF must put the marker on top
+    val rows =
+      Seq.fill(30)(("a", "the")) ++ Seq.fill(20)(("a", "alpha")) ++
+        Seq.fill(5)(("a", "misc")) ++
+        Seq.fill(30)(("b", "the")) ++ Seq.fill(20)(("b", "beta")) ++
+        Seq.fill(5)(("b", "misc"))
+    val out = graft.operators.Profile.classTfIdf(
+      rows.toDF("g", "term"), "g", $"term", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(4)) ->
+        (r.getString(1), r.getDouble(3)))
+      .toMap
+    assert(out(("a", 1L))._1 == "alpha" && out(("b", 1L))._1 == "beta",
+      s"markers must outrank the flood term: $out")
+    assert(out(("a", 2L))._1 == "the" && out(("b", 2L))._1 == "the")
+    // k is a hard per-class budget
+    assert(out.size == 4)
+    // scores are positive (ln(1 + x) > 0 for x > 0) and rank-ordered
+    assert(out.values.forall(_._2 > 0))
+    assert(out(("a", 1L))._2 > out(("a", 2L))._2)
+  }
 }

@@ -339,6 +339,56 @@ class SimilaritySpec extends SparkSpec {
     assert(r20 >= 0.7, s"JL recall@$k (oq=20) = $r20")
   }
 
+  test("hard-negative mining: same-label candidates never surface, " +
+      "all-distinct labels degenerate to brute force, nulls are " +
+      "cross-label by definition") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val k = 8
+    val got = Similarity.hardNegativesTopK(emb, queries, "vec_id",
+      "embedding", "label", k)
+    // the gate: no mined negative shares its anchor's label
+    val labels = emb.select($"vec_id", $"label".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val pairs = got.select("query_id", "cand_id", "neg_label")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (q, c, nl) =>
+      labels(c) == nl && labels(q) != nl
+    }, "a same-label candidate leaked into the negatives")
+    // per-anchor budget
+    val perQ = pairs.groupBy(_._1).values.map(_.length)
+    assert(perQ.forall(_ == k))
+
+    // all labels distinct ⇒ the label gate admits everything and the
+    // result IS brute-force top-k (modulo the neg_label column)
+    val uniq = emb.withColumn("label", $"vec_id".cast("int"))
+    val hn = Similarity.hardNegativesTopK(uniq, uniq.filter($"vec_id" < 5),
+      "vec_id", "embedding", "label", k)
+      .select("query_id", "cand_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k)
+      .withColumn("rank", $"rank".cast("long"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(hn == brute, "distinct labels must degenerate to brute force")
+
+    // null labels: a null-label candidate is a negative for every
+    // anchor, and a null-label anchor mines every labeled candidate
+    val withNull = emb.withColumn("label",
+      when($"vec_id" === 7L, lit(null)).otherwise($"label").cast("int"))
+    val nullCand = Similarity.hardNegativesTopK(withNull,
+      withNull.filter($"vec_id" < 5), "vec_id", "embedding", "label",
+      emb.count().toInt)
+    assert(nullCand.filter($"cand_id" === 7L).count() == 5,
+      "null-label candidate must be mineable by every anchor")
+    val nullAnchor = Similarity.hardNegativesTopK(withNull,
+      withNull.filter($"vec_id" === 7L), "vec_id", "embedding", "label",
+      emb.count().toInt)
+    assert(nullAnchor.count() == emb.count() - 1,
+      "null-label anchor must see every labeled candidate")
+  }
+
   test("stored IVF-PQ index: from-index results equal the in-memory path " +
       "and keep useful recall vs exact L2") {
     val emb = Tables.load(spark, sf, "embeddings")
