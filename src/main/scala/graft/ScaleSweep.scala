@@ -122,8 +122,19 @@ object ScaleSweep {
     * (GraphProbe, idle box, min-of-2; PLANS.md round 13). On a
     * cluster, 3× data arrives with 3× aggregate executor memory —
     * the 100 GB regime, not the 64 GB one.
+    *
+    * Round 13 session 4 widens the knee probe beyond the graph tier:
+    * the two heaviest DOCUMENT-side scalers (`dedup_minhash_verified` —
+    * banded inverted index, and `span_dedup_clean` — suffix-window
+    * dedup, the worst sf10 peak-mem non-graph entry at 14.6 GB) get the
+    * same ×3 step. Their sf30 peak demand extrapolates to ~20/~44 GB —
+    * inside the 100 GB convention, so any FAIL here is a plan knee,
+    * not a memory analog. The knee fixture therefore now carries
+    * documents too (still not embeddings — no embedding family is
+    * knee-ranked).
     */
-  val SweepKnee: Seq[String] = Seq("graph_pagerank", "graph_hits")
+  val SweepKnee: Seq[String] = Seq("graph_pagerank", "graph_hits",
+    "dedup_minhash_verified", "span_dedup_clean")
 
   val Factor = 10
   val Factor10 = 100
@@ -166,7 +177,7 @@ object ScaleSweep {
 
     generateIfAbsent(spark, base, big, Factor)
     generateIfAbsent(spark, base, big10, Factor10)
-    generateGraphOnlyIfAbsent(spark, base, big30, FactorKnee)
+    generateKneeIfAbsent(spark, base, big30, FactorKnee)
 
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -364,17 +375,20 @@ object ScaleSweep {
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }
 
-  /** Graph-only amplified fixture (orders + lineitem, the inputs of the
-    * bipartite edge queries): the knee probe's ×300 step would spend
-    * most of its wall-clock amplifying documents/embeddings it never
-    * reads. Same key-offset scheme as [[generateIfAbsent]], so the
-    * ×300 fixture is `factor` disjoint copies of the sf0.1 graph —
-    * component structure preserved, |E| and |V| scaled linearly.
+  /** Knee fixture (orders + lineitem + documents — exactly the inputs
+    * of the knee-ranked families): the ×300 step would spend most of
+    * its wall-clock amplifying embeddings no knee entry reads. Same
+    * key-offset / perturbation scheme as [[generateIfAbsent]], so the
+    * ×300 fixture is `factor` disjoint copies of the sf0.1 tables —
+    * graph component structure preserved, |E|/|V|/corpus scaled
+    * linearly, per-copy token perturbation keeping the shingle/band
+    * distributions shape-true.
     */
-  def generateGraphOnlyIfAbsent(spark: SparkSession, base: String,
-                                big: String, factor: Int): Unit = {
+  def generateKneeIfAbsent(spark: SparkSession, base: String,
+                           big: String, factor: Int): Unit = {
     val marker = new java.io.File(s"$big/_GENERATED")
     if (marker.exists()) return
+    import spark.implicits._
     val orders = Tables.load(spark, base, "orders")
     unioned(orders, factor) { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100 * Off))
@@ -386,6 +400,13 @@ object ScaleSweep {
         .withColumn("l_partkey", col("l_partkey") + lit(i * Off))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * Off))
     }.write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    val docs = Tables.load(spark, base, "documents")
+      .as[(Long, String, String, String, Long)]
+    amplified(spark, docs, factor) { case ((id, text, lang, source, _), i) =>
+      val t = perturbText(text, i)
+      (id + i * Off, t, lang, source, t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
     marker.getParentFile.mkdirs()
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }

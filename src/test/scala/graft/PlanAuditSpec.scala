@@ -666,4 +666,48 @@ class PlanAuditSpec extends SparkSpec {
       "pruning grew a corpus-scale join:\n" + p.take(3000))
     assert(p.contains("Window"), p.take(2000)) // the per-cell rank cut
   }
+
+  test("JL ANN: the query side rides a broadcast (the intended " +
+      "broadcast-nested-loop scan), no SortMergeJoin, no raw cartesian") {
+    val p = plan("ann_jl_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "query side lost its broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "JL stage grew a corpus-scale shuffle join:\n" + p.take(3000))
+  }
+
+  test("hard-negative mining keeps the brute contract: broadcast " +
+      "anchors, no SMJ, no raw cartesian") {
+    val p = plan("ann_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("c-TF-IDF: the corpus-scale aggregation is map-side combinable " +
+      "(partial HashAggregate under the exchange); the scalar mean-class" +
+      "-size frame is broadcast; no SMJ reaches the token stream") {
+    val p = plan("corpus_class_tfidf")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "one-row stats frame not broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("Kneser-Ney scoring joins stay one-row-per-key hash joins with " +
+      "a broadcast stats frame - no position self-join, no cartesian") {
+    val p = plan("text_kneser_ney3")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "one-row stats frame not broadcast:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // every scoring join is an equi hash join against an aggregated
+    // one-row-per-key frame — a position self-join would surface as a
+    // join keyed on doc_id+pos, which nothing here has
+    assert(!p.contains("SortMergeJoin"),
+      "a model-frame join degraded to SMJ:\n" + p.take(3000))
+  }
 }
