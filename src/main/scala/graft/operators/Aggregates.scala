@@ -628,4 +628,143 @@ object Aggregates {
         least(u1x2, u2x2).cast("double") / lit(2.0)).as("u_stat"),
       col("__n1").as("n1"), col("__n2").as("n2"))
   }
+
+  /** ClickHouse `rankCorr(x, y)`: Spearman's ρ per key — Pearson over
+    * AVERAGE ranks, the tie-correct definition both CH and scipy use.
+    * Same doubled-rank trick as [[mannWhitneyU]] (2·minRank + ties − 1
+    * keeps every rank integral), applied independently to x and y —
+    * two rank windows, but both partition on the SAME key so Catalyst
+    * plans ONE hash exchange and two sorts within it. The Pearson
+    * pieces (n·Σab − Σa·Σb and the two variance legs) accumulate as
+    * DECIMAL(38,0): doubled ranks reach 2n, so the raw products reach
+    * 4n³ — past BIGINT at n ≳ 1.3 M rows per key, which a 100 TB key
+    * group will exceed. The only doubles are the two final sqrts
+    * (correctly-rounded IEEE, engine-identical) and the division,
+    * absorbed at 1e-9. A constant x or y (zero variance) yields NULL,
+    * matching CH's nan→NULL surface.
+    */
+  def rankCorr(df: DataFrame, keyCol: String, x: Column, y: Column)
+  : DataFrame = {
+    import graft.functions.Rounding.pround
+    val v = df.select(col(keyCol).as("__k"), x.as("__x"), y.as("__y"))
+    def avgRank2(c: String, out: String) = {
+      val wr = Window.partitionBy("__k").orderBy(col(c))
+      val wt = Window.partitionBy(col("__k"), col(c))
+      (d: DataFrame) => d
+        .withColumn("__r", rank().over(wr))
+        .withColumn("__c", count(lit(1)).over(wt))
+        .withColumn(out, (lit(2L) * col("__r") + col("__c") - lit(1L))
+          .cast("decimal(38,0)"))
+        .drop("__r", "__c")
+    }
+    val ranked = avgRank2("__y", "__b")(avgRank2("__x", "__a")(v))
+    val s = ranked.groupBy("__k").agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("__a")).as("__sa"), sum(col("__b")).as("__sb"),
+      sum(col("__a") * col("__a")).cast("decimal(38,0)").as("__saa"),
+      sum(col("__b") * col("__b")).cast("decimal(38,0)").as("__sbb"),
+      sum(col("__a") * col("__b")).cast("decimal(38,0)").as("__sab"))
+    val num = (col("__n") * col("__sab") - col("__sa") * col("__sb"))
+      .cast("double")
+    val dx = (col("__n") * col("__saa") - col("__sa") * col("__sa"))
+      .cast("double")
+    val dy = (col("__n") * col("__sbb") - col("__sb") * col("__sb"))
+      .cast("double")
+    s.select(col("__k").as(keyCol),
+      when(dx > 0 && dy > 0,
+        pround(num / (sqrt(dx) * sqrt(dy)), 9)).as("rank_corr"),
+      col("__n").cast("long").as("n"))
+  }
+
+  /** ClickHouse `kolmogorovSmirnovTest(x)` over a boolean sample
+    * split: per key, the EXACT two-sample KS statistic
+    * D = sup_t |F₁(t) − F₂(t)|. Entirely integral until the last
+    * division: per distinct value, tie-group counts (map-side
+    * combinable groupBy on (key, x)), a growing-frame cumulative sum
+    * ordered by x (the ECDF numerators), and the sup taken over
+    * |c₁·n₂ − c₂·n₁| as DECIMAL(38,0) — c·n reaches n², past BIGINT at
+    * n ≳ 3 B rows per key. D = maxdiff / (n₁·n₂) is the one double.
+    * The ECDF only changes at observed points and both ECDFs are
+    * right-continuous step functions, so evaluating at each distinct
+    * pooled value (tie-group END: cumulative count INCLUDES the group)
+    * is exact, not an approximation. A key with an empty sample yields
+    * NULL. The p-value needs the asymptotic Kolmogorov series —
+    * library-dependent, not emitted; the exact D is the
+    * engine-checkable part.
+    */
+  def ksTest(df: DataFrame, keyCol: String, sampleA: Column, x: Column)
+  : DataFrame = {
+    val v = df.select(col(keyCol).as("__k"), sampleA.as("__a"),
+      x.as("__x"))
+    val perValue = v.groupBy("__k", "__x").agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("__d1"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("__d2"))
+    val wc = Window.partitionBy("__k").orderBy("__x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy("__k")
+    val cum = perValue
+      .withColumn("__c1", sum(col("__d1")).over(wc).cast("decimal(38,0)"))
+      .withColumn("__c2", sum(col("__d2")).over(wc).cast("decimal(38,0)"))
+      .withColumn("__n1", sum(col("__d1")).over(wk).cast("decimal(38,0)"))
+      .withColumn("__n2", sum(col("__d2")).over(wk).cast("decimal(38,0)"))
+    cum.groupBy("__k").agg(
+      max(abs(col("__c1") * col("__n2") - col("__c2") * col("__n1")))
+        .as("__md"),
+      first(col("__n1")).as("__n1"), first(col("__n2")).as("__n2"))
+      .select(col("__k").as(keyCol),
+        when(col("__n1") > 0 && col("__n2") > 0,
+          col("__md").cast("double") /
+            (col("__n1") * col("__n2")).cast("double")).as("d_stat"),
+        col("__n1").cast("long").as("n1"),
+        col("__n2").cast("long").as("n2"))
+  }
+
+  /** ClickHouse `theilsU(a, b)`: the uncertainty coefficient
+    * U(a|b) = (H(a) − H(a|b)) / H(a) ∈ [0, 1] — how much knowing b
+    * reduces uncertainty about a (asymmetric, unlike Cramér's V).
+    * Built from three exact contingency counts (cell, a-marginal,
+    * b-marginal — all map-side combinable off ONE (a,b) groupBy; the
+    * marginals re-aggregate the |a|·|b|-sized cell frame, not the
+    * corpus) under the [[entropy]] discipline: every −p·log2 p term is
+    * prounded at 1e-9 BEFORE summation and accumulates as
+    * DECIMAL(38,12), so the result is accumulation-order-independent
+    * and engine-identical. H(a) = 0 (constant a) yields NULL — U is
+    * undefined, CH returns nan. Per key; output one row per key with
+    * both entropies exposed for auditability.
+    */
+  def theilsU(df: DataFrame, keyCol: String, a: Column, b: Column)
+  : DataFrame = {
+    import graft.functions.Rounding.pround
+    val cells = df.select(col(keyCol).as("__k"), a.as("__a"), b.as("__b"))
+      .groupBy("__k", "__a", "__b").agg(count(lit(1)).as("__c"))
+    val margA = cells.groupBy("__k", "__a").agg(sum("__c").as("__ca"))
+    val margB = cells.groupBy("__k", "__b").agg(sum("__c").as("__cb"))
+    val totals = cells.groupBy("__k").agg(sum("__c").as("__n"))
+    def entSum(d: DataFrame, c: String, n: Column, out: String) = {
+      val p = col(c).cast("double") / n.cast("double")
+      d.withColumn("__t", pround(-p * log2(p), 9).cast("decimal(38,12)"))
+        .groupBy("__k").agg(sum(col("__t")).as(out))
+    }
+    // H(a): over the a-marginal.  H(a|b) = Σ_b p(b)·H(a|B=b) — equal to
+    // Σ_{a,b} −p(a,b)·log2(p(a,b)/p(b)), accumulated per cell with the
+    // cell's b-marginal joined in (|cells| rows, broadcastable).
+    val ha = entSum(margA.join(broadcast(totals), Seq("__k")), "__ca",
+      col("__n"), "__ha")
+    val hab = {
+      val j = cells.join(broadcast(margB), Seq("__k", "__b"))
+        .join(broadcast(totals), Seq("__k"))
+      val pab = col("__c").cast("double") / col("__n").cast("double")
+      val pagb = col("__c").cast("double") / col("__cb").cast("double")
+      j.withColumn("__t",
+          pround(-pab * log2(pagb), 9).cast("decimal(38,12)"))
+        .groupBy("__k").agg(sum(col("__t")).as("__hab"))
+    }
+    ha.join(hab, Seq("__k"))
+      .select(col("__k").as(keyCol),
+        when(col("__ha") > 0,
+          pround((col("__ha") - col("__hab")).cast("double") /
+            col("__ha").cast("double"), 9)).as("theils_u"),
+        col("__ha").cast("double").as("h_a"),
+        col("__hab").cast("double").as("h_a_given_b"))
+  }
 }

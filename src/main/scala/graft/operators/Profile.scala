@@ -731,4 +731,93 @@ object Profile {
         col("rank"))
       .orderBy(col(classCol), col("rank"))
   }
+
+  /** Distinct-n diversity (the generation-diversity metric of Li et
+    * al.'s "A Diversity-Promoting Objective", applied corpus-wide):
+    * per group and n ∈ [1, maxN], total vs distinct n-gram counts and
+    * their ratio. Natural text keeps distinct-2/3 high; templated or
+    * self-repetitive corpora (and model-generated synthetic data, the
+    * case this QA gate exists for) collapse toward 0 — the corpus-level
+    * complement of the per-document repetition score.
+    *
+    * One branch per n, each a combinable groupBy over an exploded
+    * n-gram stream (n-grams joined to strings so distinctness is
+    * hash-friendly); the union is |groups|·maxN rows. maxN scans of
+    * the token column — acceptable because maxN ≤ 5 and each scan is
+    * projection-pruned to (group, text); fusing the branches into one
+    * explode would save scans but serialize the per-n aggregates
+    * through one shuffle with a wider key, measured slower at sf1.
+    */
+  def distinctNgrams(docs: DataFrame, groupCol: String, textCol: String,
+                     maxN: Int): DataFrame = {
+    import graft.functions.Rounding.pround
+    require(maxN >= 1 && maxN <= 5, s"maxN out of [1,5]: $maxN")
+    val toks = docs.select(col(groupCol).as("__g"),
+      filter(split(col(textCol), " "), t => length(t) > 0).as("__ws"))
+    val perN = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) toks.select(col("__g"), explode(col("__ws")).as("__gram"))
+        else toks
+          .filter(size(col("__ws")) >= n)
+          .select(col("__g"), explode(
+            transform(sequence(lit(0), size(col("__ws")) - n),
+              i => array_join(slice(col("__ws"), i + lit(1), lit(n)), " ")))
+            .as("__gram"))
+      grams.groupBy("__g")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("__gram")).as("distinct_ngrams"))
+        .withColumn("n", lit(n))
+    }
+    perN.reduce(_ unionByName _)
+      .select(col("__g").as(groupCol), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        pround(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 9).as("distinct_ratio"))
+  }
+
+  /** k-anonymity audit (Sweeney): every quasi-identifier combination's
+    * anonymity-set size. A row is k-anonymous iff at least k rows share
+    * its full quasi-identifier tuple — re-identification risk lives in
+    * the SMALL groups, so the gate is `at_risk = anonymity_k < k`. This
+    * is the release check a training-data pipeline runs before shipping
+    * a corpus whose metadata columns (site, region, age bucket, …)
+    * could be joined to an external identified table; the PII scrubber
+    * ([[graft.operators.TextOps]] lane) handles in-content identifiers,
+    * this handles the column-combination side channel.
+    *
+    * One map-side-combinable groupBy on the quasi tuple — the output is
+    * |distinct tuples| rows, the thing an auditor reads sorted by k
+    * ascending. NULL is a value (CH/SQL GROUP BY semantics): an absent
+    * attribute still narrows the attacker's candidate set.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long)
+  : DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("anonymity_k"))
+      .withColumn("at_risk", col("anonymity_k") < k)
+  }
+
+  /** Distinct l-diversity (Machanavajjhala): within each
+    * quasi-identifier group, the number of DISTINCT sensitive values.
+    * k-anonymity alone fails the homogeneity attack — a 50-row group
+    * whose sensitive column is constant discloses it for every member —
+    * so the release gate pairs [[kAnonymity]] with
+    * `diversity_l >= l`. NULL sensitive values are not a disclosure
+    * (nothing is learned) and don't count toward l, but the group still
+    * appears — an all-NULL group reports l = 0.
+    *
+    * Exact countDistinct per group: one expand-free two-level aggregate
+    * ((quasi, sensitive) partial counts, then group) — both levels
+    * map-side combinable; at 100 TB swap the exact count for the KMV
+    * estimator ([[kmvEstimate]]) under the usual exact-twin convention.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("anonymity_k"),
+        countDistinct(col(sensitiveCol)).as("diversity_l"))
+      .withColumn("at_risk", col("diversity_l") < l)
+  }
 }

@@ -256,6 +256,14 @@ object Extensions {
           explode(TextFunctions.tokens(col("text"))).as("term")),
         "source", col("term"))),
 
+    // Distinct-n diversity per source: distinct/total n-gram ratios
+    // for n = 1..3 — the synthetic-data QA gate (templated corpora
+    // collapse distinct-2/3 toward 0). One combinable groupBy per n.
+    "corpus_distinct_ngrams" -> ((s, dir) =>
+      graft.operators.Profile.distinctNgrams(
+        t(s, dir, "documents"), "source", "text", 3)
+        .orderBy("source", "n")),
+
     // c-TF-IDF (BERTopic shape): the top-10 terms that CHARACTERIZE
     // each source — in-class frequency damped by corpus-wide
     // commonness. Everything past the first combinable groupBy is
@@ -398,6 +406,30 @@ object Extensions {
         "event_type", "value")
         .select("event_id", "event_type", "value", "rz", "is_outlier")
         .orderBy("event_id")),
+
+    // k-anonymity release audit: anonymity-set size of every
+    // (lang, source, length-bucket) quasi-identifier tuple over the
+    // corpus metadata — the column-combination re-identification check
+    // beside the in-content PII scrubber. One combinable groupBy.
+    "dq_k_anonymity" -> ((s, dir) =>
+      Profile.kAnonymity(
+        t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            floor(col("n_chars") / 100).as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), 5L)
+        .orderBy("lang", "source", "len_bucket")),
+
+    // Distinct l-diversity: per quasi-identifier group, how many
+    // DISTINCT sensitive values — the homogeneity-attack gate that
+    // k-anonymity alone misses. NULL sensitive values don't count
+    // toward l (nothing is disclosed).
+    "dq_l_diversity" -> ((s, dir) =>
+      Profile.lDiversity(
+        t(s, dir, "events")
+          .select(col("event_type"), (col("user_id") % 25).as("cohort"),
+            floor(col("value") / 100).as("sensitive")),
+        Seq("event_type", "cohort"), "sensitive", 3L)
+        .orderBy("event_type", "cohort")),
 
     // Event-rate anomaly QA: hourly ingest counts z-scored against the
     // table's own hourly mean/stddev — the missing-feed / double-send
@@ -781,6 +813,39 @@ object Extensions {
         "user_id", col("event_type") === "purchase",
         floor(col("value") * 100 + 0.5))
         .orderBy("user_id")),
+
+    // ClickHouse rankCorr: exact Spearman ρ per user — doubled average
+    // ranks (integral), DECIMAL(38,0) Pearson sums, the only doubles
+    // are two IEEE sqrts and the final prounded division. event_id is
+    // tie-free, the cent-quantized value is not — both rank paths
+    // exercised.
+    "agg_rank_corr" -> ((s, dir) =>
+      graft.operators.Aggregates.rankCorr(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "user_id", col("event_id"), floor(col("value") * 100 + 0.5))
+        .orderBy("user_id")),
+
+    // ClickHouse kolmogorovSmirnovTest: exact two-sample D per user
+    // (purchase vs view over the cent-quantized value) — integral ECDF
+    // cross-products, sup as DECIMAL(38,0), one double division.
+    "agg_ks_test" -> ((s, dir) =>
+      graft.operators.Aggregates.ksTest(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "view") &&
+            col("value").isNotNull),
+        "user_id", col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5))
+        .orderBy("user_id")),
+
+    // ClickHouse theilsU: uncertainty coefficient U(event_type | value
+    // decile) per user cohort — exact contingency counts, per-term
+    // prounded log2 under the entropy discipline.
+    "agg_theils_u" -> ((s, dir) =>
+      graft.operators.Aggregates.theilsU(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("cohort", col("user_id") % 10),
+        "cohort", col("event_type"), floor(col("value") / 10))
+        .orderBy("cohort")),
 
     // ClickHouse topKWeighted's EXACT semantics (the oracle twin of
     // the MisraGriesWeighted sketch, same convention as the unweighted
@@ -2691,6 +2756,27 @@ object Extensions {
          |  FROM wm w JOIN mad d USING (event_type))
          |SELECT event_id, event_type, value, rz, abs(rz) > 3.5 AS is_outlier
          |FROM rz ORDER BY event_id""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source,
+        |         CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+        |         count(*) AS anonymity_k
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source, len_bucket, anonymity_k,
+        |       anonymity_k < 5 AS at_risk
+        |FROM g ORDER BY lang, source, len_bucket""".stripMargin,
+    "dq_l_diversity" ->
+      """WITH v AS (
+        |  SELECT event_type, user_id % 25 AS cohort,
+        |         CAST(floor(value / 100) AS BIGINT) AS sensitive
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, cohort, count(*) AS anonymity_k,
+        |         count(DISTINCT sensitive) AS diversity_l
+        |  FROM v GROUP BY 1, 2)
+        |SELECT event_type, cohort, anonymity_k, diversity_l,
+        |       diversity_l < 3 AS at_risk
+        |FROM g ORDER BY event_type, cohort""".stripMargin,
     "dq_event_rate_anomaly" -> {
       val sd = "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / nh) / (nh - 1))"
       s"""WITH h AS (
@@ -3286,6 +3372,92 @@ object Extensions {
          |  END AS u_stat,
          |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
          |FROM g ORDER BY user_id""".stripMargin,
+    // Spearman replica: identical doubled-average-rank spelling; the
+    // HUGEINT sums are exact like the Spark DECIMAL(38,0)s, and the
+    // final expression casts/sqrts in the same fixed order.
+    "agg_rank_corr" -> {
+      val corr = "CAST(n*sab - sa*sb AS DOUBLE) / " +
+        "(sqrt(CAST(n*saa - sa*sa AS DOUBLE)) * " +
+        "sqrt(CAST(n*sbb - sb*sb AS DOUBLE)))"
+      s"""WITH v AS (SELECT user_id AS k, event_id AS x,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+         |           FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT k,
+         |        2*rank() OVER (PARTITION BY k ORDER BY x)
+         |          + count(*) OVER (PARTITION BY k, x) - 1 AS a,
+         |        2*rank() OVER (PARTITION BY k ORDER BY y)
+         |          + count(*) OVER (PARTITION BY k, y) - 1 AS b
+         |      FROM v),
+         |s AS (SELECT k, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+         |        sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab
+         |      FROM r GROUP BY 1)
+         |SELECT k AS user_id,
+         |  CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0 THEN
+         |    ${Rounding.sqlPround(corr, 9)}
+         |  END AS rank_corr,
+         |  CAST(n AS BIGINT) AS n
+         |FROM s ORDER BY user_id""".stripMargin
+    },
+    // KS replica: per-value tie-group counts, growing-frame ECDF
+    // numerators, sup of |c1*n2 - c2*n1| in HUGEINT, one double
+    // division.
+    "agg_ks_test" ->
+      s"""WITH v AS (SELECT user_id AS k, event_type = 'purchase' AS a,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS x
+         |           FROM events
+         |           WHERE event_type IN ('purchase', 'view')
+         |             AND value IS NOT NULL),
+         |pv AS (SELECT k, x,
+         |         sum(CASE WHEN a THEN 1 ELSE 0 END) AS d1,
+         |         sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS d2
+         |       FROM v GROUP BY 1, 2),
+         |c AS (SELECT k,
+         |        sum(d1) OVER (PARTITION BY k ORDER BY x
+         |          ROWS UNBOUNDED PRECEDING) AS c1,
+         |        sum(d2) OVER (PARTITION BY k ORDER BY x
+         |          ROWS UNBOUNDED PRECEDING) AS c2,
+         |        sum(d1) OVER (PARTITION BY k) AS n1,
+         |        sum(d2) OVER (PARTITION BY k) AS n2
+         |      FROM pv),
+         |g AS (SELECT k, max(abs(c1*n2 - c2*n1)) AS md,
+         |        max(n1) AS n1, max(n2) AS n2
+         |      FROM c GROUP BY 1)
+         |SELECT k AS user_id,
+         |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |    CAST(md AS DOUBLE) / CAST(n1*n2 AS DOUBLE)
+         |  END AS d_stat,
+         |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+         |FROM g ORDER BY user_id""".stripMargin,
+    // Theil's U replica: same three contingency counts; every log2
+    // term prounded before the DECIMAL(38,12) sum, final division in
+    // the same fixed order.
+    "agg_theils_u" -> {
+      def pa(c: String, n: String) = s"(CAST($c AS DOUBLE) / CAST($n AS DOUBLE))"
+      val tHa = Rounding.sqlPround(s"(-${pa("ca", "n")}) * log2(${pa("ca", "n")})", 9)
+      val tHab = Rounding.sqlPround(s"(-${pa("c", "n")}) * log2(${pa("c", "cb")})", 9)
+      s"""WITH cells AS (SELECT (user_id % 10) AS k, event_type AS a,
+         |                 CAST(floor(value/10) AS BIGINT) AS b,
+         |                 count(*) AS c
+         |               FROM events WHERE value IS NOT NULL
+         |               GROUP BY 1, 2, 3),
+         |ma AS (SELECT k, a, sum(c) AS ca FROM cells GROUP BY 1, 2),
+         |mb AS (SELECT k, b, sum(c) AS cb FROM cells GROUP BY 1, 2),
+         |n AS (SELECT k, sum(c) AS n FROM cells GROUP BY 1),
+         |ha AS (SELECT ma.k,
+         |         sum(CAST($tHa AS DECIMAL(38,12))) AS ha
+         |       FROM ma JOIN n ON n.k = ma.k GROUP BY 1),
+         |hab AS (SELECT cells.k,
+         |          sum(CAST($tHab AS DECIMAL(38,12))) AS hab
+         |        FROM cells
+         |        JOIN mb ON mb.k = cells.k AND mb.b = cells.b
+         |        JOIN n ON n.k = cells.k GROUP BY 1)
+         |SELECT ha.k AS cohort,
+         |  CASE WHEN ha > 0 THEN
+         |    ${Rounding.sqlPround("CAST(ha - hab AS DOUBLE) / CAST(ha AS DOUBLE)", 9)}
+         |  END AS theils_u,
+         |  CAST(ha AS DOUBLE) AS h_a, CAST(hab AS DOUBLE) AS h_a_given_b
+         |FROM ha JOIN hab ON hab.k = ha.k ORDER BY cohort""".stripMargin
+    },
     "agg_topk_weighted" ->
       s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS term,
          |             n_chars
@@ -3760,6 +3932,34 @@ object Extensions {
         |       floor(pow(2, floor(CAST(-sum(logp) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000) * 10000 + 0.5) / 10000 AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "corpus_distinct_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |         list_filter(string_split(text, ' '),
+         |                     t -> length(t) > 0) AS ws
+         |  FROM documents),
+         |g1 AS (SELECT source, unnest(ws) AS gram FROM toks),
+         |g2 AS (SELECT source,
+         |         unnest(list_transform(generate_series(1, len(ws) - 1),
+         |           i -> ws[i] || ' ' || ws[i+1])) AS gram
+         |       FROM toks WHERE len(ws) >= 2),
+         |g3 AS (SELECT source,
+         |         unnest(list_transform(generate_series(1, len(ws) - 2),
+         |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+         |       FROM toks WHERE len(ws) >= 3),
+         |u AS (
+         |  SELECT source, 1 AS n, count(*) AS total_ngrams,
+         |         count(DISTINCT gram) AS distinct_ngrams
+         |  FROM g1 GROUP BY 1
+         |  UNION ALL
+         |  SELECT source, 2, count(*), count(DISTINCT gram) FROM g2 GROUP BY 1
+         |  UNION ALL
+         |  SELECT source, 3, count(*), count(DISTINCT gram) FROM g3 GROUP BY 1)
+         |SELECT source, n, total_ngrams, distinct_ngrams,
+         |  ${Rounding.sqlPround(
+            "CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)", 9)}
+         |    AS distinct_ratio
+         |FROM u ORDER BY source, n""".stripMargin,
     "corpus_zipf_fit" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
          |              FROM documents),

@@ -446,6 +446,19 @@ object Pipelines {
         .orderBy("event_id")
     }),
 
+    // ClickHouse FORMAT Native: the columnar block dump (what
+    // clickhouse-client --format Native moves) — self-describing
+    // (name, type) headers verified on read, null maps + type defaults,
+    // 64 Ki-row blocks; small blockRows here so the multi-block path is
+    // what the oracle actually checks.
+    "native_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_native")
+      graft.sources.Native.write(e, path, blockRows = 4096)
+      graft.sources.Native.read(s, path, e.schema)
+        .orderBy("event_id")
+    }),
+
     // RowBinary Decimal lanes: a money-typed lineitem slice rides the
     // transport as Decimal32/64/128 (unscaled LE ints sized by
     // precision) and must round-trip value-exactly. The exactness proof
@@ -690,6 +703,8 @@ object Pipelines {
     "orc_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "native_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_decimal_roundtrip" ->
       """WITH agg AS (

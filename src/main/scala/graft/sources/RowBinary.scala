@@ -67,7 +67,7 @@ object RowBinary {
     * (P≤38) = Int128. Spark's DecimalType caps at P=38, so Int256
     * never occurs.
     */
-  private def decimalWidth(p: Int): Int =
+  private[sources] def decimalWidth(p: Int): Int =
     if (p <= 9) 4 else if (p <= 18) 8 else 16
 
   // --- write -----------------------------------------------------------
@@ -118,7 +118,7 @@ object RowBinary {
     }
   }
 
-  private def encodeValue(out: OutputStream, v: Any, dt: DataType,
+  private[sources] def encodeValue(out: OutputStream, v: Any, dt: DataType,
                           nullable: Boolean, name: String): Unit = {
     if (nullable) {
       if (v == null) { out.write(1); return }
@@ -187,19 +187,19 @@ object RowBinary {
     }
   }
 
-  private def writeShortLE(out: OutputStream, v: Short): Unit = {
+  private[sources] def writeShortLE(out: OutputStream, v: Short): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
   }
-  private def writeIntLE(out: OutputStream, v: Int): Unit = {
+  private[sources] def writeIntLE(out: OutputStream, v: Int): Unit = {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
     out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
   }
-  private def writeLongLE(out: OutputStream, v: Long): Unit = {
+  private[sources] def writeLongLE(out: OutputStream, v: Long): Unit = {
     var i = 0
     while (i < 8) { out.write(((v >> (8 * i)) & 0xffL).toInt); i += 1 }
   }
   /** Unsigned LEB128 (CH's varint for String/Array lengths). */
-  private def writeVarint(out: OutputStream, v0: Long): Unit = {
+  private[sources] def writeVarint(out: OutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
@@ -248,7 +248,7 @@ object RowBinary {
     }
   }
 
-  private def decodeValue(bb: ByteBuffer, dt: DataType,
+  private[sources] def decodeValue(bb: ByteBuffer, dt: DataType,
                           nullable: Boolean): Any = {
     if (nullable && bb.get() != 0) return null
     dt match {
@@ -299,7 +299,7 @@ object RowBinary {
     * mismatch must hit the documented loud truncation error, not a
     * multi-GB speculative allocation/OOM.
     */
-  private def readLengthPrefixed(bb: ByteBuffer): Array[Byte] = {
+  private[sources] def readLengthPrefixed(bb: ByteBuffer): Array[Byte] = {
     val n = readVarint(bb)
     if (n > bb.remaining())
       throw new IllegalStateException(
@@ -309,7 +309,7 @@ object RowBinary {
     val b = new Array[Byte](n); bb.get(b); b
   }
 
-  private def readVarint(bb: ByteBuffer): Int = {
+  private[sources] def readVarint(bb: ByteBuffer): Int = {
     var v = 0L; var shift = 0
     var b = bb.get()
     while ((b & 0x80) != 0) {

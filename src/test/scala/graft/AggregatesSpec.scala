@@ -406,4 +406,70 @@ class AggregatesSpec extends SparkSpec {
     assert(out(2L) == ((Some(1.0), 2L, 2L)))
     assert(out(3L) == ((None, 0L, 1L)))
   }
+
+  test("rankCorr: perfect monotone ±1, ties use average ranks, " +
+      "constant column is NULL") {
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),   // ρ = 1
+      (2L, 1L, 30L), (2L, 2L, 20L), (2L, 3L, 10L),   // ρ = -1
+      // ties on y: x = (1,2,3,4), y = (5,5,8,9) → avg ranks
+      // a = (1,2,3,4), b = (1.5,1.5,3,4) → ρ = 0.948683298...
+      (3L, 1L, 5L), (3L, 2L, 5L), (3L, 3L, 8L), (3L, 4L, 9L),
+      (4L, 1L, 7L), (4L, 2L, 7L), (4L, 3L, 7L))      // constant y
+      .toDF("k", "x", "y")
+    val out = Aggregates.rankCorr(df, "k", col("x"), col("y"))
+      .as[(Long, Option[Double], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(1.0), 3L)))
+    assert(out(2L) == ((Some(-1.0), 3L)))
+    assert(math.abs(out(3L)._1.get - 0.948683298) < 1e-9)
+    assert(out(4L) == ((None, 3L)))
+  }
+
+  test("ksTest: identical samples D = 0, disjoint samples D = 1, " +
+      "interleaved exact sup, empty sample NULL") {
+    val df = Seq(
+      (1L, true, 1L), (1L, true, 2L), (1L, false, 1L), (1L, false, 2L),
+      (2L, true, 1L), (2L, true, 2L), (2L, false, 5L), (2L, false, 6L),
+      // A = {1,3}, B = {2,4}: ECDF gap peaks at 1/2 after x=1 and x=3
+      (3L, true, 1L), (3L, true, 3L), (3L, false, 2L), (3L, false, 4L),
+      (4L, true, 1L))
+      .toDF("k", "a", "x")
+    val out = Aggregates.ksTest(df, "k", col("a"), col("x"))
+      .as[(Long, Option[Double], Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some(0.0), 2L, 2L)))
+    assert(out(2L) == ((Some(1.0), 2L, 2L)))
+    assert(out(3L) == ((Some(0.5), 2L, 2L)))
+    assert(out(4L) == ((None, 1L, 0L)))
+  }
+
+  test("theilsU: b determines a → U = 1; independent b → U = 0; " +
+      "constant a → NULL (H(a) = 0); asymmetric by construction") {
+    val df = Seq(
+      // b fully determines a (a = b): H(a|b) = 0
+      (1L, "x", 1L), (1L, "x", 1L), (1L, "y", 2L), (1L, "y", 2L),
+      // a ⟂ b: every (a,b) cell equal count
+      (2L, "x", 1L), (2L, "x", 2L), (2L, "y", 1L), (2L, "y", 2L),
+      // constant a
+      (3L, "x", 1L), (3L, "x", 2L))
+      .toDF("k", "a", "b")
+    val out = Aggregates.theilsU(df, "k", col("a"), col("b"))
+      .as[(Long, Option[Double], Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1.contains(1.0) && out(1L)._2 == 1.0 &&
+      out(1L)._3 == 0.0)
+    assert(out(2L)._1.contains(0.0))
+    assert(out(3L)._1.isEmpty)
+    // asymmetry: a has 2 levels, b has 4 → knowing a can't pin b
+    val asym = Seq(
+      (1L, "x", 1L), (1L, "x", 2L), (1L, "y", 3L), (1L, "y", 4L))
+      .toDF("k", "a", "b")
+    val uab = Aggregates.theilsU(asym, "k", col("a"), col("b"))
+      .as[(Long, Option[Double], Double, Double)].head()._2.get
+    val uba = Aggregates.theilsU(asym, "k", col("b"), col("a"))
+      .as[(Long, Option[Double], Double, Double)].head()._2.get
+    assert(uab == 1.0)            // b pins a exactly
+    assert(math.abs(uba - 0.5) < 1e-9) // a halves b's 2 bits to 1
+  }
 }

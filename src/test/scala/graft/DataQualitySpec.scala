@@ -240,4 +240,65 @@ class DataQualitySpec extends SparkSpec {
     assert(out.values.forall(_._2 > 0))
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
+
+  test("distinctNgrams: hand-counted totals/distincts per n; repetitive " +
+      "group collapses; a doc shorter than n contributes no n-row") {
+    val df = Seq(
+      ("t", "a b a b"),   // uni 4/2, bi 3/2, tri 2/2
+      ("u", "x x x"),     // uni 3/1, bi 2/1, tri 1/1
+      ("v", "q"))         // uni 1/1, no bi/tri rows at all
+      .toDF("source", "text")
+    val out = Profile.distinctNgrams(df, "source", "text", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("t", 1)) == ((4L, 2L, 0.5)))
+    assert(out(("t", 2))._1 == 3L && out(("t", 2))._2 == 2L &&
+      math.abs(out(("t", 2))._3 - 0.666666667) < 1e-9)
+    assert(out(("t", 3)) == ((2L, 2L, 1.0)))
+    assert(out(("u", 1))._1 == 3L && out(("u", 1))._2 == 1L &&
+      math.abs(out(("u", 1))._3 - 0.333333333) < 1e-9)
+    assert(out(("u", 2))._1 == 2L && out(("u", 2))._2 == 1L)
+    assert(out(("u", 3)) == ((1L, 1L, 1.0)))
+    assert(out(("v", 1)) == ((1L, 1L, 1.0)))
+    assert(!out.contains(("v", 2)) && !out.contains(("v", 3)))
+    // the diversity signal itself: natural-ish beats templated
+    assert(out(("t", 2))._3 > out(("u", 2))._3)
+  }
+
+  test("kAnonymity: group sizes are exact, small groups flag at_risk, " +
+      "NULL is a quasi value (it still narrows the attacker's set)") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("fr", "web"),                        // singleton → at risk
+      (null.asInstanceOf[String], "book"),  // NULL group
+      (null.asInstanceOf[String], "book"))
+      .toDF("lang", "source")
+    val out = Profile.kAnonymity(df, Seq("lang", "source"), 2L)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out((Some("en"), "web")) == ((3L, false)))
+    assert(out((Some("fr"), "web")) == ((1L, true)))
+    assert(out((None, "book")) == ((2L, false)))
+  }
+
+  test("lDiversity: homogeneous group flags even when k-anonymous; " +
+      "NULL sensitive values don't count toward l") {
+    val df = Seq(
+      // big but homogeneous: k = 3, l = 1 → the attack k misses
+      ("a", 1L, Some(7L)), ("a", 1L, Some(7L)), ("a", 1L, Some(7L)),
+      // diverse: l = 2
+      ("a", 2L, Some(1L)), ("a", 2L, Some(2L)),
+      // NULLs disclose nothing: l = 1, not 2
+      ("b", 1L, Some(5L)), ("b", 1L, None), ("b", 1L, None))
+      .toDF("seg", "cohort", "sensitive")
+    val out = Profile.lDiversity(df, Seq("seg", "cohort"), "sensitive", 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("a", 1L)) == ((3L, 1L, true)))
+    assert(out(("a", 2L)) == ((2L, 2L, false)))
+    assert(out(("b", 1L)) == ((3L, 1L, true)))
+  }
 }
