@@ -149,6 +149,80 @@ object Similarity {
       .select("query_id", "cand_id", "neg_label", "score", "rank")
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * SIGIR'98): per query, k picks greedily maximizing
+    * λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s) — relevance traded
+    * against redundancy, the diversity-aware final stage a retrieval
+    * pipeline runs AFTER its ANN shortlist (λ=1 degenerates to plain
+    * top-k; that equality is spec-pinned). The first pick has no
+    * selected set; its penalty is 0 (mmr = λ·rel), so pick 1 is the
+    * relevance argmax.
+    *
+    * Shape: the shortlist (any top-`shortlist` generator — brute here,
+    * the IVF/JL tiers upstream at 100 TB) is the only corpus-sized
+    * stage. Candidate vectors join back against the corpus with the
+    * BROADCAST shortlist as build side, and the nq·shortlist-row frame
+    * persists once; the greedy loop is then k−1 driver-bounded rounds
+    * of anti-join + broadcast-selected penalty max + one window argmax,
+    * every frame ∝ nq·shortlist — independent of corpus size, the same
+    * bounded-iteration discipline as the fixed-k KMeans trainer. The
+    * result is localCheckpoint-materialized so the k-deep loop plan is
+    * severed and the shortlist cache can be freed before returning
+    * (caller releases the result with `unpersist()` when done).
+    *
+    * Determinism: scores and pairwise sims are pround(6) cosines, the
+    * MMR combination is prounded at 1e-9 in a fixed order, ties break
+    * on cand_id — the DuckDB oracle replays the greedy loop as
+    * unrolled per-pick CTEs and hash-matches.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, lambda: Double, shortlist: Int,
+              scoreFn: (Column, Column) => Column = cosine(_, _))
+      : DataFrame = {
+    require(k >= 1, s"k >= 1 required: $k")
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    import org.apache.spark.sql.expressions.Window
+    val short = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist,
+      scoreFn)
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val cand = cv.join(broadcast(short), "cand_id")
+      .select("query_id", "cand_id", "score", "cv", "rank")
+      .persist()
+    var selected = cand.filter(col("rank") === 1)
+      .select(col("query_id"), col("cand_id"), col("score"), col("cv"),
+        Rounding.pround(lit(lambda) * col("score"), 9).as("mmr"),
+        lit(1).as("pick"))
+    var i = 2
+    while (i <= k) {
+      val selSlim = selected.select("query_id", "cand_id")
+      val selVecs = selected.select(col("query_id"), col("cv").as("sv"))
+      val pen = cand
+        .join(broadcast(selSlim), Seq("query_id", "cand_id"), "left_anti")
+        .join(broadcast(selVecs), Seq("query_id"))
+        .withColumn("sim", scoreFn(col("cv"), col("sv")))
+        .groupBy("query_id", "cand_id")
+        .agg(max(col("sim")).as("pen"), first(col("score")).as("score"),
+          first(col("cv")).as("cv"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("cand_id"))
+      val pick = pen
+        .withColumn("mmr", Rounding.pround(
+          lit(lambda) * col("score") - lit(1 - lambda) * col("pen"), 9))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("score"), col("cv"),
+          col("mmr"), lit(i).as("pick"))
+      selected = selected.unionByName(pick)
+      i += 1
+    }
+    val out = selected
+      .select("query_id", "cand_id", "score", "mmr", "pick")
+      .localCheckpoint(true)
+    cand.unpersist()
+    out
+  }
+
   /** Approximate top-k via sign-bucket LSH: candidates limited to the
     * query's bucket. Same output shape as bruteForceTopK; recall trades
     * against the 2^bits candidate reduction.

@@ -1634,6 +1634,17 @@ object Extensions {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversity re-rank (Carbonell & Goldstein): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over a 20-deep brute
+    // shortlist; pick order is part of the contract — the oracle
+    // replays the greedy loop as unrolled per-pick CTEs.
+    "ann_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", AnnK, 0.7, 20)
+        .orderBy("query_id", "pick")
+    }),
+
     // Same contract as ann_brute_topk but scored by the fused native
     // Catalyst expression (one array pass, whole-stage codegen) instead
     // of the three-pass HOF formulation; same oracle — bit-equal scores.
@@ -5110,6 +5121,57 @@ object Extensions {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
          |  FROM scored)
          |WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
+    // MMR replica: the greedy loop unrolled — per pick i, the
+    // not-yet-selected candidates' max pairwise cosine against the
+    // selected set, the prounded λ-combination, and a (mmr DESC,
+    // cand_id) argmax; selu_i accumulates. Same pround(6) cosine and
+    // fixed-order double arithmetic as the Spark side.
+    "ann_mmr_topk" -> {
+      val lam = 0.7
+      val m = 20
+      val steps = (2 to AnnK).map { i =>
+        s"""sim$i AS (
+           |  SELECT r.query_id, r.cand_id, ${cosSql("r.cv", "s.cv")} AS sim
+           |  FROM cand r JOIN selu${i - 1} s USING (query_id)
+           |  WHERE NOT EXISTS (SELECT 1 FROM selu${i - 1} x
+           |    WHERE x.query_id = r.query_id AND x.cand_id = r.cand_id)),
+           |pen$i AS (
+           |  SELECT query_id, cand_id, max(sim) AS pen
+           |  FROM sim$i GROUP BY 1, 2),
+           |scored$i AS (
+           |  SELECT r.query_id, r.cand_id, r.cv, r.score,
+           |    ${Rounding.sqlPround(s"$lam * r.score - ${1 - lam} * p.pen", 9)} AS mmr
+           |  FROM cand r JOIN pen$i p
+           |    ON p.query_id = r.query_id AND p.cand_id = r.cand_id),
+           |pick$i AS (
+           |  SELECT query_id, cand_id, cv, score, mmr, $i AS pick FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY mmr DESC, cand_id) AS rn FROM scored$i)
+           |  WHERE rn = 1),
+           |selu$i AS (SELECT * FROM selu${i - 1}
+           |           UNION ALL SELECT * FROM pick$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+         |sc AS (
+         |  SELECT q.query_id, c.cand_id, c.cv, $cosineExpr AS score
+         |  FROM c, q WHERE c.cand_id != q.query_id),
+         |short AS (
+         |  SELECT query_id, cand_id, cv, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, cand_id) AS rnk
+         |  FROM sc),
+         |cand AS (SELECT query_id, cand_id, cv, score
+         |         FROM short WHERE rnk <= $m),
+         |selu1 AS (
+         |  SELECT query_id, cand_id, cv, score,
+         |    ${Rounding.sqlPround(s"$lam * score", 9)} AS mmr, 1 AS pick
+         |  FROM short WHERE rnk = 1),
+         |$steps
+         |SELECT query_id, cand_id, score, mmr, pick FROM selu$AnnK
+         |ORDER BY query_id, pick""".stripMargin
+    },
     // SQ8 replica, training included: per-dim min/max arrays → double
     // deltas → half-up affine codes → decoded ADC (sum in dimension
     // PCA gram: same per-term rounding + decimal accumulation as the

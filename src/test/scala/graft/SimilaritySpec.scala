@@ -740,4 +740,63 @@ class SimilaritySpec extends SparkSpec {
     assert(r20 >= r5, s"overquery must not lose recall: $r20 < $r5")
     assert(r20 >= 0.7, s"binary recall@$k (oq=20) = $r20")
   }
+
+  test("mmrTopK: λ=1 degenerates to plain top-k order; λ<1 breaks up a " +
+      "redundant cluster the plain top-k would return wholesale") {
+    // query tilted slightly off x; candidates 1–3 are near-duplicates
+    // hugging x (mutual sim ≈ 1, rel ≈ 0.96), candidate 4 is the y
+    // axis — ORTHOGONAL to the dupes (zero penalty) with modest rel
+    // ≈ 0.29. Plain top-3 = the three dupes; at λ=0.5 the second
+    // dupe's mmr ≈ 0.48 − 0.5 < 0 while the orthogonal one keeps
+    // ≈ 0.14 − 0 → pick 2 must be the diverse candidate.
+    val emb = Seq(
+      (0L, Array(1f, 0.3f, 0f, 0f)),        // the query itself
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),
+      (3L, Array(1f, 0.02f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0)
+    val plain = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(plain == Seq(3L, 2L, 1L), s"plain top-3 is the dupes: $plain")
+    val degen = Similarity.mmrTopK(emb, q, "vec_id", "embedding",
+      k = 3, lambda = 1.0, shortlist = 4)
+    val degenIds = degen.orderBy("pick").select("cand_id")
+      .as[Long].collect().toSeq
+    assert(degenIds == plain, s"λ=1 must equal top-k: $degenIds vs $plain")
+    degen.unpersist()
+    val diverse = Similarity.mmrTopK(emb, q, "vec_id", "embedding",
+      k = 3, lambda = 0.5, shortlist = 4)
+    val rows = diverse.orderBy("pick")
+      .select("cand_id", "pick").as[(Long, Int)].collect().toSeq
+    assert(rows.head._1 == 3L, "pick 1 is still the relevance argmax")
+    assert(rows(1)._1 == 4L,
+      s"λ=0.5 must promote the orthogonal candidate to pick 2: $rows")
+    assert(rows.map(_._2) == Seq(1, 2, 3))
+    diverse.unpersist()
+  }
+
+  test("mmrTopK: a query with fewer shortlist candidates than k " +
+      "yields only the available picks; k=1 is the relevance argmax") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0)
+    // corpus minus self = 2 candidates, k = 3 → exactly 2 picks
+    val out = Similarity.mmrTopK(emb, q, "vec_id", "embedding",
+      k = 3, lambda = 0.7, shortlist = 3)
+    val picks = out.orderBy("pick")
+      .select("cand_id", "pick").as[(Long, Int)].collect().toSeq
+    assert(picks.map(_._2) == Seq(1, 2), s"2 candidates → 2 picks: $picks")
+    assert(picks.head._1 == 1L)
+    out.unpersist()
+    val one = Similarity.mmrTopK(emb, q, "vec_id", "embedding",
+      k = 1, lambda = 0.3, shortlist = 2)
+    val p1 = one.select("cand_id", "pick").as[(Long, Int)].collect().toSeq
+    assert(p1 == Seq((1L, 1)))
+    one.unpersist()
+  }
 }
