@@ -223,6 +223,80 @@ object Similarity {
     out
   }
 
+  /** Greedy k-center coreset (Gonzalez's farthest-first traversal, the
+    * 2-approximation to the k-center cover): k points chosen so each
+    * new pick is the corpus point FARTHEST from every previous pick —
+    * the geometric-coverage data-selection rung beside the
+    * SSL-prototypes pruner (which keeps per-cluster hardness bands;
+    * this keeps the hull). `radius` of pick i is the max-min distance
+    * at selection — a certified upper bound (×2) on the optimal
+    * (i−1)-center covering radius, which is the number a curriculum /
+    * active-learning budget reads.
+    *
+    * Shape: one running min-distance frame (id, vec, mind), persisted
+    * per round; each of the k−1 rounds is ONE combinable argmax
+    * aggregate (max of a (mind, −id) struct — no corpus sort) whose
+    * single-row result is collected (k bounded, the model-pull
+    * convention) and folded back as a literal center, then one
+    * map-only `least` update. k corpus scans total, all cache-served
+    * after round 1; the previous round's cache is freed only after the
+    * next is materialized. At 100 TB run it over cluster prototypes or
+    * a uniform sample — farthest-first is outlier-seeking by design,
+    * so the sample bound is also a robustness lever.
+    *
+    * Deterministic: seed = min id, distances pround(6) squared-L2
+    * (the fused codegen'd expression), ties on the argmax break to the
+    * smallest id. Output (center_id, pick, radius); seed radius 0.
+    */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1 required: $k")
+    val spark = corpus.sparkSession
+    val pts = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dist = (a: Column, b: Column) => Rounding.pround(
+      graft.functions.VectorExprs.l2DistSq(spark, a, b), 6)
+    val seedRow = pts.orderBy("id").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "kCenterCoreset: empty corpus"))
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Int, Double)](
+      (seedRow.getLong(0), 1, 0.0))
+    var state = pts
+      .filter(col("id") =!= seedRow.getLong(0))
+      .select(col("id"), col("v"),
+        dist(col("v"), lit(seedRow.getSeq[Float](1).toArray)).as("mind"))
+      .persist()
+    var i = 2
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val top = state
+        .agg(max(struct(col("mind"), (-col("id")).as("nid"),
+          col("v"))).as("c"))
+        .select(col("c.mind"), col("c.nid"), col("c.v"))
+        .collect().headOption.filter(!_.isNullAt(0))
+      top match {
+        case None => exhausted = true // fewer distinct points than k
+        case Some(r) =>
+          val cid = -r.getLong(1)
+          picks += ((cid, i, r.getDouble(0)))
+          if (i < k) {
+            val cvec = lit(r.getSeq[Float](2).toArray)
+            val next = state
+              .filter(col("id") =!= cid)
+              .select(col("id"), col("v"),
+                least(col("mind"), dist(col("v"), cvec)).as("mind"))
+              .persist()
+            next.count() // materialize before freeing the parent cache
+            state.unpersist()
+            state = next
+          }
+      }
+      i += 1
+    }
+    state.unpersist()
+    import spark.implicits._
+    picks.toSeq.toDF("center_id", "pick", "radius")
+  }
+
   /** Approximate top-k via sign-bucket LSH: candidates limited to the
     * query's bucket. Same output shape as bruteForceTopK; recall trades
     * against the 2^bits candidate reduction.

@@ -1992,6 +1992,15 @@ object Extensions {
         "vec_id", "embedding", SemCents, PruneKeepFrac)
         .orderBy("vec_id")),
 
+    // Greedy k-center coreset (Gonzalez farthest-first): 6 hull points
+    // with their max-min selection radii — the geometric-coverage
+    // data-selection rung. Oracle replays the traversal as unrolled
+    // per-pick CTEs.
+    "emb_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 6)
+        .orderBy("pick")),
+
     // Incremental SemDeDup: the corpus below vec_id 400 is deduplicated
     // once (stage 1), then the remaining rows arrive as a batch and
     // only the semantically-novel ones are admitted — kept×kept is
@@ -5589,6 +5598,37 @@ object Extensions {
          |  WHERE rn = 1)
          |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin,
 
+    // k-center replica: farthest-first unrolled — seed = min id, each
+    // step the (mind DESC, id) argmax then a least() min-dist fold,
+    // the chosen center dropped from the frontier. Same pround(6)
+    // squared-L2 as the fused Spark expression.
+    "emb_kcenter_coreset" -> {
+      val k = 6
+      val steps = (2 to k).map { i =>
+        val prev = if (i == 2) "s1" else s"s${i - 1}"
+        val upd =
+          if (i < k)
+            s""",
+               |s$i AS (SELECT p.id, p.v,
+               |          least(p.mind, ${l2Sql("p.v", "c.v")}) AS mind
+               |        FROM $prev p, c$i c WHERE p.id != c.id)""".stripMargin
+          else ""
+        s"""c$i AS (SELECT id, v, mind FROM $prev
+           |        ORDER BY mind DESC, id LIMIT 1)$upd""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to k).map(i =>
+        s"UNION ALL SELECT id, $i, mind FROM c$i").mkString("\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |seed AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+         |s1 AS (SELECT e.id, e.v, ${l2Sql("e.v", "s.v")} AS mind
+         |       FROM e, seed s WHERE e.id != s.id),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT id AS center_id, 1 AS pick, CAST(0.0 AS DOUBLE) AS radius
+         |  FROM seed
+         |  $out
+         |) ORDER BY pick""".stripMargin
+    },
     // SSL-prototypes replica: the sem_dedup_fixed assign/sims stages,
     // then a per-cell rank cut at ceil(keepFrac·n_cell) — hardest
     // (lowest centroid cosine) first, ties to the smaller id.

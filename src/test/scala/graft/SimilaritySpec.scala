@@ -777,6 +777,35 @@ class SimilaritySpec extends SparkSpec {
     diverse.unpersist()
   }
 
+  test("kCenterCoreset: farthest-first picks the hull in order, radii " +
+      "are non-increasing after pick 2, k > n truncates, seed = min id") {
+    // 1-D line: 0, 1, 10, 11, 100. Seed = id of point 0 (min id);
+    // farthest = 100 (d²=10000), then 10 or 11 (d² to {0,100} =
+    // min(100, 8100)=100 for x=10; min(121,7921)=121 for x=11 → pick
+    // x=11), then x=10 has mind min(100,1)=1 vs x=1 mind 1 → tie on
+    // mind → smaller id wins (x=1 is id 1, x=10 is id 2 → id 1).
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(10f, 0f, 0f, 0f)),
+      (3L, Array(11f, 0f, 0f, 0f)),
+      (4L, Array(100f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kCenterCoreset(
+      emb, "vec_id", "embedding", 4)
+      .orderBy("pick")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out == Seq((0L, 1, 0.0), (4L, 2, 10000.0), (3L, 3, 121.0),
+      (1L, 4, 1.0)), s"traversal order wrong: $out")
+    // radii non-increasing from pick 2 on (the greedy invariant)
+    val radii = out.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+    // k > n: all 5 points selected, then stop
+    val all = graft.operators.Similarity.kCenterCoreset(
+      emb, "vec_id", "embedding", 9)
+    assert(all.count() == 5)
+  }
+
   test("mmrTopK: a query with fewer shortlist candidates than k " +
       "yields only the available picks; k=1 is the relevance argmax") {
     val emb = Seq(
