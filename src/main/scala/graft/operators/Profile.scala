@@ -732,6 +732,79 @@ object Profile {
       .orderBy(col(classCol), col("rank"))
   }
 
+  /** Differentially-private count release (ε-DP, Laplace mechanism):
+    * per-group counts with Laplace(sensitivity/ε) noise — the release
+    * shape a data-card / usage-report pipeline publishes when the raw
+    * per-group counts are themselves sensitive (the aggregate
+    * complement of [[kAnonymity]]'s row-level gate). Noise is SEEDED
+    * per group from md5(groupKey, seed) — deterministic for the gate
+    * and for reproducible releases (fix the seed per release, rotate
+    * it between releases; a re-run with the same seed must not spend
+    * privacy budget twice). `n_true` rides along for in-pipeline
+    * auditing — an actual release drops it.
+    *
+    * Mechanism: h = first 8 md5 hex digits → u = (h + ½)/2³² − ½ ∈
+    * (−½, ½) \ {0} (all exact doubles), noise = −b·sgn(u)·ln(1−2|u|)
+    * with the one transcendental (ln) prounded at 1e-9 before the
+    * exact-ordered multiply — the cross-engine discipline every log
+    * in the repo follows. One combinable groupBy; the noise column is
+    * pure projection.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                    sensitivity: Double = 1.0, seed: Int = 42)
+  : DataFrame = {
+    import graft.functions.Rounding.pround
+    require(groupCols.nonEmpty, "dpNoisyCounts needs group columns")
+    require(epsilon > 0.0, s"epsilon must be positive: $epsilon")
+    require(sensitivity > 0.0, s"sensitivity must be positive: $sensitivity")
+    val b = sensitivity / epsilon
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+    // NULL is a group value: sentinel-coalesce each part so the key
+    // string is total (concat_ws would silently DROP null parts,
+    // colliding (NULL,'x') with ('x',NULL))
+    val keyStr = concat_ws("",
+      groupCols.map(c => coalesce(col(c).cast("string"),
+        lit("NULL"))): _*)
+    val h = conv(substring(md5(concat(keyStr, lit(s":dp$seed"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0) - lit(0.5)
+    val lnT = pround(log(lit(1.0) - lit(2.0) * abs(u)), 9)
+    val noise = lit(-b) * signum(u) * lnT
+    g.withColumn("noisy_count",
+        col("n_true").cast("double") + noise)
+      .withColumn("epsilon", lit(epsilon))
+  }
+
+  /** Per-group quantile normalization (rank transform): each value
+    * mapped to its within-group quantile position q ∈ [0, 1] with
+    * average ranks for ties — the step that makes quality scores from
+    * DIFFERENT sources comparable before a single global threshold
+    * (a raw perplexity cut keeps easy sources wholesale and guts hard
+    * ones; the rank transform equalizes the keep-rate axis). Integral
+    * doubled-rank arithmetic (q = (2r + c − 3) / (2(n − 1))); the one
+    * double division is exact-operand IEEE, no rounding needed. A
+    * single-row group has no spread — q = 0.5 (the distribution
+    * midpoint). One key exchange: all three windows share the
+    * partition.
+    */
+  def quantileNorm(df: DataFrame, groupCol: String, valueCol: String,
+                   idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(groupCol).orderBy(col(valueCol))
+    val wt = Window.partitionBy(col(groupCol), col(valueCol))
+    val wg = Window.partitionBy(groupCol)
+    df.select(col(idCol), col(groupCol), col(valueCol))
+      .withColumn("__r", rank().over(wr))
+      .withColumn("__c", count(lit(1)).over(wt))
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("q", when(col("__n") > 1,
+        (lit(2L) * col("__r") + col("__c") - lit(3L)).cast("double") /
+          (lit(2L) * (col("__n") - lit(1L))).cast("double"))
+        .otherwise(lit(0.5)))
+      .drop("__r", "__c", "__n")
+  }
+
   /** Distinct-n diversity (the generation-diversity metric of Li et
     * al.'s "A Diversity-Promoting Objective", applied corpus-wide):
     * per group and n ∈ [1, maxN], total vs distinct n-gram counts and

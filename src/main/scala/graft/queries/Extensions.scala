@@ -1534,6 +1534,24 @@ object Extensions {
         "lang", "n_tokens", tau = 0.5)
         .orderBy("lang")),
 
+    // Per-source quantile normalization: length scores rank-mapped to
+    // [0,1] within each source (average ranks for ties) so ONE global
+    // threshold keeps comparable fractions of every source.
+    "mix_quantile_norm" -> ((s, dir) =>
+      Profile.quantileNorm(
+        t(s, dir, "documents").filter(col("n_chars").isNotNull),
+        "source", "n_chars", "doc_id")
+        .orderBy("doc_id")),
+
+    // ε-DP count release: per-(lang, source) counts with seeded
+    // Laplace(1/ε) noise — the publishable data-card aggregate beside
+    // the k-anonymity row gate. Deterministic by md5-seeded inverse
+    // CDF; ln prounded per the repo discipline.
+    "dq_dp_release" -> ((s, dir) =>
+      Profile.dpNoisyCounts(t(s, dir, "documents"),
+        Seq("lang", "source"), epsilon = 1.0)
+        .orderBy("lang", "source")),
+
     // Quality-curriculum mixture: documents binned by quality score
     // (fixed edges standing in for sketch-derived percentiles), per-bin
     // mass + τ-flattened keep rates — downsample the junk bins, keep
@@ -4608,6 +4626,36 @@ object Extensions {
         |  floor((n_tokens::DOUBLE / total_tokens) * 1000000 + 0.5) / 1000000 AS token_share,
         |  floor((total_tokens::DOUBLE / n_groups / n_tokens) * 1000000 + 0.5) / 1000000 AS uniform_weight
         |FROM per, tot ORDER BY lang""".stripMargin,
+    "mix_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  CASE WHEN n > 1 THEN
+        |    CAST(2*r + c - 3 AS DOUBLE) / CAST(2*(n - 1) AS DOUBLE)
+        |  ELSE 0.5 END AS q
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    rank() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+        |    count(*) OVER (PARTITION BY source, n_chars) AS c,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |ORDER BY doc_id""".stripMargin,
+    "dq_dp_release" -> {
+      val key = "coalesce(CAST(lang AS VARCHAR), chr(2) || 'NULL') || " +
+        "chr(1) || coalesce(CAST(source AS VARCHAR), chr(2) || 'NULL')"
+      s"""WITH g AS (SELECT lang, source, count(*) AS n_true
+         |           FROM documents GROUP BY 1, 2),
+         |h AS (SELECT *,
+         |        ${hex8ToInt(s"substr(md5($key || ':dp42'), 1, 8)")} AS hv
+         |      FROM g),
+         |u AS (SELECT *, (hv + 0.5) / 4294967296.0 - 0.5 AS u FROM h),
+         |z AS (SELECT *,
+         |        ((-1.0) * sign(u)) *
+         |          ${Rounding.sqlPround("ln(1.0 - 2.0*abs(u))", 9)} AS noise
+         |      FROM u)
+         |SELECT lang, source, n_true,
+         |  CAST(n_true AS DOUBLE) + noise AS noisy_count,
+         |  CAST(1.0 AS DOUBLE) AS epsilon
+         |FROM z ORDER BY lang, source""".stripMargin
+    },
     "mix_temperature_rates" ->
       """WITH per AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -241,6 +241,55 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
 
+  test("dpNoisyCounts: exact n_true, seed-deterministic noise, seed " +
+      "rotation changes it, and noise scales exactly 1/ε") {
+    val df = (Seq.fill(30)(("en", "web")) ++ Seq.fill(10)(("fr", "web")) ++
+      Seq.fill(5)((null.asInstanceOf[String], "book")))
+      .toDF("lang", "source")
+    def run(eps: Double, seed: Int) =
+      Profile.dpNoisyCounts(df, Seq("lang", "source"), eps, seed = seed)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val a = run(1.0, 42)
+    assert(a((Some("en"), "web"))._1 == 30L)
+    assert(a((Some("fr"), "web"))._1 == 10L)
+    assert(a((None, "book"))._1 == 5L)
+    // deterministic: bit-equal on re-run
+    assert(run(1.0, 42) == a)
+    // a different seed moves at least one group's noise
+    val b = run(1.0, 43)
+    assert(a.keys.exists(k => a(k)._2 != b(k)._2))
+    // ε=2 noise is half of ε=1 noise (same u, b halves); the noise
+    // term itself halves exactly but n_true + noise re-rounds, so the
+    // recovered difference is compared at 1e-9
+    val c = run(2.0, 42)
+    a.keys.foreach { k =>
+      val n1 = a(k)._2 - a(k)._1
+      val n2 = c(k)._2 - c(k)._1
+      assert(math.abs(n2 - n1 / 2.0) < 1e-9, s"$k: $n2 != ${n1 / 2.0}")
+    }
+    // noise is non-zero somewhere (u = 0 is unreachable by construction)
+    assert(a.values.exists(v => v._2 != v._1.toDouble))
+  }
+
+  test("quantileNorm: rank transform with average tie ranks, endpoints " +
+      "0 and 1, singleton group = 0.5, cross-source comparability") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 1000L), ("b", 6L, 2000L), ("b", 7L, 3000L),
+      ("c", 8L, 7L))
+      .toDF("source", "doc_id", "score")
+    val out = Profile.quantileNorm(df, "source", "score", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(4L) == 1.0)
+    // the tied 20s share the average of ranks 2,3 → (2.5-1)/3 = 0.5
+    assert(out(2L) == 0.5 && out(3L) == 0.5)
+    // source b: wildly different scale, same quantile grid
+    assert(out(5L) == 0.0 && out(6L) == 0.5 && out(7L) == 1.0)
+    assert(out(8L) == 0.5)
+  }
+
   test("distinctNgrams: hand-counted totals/distincts per n; repetitive " +
       "group collapses; a doc shorter than n contributes no n-row") {
     val df = Seq(
