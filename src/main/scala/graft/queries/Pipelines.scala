@@ -499,6 +499,17 @@ object Pipelines {
         .orderBy("l_orderkey")
     }),
 
+    // ClickHouse FORMAT TSVWithNamesAndTypes: the text dialect with
+    // two verified header rows (names, CH types), CH TSV escaping and
+    // \N nulls — what clickhouse-client pipes to tooling.
+    "tsv_roundtrip" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      val path = scratch("graft_tsv")
+      graft.sources.Tsv.write(e, path)
+      graft.sources.Tsv.read(s, path, e.schema)
+        .orderBy("event_id")
+    }),
+
     // S10/S11: multi-statement script runner with {{ params.* }}
     // substitution (op:36-55) — DDL (temp view) then query.
     "ddl_script_runner" -> ((s, dir) =>
@@ -705,6 +716,8 @@ object Pipelines {
     "rowbinary_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "native_roundtrip" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
+    "tsv_roundtrip" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events ORDER BY event_id",
     "rowbinary_decimal_roundtrip" ->
       """WITH agg AS (
