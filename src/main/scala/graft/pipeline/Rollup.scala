@@ -396,6 +396,91 @@ object Rollup {
         est.as("cm_est")): _*)
   }
 
+  /** Quantile state over a fixed-resolution bounded grid — the
+    * quantile leg of the mergeable-state family (CH's
+    * `quantileState` combinator is a reservoir, merge-order-DEPENDENT
+    * by design; the engine-independent reading is a fixed counting
+    * grid, the same determinism call as [[graft.operators.Aggregates.histogram]]
+    * vs CH's adaptive bins). State = one row per (key, bucket) with
+    * bucket = floor((v − lo)/res) clamped into [−1, nbins] — −1 and
+    * nbins are the explicit below/above lanes, so edge quantiles stay
+    * honest instead of silently saturating. Merge is an integer
+    * cell-wise add ([[mergeQuantileStates]]): UNCONDITIONALLY exact,
+    * build(all) ≡ merge(build(bᵢ)) for any split — no saturation
+    * regime, no order dependence. The answer is exact to `res`:
+    * the returned bucket provably brackets the true quantile. Sparse
+    * (absent buckets = 0), so state size ≤ min(|values|, nbins+2) per
+    * key.
+    */
+  def aggregateQuantileState(batch: DataFrame, keys: Seq[String],
+                             value: Column, lo: Double, res: Double,
+                             nbins: Int): DataFrame = {
+    require(res > 0 && nbins > 0, s"bad grid: res=$res nbins=$nbins")
+    val raw = floor((value - lit(lo)) / lit(res))
+    val bucket = when(raw < 0, lit(-1L))
+      .when(raw >= nbins, lit(nbins.toLong))
+      .otherwise(raw.cast("long"))
+    batch.filter(value.isNotNull) // NULLs have no rank — not counted
+      .groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise integer add of quantile-grid states — exact for any
+    * batch split/order. Geometry lives in (lo, res, nbins) held by the
+    * caller's table contract; a drifted grid shows up as out-of-range
+    * buckets at finalize, which raises.
+    */
+  def mergeQuantileStates(states: Seq[DataFrame], keys: Seq[String])
+  : DataFrame = {
+    require(states.nonEmpty, "mergeQuantileStates: no states")
+    states.foreach(s => require(
+      s.columns.contains("bucket") && s.columns.contains("cnt"),
+      "not a quantile state frame (missing bucket/cnt) — was it " +
+        "written by aggregateQuantileState?"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Read side: for each requested q, the smallest bucket whose
+    * cumulative count reaches ceil(q·n), with its bracketing value
+    * range [lo_edge, up_edge). The below/above lanes report NULL on
+    * their open side. One growing-frame cumsum per key + a per-q
+    * conditional min — both on the (key, bucket) exchange; grid
+    * buckets outside [−1, nbins] raise (geometry drift).
+    */
+  def finalizeQuantile(state: DataFrame, keys: Seq[String],
+                       qs: Seq[Double], lo: Double, res: Double,
+                       nbins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val guarded = state.withColumn("bucket",
+      when(col("bucket") < -1 || col("bucket") > nbins,
+        raise_error(concat(lit("finalizeQuantile: bucket out of grid " +
+          s"[-1, $nbins] — state built with different geometry: "),
+          col("bucket").cast("string"))))
+        .otherwise(col("bucket")))
+    val wc = Window.partitionBy(keys.map(col): _*).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val cum = guarded
+      .withColumn("__cum", sum(col("cnt")).over(wc))
+      .withColumn("__n", sum(col("cnt")).over(wk))
+    val perQ = qs.map { q =>
+      // smallest bucket with cum >= ceil(q*n): min over qualifying rows
+      cum.filter(col("__cum") >= ceil(lit(q) * col("__n")))
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("bucket")).as("bucket"))
+        .withColumn("q", lit(q))
+    }
+    perQ.reduce(_ unionByName _)
+      .withColumn("lo_edge",
+        when(col("bucket") >= 0, lit(lo) + col("bucket") * lit(res)))
+      .withColumn("up_edge",
+        when(col("bucket") < nbins, lit(lo) + (col("bucket") + 1) * lit(res)))
+  }
+
   /** Finalize a state into the read-side aggregate row: count, sum,
     * min, max, avg, and the KMV distinct estimate `(k−1)/frac(kth)`
     * (exact `n_seen` below saturation). The estimator arithmetic is

@@ -275,6 +275,34 @@ object Pipelines {
         .orderBy("source", "term")
     }),
 
+    // Quantile rollup state: the fixed-resolution counting grid
+    // (the engine-independent reading of CH quantileState — a
+    // reservoir is merge-order-dependent by design) maintained across
+    // a 3-batch merge chain; finalize reads p50/p90/p99 brackets.
+    // Merge is cell-wise integer adds — unconditionally exact, so the
+    // one-shot DuckDB grid checks the whole chain.
+    "pipeline_rollup_quantile_e2e" -> ((s, dir) => {
+      import graft.pipeline.Rollup
+      val keys = Seq("event_type")
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      val b1 = e.filter(col("event_id") % 3 === 0)
+      val b2 = e.filter(col("event_id") % 3 === 1)
+      val b3 = e.filter(col("event_id") % 3 === 2)
+      val base = scratch("graft_q_rollup")
+      Rollup.aggregateQuantileState(b1, keys, col("value"), 0.0, 10.0, 100)
+        .write.parquet(s"$base/g1")
+      Rollup.mergeQuantileStates(Seq(s.read.parquet(s"$base/g1"),
+        Rollup.aggregateQuantileState(b2, keys, col("value"), 0.0, 10.0,
+          100)), keys).write.parquet(s"$base/g2")
+      Rollup.mergeQuantileStates(Seq(s.read.parquet(s"$base/g2"),
+        Rollup.aggregateQuantileState(b3, keys, col("value"), 0.0, 10.0,
+          100)), keys).write.parquet(s"$base/g3")
+      Rollup.finalizeQuantile(s.read.parquet(s"$base/g3"), keys,
+        Seq(0.5, 0.9, 0.99), 0.0, 10.0, 100)
+        .orderBy("event_type", "q")
+    }),
+
     // Multimodal plumbing, SQL-expressible slice: binary payload size +
     // checksum (the decode stage itself is exercised in the test suite —
     // deterministic stub, no SQL equivalent).
@@ -642,6 +670,31 @@ object Pipelines {
          |       CAST(rnk AS BIGINT) AS rnk
          |FROM r WHERE rnk <= 3
          |ORDER BY user_id, day, rnk""".stripMargin,
+    "pipeline_rollup_quantile_e2e" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |        CASE WHEN floor((value - 0.0)/10.0) < 0 THEN CAST(-1 AS BIGINT)
+        |             WHEN floor((value - 0.0)/10.0) >= 100 THEN CAST(100 AS BIGINT)
+        |             ELSE CAST(floor((value - 0.0)/10.0) AS BIGINT) END AS bucket
+        |      FROM v),
+        |g AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket,
+        |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        sum(cnt) OVER (PARTITION BY event_type) AS n
+        |      FROM g),
+        |qs AS (SELECT CAST(0.5 AS DOUBLE) AS q
+        |       UNION ALL SELECT CAST(0.9 AS DOUBLE)
+        |       UNION ALL SELECT CAST(0.99 AS DOUBLE)),
+        |sel AS (SELECT c.event_type, qs.q, min(c.bucket) AS bucket
+        |        FROM c, qs WHERE c.cum >= ceil(qs.q * c.n) GROUP BY 1, 2)
+        |SELECT event_type, bucket, q,
+        |  CASE WHEN bucket >= 0
+        |       THEN CAST(0.0 + bucket * 10.0 AS DOUBLE) END AS lo_edge,
+        |  CASE WHEN bucket < 100
+        |       THEN CAST(0.0 + (bucket + 1) * 10.0 AS DOUBLE) END AS up_edge
+        |FROM sel ORDER BY event_type, q""".stripMargin,
     // one-shot grid replica: per-source md5-celled counts, probe = min
     // over depth rows with empty cells at 0 (the grid's default)
     "pipeline_rollup_cm_e2e" ->

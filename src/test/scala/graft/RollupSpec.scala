@@ -316,4 +316,54 @@ class RollupSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("topk_state"))
   }
+
+  test("quantile state: build(all) ≡ merge(build(bᵢ)) for any split; " +
+      "finalize brackets the exact percentile; below/above lanes open") {
+    // values 1..100 in one group plus out-of-range extremes
+    val rows = (1L to 100L).map(v => ("g", v.toDouble)) ++
+      Seq(("g", -5.0), ("g", 1e9))
+    val df = rows.toDF("k", "v")
+    val (lo, res, nb) = (0.0, 10.0, 10)
+    val all = Rollup.aggregateQuantileState(df, Seq("k"), $"v", lo, res, nb)
+    val merged = Rollup.mergeQuantileStates(
+      Seq(
+        Rollup.aggregateQuantileState(
+          df.filter($"v" < 37), Seq("k"), $"v", lo, res, nb),
+        Rollup.aggregateQuantileState(
+          df.filter($"v" >= 37 && $"v" < 80), Seq("k"), $"v", lo, res, nb),
+        Rollup.aggregateQuantileState(
+          df.filter($"v" >= 80), Seq("k"), $"v", lo, res, nb)),
+      Seq("k"))
+    val a = all.orderBy("bucket").collect().toSeq
+    val m = merged.orderBy("bucket").collect().toSeq
+    assert(a == m, s"merge must equal one-shot: $m vs $a")
+    // p50 over 102 values: rank ceil(0.5*102)=51 → value 50 → bucket 5
+    // ([50,60)); the true median 50 sits inside the bracket
+    val fin = Rollup.finalizeQuantile(merged, Seq("k"),
+      Seq(0.5, 0.99, 1.0), lo, res, nb)
+      .collect().map(r => r.getDouble(2) ->
+        ((r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(fin(0.5) == ((5L, Some(50.0), Some(60.0))))
+    // p99: rank ceil(0.99*102)=101 → value 100 → bucket 10 = the ABOVE
+    // lane (100 lands exactly on hi), open upper edge
+    assert(fin(0.99) == ((10L, Some(100.0), None)))
+    // p100 = the max (1e9) — also the above lane
+    assert(fin(1.0) == ((10L, Some(100.0), None)))
+    // the below lane is present in the state with an open lower edge
+    val below = Rollup.finalizeQuantile(
+      Rollup.aggregateQuantileState(
+        Seq(("g", -1.0)).toDF("k", "v"), Seq("k"), $"v", lo, res, nb),
+      Seq("k"), Seq(0.5), lo, res, nb).collect().head
+    assert(below.getLong(1) == -1L && below.isNullAt(3) &&
+      below.getDouble(4) == 0.0)
+    // geometry drift raises loudly at finalize
+    val drifted = Seq(("g", 99L, 3L)).toDF("k", "bucket", "cnt")
+    val err = intercept[Exception] {
+      Rollup.finalizeQuantile(drifted, Seq("k"), Seq(0.5), lo, res, nb)
+        .collect()
+    }
+    assert(err.getMessage.contains("different geometry") ||
+      Option(err.getCause).exists(_.getMessage.contains("different geometry")))
+  }
 }
