@@ -173,6 +173,49 @@ object RollupStream {
         s"CM state at $statePath has no committed generation")
     }
 
+  /** Quantile-grid maintenance: each micro-batch reduces to its own
+    * counting grid ([[Rollup.aggregateQuantileState]]) and adds
+    * cell-wise into the stored state
+    * ([[Rollup.mergeQuantileStates]]) — the percentile MV. Same
+    * generation-versioned replay safety (bucket adds aren't
+    * idempotent either). Grid geometry (lo, res, nbins) is the
+    * table's contract, fixed at sink creation.
+    */
+  def maintainQuantileSink(events: DataFrame, statePath: String,
+                           keys: Seq[String], valueCol: String, lo: Double,
+                           res: Double, nbins: Int,
+                           keepGenerations: Int = 3)
+      : DataStreamWriter[Row] = {
+    requireKeep(keepGenerations)
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeQuantileBatch(batch, statePath, keys, valueCol, lo, res,
+          nbins, batchId, keepGenerations)
+      }
+  }
+
+  def mergeQuantileBatch(batch: DataFrame, statePath: String,
+                         keys: Seq[String], valueCol: String, lo: Double,
+                         res: Double, nbins: Int, batchId: Long,
+                         keepGenerations: Int = 3): Unit =
+    foldGeneration(batch.sparkSession, statePath, batchId, keepGenerations,
+      Rollup.aggregateQuantileState(batch, keys, col(valueCol), lo, res,
+        nbins),
+      (base, inc) => Rollup.mergeQuantileStates(Seq(base, inc), keys))
+
+  /** Latest committed quantile state, finalized to per-key brackets. */
+  def readFinalizedQuantile(spark: SparkSession, statePath: String,
+                            keys: Seq[String], qs: Seq[Double], lo: Double,
+                            res: Double, nbins: Int): DataFrame =
+    latestCommittedGen(spark, statePath, before = Long.MaxValue) match {
+      case Some(g) => Rollup.finalizeQuantile(
+        spark.read.parquet(s"$statePath/gen=$g"), keys, qs, lo, res, nbins)
+      case None => throw new IllegalStateException(
+        s"quantile state at $statePath has no committed generation")
+    }
+
   /** Shared generation fold: merge `inc` onto the latest committed
     * predecessor (strictly before `batchId`), land as `gen=<batchId>`,
     * prune. */

@@ -710,4 +710,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "a model-frame join degraded to SMJ:\n" + p.take(3000))
   }
+
+  test("Spearman rankCorr: both rank windows ride ONE hash exchange on " +
+      "the key (two sorts inside it), no join anywhere") {
+    val p = plan("agg_rank_corr")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "rankCorr grew a join:\n" + p.take(3000))
+    // exactly one key exchange feeds the rank windows; the final
+    // single-partition exchange (orderBy in the query row) is separate
+    val keyExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(keyExchanges <= 2,
+      s"expected the two rank windows to share one key exchange, " +
+        s"saw $keyExchanges:\n" + p.take(3000))
+  }
+
+  test("KS test: per-value tie counts are a map-side-combinable " +
+      "aggregate; the ECDF pass is a growing-frame window; no join") {
+    val p = plan("agg_ks_test")
+    assert(p.contains("HashAggregate") && p.contains("Window"),
+      p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "ksTest grew a join:\n" + p.take(3000))
+  }
+
+  test("Theil's U: marginals re-aggregate the cell frame and join back " +
+      "BROADCAST — no corpus-scale SMJ, no cartesian") {
+    val p = plan("agg_theils_u")
+    assert(p.contains("BroadcastHashJoin"),
+      "marginal frames lost their broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("distinct-n diversity: every per-n branch is an aggregate over " +
+      "the exploded gram stream — no join in the whole union") {
+    val p = plan("corpus_distinct_ngrams")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "distinctNgrams grew a join:\n" + p.take(3000))
+  }
+
+  test("quantile normalization: all three windows share the per-source " +
+      "partition — one key exchange, no join") {
+    val p = plan("mix_quantile_norm")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "quantileNorm grew a join:\n" + p.take(3000))
+    val keyExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(keyExchanges <= 1,
+      s"expected one shared key exchange, saw $keyExchanges:\n" +
+        p.take(3000))
+  }
 }

@@ -204,6 +204,47 @@ class RollupStreamSpec extends SparkSpec {
     assert(readEst == streamed)
   }
 
+  test("streamed quantile-grid maintenance equals the one-shot grid; " +
+      "brackets see every batch; replaying the last batch is a no-op") {
+    val src = tempDir("q_stream_src")
+    val state = tempDir("q_stream_state")
+    val ckpt = tempDir("q_stream_ckpt")
+    val b1 = (1 to 40).map(v => ("g", v.toDouble))
+    val b2 = (41 to 100).map(v => ("g", v.toDouble)) :+ ("g", -3.0)
+    val (lo, res, nb) = (0.0, 10.0, 10)
+    def writeBatch(r: Seq[(String, Double)]): Unit =
+      r.toDF("g", "v").coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("g STRING, v DOUBLE").parquet(src)
+      val q = RollupStream.maintainQuantileSink(stream, state, Seq("g"),
+        "v", lo, res, nb)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    writeBatch(b1); runOnce()
+    writeBatch(b2); runOnce()
+    def readQ: Seq[(String, Long, Double, Option[Double], Option[Double])] =
+      RollupStream.readFinalizedQuantile(spark, state, Seq("g"),
+        Seq(0.5, 0.9), lo, res, nb)
+        .as[(String, Long, Double, Option[Double], Option[Double])]
+        .collect().sortBy(_._3).toSeq
+    val streamed = readQ
+    val oneShot = graft.pipeline.Rollup.finalizeQuantile(
+      graft.pipeline.Rollup.aggregateQuantileState(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), $"v", lo, res, nb),
+      Seq("g"), Seq(0.5, 0.9), lo, res, nb)
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._3).toSeq
+    assert(streamed == oneShot)
+    // 101 values (-3, 1..100): p50 rank 51 → value 50 → bucket [50,60)
+    assert(streamed.head == (("g", 5L, 0.5, Some(50.0), Some(60.0))))
+    // replay: same batchId re-lands its own generation, state unchanged
+    RollupStream.mergeQuantileBatch(b2.toDF("g", "v"), state, Seq("g"),
+      "v", lo, res, nb, batchId = 1L)
+    assert(readQ == streamed)
+  }
+
   test("keepGenerations < 2 is rejected: pruning the immediate " +
     "predecessor would break replay idempotency") {
     val state = tempDir("rollup_keep_guard")
