@@ -65,7 +65,12 @@ object ScaleSweep {
     // sweep run; its sf0.1→sf1 probe is in PLANS.md round 13)
     "text_stupid_backoff",
     "span_dedup_clean",
-    "corpus_split_leakage_safe")
+    "corpus_split_leakage_safe",
+    // distinct-n diversity: three exploded n-gram streams into
+    // countDistinct aggregates — distinct-gram state grows ∝ corpus
+    // (trigram types barely repeat), the same growth class as the LM
+    // tables; added session 5, swept from round 14 on
+    "corpus_distinct_ngrams")
 
   /** The SECOND decade (sf1 → sf10, ×100 total amplification): the five
     * heaviest sweep entries re-measured at another 10× — the empirical
