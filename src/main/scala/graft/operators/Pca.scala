@@ -269,4 +269,43 @@ object Pca {
     }
     df.select(col(idCol), array(comps: _*).as("vec"))
   }
+
+  /** Robust per-dimension standardization (median/MAD, the vector twin
+    * of [[Profile.madOutliers]]): scaled = (x − median_d)/MAD_d, with
+    * MAD_d = 0 dims left centered-only. Affine quantizers (SQ8's
+    * min/max grid) spend their whole code range on one outlier
+    * coordinate; the 50%-breakdown median/MAD pair standardizes each
+    * dimension without letting the outliers define the scale — the
+    * prep pass BEFORE quantization/whitening when embedding dims are
+    * heavy-tailed.
+    *
+    * Output is LONG format (id, dim, scaled) — rebuild vectors with a
+    * sorted collect_list when feeding ANN. Shape: two grouped exact
+    * percentiles over the d-group exploded frame (the oracle
+    * semantics; state ∝ values per dim — at 100 TB substitute
+    * [[graft.functions.TDigestQuantiles]], the madOutliers twin), both
+    * d-row stat frames broadcast back; the scaling itself is a pure
+    * map. pround(6) scaled values, so the DuckDB quantile_cont replica
+    * hash-matches.
+    */
+  def robustScale(df: DataFrame, idCol: String, vecCol: String)
+  : DataFrame = {
+    val flat = df
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .toDF("__id", "__dim", "__x0")
+      .select(col("__id"), col("__dim"), col("__x0").cast("double").as("__x"))
+    val med = flat.groupBy("__dim")
+      .agg(percentile(col("__x"), lit(0.5)).as("__med"))
+    val mad = flat.join(broadcast(med), Seq("__dim"))
+      .groupBy("__dim")
+      .agg(percentile(abs(col("__x") - col("__med")), lit(0.5)).as("__mad"),
+        first(col("__med")).as("__med"))
+    flat.join(broadcast(mad), Seq("__dim"))
+      .select(col("__id").as(idCol),
+        col("__dim").cast("long").as("dim"),
+        Rounding.pround(
+          when(col("__mad") > 0,
+            (col("__x") - col("__med")) / col("__mad"))
+            .otherwise(col("__x") - col("__med")), 6).as("scaled"))
+  }
 }

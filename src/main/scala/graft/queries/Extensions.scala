@@ -1717,6 +1717,15 @@ object Extensions {
           col("value"))
         .orderBy("vec_id", "dim")),
 
+    // Robust per-dim standardization (median/MAD): the prep pass
+    // before quantization when embedding dims are heavy-tailed — a
+    // min/max affine grid spends its code range on one outlier, the
+    // 50%-breakdown pair doesn't. Long format for the oracle.
+    "emb_robust_scale" -> ((s, dir) =>
+      graft.operators.Pca.robustScale(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+        .orderBy("vec_id", "dim")),
+
     // Matryoshka two-stage ANN: leading-16-dim L2 prefilter over the
     // whole corpus, exact full-dim re-rank of the k·overquery
     // shortlist — no trained state, so the whole arc hash-matches.
@@ -5248,6 +5257,21 @@ object Extensions {
 
     // PCA projection against the fixed SemCents loadings: one
     // sequential-fold dot per component, rounded at 6.
+    "emb_robust_scale" ->
+      s"""WITH flat AS (
+         |  SELECT vec_id AS id, g.i - 1 AS dim, embedding[g.i]::DOUBLE AS x
+         |  FROM embeddings, generate_series(1, 64) g(i)),
+         |med AS (SELECT dim, quantile_cont(x, 0.5) AS med
+         |        FROM flat GROUP BY 1),
+         |st AS (SELECT f.dim, m.med,
+         |         quantile_cont(abs(f.x - m.med), 0.5) AS mad
+         |       FROM flat f JOIN med m USING (dim) GROUP BY f.dim, m.med)
+         |SELECT f.id AS vec_id, CAST(f.dim AS BIGINT) AS dim,
+         |  ${Rounding.sqlPround(
+            "CASE WHEN s.mad > 0 THEN (f.x - s.med)/s.mad " +
+              "ELSE f.x - s.med END", 6)} AS scaled
+         |FROM flat f JOIN st s USING (dim)
+         |ORDER BY vec_id, dim""".stripMargin,
     "emb_pca_project" -> {
       val centsRows = SemCents.indices.map(c =>
         s"SELECT CAST($c AS BIGINT) AS dim, ${semCentArray(c)}::DOUBLE[] AS arr")

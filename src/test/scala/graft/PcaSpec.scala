@@ -132,4 +132,26 @@ class PcaSpec extends SparkSpec {
       s"OPQ rotation must not lose recall: opq=$opq raw=$raw")
     assert(opq >= 0.5, s"OPQ recall too low: $opq (raw $raw)")
   }
+
+  test("robustScale: per-dim median/MAD standardization — outlier dim " +
+      "keeps a sane scale, constant dim is centered-only (MAD = 0)") {
+    // dim 0: values 1..5 plus outlier 1000 → median 3.5, MAD 1.5
+    // dim 1: constant 7 → MAD 0 → centered only
+    val rows = Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 1000.0f).zipWithIndex
+      .map { case (v, i) => (i.toLong, Array(v, 7.0f)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = graft.operators.Pca.robustScale(df, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // dim 0: (x - 3.5) / 1.5
+    assert(out((0L, 0L)) == ((1.0 - 3.5) / 1.5 * 1e6).round / 1e6)
+    assert(out((2L, 0L)) == ((3.0 - 3.5) / 1.5 * 1e6).round / 1e6)
+    // the outlier scales to ~664, not to 1 — MAD ignored it
+    assert(math.abs(out((5L, 0L)) - (1000.0 - 3.5) / 1.5) < 1e-3)
+    // dim 1: centered only, all zero
+    rows.foreach { case (id, _) => assert(out((id, 1L)) == 0.0) }
+    // resilience: a mean/stddev z-score would squash the inliers to
+    // ~0.4 apart; median/MAD keeps adjacent inliers 2/3 apart
+    assert(out((1L, 0L)) - out((0L, 0L)) > 0.6)
+  }
 }
