@@ -235,4 +235,53 @@ object Funnel {
       .withColumn("retained_rate",
         pround(col("active_users").cast("double") / col("cohort_size"), 6))
   }
+
+  /** Kaplan–Meier survival estimator (right-censored, the product-limit
+    * form): per cohort and observed duration t,
+    * S(t) = Π_{tᵢ ≤ t, dᵢ > 0} (1 − dᵢ/nᵢ) with nᵢ = subjects still at
+    * risk (duration ≥ tᵢ). The churn-curve primitive a
+    * retention dashboard plots — censored subjects (still active at
+    * the horizon) leave the risk set without counting as deaths,
+    * which is exactly what a naive "churn rate by week" gets wrong.
+    *
+    * Shape: one subject-grain aggregate feeds a |distinct durations|-
+    * per-cohort frame; n_risk is an inclusive DESCENDING running sum
+    * (growing frame — WindowExec keeps it O(n)), the product is
+    * exp(Σ ln) with each ln term prounded at 1e-9 and summed as
+    * DECIMAL(38,12) (the perplexity discipline: both transcendentals
+    * absorbed, so engines agree bit-for-bit); once any tᵢ exhausts the
+    * risk set (dᵢ = nᵢ) the curve is pinned to exactly 0 from there on
+    * — ln(0) never evaluates.
+    */
+  def kaplanMeier(subjects: DataFrame, cohortCol: String,
+                  durationCol: String, eventCol: String): DataFrame = {
+    import graft.functions.Rounding.pround
+    val perT = subjects
+      .select(col(cohortCol).as("__c"), col(durationCol).as("__t"),
+        col(eventCol).cast("boolean").as("__e"))
+      .filter(col("__t").isNotNull)
+      .groupBy("__c", "__t")
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("__e"), 1L).otherwise(0L)).as("censored"))
+    val wDesc = Window.partitionBy("__c").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("__c").orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perT.withColumn("n_risk",
+      sum(col("d") + col("censored")).over(wDesc))
+    val dOverN = col("d").cast("double") / col("n_risk").cast("double")
+    val stepped = risk
+      .withColumn("__term",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          pround(log(lit(1.0) - dOverN), 9))
+          .otherwise(lit(0.0)).cast("decimal(38,12)"))
+      .withColumn("__dead",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wAsc))
+      .withColumn("__lnsum", sum(col("__term")).over(wAsc))
+    stepped.select(col("__c").as(cohortCol), col("__t").as(durationCol),
+      col("n_risk"), col("d"), col("censored"),
+      when(col("__dead") === 1, lit(0.0))
+        .otherwise(pround(exp(col("__lnsum").cast("double")), 9))
+        .as("survival"))
+  }
 }

@@ -492,6 +492,25 @@ object Extensions {
         "user_id", "ts", col("event_type") === "signup", RetentionDays)
         .orderBy("cohort_day", "day_offset")),
 
+    // Kaplan–Meier churn curves: right-censored survival per user
+    // cohort — censored (still-active) users leave the risk set
+    // without counting as deaths, the thing a naive weekly churn rate
+    // gets wrong. exp(Σ prounded ln) product, risk-set exhaustion
+    // pins the tail to exactly 0.
+    "retention_kaplan_meier" -> ((s, dir) => {
+      val horizon = lit("2024-01-25 00:00:00").cast("timestamp")
+      val subj = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select((col("user_id") % 4).as("cohort"),
+          datediff(to_date(col("last_ts")), to_date(col("first_ts")))
+            .as("duration"),
+          (col("last_ts") < horizon).as("churned"))
+      graft.operators.Funnel.kaplanMeier(subj, "cohort", "duration",
+        "churned")
+        .orderBy("cohort", "duration")
+    }),
+
     // ClickHouse sequenceMatch('(?1).*(?2).*(?3)'): signup, then a
     // view strictly later, then a purchase strictly later — no time
     // bound. The funnel chain walk with the window check off.
@@ -2943,6 +2962,43 @@ object Extensions {
          |       FROM c3)
          |SELECT k AS user_id, CAST(max(level) AS INT) AS funnel_level
          |FROM lv GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
+    // KM replica: subject grain, per-duration death/censor counts,
+    // inclusive DESC running sum for the risk set, exp(Σ prounded ln)
+    // with the dead-flag tail pin.
+    "retention_kaplan_meier" -> {
+      val lnTerm = Rounding.sqlPround(
+        "ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE))", 9)
+      s"""WITH subj AS (
+         |  SELECT user_id % 4 AS cohort,
+         |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+         |                   CAST(max(ts) AS DATE)) AS INT) AS duration,
+         |    max(ts) < TIMESTAMP '2024-01-25 00:00:00' AS churned
+         |  FROM events GROUP BY user_id),
+         |pt AS (SELECT cohort, duration,
+         |         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS d,
+         |         CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS censored
+         |       FROM subj GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(sum(d + censored) OVER (PARTITION BY cohort
+         |        ORDER BY duration DESC ROWS UNBOUNDED PRECEDING)
+         |        AS BIGINT) AS n_risk
+         |      FROM pt),
+         |st AS (SELECT *,
+         |        sum(CAST(CASE WHEN d > 0 AND d < n_risk THEN $lnTerm
+         |                      ELSE 0.0 END AS DECIMAL(38,12)))
+         |          OVER (PARTITION BY cohort ORDER BY duration
+         |                ROWS UNBOUNDED PRECEDING) AS lnsum,
+         |        max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY cohort ORDER BY duration
+         |                ROWS UNBOUNDED PRECEDING) AS dead
+         |      FROM r)
+         |SELECT cohort, duration, n_risk, d, censored,
+         |  CASE WHEN dead = 1 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE ${Rounding.sqlPround("exp(CAST(lnsum AS DOUBLE))", 9)}
+         |  END AS survival
+         |FROM st ORDER BY cohort, duration""".stripMargin
     },
     "retention_cohort" -> {
       val size = "max(CASE WHEN day_offset = 0 THEN active_users END) " +

@@ -212,4 +212,38 @@ class FunnelSpec extends SparkSpec {
     // offsets with no active users are absent, not zero
     assert(!out.contains(("2024-01-01", 3)))
   }
+
+  test("kaplanMeier: textbook product-limit curve — censoring shrinks " +
+      "the risk set without killing, exhaustion pins the tail to 0, " +
+      "all-censored cohort stays at 1.0") {
+    val subj = Seq(
+      // cohort a: deaths at 1 and 3(×2), censored at 2 and 4
+      ("a", 1, true), ("a", 2, false), ("a", 3, true), ("a", 3, true),
+      ("a", 4, false),
+      // cohort b: the whole risk set dies at t=1
+      ("b", 1, true), ("b", 1, true),
+      // cohort c: nobody ever churns
+      ("c", 2, false), ("c", 5, false))
+      .toDF("cohort", "duration", "churned")
+    val out = graft.operators.Funnel.kaplanMeier(
+      subj, "cohort", "duration", "churned")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // S(1) = 1 - 1/5 = 0.8
+    assert(out(("a", 1))._1 == 5L && out(("a", 1))._2 == 1L)
+    assert(math.abs(out(("a", 1))._4 - 0.8) < 1e-8)
+    // t=2 censored only: risk set shrinks, survival unchanged
+    assert(out(("a", 2)) == ((4L, 0L, 1L, out(("a", 1))._4)))
+    // S(3) = 0.8 * (1 - 2/3) = 0.2666...
+    assert(out(("a", 3))._1 == 3L && out(("a", 3))._2 == 2L)
+    assert(math.abs(out(("a", 3))._4 - 0.8 / 3.0) < 1e-6)
+    // trailing censor keeps the last survival
+    assert(out(("a", 4))._4 == out(("a", 3))._4)
+    // exhaustion: d = n_risk → exactly 0, no ln(0) evaluated
+    assert(out(("b", 1)) == ((2L, 2L, 0L, 0.0)))
+    // all-censored: survival exactly 1.0 throughout
+    assert(out(("c", 2))._4 == 1.0 && out(("c", 5))._4 == 1.0)
+  }
 }
