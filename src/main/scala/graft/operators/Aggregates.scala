@@ -719,6 +719,40 @@ object Aggregates {
         col("__n2").cast("long").as("n2"))
   }
 
+  /** ClickHouse `categoricalInformationValue(cat, outcome)`: per key
+    * and category value, the Weight of Evidence
+    * WoE = ln((g/G)/(b/B)) and its Information-Value contribution
+    * (g/G − b/B)·WoE — the credit-scoring feature-screening number
+    * (IV < 0.02 useless, > 0.3 strong). Exact conditional counts
+    * (one combinable (key, cat) groupBy; totals re-aggregate that
+    * frame and broadcast back); the one ln is prounded at 1e-9 and
+    * the IV term prounds after the exact-op multiply. A category with
+    * a zero side (g = 0 or b = 0) has unbounded WoE — emitted as NULL
+    * woe/iv_term rather than ±∞ (CH's unsmoothed form diverges there
+    * too; callers wanting Laplace smoothing add it to the counts
+    * upstream, which keeps the operator's arithmetic exact).
+    */
+  def informationValue(df: DataFrame, keyCol: String, category: Column,
+                       outcome: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val cells = df.select(col(keyCol).as("__k"), category.as("__cat"),
+      outcome.cast("boolean").as("__o"))
+      .groupBy("__k", "__cat")
+      .agg(sum(when(col("__o"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(!col("__o"), 1L).otherwise(0L)).as("n_bad"))
+    val totals = cells.groupBy("__k")
+      .agg(sum("n_good").as("__g"), sum("n_bad").as("__b"))
+    val gr = col("n_good").cast("double") / col("__g").cast("double")
+    val br = col("n_bad").cast("double") / col("__b").cast("double")
+    cells.join(broadcast(totals), Seq("__k"))
+      .withColumn("woe",
+        when(col("n_good") > 0 && col("n_bad") > 0 &&
+          col("__g") > 0 && col("__b") > 0, pround(log(gr / br), 9)))
+      .withColumn("iv_term", pround((gr - br) * col("woe"), 9))
+      .select(col("__k").as(keyCol), col("__cat").as("category"),
+        col("n_good"), col("n_bad"), col("woe"), col("iv_term"))
+  }
+
   /** ClickHouse `theilsU(a, b)`: the uncertainty coefficient
     * U(a|b) = (H(a) − H(a|b)) / H(a) ∈ [0, 1] — how much knowing b
     * reduces uncertainty about a (asymmetric, unlike Cramér's V).

@@ -856,6 +856,17 @@ object Extensions {
         floor(col("value") * 100 + 0.5))
         .orderBy("user_id")),
 
+    // ClickHouse categoricalInformationValue: WoE/IV of the value
+    // decile against the purchase outcome per user cohort — the
+    // feature-screening number; zero-sided categories NULL, not ±∞.
+    "agg_iv_woe" -> ((s, dir) =>
+      graft.operators.Aggregates.informationValue(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("cohort", col("user_id") % 5),
+        "cohort", floor(col("value") / 100),
+        col("event_type") === "purchase")
+        .orderBy("cohort", "category")),
+
     // ClickHouse theilsU: uncertainty coefficient U(event_type | value
     // decile) per user cohort — exact contingency counts, per-term
     // prounded log2 under the entropy discipline.
@@ -3531,6 +3542,35 @@ object Extensions {
          |  END AS d_stat,
          |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
          |FROM g ORDER BY user_id""".stripMargin,
+    // IV/WoE replica: same conditional counts and broadcast totals;
+    // the ln prounded, the IV term prounded after the exact-op
+    // multiply, zero-sided categories NULL.
+    "agg_iv_woe" -> {
+      val gr = "(CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE))"
+      val br = "(CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))"
+      s"""WITH v AS (SELECT user_id % 5 AS k,
+         |             CAST(floor(value/100) AS BIGINT) AS cat,
+         |             event_type = 'purchase' AS o
+         |           FROM events WHERE value IS NOT NULL),
+         |cells AS (SELECT k, cat,
+         |            CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT)
+         |              AS n_good,
+         |            CAST(sum(CASE WHEN NOT o THEN 1 ELSE 0 END) AS BIGINT)
+         |              AS n_bad
+         |          FROM v GROUP BY 1, 2),
+         |tot AS (SELECT k, sum(n_good) AS g, sum(n_bad) AS b
+         |        FROM cells GROUP BY 1),
+         |j AS (SELECT cells.*, tot.g, tot.b
+         |      FROM cells JOIN tot ON tot.k = cells.k),
+         |w AS (SELECT *,
+         |        CASE WHEN n_good > 0 AND n_bad > 0 AND g > 0 AND b > 0
+         |             THEN ${Rounding.sqlPround(s"ln($gr / $br)", 9)}
+         |        END AS woe
+         |      FROM j)
+         |SELECT k AS cohort, cat AS category, n_good, n_bad, woe,
+         |  ${Rounding.sqlPround(s"($gr - $br) * woe", 9)} AS iv_term
+         |FROM w ORDER BY cohort, category""".stripMargin
+    },
     // Theil's U replica: same three contingency counts; every log2
     // term prounded before the DECIMAL(38,12) sum, final division in
     // the same fixed order.

@@ -444,6 +444,37 @@ class AggregatesSpec extends SparkSpec {
     assert(out(4L) == ((None, 1L, 0L)))
   }
 
+  test("informationValue: hand-computed WoE/IV, independent category " +
+      "scores 0, zero-sided category is NULL not ±inf") {
+    val df = Seq(
+      // key 1: cat "x": 3 good, 1 bad; cat "y": 1 good, 3 bad
+      // G = 4, B = 4 → WoE(x) = ln((3/4)/(1/4)) = ln 3
+      (1L, "x", true), (1L, "x", true), (1L, "x", true), (1L, "x", false),
+      (1L, "y", true), (1L, "y", false), (1L, "y", false), (1L, "y", false),
+      // key 2: outcome independent of cat → WoE = ln 1 = 0
+      (2L, "x", true), (2L, "x", false), (2L, "y", true), (2L, "y", false),
+      // key 3: cat "z" has zero bads → NULL, no ±inf
+      (3L, "z", true), (3L, "z", true), (3L, "w", true), (3L, "w", false))
+      .toDF("k", "cat", "o")
+    val out = Aggregates.informationValue(df, "k", col("cat"), col("o"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    val (g, b, woe, iv) = ((x: (Long, Long, Option[Double], Option[Double])) => x)(out((1L, "x")))
+    assert(g == 3L && b == 1L)
+    assert(math.abs(woe.get - math.log(3.0)) < 1e-8)
+    // iv term = (3/4 - 1/4) * ln 3 = 0.5 ln 3
+    assert(math.abs(iv.get - 0.5 * math.log(3.0)) < 1e-8)
+    // symmetric category mirrors with negative WoE
+    assert(math.abs(out((1L, "y"))._3.get + math.log(3.0)) < 1e-8)
+    // independence → exactly 0 (ln 1 prounds to 0)
+    assert(out((2L, "x"))._3.contains(0.0) && out((2L, "x"))._4.contains(0.0))
+    // zero-sided: NULL woe and iv
+    assert(out((3L, "z"))._3.isEmpty && out((3L, "z"))._4.isEmpty)
+    assert(out((3L, "w"))._3.isDefined)
+  }
+
   test("theilsU: b determines a → U = 1; independent b → U = 0; " +
       "constant a → NULL (H(a) = 0); asymmetric by construction") {
     val df = Seq(
