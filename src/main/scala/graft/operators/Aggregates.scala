@@ -719,6 +719,76 @@ object Aggregates {
         col("__n2").cast("long").as("n2"))
   }
 
+  /** ClickHouse `proportionsZTest`: the two-proportion pooled z
+    * statistic per key — z = (p₁ − p₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with
+    * p̂ the pooled rate. The A/B-dashboard number beside welchT (means)
+    * and mannWhitneyU (ranks): conversion RATES between two arms. One
+    * map-side-combinable aggregate of four exact conditional counts;
+    * the tail is fixed-order double arithmetic + one IEEE sqrt,
+    * prounded. NULL when either arm is empty or the pooled rate is
+    * degenerate (0 or 1 ⇒ zero denominator). p-values need erfc —
+    * library-dependent, not emitted (the welchT convention).
+    */
+  def proportionsZTest(df: DataFrame, keyCol: String, armA: Column,
+                       converted: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val agg = df.select(col(keyCol).as("__k"), armA.cast("boolean").as("__a"),
+      converted.cast("boolean").as("__y"))
+      .groupBy("__k")
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__a") && col("__y"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("__a") && col("__y"), 1L).otherwise(0L)).as("c2"))
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p2 = col("c2").cast("double") / col("n2").cast("double")
+    val pp = (col("c1") + col("c2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val den = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1").cast("double") +
+        lit(1.0) / col("n2").cast("double")))
+    agg.select(col("__k").as(keyCol),
+      when(col("n1") > 0 && col("n2") > 0 &&
+        col("c1") + col("c2") > 0 &&
+        col("c1") + col("c2") < col("n1") + col("n2"),
+        pround((p1 - p2) / den, 9)).as("z_stat"),
+      col("n1"), col("c1"), col("n2"), col("c2"))
+  }
+
+  /** Gini coefficient per key (sample form, ascending-rank weights):
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over x sorted ascending —
+    * the concentration number for "how unequal is this corpus/mix"
+    * (token mass across sources, documents per dedup cluster, spend
+    * per user). Tie order doesn't matter: within a tied block the xᵢ
+    * are equal, so Σ i·xᵢ over the block is permutation-invariant —
+    * no tie-break column needed. One rank window + one combinable
+    * aggregate; Σ i·x accumulates as DECIMAL(38,0) (i·x reaches n·max,
+    * past BIGINT at 100 TB key sizes). Requires non-negative x
+    * (documented; negative support makes G ill-defined); a zero-sum
+    * or single-row key is NULL.
+    */
+  def gini(df: DataFrame, keyCol: String, x: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val v = df.select(col(keyCol).as("__k"), x.as("__x"))
+      .filter(col("__x").isNotNull)
+    val w = Window.partitionBy("__k").orderBy("__x")
+    val ranked = v.withColumn("__i", row_number().over(w))
+    val s = ranked.groupBy("__k").agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      // operands cast BEFORE the multiply (the zipfFit rule): i·x
+      // reaches n·max(x), past int64 long before the sum would
+      sum(col("__i").cast("decimal(19,0)") *
+        col("__x").cast("decimal(19,0)")).as("__six"))
+    s.select(col("__k").as(keyCol),
+      when(col("__n") > 1 && col("__sx") > 0,
+        pround((lit(2) * col("__six") - (col("__n") + 1) * col("__sx"))
+          .cast("double") /
+          (col("__n") * col("__sx")).cast("double"), 9)).as("gini"),
+      col("__n").cast("long").as("n"),
+      col("__sx").cast("long").as("total"))
+  }
+
   /** ClickHouse `categoricalInformationValue(cat, outcome)`: per key
     * and category value, the Weight of Evidence
     * WoE = ln((g/G)/(b/B)) and its Information-Value contribution

@@ -856,6 +856,22 @@ object Extensions {
         floor(col("value") * 100 + 0.5))
         .orderBy("user_id")),
 
+    // ClickHouse proportionsZTest: pooled two-proportion z per event
+    // type (even vs odd user arms, conversion = value > 500) — the
+    // A/B rate test beside welchT (means) and mannWhitneyU (ranks).
+    "agg_proportions_ztest" -> ((s, dir) =>
+      graft.operators.Aggregates.proportionsZTest(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", col("user_id") % 2 === 0, col("value") > 500)
+        .orderBy("event_type")),
+
+    // Gini concentration of document length mass per source — the
+    // corpus-inequality QA number beside Zipf and KL drift.
+    "corpus_gini" -> ((s, dir) =>
+      graft.operators.Aggregates.gini(
+        t(s, dir, "documents"), "source", col("n_chars"))
+        .orderBy("source")),
+
     // ClickHouse categoricalInformationValue: WoE/IV of the value
     // decile against the purchase outcome per user cohort — the
     // feature-screening number; zero-sided categories NULL, not ±∞.
@@ -3542,6 +3558,47 @@ object Extensions {
          |  END AS d_stat,
          |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
          |FROM g ORDER BY user_id""".stripMargin,
+    "agg_proportions_ztest" -> {
+      val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val p2 = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+      val pp = "(CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+      val z = s"($p1 - $p2) / sqrt($pp * (1.0 - $pp) * " +
+        "(1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE)))"
+      s"""WITH v AS (SELECT event_type AS k, user_id % 2 = 0 AS a,
+         |             value > 500 AS y
+         |           FROM events WHERE value IS NOT NULL),
+         |g AS (SELECT k,
+         |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |        CAST(sum(CASE WHEN a AND y THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS c1,
+         |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n2,
+         |        CAST(sum(CASE WHEN NOT a AND y THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS c2
+         |      FROM v GROUP BY 1)
+         |SELECT k AS event_type,
+         |  CASE WHEN n1 > 0 AND n2 > 0 AND c1 + c2 > 0
+         |            AND c1 + c2 < n1 + n2
+         |       THEN ${Rounding.sqlPround(z, 9)}
+         |  END AS z_stat,
+         |  n1, c1, n2, c2
+         |FROM g ORDER BY event_type""".stripMargin
+    },
+    "corpus_gini" ->
+      s"""WITH v AS (SELECT source AS k, n_chars AS x FROM documents
+         |           WHERE n_chars IS NOT NULL),
+         |r AS (SELECT k, x,
+         |        row_number() OVER (PARTITION BY k ORDER BY x) AS i
+         |      FROM v),
+         |s AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+         |      FROM r GROUP BY 1)
+         |SELECT k AS source,
+         |  CASE WHEN n > 1 AND sx > 0 THEN
+         |    ${Rounding.sqlPround(
+            "CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE)", 9)}
+         |  END AS gini,
+         |  CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total
+         |FROM s ORDER BY source""".stripMargin,
     // IV/WoE replica: same conditional counts and broadcast totals;
     // the ln prounded, the IV term prounded after the exact-op
     // multiply, zero-sided categories NULL.

@@ -444,6 +444,56 @@ class AggregatesSpec extends SparkSpec {
     assert(out(4L) == ((None, 1L, 0L)))
   }
 
+  test("proportionsZTest: equal rates z = 0, known hand case, " +
+      "degenerate pools and empty arms are NULL") {
+    val df = Seq(
+      // key 1: arm A 2/4 converts, arm B 1/4 → p̂ = 3/8
+      (1L, true, true), (1L, true, true), (1L, true, false),
+      (1L, true, false),
+      (1L, false, true), (1L, false, false), (1L, false, false),
+      (1L, false, false),
+      // key 2: identical rates → z = 0
+      (2L, true, true), (2L, true, false),
+      (2L, false, true), (2L, false, false),
+      // key 3: nobody converts → denominator 0 → NULL
+      (3L, true, false), (3L, false, false),
+      // key 4: arm B empty → NULL
+      (4L, true, true))
+      .toDF("k", "a", "y")
+    val out = Aggregates.proportionsZTest(df, "k", col("a"), col("y"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val pp = 3.0 / 8
+    val expect = (0.5 - 0.25) /
+      math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(out(1L)._1.get - expect) < 1e-8)
+    assert(out(1L)._2 == 4L && out(1L)._3 == 2L && out(1L)._5 == 1L)
+    assert(out(2L)._1.contains(0.0))
+    assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty)
+  }
+
+  test("gini: uniform mass → ~0, one-holder concentration → (n-1)/n, " +
+      "tie order doesn't matter, degenerate keys NULL") {
+    val df = Seq(
+      (1L, 10L), (1L, 10L), (1L, 10L), (1L, 10L),        // uniform → 0
+      (2L, 0L), (2L, 0L), (2L, 0L), (2L, 100L),          // all mass on 1
+      (3L, 5L),                                          // single row
+      (4L, 0L), (4L, 0L))                                // zero sum
+      .toDF("k", "x")
+    val out = Aggregates.gini(df, "k", col("x"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2),
+          r.getLong(3)))).toMap
+    assert(out(1L)._1.contains(0.0) && out(1L)._2 == 4L &&
+      out(1L)._3 == 40L)
+    // max concentration with n = 4: G = (n-1)/n = 0.75
+    assert(out(2L)._1.contains(0.75))
+    assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty)
+  }
+
   test("informationValue: hand-computed WoE/IV, independent category " +
       "scores 0, zero-sided category is NULL not ±inf") {
     val df = Seq(
