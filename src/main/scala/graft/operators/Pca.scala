@@ -180,6 +180,52 @@ object Pca {
     evecs.take(nComponents).map(_.toSeq).toSeq
   }
 
+  /** ZCA whitening loadings (Bell & Sejnowski's zero-phase transform):
+    * W = E·diag(1/√(λ+ε))·Eᵀ — decorrelates the embedding dimensions
+    * and equalizes their variances while staying CLOSEST to the
+    * original basis among all whitening transforms (the unique
+    * symmetric square root, so the result is independent of
+    * eigenvector sign/order — deterministic across runs without any
+    * sign canonicalization). The prep pass before cosine/L2 retrieval
+    * when embeddings have anisotropic spectra (dominant directions
+    * drown the informative tail — the same pathology matryoshka and
+    * OPQ attack at index level, fixed here at data level). `eps`
+    * floors near-null directions so 1/√λ can't explode noise.
+    *
+    * Training is the shared [[covEig]] path (bounded sample → d²
+    * combinable cells → driver Jacobi at d=64); apply is
+    * [[project]]'s broadcast-literal map. Centering is the caller's
+    * choice (whitening is usually applied after mean removal; cosine
+    * pipelines often skip it deliberately). Trained state ⇒ no SQL
+    * oracle — spec'd by the whitened-covariance ≡ I property instead
+    * (the ann_index_build convention).
+    */
+  def zcaLoadings(df: DataFrame, idCol: String, vecCol: String,
+                  eps: Double = 1e-6,
+                  maxTrain: Int = 1 << 16): Seq[Seq[Double]] = {
+    require(eps > 0, s"eps must be positive: $eps")
+    val (evals, evecs) = covEig(df, idCol, vecCol, maxTrain)
+    val d = evals.length
+    val inv = evals.map(l => 1.0 / math.sqrt(math.max(l, 0.0) + eps))
+    // W = Σ_k inv(k) · e_k e_kᵀ  (symmetric — sign/order invariant)
+    val w = Array.ofDim[Double](d, d)
+    var k = 0
+    while (k < d) {
+      val e = evecs(k)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          w(i)(j) += inv(k) * e(i) * e(j)
+          j += 1
+        }
+        i += 1
+      }
+      k += 1
+    }
+    w.map(_.toSeq).toSeq
+  }
+
   /** OPQ-P loadings (Ge et al., CVPR 2013 §4 "optimized product
     * quantization", non-parametric/eigenvalue-allocation variant):
     * PCA-rotate, then PERMUTE the principal directions so that each of

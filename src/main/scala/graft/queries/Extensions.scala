@@ -2690,6 +2690,19 @@ object Extensions {
       val nlist = math.max(8L, n / 1500L).toInt
       Similarity.semDedup(e, "vec_id", "embedding", nlist, 0.4)
         .select("vec_id").orderBy("vec_id")
+    }),
+
+    // ZCA whitening: trained covariance state (no SQL replica — the
+    // ann_index_build convention); correctness is the whitened-
+    // covariance ≡ I property pinned in PcaSpec. Benched here so the
+    // train-collect + broadcast-apply cost is tracked.
+    "emb_zca_whiten" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val w = graft.operators.Pca.zcaLoadings(e, "vec_id", "embedding")
+      graft.operators.Pca.project(e, "vec_id", "embedding", w)
+        .select(col("vec_id"), posexplode(col("vec")))
+        .toDF("vec_id", "dim", "value")
+        .orderBy("vec_id", "dim")
     }))
 
   val benchBuilds: Map[String, (SparkSession, String) => Unit] = Map(

@@ -133,6 +133,47 @@ class PcaSpec extends SparkSpec {
     assert(opq >= 0.5, s"OPQ recall too low: $opq (raw $raw)")
   }
 
+  test("zcaLoadings: whitened covariance ≡ identity on an anisotropic " +
+      "cloud; isotropic input maps to a scaled identity (closest-to-" +
+      "original property); deterministic across runs") {
+    val rnd = new scala.util.Random(7)
+    // anisotropic 4-d cloud: std devs 10, 3, 1, 0.3 with a rotation mix
+    val rows = (0 until 600).map { i =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian() * 3
+      val c = rnd.nextGaussian() * 1
+      val d = rnd.nextGaussian() * 0.3
+      (i.toLong, Array((a + b).toFloat, (a - b).toFloat,
+        (c + d).toFloat, (c - d).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val w = graft.operators.Pca.zcaLoadings(df, "vec_id", "embedding")
+    assert(w == graft.operators.Pca.zcaLoadings(df, "vec_id", "embedding"))
+    // whiten driver-side (mean-centered) and check the covariance
+    val mu = Array.tabulate(4)(j => rows.map(_._2(j).toDouble).sum / rows.size)
+    val white = rows.map { case (_, v) =>
+      Array.tabulate(4)(i =>
+        (0 until 4).map(j => w(i)(j) * (v(j) - mu(j))).sum)
+    }
+    val cov = Array.tabulate(4, 4) { (i, j) =>
+      white.map(x => x(i) * x(j)).sum / white.size
+    }
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov(i)(j) - want) < 0.05,
+        s"cov($i,$j) = ${cov(i)(j)}, want $want")
+    }
+    // isotropic input: W ≈ (1/σ)·I — ZCA stays in the original basis
+    val iso = (0 until 600).map(i =>
+      (i.toLong, Array.fill(4)((rnd.nextGaussian() * 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val wi = graft.operators.Pca.zcaLoadings(iso, "vec_id", "embedding")
+    for (i <- 0 until 4; j <- 0 until 4)
+      if (i != j) assert(math.abs(wi(i)(j)) < 0.05,
+        s"isotropic W off-diagonal ($i,$j) = ${wi(i)(j)}")
+    assert(math.abs(wi(0)(0) - wi(1)(1)) < 0.05)
+  }
+
   test("robustScale: per-dim median/MAD standardization — outlier dim " +
       "keeps a sane scale, constant dim is centered-only (MAD = 0)") {
     // dim 0: values 1..5 plus outlier 1000 → median 3.5, MAD 1.5
