@@ -776,6 +776,39 @@ object Profile {
       .withColumn("epsilon", lit(epsilon))
   }
 
+  /** One-sided CUSUM drift detector (Page 1954): per key, the
+    * cumulative-sum statistic Sₜ = max(0, Sₜ₋₁ + (xₜ − k)) with alarm
+    * at Sₜ > h — the sequential detector for SUSTAINED small shifts a
+    * per-point z-score never fires on (each point is individually
+    * unremarkable; the drift only shows in the accumulation). The
+    * ingest-drift complement to [[psi]] (distribution shape) and the
+    * event-rate z (single-point spikes).
+    *
+    * The recurrence has the prefix-min closed form
+    * Sₜ = cumₜ − min(0, min_{j≤t} cumⱼ) (cum = Σ(x − k)), so the whole
+    * statistic is two GROWING-frame windows over one key exchange —
+    * O(n) per key, no sequential loop, no UDF. Exact when x and k are
+    * integral (quantize upstream, the mannWhitneyU convention); ties
+    * in the order column are broken by `tieCol` so distributed runs
+    * and the oracle agree row-for-row.
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+            tieCol: String, x: Column, allowance: Long, threshold: Long)
+  : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(orderCol), col(tieCol),
+      (x - lit(allowance)).as("__y"))
+      .withColumn("__cum", sum(col("__y")).over(w))
+      .withColumn("__rmin", least(lit(0L), min(col("__cum")).over(w)))
+      .select(col(keyCol), col(orderCol), col(tieCol),
+        (col("__cum") - col("__rmin")).as("s_stat"))
+      .withColumn("alarm", col("s_stat") > threshold)
+  }
+
   /** Per-group quantile normalization (rank transform): each value
     * mapped to its within-group quantile position q ∈ [0, 1] with
     * average ranks for ties — the step that makes quality scores from

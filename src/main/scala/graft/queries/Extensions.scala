@@ -1589,6 +1589,19 @@ object Extensions {
         "source", "n_chars", "doc_id")
         .orderBy("doc_id")),
 
+    // CUSUM drift detector: per event type over time, the cumulative
+    // statistic for sustained small shifts in the cent-quantized
+    // value (allowance = 60000 cents ≈ the fixture's mean level) —
+    // fires where a per-point z never would. Two growing-frame
+    // windows, zero sequential work.
+    "dq_cusum_drift" -> ((s, dir) =>
+      Profile.cusum(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", "ts", "event_id",
+        floor(col("value") * 100 + 0.5), allowance = 60000L,
+        threshold = 5000000L)
+        .orderBy("event_type", "ts", "event_id")),
+
     // ε-DP count release: per-(lang, source) counts with seeded
     // Laplace(1/ε) noise — the publishable data-card aggregate beside
     // the k-anonymity row gate. Deterministic by md5-seeded inverse
@@ -4813,6 +4826,22 @@ object Extensions {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents WHERE n_chars IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
+    "dq_cusum_drift" ->
+      """WITH v AS (SELECT event_type AS k, ts, event_id,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) - 60000 AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT k, ts, event_id,
+        |        sum(y) OVER (PARTITION BY k ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM v),
+        |m AS (SELECT k, ts, event_id, cum,
+        |        least(CAST(0 AS BIGINT), min(cum) OVER (PARTITION BY k
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS rmin
+        |      FROM c)
+        |SELECT k AS event_type, ts, event_id,
+        |  CAST(cum - rmin AS BIGINT) AS s_stat,
+        |  cum - rmin > 5000000 AS alarm
+        |FROM m ORDER BY event_type, ts, event_id""".stripMargin,
     "dq_dp_release" -> {
       val key = "coalesce(CAST(lang AS VARCHAR), chr(2) || 'NULL') || " +
         "chr(1) || coalesce(CAST(source AS VARCHAR), chr(2) || 'NULL')"

@@ -241,6 +241,30 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
 
+  test("cusum: the prefix-min closed form equals the textbook " +
+      "recurrence; sustained small drift fires where points stay " +
+      "unremarkable; resets after the dip") {
+    // noise ±2 around 0 for 6 points, then a sustained +3 drift —
+    // each drift point is within the noise band (a z-score sleeps)
+    val xs = Seq(2L, -2L, 1L, -1L, 2L, -2L, 3L, 3L, 3L, 3L, 3L)
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      ("g", i.toLong, i.toLong, v)
+    }
+    val df = rows.toDF("k", "t", "id", "x")
+    val out = Profile.cusum(df, "k", "t", "id", col("x"),
+      allowance = 1L, threshold = 8L)
+      .orderBy("t").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    // textbook recurrence S_t = max(0, S_{t-1} + (x - k))
+    var s = 0L
+    val expect = xs.map { v => s = math.max(0L, s + (v - 1L)); s }
+    assert(out.map(_._2).toSeq == expect,
+      s"closed form != recurrence: ${out.map(_._2).toSeq} vs $expect")
+    // the drift run accumulates 2 per step and crosses h = 8
+    assert(!out(5)._3 && out.last._3)
+    assert(out.map(_._1).toSeq == (0L until 11L))
+  }
+
   test("dpNoisyCounts: exact n_true, seed-deterministic noise, seed " +
       "rotation changes it, and noise scales exactly 1/ε") {
     val df = (Seq.fill(30)(("en", "web")) ++ Seq.fill(10)(("fr", "web")) ++
