@@ -776,6 +776,92 @@ object Profile {
       .withColumn("epsilon", lit(epsilon))
   }
 
+  /** Benford first-digit QA: per key, the observed leading-digit
+    * distribution of a positive integral column against Benford's law
+    * (e_d = log10(1 + 1/d)) with per-digit χ² terms — the
+    * synthetic/fabricated-numbers detector (organically-grown
+    * magnitudes follow Benford; templated or uniformly-generated ones
+    * don't). All 9 digits are emitted per key (absent digits as 0 —
+    * a missing digit IS evidence). The leading digit comes from the
+    * integer's decimal string (exact in both engines — no per-row
+    * log10); the expected shares are Scala-computed constants folded
+    * in as literals. One combinable groupBy + a 9-row broadcast.
+    */
+  def benford(df: DataFrame, keyCol: String, value: Column): DataFrame = {
+    import graft.functions.Rounding.pround
+    val counts = df.select(col(keyCol).as("__k"), value.as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+      .withColumn("digit",
+        substring(col("__v").cast("long").cast("string"), 1, 1).cast("int"))
+      .groupBy("__k", "digit").agg(count(lit(1)).as("n_digit"))
+    val totals = counts.groupBy("__k").agg(sum("n_digit").as("__n"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9)
+      .map(d => (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "expected")
+    val full = totals.crossJoin(broadcast(expected))
+      .join(counts, Seq("__k", "digit"), "left")
+      .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
+    val obs = col("n_digit").cast("double") / col("__n").cast("double")
+    val dev = obs - col("expected")
+    full.select(col("__k").as(keyCol), col("digit"), col("n_digit"),
+      pround(obs, 9).as("obs_share"),
+      pround(col("expected"), 9).as("benford_share"),
+      pround(col("__n").cast("double") * dev * dev / col("expected"), 9)
+        .as("chi2_term"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence between per-group term
+    * distributions (base 2, so JSD ∈ [0, 1]) — the symmetric
+    * source-similarity matrix beside [[klDrift]]'s per-source-vs-
+    * corpus number: which sources are near-duplicates of each other
+    * in unigram space (merge candidates), which are genuinely
+    * distinct (coverage).
+    *
+    * Only SHARED terms need the log: a term present in one side only
+    * contributes exactly its probability mass (log₂(2p/(p+0)) = 1),
+    * so JSD = ½((1−Pₛ) + (1−Qₛ)) + ½·Σ_shared [p·log₂(2p/(p+q)) +
+    * q·log₂(2q/(p+q))] — one vocab-keyed self-join (g₁ < g₂), then a
+    * combinable per-pair aggregate. The shared masses Pₛ/Qₛ come from
+    * INTEGER count sums divided once (a double Σ of per-term p would
+    * be accumulation-order-dependent); the per-term log factor is
+    * prounded and summed as DECIMAL(38,12). A hot term present in all
+    * G groups fans to G²/2 rows — G is the number of SOURCES (tens),
+    * not corpus-sized, which is what keeps the self-join safe at
+    * 100 TB.
+    */
+  def jsDivergenceMatrix(docs: DataFrame, groupCol: String, term: Column)
+  : DataFrame = {
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.types.DecimalType
+    val cgw = docs.select(col(groupCol).as("__g"), term.as("__w"))
+      .groupBy("__g", "__w").agg(count(lit(1)).as("__c"))
+    val ng = cgw.groupBy("__g").agg(sum("__c").as("__n"))
+    val a = cgw.select(col("__g").as("g1"), col("__w"), col("__c").as("c1"))
+      .join(broadcast(ng.select(col("__g").as("g1"), col("__n").as("n1"))),
+        Seq("g1"))
+    val b = cgw.select(col("__g").as("g2"), col("__w"), col("__c").as("c2"))
+      .join(broadcast(ng.select(col("__g").as("g2"), col("__n").as("n2"))),
+        Seq("g2"))
+    val p = col("c1").cast("double") / col("n1").cast("double")
+    val q = col("c2").cast("double") / col("n2").cast("double")
+    val sharedTerm = pround(
+      p * log2(lit(2.0) * p / (p + q)) + q * log2(lit(2.0) * q / (p + q)),
+      9).cast(DecimalType(38, 12))
+    val pairs = a.join(b, Seq("__w")).filter(col("g1") < col("g2"))
+      .withColumn("__t", sharedTerm)
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum("c1").as("__c1s"), sum("c2").as("__c2s"),
+        sum(col("__t")).as("__s"),
+        first(col("n1")).as("__n1"), first(col("n2")).as("__n2"))
+    val ps = col("__c1s").cast("double") / col("__n1").cast("double")
+    val qs = col("__c2s").cast("double") / col("__n2").cast("double")
+    pairs.select(col("g1"), col("g2"), col("n_shared_terms"),
+      pround(lit(0.5) * ((lit(1.0) - ps) + (lit(1.0) - qs)) +
+        lit(0.5) * col("__s").cast("double"), 9).as("jsd"))
+  }
+
   /** One-sided CUSUM drift detector (Page 1954): per key, the
     * cumulative-sum statistic Sₜ = max(0, Sₜ₋₁ + (xₜ − k)) with alarm
     * at Sₜ > h — the sequential detector for SUSTAINED small shifts a

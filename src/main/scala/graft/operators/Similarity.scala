@@ -161,18 +161,22 @@ object Similarity {
     * Shape: the shortlist (any top-`shortlist` generator — brute here,
     * the IVF/JL tiers upstream at 100 TB) is the only corpus-sized
     * stage. Candidate vectors join back against the corpus with the
-    * BROADCAST shortlist as build side, and the nq·shortlist-row frame
-    * persists once; the greedy loop is then k−1 driver-bounded rounds
-    * of anti-join + broadcast-selected penalty max + one window argmax,
-    * every frame ∝ nq·shortlist — independent of corpus size, the same
-    * bounded-iteration discipline as the fixed-k KMeans trainer. The
-    * result is localCheckpoint-materialized so the k-deep loop plan is
-    * severed and the shortlist cache can be freed before returning
-    * (caller releases the result with `unpersist()` when done).
+    * BROADCAST shortlist as build side; each query's candidates then
+    * collect into ONE array row (bounded: shortlist·dim values) and
+    * the whole greedy loop runs as a single higher-order-function
+    * expression over that row — `aggregate(sequence(2, k), ...)` with
+    * the selected set and the frontier carried as array state, the
+    * per-step argmax as a fold. ZERO per-round Spark jobs: a driver
+    * loop here spent ~8 s of pure orchestration overhead (job launch,
+    * broadcast builds, per-round codegen) on 200 rows at sf0.1; the
+    * fused form is one shuffle + one projection, and parallelism is
+    * per-query — exactly how the work distributes at any corpus size.
     *
     * Determinism: scores and pairwise sims are pround(6) cosines, the
     * MMR combination is prounded at 1e-9 in a fixed order, ties break
-    * on cand_id — the DuckDB oracle replays the greedy loop as
+    * on cand_id (the argmax fold replaces only on strictly-better),
+    * and the candidate array is sorted (score desc, cand_id) before
+    * the loop — the DuckDB oracle replays the greedy loop as
     * unrolled per-pick CTEs and hash-matches.
     */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -182,45 +186,78 @@ object Similarity {
     require(k >= 1, s"k >= 1 required: $k")
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
-    import org.apache.spark.sql.expressions.Window
     val short = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist,
       scoreFn)
     val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    val cand = cv.join(broadcast(short), "cand_id")
-      .select("query_id", "cand_id", "score", "cv", "rank")
-      .persist()
-    var selected = cand.filter(col("rank") === 1)
-      .select(col("query_id"), col("cand_id"), col("score"), col("cv"),
-        Rounding.pround(lit(lambda) * col("score"), 9).as("mmr"),
-        lit(1).as("pick"))
-    var i = 2
-    while (i <= k) {
-      val selSlim = selected.select("query_id", "cand_id")
-      val selVecs = selected.select(col("query_id"), col("cv").as("sv"))
-      val pen = cand
-        .join(broadcast(selSlim), Seq("query_id", "cand_id"), "left_anti")
-        .join(broadcast(selVecs), Seq("query_id"))
-        .withColumn("sim", scoreFn(col("cv"), col("sv")))
-        .groupBy("query_id", "cand_id")
-        .agg(max(col("sim")).as("pen"), first(col("score")).as("score"),
-          first(col("cv")).as("cv"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("mmr").desc, col("cand_id"))
-      val pick = pen
-        .withColumn("mmr", Rounding.pround(
-          lit(lambda) * col("score") - lit(1 - lambda) * col("pen"), 9))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("cand_id"), col("score"), col("cv"),
-          col("mmr"), lit(i).as("pick"))
-      selected = selected.unionByName(pick)
-      i += 1
-    }
-    val out = selected
-      .select("query_id", "cand_id", "score", "mmr", "pick")
-      .localCheckpoint(true)
-    cand.unpersist()
-    out
+    // one array row per query, sorted (score desc, cand_id) — the
+    // negated-score struct key makes ascending sort_array the order
+    // the greedy loop consumes
+    val grouped = cv.join(broadcast(short), "cand_id")
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(
+        (-col("score")).as("ns"), col("cand_id"), col("score"),
+        col("cv")))).as("cands"))
+    def pickStruct(candId: Column, score: Column, mmr: Column,
+                   pick: Column) =
+      struct(candId.as("cand_id"), score.as("score"), mmr.as("mmr"),
+        pick.cast("int").as("pick"))
+    val firstC = element_at(col("cands"), 1)
+    val zero = struct(
+      array(pickStruct(firstC.getField("cand_id"),
+        firstC.getField("score"),
+        Rounding.pround(lit(lambda) * firstC.getField("score"), 9),
+        lit(1))).as("sel"),
+      array(firstC.getField("cv")).as("selv"),
+      slice(col("cands"), lit(2),
+        greatest(size(col("cands")) - 1, lit(0))).as("rem"))
+    // sequence(2, 1) would step BACKWARDS ([2, 1]) — k = 1 means no
+    // greedy rounds at all
+    val iters =
+      if (k >= 2) sequence(lit(2), lit(k)) else typedLit(Seq.empty[Int])
+    val res = aggregate(
+      iters,
+      zero,
+      (st, i) => {
+        // HOFs are interpreted and every REFERENCE to an expression
+        // re-evaluates its whole subtree — `best` appears ~7 times in
+        // the step, so left unbound it would re-run the scored fold
+        // (rem × selv cosines) each time, multiplying the work ~15×
+        // (measured: 17 s vs 4 s at sf0.1). `transform(array(e), v =>
+        // …)` is the expression language's let-binding: the lambda
+        // argument is evaluated ONCE.
+        val scored = transform(st.getField("rem"), c => struct(
+          Rounding.pround(
+            lit(lambda) * c.getField("score") - lit(1 - lambda) *
+              array_max(transform(st.getField("selv"),
+                sv => scoreFn(c.getField("cv"), sv))), 9).as("mmr"),
+          c.as("c")))
+        def argmax(sc: Column) =
+          aggregate(sc, element_at(sc, 1), (b, x) =>
+            when(x.getField("mmr") > b.getField("mmr") ||
+              (x.getField("mmr") === b.getField("mmr") &&
+                x.getField("c").getField("cand_id") <
+                  b.getField("c").getField("cand_id")), x).otherwise(b))
+        def stepped(best: Column) = struct(
+          concat(st.getField("sel"), array(pickStruct(
+            best.getField("c").getField("cand_id"),
+            best.getField("c").getField("score"),
+            best.getField("mmr"), i))).as("sel"),
+          concat(st.getField("selv"),
+            array(best.getField("c").getField("cv"))).as("selv"),
+          filter(st.getField("rem"), r =>
+            r.getField("cand_id") =!=
+              best.getField("c").getField("cand_id")).as("rem"))
+        val step = element_at(transform(array(scored), sc =>
+          element_at(transform(array(argmax(sc)), b => stepped(b)),
+            1)), 1)
+        // an exhausted frontier (shortlist < k) keeps the state as-is
+        when(size(st.getField("rem")) > 0, step).otherwise(st)
+      })
+    grouped
+      .select(col("query_id"), explode(res.getField("sel")).as("p"))
+      .select(col("query_id"), col("p.cand_id").as("cand_id"),
+        col("p.score").as("score"), col("p.mmr").as("mmr"),
+        col("p.pick").as("pick"))
   }
 
   /** Greedy k-center coreset (Gonzalez's farthest-first traversal, the

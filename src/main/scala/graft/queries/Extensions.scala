@@ -1589,6 +1589,23 @@ object Extensions {
         "source", "n_chars", "doc_id")
         .orderBy("doc_id")),
 
+    // Benford first-digit QA: leading-digit shares of the integral
+    // event value vs Benford's law with per-digit χ² terms — the
+    // fabricated/templated-numbers detector. All 9 digits per key.
+    "dq_benford" -> ((s, dir) =>
+      Profile.benford(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", floor(col("value")))
+        .orderBy("event_type", "digit")),
+
+    // Pairwise Jensen–Shannon matrix over source unigram
+    // distributions — which sources duplicate each other (merge
+    // candidates) vs genuinely extend coverage.
+    "mix_js_matrix" -> ((s, dir) =>
+      Profile.jsDivergenceMatrix(t(s, dir, "documents"), "source",
+        explode(TextFunctions.tokens(col("text"))))
+        .orderBy("g1", "g2")),
+
     // CUSUM drift detector: per event type over time, the cumulative
     // statistic for sustained small shifts in the cent-quantized
     // value (allowance = 60000 cents ≈ the fixture's mean level) —
@@ -4826,6 +4843,67 @@ object Extensions {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents WHERE n_chars IS NOT NULL)
         |ORDER BY doc_id""".stripMargin,
+    "dq_benford" -> {
+      val expectedRows = (1 to 9).map(d =>
+        s"SELECT $d AS digit, CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)" +
+          " AS expected")
+        .mkString("\n  UNION ALL\n  ")
+      val obs = "(CAST(n_digit AS DOUBLE) / CAST(n AS DOUBLE))"
+      s"""WITH v AS (SELECT event_type AS k,
+         |             CAST(floor(value) AS BIGINT) AS x
+         |           FROM events
+         |           WHERE value IS NOT NULL AND floor(value) > 0),
+         |c AS (SELECT k, CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT)
+         |        AS digit, count(*) AS n_digit
+         |      FROM v GROUP BY 1, 2),
+         |t AS (SELECT k, CAST(sum(n_digit) AS BIGINT) AS n
+         |      FROM c GROUP BY 1),
+         |e AS (
+         |  $expectedRows),
+         |f AS (SELECT t.k, e.digit, e.expected,
+         |        CAST(coalesce(c.n_digit, 0) AS BIGINT) AS n_digit, t.n
+         |      FROM t CROSS JOIN e
+         |      LEFT JOIN c ON c.k = t.k AND c.digit = e.digit)
+         |SELECT k AS event_type, digit, n_digit,
+         |  ${Rounding.sqlPround(obs, 9)} AS obs_share,
+         |  ${Rounding.sqlPround("expected", 9)} AS benford_share,
+         |  ${Rounding.sqlPround(
+            s"CAST(n AS DOUBLE) * ($obs - expected) * ($obs - expected) " +
+              "/ expected", 9)} AS chi2_term
+         |FROM f ORDER BY event_type, digit""".stripMargin
+    },
+    "mix_js_matrix" -> {
+      val p = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val q = "(CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+      val term = s"$p * log2(2.0 * $p / ($p + $q)) + " +
+        s"$q * log2(2.0 * $q / ($p + $q))"
+      val ps = "(CAST(c1s AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val qs = "(CAST(c2s AS DOUBLE) / CAST(n2 AS DOUBLE))"
+      s"""WITH tok AS (SELECT source AS g,
+         |               unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |cgw AS (SELECT g, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         |ng AS (SELECT g, sum(c) AS n FROM cgw GROUP BY 1),
+         |j AS (SELECT a.g AS g1, b.g AS g2, a.c AS c1, b.c AS c2,
+         |        na.n AS n1, nb.n AS n2
+         |      FROM cgw a JOIN cgw b ON a.w = b.w AND a.g < b.g
+         |      JOIN ng na ON na.g = a.g
+         |      JOIN ng nb ON nb.g = b.g),
+         |tt AS (SELECT g1, g2, c1, c2, n1, n2,
+         |         CAST(${Rounding.sqlPround(term, 9)} AS DECIMAL(38,12))
+         |           AS term
+         |       FROM j),
+         |gg AS (SELECT g1, g2,
+         |         CAST(count(*) AS BIGINT) AS n_shared_terms,
+         |         sum(c1) AS c1s, sum(c2) AS c2s, sum(term) AS s,
+         |         max(n1) AS n1, max(n2) AS n2
+         |       FROM tt GROUP BY 1, 2)
+         |SELECT g1, g2, n_shared_terms,
+         |  ${Rounding.sqlPround(
+            s"0.5 * ((1.0 - $ps) + (1.0 - $qs)) + 0.5 * CAST(s AS DOUBLE)",
+            9)} AS jsd
+         |FROM gg ORDER BY g1, g2""".stripMargin
+    },
     "dq_cusum_drift" ->
       """WITH v AS (SELECT event_type AS k, ts, event_id,
         |             CAST(floor(value*100 + 0.5) AS BIGINT) - 60000 AS y

@@ -241,6 +241,60 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
 
+  test("benford: exact digit shares, absent digits emitted as 0 (a " +
+      "missing digit is evidence), uniform digits score a fat chi2") {
+    // key u: one value per digit 1..9 → uniform 1/9 shares
+    val uniform = (1 to 9).map(d => ("u", d.toLong * 100))
+    // key b: digit 1 heavy, digits 5..9 absent
+    val skewed = Seq.fill(30)(("b", 1000L)) ++ Seq.fill(18)(("b", 2000L)) ++
+      Seq.fill(12)(("b", 3000L)) ++ Seq.fill(10)(("b", 4000L))
+    val df = (uniform ++ skewed).toDF("k", "x")
+    val out = Profile.benford(df, "k", col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    assert(out.size == 18) // 9 digits for each of the 2 keys
+    assert(out(("u", 1))._1 == 1L && math.abs(out(("u", 1))._2 - 1.0 / 9) < 1e-8)
+    // skewed key: digit shares are exact, absent digits 0 with chi2 = n·e
+    assert(out(("b", 1))._1 == 30L)
+    assert(math.abs(out(("b", 1))._2 - 30.0 / 70) < 1e-8)
+    assert(out(("b", 9))._1 == 0L && out(("b", 9))._2 == 0.0)
+    val e9 = math.log10(1.0 + 1.0 / 9)
+    assert(math.abs(out(("b", 9))._3 - 70.0 * e9) < 1e-6)
+    // uniform digits deviate from Benford: total chi2 for u > for a
+    // Benford-ish key would be — at minimum the digit-1 deficit fires
+    val e1 = math.log10(2.0)
+    val dev = 1.0 / 9 - e1
+    assert(math.abs(out(("u", 1))._3 - 9.0 * dev * dev / e1) < 1e-6)
+  }
+
+  test("jsDivergenceMatrix: identical distributions → 0, hand-computed " +
+      "partial overlap, disjoint vocabularies produce no row") {
+    val docs = Seq(
+      ("g1", "a a b"), ("g2", "a c"),
+      ("g3", "x y"), ("g4", "x y"),
+      ("g5", "zz"))
+      .toDF("source", "text")
+    val out = Profile.jsDivergenceMatrix(docs, "source",
+      explode(split(col("text"), " ")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // identical: all mass shared, every log term 0
+    assert(out(("g3", "g4")) == ((2L, 0.0)))
+    // hand case g1 vs g2: shared = {a}, p = 2/3, q = 1/2
+    val (p, q) = (2.0 / 3, 0.5)
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val term = p * l2(2 * p / (p + q)) + q * l2(2 * q / (p + q))
+    val want = 0.5 * ((1 - p) + (1 - q)) + 0.5 * term
+    assert(math.abs(out(("g1", "g2"))._2 - want) < 1e-6,
+      s"${out(("g1", "g2"))._2} vs $want")
+    // g5 shares nothing with anyone → absent (sparse output)
+    assert(!out.keys.exists(k => k._1 == "g5" || k._2 == "g5"))
+    // ordering contract: only g1 < g2 rows
+    assert(out.keys.forall { case (x, y) => x < y })
+  }
+
   test("cusum: the prefix-min closed form equals the textbook " +
       "recurrence; sustained small drift fires where points stay " +
       "unremarkable; resets after the dip") {
