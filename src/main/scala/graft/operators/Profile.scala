@@ -225,6 +225,73 @@ object Profile {
     detached
   }
 
+  /** Theta-style KMV set INTERSECTION estimate between every group
+    * pair (the Datasketches theta-sketch rule): with bottom-k hash
+    * sketches A and B, θ = min(θ_A, θ_B) and
+    * |A ∩ B| ≈ |{h ∈ A ∩ B : h < θ}| / θ — the cross-shard overlap
+    * number (shared vocabulary between sources, contamination between
+    * corpus generations) WITHOUT the exact value self-join. When both
+    * sketches are unsaturated the estimate IS exact (θ = 1, the
+    * sketches are complete). `n_exact` rides along as the diagnostic
+    * twin (same convention as [[kmvEstimate]]) — it costs a
+    * corpus-sized self-join, so a 100 TB run drops that column and
+    * keeps the k²-bounded sketch path, which is the point.
+    *
+    * Shape: one distinct + one bottom-k window per group (shared with
+    * kmvEstimate's plan), then a HASH-keyed join of k-row sketches —
+    * |groups|·k rows a side — with broadcast θ frames. Deterministic:
+    * md5 hashing, 13-hex-digit fractions, half-up rounding.
+    */
+  def kmvIntersect(df: DataFrame, groupCol: String, value: Column, k: Int)
+  : DataFrame = {
+    require(k >= 16, s"k >= 16 required for a usable estimate, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dv = df.select(col(groupCol).as("g"), value.cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .distinct().persist()
+    val w = Window.partitionBy("g").orderBy("h")
+    val bk = dv.select(col("g"), md5(col("v")).as("h"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k).drop("r")
+      .persist()
+    def frac(c: Column): Column =
+      conv(substring(c, 1, 13), 16, 10).cast("double") /
+        lit(4503599627370496.0) // 16^13 = 2^52
+    val thetas = bk.groupBy("g")
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .withColumn("theta",
+        when(col("n_seen") < k, lit(1.0)).otherwise(frac(col("kth"))))
+      .select("g", "theta")
+    val shared = bk.select(col("g").as("g1"), col("h"))
+      .join(bk.select(col("g").as("g2"), col("h")), Seq("h"))
+      .filter(col("g1") < col("g2"))
+      .join(broadcast(thetas.select(col("g").as("g1"),
+        col("theta").as("t1"))), Seq("g1"))
+      .join(broadcast(thetas.select(col("g").as("g2"),
+        col("theta").as("t2"))), Seq("g2"))
+      .withColumn("theta", least(col("t1"), col("t2")))
+      .filter(frac(col("h")) < col("theta"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_below"), first(col("theta")).as("theta"))
+    val exact = dv.select(col("g").as("g1"), col("v"))
+      .join(dv.select(col("g").as("g2"), col("v")), Seq("v"))
+      .filter(col("g1") < col("g2"))
+      .groupBy("g1", "g2").agg(count(lit(1)).as("n_exact"))
+    val out = shared.join(exact, Seq("g1", "g2"))
+      .withColumn("inter_est",
+        when(col("theta") >= 1.0, col("n_below"))
+          .otherwise(floor(col("n_below").cast("double") / col("theta") +
+            lit(0.5)).cast("long")))
+      .select(col("g1"), col("g2"), col("n_exact"), col("inter_est"),
+        graft.functions.Rounding.pround(
+          abs(col("inter_est") - col("n_exact")).cast("double") /
+            col("n_exact"), 6).as("rel_err"))
+    val detached = Dedup.materializeDetached(out)
+    bk.unpersist(blocking = false)
+    dv.unpersist(blocking = false)
+    detached
+  }
+
   /** Robust per-group outlier detection (median/MAD modified z-score,
     * Iglewicz–Hoaglin): rz = 0.6745·(x − median)/MAD, flagged beyond
     * `cutoff` (3.5 is the classic default). Mean/stddev z-scores are

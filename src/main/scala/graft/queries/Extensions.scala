@@ -395,6 +395,19 @@ object Extensions {
         .orderBy("source")
     }),
 
+    // Theta-sketch intersection: pairwise shared-vocabulary estimates
+    // from k-row bottom-k sketches — the set-operation leg of the
+    // sketch family (cross-shard overlap without an exact self-join;
+    // n_exact rides as the diagnostic twin).
+    "sketch_kmv_intersect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Profile.kmvIntersect(
+        d.select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"), KmvK)
+        .orderBy("g1", "g2")
+    }),
+
     // Robust per-event-type value outliers: median/MAD modified z-score
     // (Iglewicz–Hoaglin) — the ingest gate that survives a mostly-bad
     // feed, where the mean/stddev z-score is poisoned by the very
@@ -2874,6 +2887,45 @@ object Extensions {
          |SELECT g AS source, n_exact, kmv_est,
          |  ${Rounding.sqlPround("CAST(abs(kmv_est - n_exact) AS DOUBLE) / n_exact", 6)} AS rel_err
          |FROM fin ORDER BY source""".stripMargin,
+    "sketch_kmv_intersect" ->
+      s"""WITH dv AS (
+         |  SELECT DISTINCT source AS g, term AS v FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)),
+         |bk AS (SELECT g, h FROM (
+         |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+         |    FROM (SELECT g, md5(v) AS h FROM dv)) WHERE r <= $KmvK),
+         |th AS (SELECT g,
+         |         CASE WHEN count(*) < $KmvK THEN CAST(1.0 AS DOUBLE)
+         |              ELSE ${hex13ToDouble("max(h)")} / 4503599627370496.0
+         |         END AS theta
+         |       FROM bk GROUP BY g),
+         |sh AS (SELECT a.g AS g1, b.g AS g2, a.h
+         |       FROM bk a JOIN bk b ON a.h = b.h AND a.g < b.g),
+         |je AS (SELECT sh.g1, sh.g2, sh.h,
+         |         least(t1.theta, t2.theta) AS theta
+         |       FROM sh JOIN th t1 ON t1.g = sh.g1
+         |               JOIN th t2 ON t2.g = sh.g2),
+         |fl AS (SELECT g1, g2, theta FROM je
+         |       WHERE ${hex13ToDouble("h")} / 4503599627370496.0 < theta),
+         |ag AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_below,
+         |         max(theta) AS theta
+         |       FROM fl GROUP BY 1, 2),
+         |ex AS (SELECT a.g AS g1, b.g AS g2,
+         |         CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM dv a JOIN dv b ON a.v = b.v AND a.g < b.g
+         |       GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT ag.g1, ag.g2, ex.n_exact,
+         |    CASE WHEN ag.theta >= 1.0 THEN ag.n_below
+         |         ELSE CAST(floor(CAST(ag.n_below AS DOUBLE) / ag.theta
+         |                         + 0.5) AS BIGINT)
+         |    END AS inter_est
+         |  FROM ag JOIN ex ON ex.g1 = ag.g1 AND ex.g2 = ag.g2)
+         |SELECT g1, g2, n_exact, inter_est,
+         |  ${Rounding.sqlPround(
+            "CAST(abs(inter_est - n_exact) AS DOUBLE) / n_exact", 6)}
+         |    AS rel_err
+         |FROM fin ORDER BY g1, g2""".stripMargin,
     "dq_value_outliers" ->
       s"""WITH med AS (
          |  SELECT event_type, quantile_cont(value, 0.5) AS med

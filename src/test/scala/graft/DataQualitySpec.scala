@@ -241,6 +241,37 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
 
+  test("kmvIntersect: unsaturated sketches are EXACT, saturated " +
+      "estimates land near truth, disjoint pairs are absent") {
+    // unsaturated: 30 values each, 10 shared, k = 64 → theta = 1
+    val a = (0 until 30).map(i => ("a", s"v$i"))
+    val b = (20 until 50).map(i => ("b", s"v$i"))
+    val c = (100 until 120).map(i => ("c", s"w$i")) // disjoint from a, b
+    val small = (a ++ b ++ c).toDF("g", "v")
+    val outS = Profile.kmvIntersect(small, "g", col("v"), 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(outS(("a", "b")) == ((10L, 10L)), s"unsaturated must be exact: $outS")
+    assert(!outS.contains(("a", "c")) && !outS.contains(("b", "c")))
+    // saturated: 2000 values each, 1000 shared, k = 64
+    val bigA = (0 until 2000).map(i => ("a", s"x$i"))
+    val bigB = (1000 until 3000).map(i => ("b", s"x$i"))
+    val outB = Profile.kmvIntersect((bigA ++ bigB).toDF("g", "v"),
+      "g", col("v"), 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val (ex, est) = outB(("a", "b"))
+    assert(ex == 1000L)
+    assert(math.abs(est - 1000L) < 500,
+      s"saturated estimate too far from truth: $est vs $ex")
+    // determinism: bit-equal on re-run
+    val again = Profile.kmvIntersect((bigA ++ bigB).toDF("g", "v"),
+      "g", col("v"), 64).collect().map(_.getLong(3)).toSeq
+    assert(again == Seq(est))
+  }
+
   test("benford: exact digit shares, absent digits emitted as 0 (a " +
       "missing digit is evidence), uniform digits score a fat chi2") {
     // key u: one value per digit 1..9 → uniform 1/9 shares
