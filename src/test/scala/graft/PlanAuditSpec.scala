@@ -765,4 +765,74 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one shared key exchange, saw $keyExchanges:\n" +
         p.take(3000))
   }
+
+  test("fused MMR: the whole greedy loop is ONE query — the broadcast " +
+      "shortlist join and a single per-query aggregate, no SMJ, no " +
+      "cartesian, no per-round stages to audit at all") {
+    val p = plan("ann_mmr_topk")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "shortlist lost its broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("Kaplan-Meier: subject aggregate + growing-frame windows, no " +
+      "join anywhere in the survival arc") {
+    val p = plan("retention_kaplan_meier")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "kaplanMeier grew a join:\n" + p.take(3000))
+  }
+
+  test("CUSUM: pure window arithmetic — no join, and both growing " +
+      "frames ride the same (key, order) exchange") {
+    val p = plan("dq_cusum_drift")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "cusum grew a join:\n" + p.take(3000))
+    val keyExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(keyExchanges <= 1,
+      s"expected one shared key exchange, saw $keyExchanges:\n" +
+        p.take(3000))
+  }
+
+  test("Benford: the 9-digit expected frame rides a broadcast; the " +
+      "digit counts stay a combinable aggregate; no SMJ") {
+    val p = plan("dq_benford")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "expected frame lost its broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("JS matrix and KMV intersection: vocab/hash-keyed equi-joins " +
+      "only — never a cartesian; the totals/theta frames broadcast") {
+    val pj = plan("mix_js_matrix")
+    assert(!pj.contains("CartesianProduct"), pj.take(3000))
+    assert(pj.contains("BroadcastHashJoin"),
+      "JS totals frame lost its broadcast:\n" + pj.take(2000))
+    // kmvIntersect returns a DETACHED frame (materializeDetached — the
+    // kmvEstimate convention: internal persists freed, lineage
+    // severed), so its downstream plan is exactly one ExistingRDD scan
+    // — the join shapes live inside the operator and are covered by
+    // the hash-match gate.
+    val pk = plan("sketch_kmv_intersect")
+    assert(pk.contains("Scan ExistingRDD") &&
+      !pk.contains("Join") && !pk.contains("CartesianProduct"),
+      "kmvIntersect stopped detaching its result:\n" + pk.take(2000))
+  }
+
+  test("robust per-dim scaling: both d-row stat frames broadcast back; " +
+      "the scaling stage is join-light (no SMJ, no cartesian)") {
+    val p = plan("emb_robust_scale")
+    assert(p.contains("BroadcastHashJoin"),
+      "stat frames lost their broadcast:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
 }
