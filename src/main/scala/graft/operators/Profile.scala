@@ -225,6 +225,64 @@ object Profile {
     detached
   }
 
+  /** Dunning log-likelihood keyness (G², "Accurate Methods for the
+    * Statistics of Surprise and Coincidence", CL 1993): per group, the
+    * top-k ENRICHED terms by G² = 2·Σ O·ln(O/E) over the term×group
+    * 2×2 contingency table — the corpus-linguistics keyword measure.
+    * Where c-TF-IDF ranks by damped frequency, G² is a significance
+    * test: a term must beat its expected count by more than chance at
+    * the observed volumes, so rare-but-exclusive junk doesn't float to
+    * the top the way raw ratios let it.
+    *
+    * Exact integer cell counts (a = in-group, b = elsewhere,
+    * c = group's other tokens, d = rest); enrichment decided by the
+    * EXACT integer cross-product a·N > cw·ng (no float at the gate);
+    * each ln is prounded at 1e-9 then multiplied by its integral O and
+    * summed in fixed order — engine-identical. Plan shape is the
+    * klDrift family: one combinable (group, term) count, vocab-sized
+    * marginals, broadcast group totals, a per-group top-k rank window
+    * over the scored vocab frame.
+    */
+  def keyness(docs: DataFrame, groupCol: String, term: Column, topK: Int)
+  : DataFrame = {
+    import graft.functions.Rounding.pround
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK >= 1 required: $topK")
+    val tok = docs.select(col(groupCol).as("g"), term.as("w"))
+    val cgw = tok.groupBy("g", "w").agg(count(lit(1)).as("a"))
+    val cw = cgw.groupBy("w").agg(sum("a").as("cw"))
+    val ng = cgw.groupBy("g").agg(sum("a").as("ng"))
+    val n = cw.agg(sum("cw").as("n"))
+    val scored = cgw.join(cw, Seq("w"))
+      .join(broadcast(ng), Seq("g"))
+      .crossJoin(broadcast(n))
+    val b = col("cw") - col("a")
+    val c = col("ng") - col("a")
+    val d = col("n") - col("cw") - col("ng") + col("a")
+    def nd(x: Column) = x.cast("double")
+    def t(o: Column, rowTot: Column, colTot: Column) = {
+      val e = nd(rowTot) * nd(colTot) / nd(col("n"))
+      when(o > 0, nd(o) * pround(log(nd(o) / e), 9)).otherwise(lit(0.0))
+    }
+    val g2 = lit(2.0) * (
+      t(col("a"), col("ng"), col("cw")) +
+        t(b, col("n") - col("ng"), col("cw")) +
+        t(c, col("ng"), col("n") - col("cw")) +
+        t(d, col("n") - col("ng"), col("n") - col("cw")))
+    val w = Window.partitionBy("g").orderBy(col("g2").desc, col("w"))
+    scored
+      // enriched only — EXACT integer cross-product, operands pre-cast
+      // to DECIMAL (a·N reaches count², past int64 at corpus scale)
+      .filter(col("a").cast("decimal(19,0)") * col("n").cast("decimal(19,0)") >
+        col("cw").cast("decimal(19,0)") * col("ng").cast("decimal(19,0)"))
+      .withColumn("g2", pround(g2, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("g").as(groupCol), col("w").as("term"),
+        col("a").as("n_in_group"), col("cw").as("n_corpus"),
+        col("g2"), col("rank"))
+  }
+
   /** Theta-style KMV set INTERSECTION estimate between every group
     * pair (the Datasketches theta-sketch rule): with bottom-k hash
     * sketches A and B, θ = min(θ_A, θ_B) and

@@ -264,6 +264,16 @@ object Extensions {
         t(s, dir, "documents"), "source", "text", 3)
         .orderBy("source", "n")),
 
+    // Dunning log-likelihood keyness: per source, the top-10 terms by
+    // G² significance — the statistical keyword test beside c-TF-IDF's
+    // damped-frequency ranking (rare-but-exclusive junk doesn't float).
+    "corpus_keyness" -> ((s, dir) =>
+      graft.operators.Profile.keyness(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"), 10)
+        .orderBy("source", "rank")),
+
     // c-TF-IDF (BERTopic shape): the top-10 terms that CHARACTERIZE
     // each source — in-class frequency damped by corpus-wide
     // commonness. Everything past the first combinable groupBy is
@@ -4255,6 +4265,37 @@ object Extensions {
             "CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)", 9)}
          |    AS distinct_ratio
          |FROM u ORDER BY source, n""".stripMargin,
+    "corpus_keyness" -> {
+      def term(o: String, rt: String, ct: String) =
+        s"CASE WHEN $o > 0 THEN CAST($o AS DOUBLE) * " +
+          Rounding.sqlPround(
+            s"ln(CAST($o AS DOUBLE) / " +
+              s"(CAST($rt AS DOUBLE) * CAST($ct AS DOUBLE) / CAST(n AS DOUBLE)))",
+            9) +
+          " ELSE 0.0 END"
+      val g2 = s"2.0 * (${term("a", "ng", "cw")} + " +
+        s"${term("cw - a", "n - ng", "cw")} + " +
+        s"${term("ng - a", "ng", "n - cw")} + " +
+        s"${term("n - cw - ng + a", "n - ng", "n - cw")})"
+      s"""WITH tok AS (SELECT source AS g,
+         |               unnest(string_split(text, ' ')) AS w
+         |             FROM documents),
+         |cgw AS (SELECT g, w, count(*) AS a FROM tok GROUP BY 1, 2),
+         |cwt AS (SELECT w, sum(a) AS cw FROM cgw GROUP BY 1),
+         |ngt AS (SELECT g, sum(a) AS ng FROM cgw GROUP BY 1),
+         |nt AS (SELECT sum(cw) AS n FROM cwt),
+         |sc AS (SELECT cgw.g, cgw.w, cgw.a, cwt.cw, ngt.ng, nt.n
+         |       FROM cgw JOIN cwt USING (w) JOIN ngt USING (g)
+         |       CROSS JOIN nt),
+         |g2t AS (SELECT g, w, a, cw,
+         |          ${Rounding.sqlPround(g2, 6)} AS g2
+         |        FROM sc WHERE a * n > cw * ng),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY g
+         |         ORDER BY g2 DESC, w) AS rn FROM g2t)
+         |SELECT g AS source, w AS term, CAST(a AS BIGINT) AS n_in_group,
+         |  CAST(cw AS BIGINT) AS n_corpus, g2, CAST(rn AS INT) AS rank
+         |FROM rk WHERE rn <= 10 ORDER BY source, rank""".stripMargin
+    },
     "corpus_zipf_fit" ->
       s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term
          |              FROM documents),

@@ -241,6 +241,32 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 1L))._2 > out(("a", 2L))._2)
   }
 
+  test("keyness: the strong marker tops its class, the corpus-wide " +
+      "flood term is NOT enriched anywhere, rare-but-exclusive ranks " +
+      "below the marker (significance, not ratio)") {
+    val rows =
+      Seq.fill(30)(("a", "the")) ++ Seq.fill(20)(("a", "alpha")) ++
+        Seq(("a", "rare")) ++
+        Seq.fill(30)(("b", "the")) ++ Seq.fill(20)(("b", "beta")) ++
+        Seq(("b", "rareb")) // balanced: "the" sits EXACTLY at expectation
+    val out = Profile.keyness(rows.toDF("g", "w"), "g", col("w"), 10)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(("a", 1))._1 == "alpha" && out(("a", 1))._2 == 20L &&
+      out(("a", 1))._3 == 20L)
+    assert(out(("b", 1))._1 == "beta")
+    // "the" sits AT or UNDER expectation in both classes → excluded
+    assert(!out.values.exists(_._1 == "the"))
+    // rare-but-exclusive: enriched, but G² far below the marker's
+    val rare = out.find { case (_, v) => v._1 == "rare" }
+    assert(rare.isDefined && rare.get._2._4 < out(("a", 1))._4 / 5,
+      s"rare term must rank on significance: $out")
+    // G² is positive for every emitted (enriched) term
+    assert(out.values.forall(_._4 > 0))
+  }
+
   test("kmvIntersect: unsaturated sketches are EXACT, saturated " +
       "estimates land near truth, disjoint pairs are absent") {
     // unsaturated: 30 values each, 10 shared, k = 64 → theta = 1
