@@ -1,0 +1,64 @@
+package graft
+
+/** One isolated knee measurement: a FRESH JVM per (query, scale) point.
+  *
+  * Round 13 measured the sf30 knee entries in-process at sweep position
+  * ~60, where they inherit the 25 GB-shuffle predecessors' page-cache /
+  * GC aftermath — `graph_hits` read ×3.68 in the artifact while the
+  * same binaries in a fresh JVM (GraphProbe) read ×2.87, inside the
+  * pro-rated bound. The committed artifact must measure what it gates,
+  * so from round 14 the knee block runs each measurement through this
+  * main in its own JVM (ScaleSweep forks it sequentially — never two
+  * 100 GB heaps alive at once) and SCALE.json records
+  * `knee_isolated:true`.
+  *
+  * Protocol (the GraphProbe idle-box convention): JIT/codegen warm-up
+  * on the SAME query at the small base dir (cheap, warms the identical
+  * generated code paths), then min-of-2 at the target dir with
+  * clearCache + unpersist-all between passes. Spill/shuffle/peak come
+  * from the min-time pass (ScaleSweep's rule: a spill that reproduces
+  * on the faster pass is real).
+  *
+  * Output: ONE machine line on stdout —
+  * `KNEEPROBE <sec> <spillBytes> <shuffleWriteBytes> <peakExecMem>` or
+  * `KNEEPROBE FAIL <message>`.
+  */
+object KneeProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = args(1)
+    val warmDir = if (args.length > 2) args(2) else dir
+    val spark = Sessions.local(32, "knee-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new ScaleSweep.MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def drain(): Unit = try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(500) }
+    def once(d: String): (Double, Long, Long, Long) = {
+      metrics.reset()
+      val t0 = System.nanoTime()
+      (SparkEntry.queries ++ SparkEntry.sweepQueries)(name)(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      drain()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (sec, metrics.spill, metrics.shuffleWrite, metrics.peak)
+    }
+    try {
+      once(warmDir) // JIT warm-up off the clock, small fixture
+      val best = Seq(once(dir), once(dir)).minBy(_._1)
+      println(s"KNEEPROBE ${best._1} ${best._2} ${best._3} ${best._4}")
+    } catch {
+      case e: Throwable =>
+        println("KNEEPROBE FAIL " +
+          Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\r\n]", " ").take(300))
+    }
+    spark.stop()
+  }
+}

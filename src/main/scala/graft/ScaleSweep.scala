@@ -139,7 +139,11 @@ object ScaleSweep {
     * knee-ranked).
     */
   val SweepKnee: Seq[String] = Seq("graph_pagerank", "graph_hits",
-    "dedup_minhash_verified", "span_dedup_clean")
+    "dedup_minhash_verified", "span_dedup_clean",
+    // the worst sf10 text scaler (×5.41/decade): n-gram explode →
+    // window — document-side state ∝ corpus, the same growth class as
+    // span dedup; added to the ×300 step per the round-13 review
+    "text_repetition")
 
   val Factor = 10
   val Factor10 = 100
@@ -258,16 +262,28 @@ object ScaleSweep {
       r
     }
 
-    // half-decade knee probe: graph loops at sf30, ratio vs their own
-    // sf10 time against the pro-rated linear-with-constant bound
-    val sf10Sec = results10.map(r => r.name -> r.secBig).toMap
+    // Half-decade knee probe: ratio vs sf10 against the pro-rated
+    // linear-with-constant bound — with PER-MEASUREMENT JVM ISOLATION
+    // (round-13 judge finding: the in-sweep sf30 measurement sat at
+    // position ~60 and inherited the 25 GB-shuffle predecessors'
+    // page-cache/GC aftermath — graph_hits read ×3.68 in the artifact
+    // while a fresh JVM on the same binaries read ×2.87, in-bound; the
+    // artifact must measure what it gates). BOTH sides of the ratio are
+    // isolated: an in-sweep sf10 denominator carries the same positional
+    // contamination, which would flatter the ratio. The parent session
+    // stops FIRST so the 100 GB-heap children never coexist with the
+    // sweep JVM's heap (the box holds 125 GB).
+    spark.stop()
+    System.gc()
     val resultsKnee = SweepKnee.map { name =>
-      val (s30, spill30, shuf30, peak30, note30) = timed(name, big30)
-      val s10 = sf10Sec(name)
+      val (s10, _, _, _, note10) = kneeIsolated(name, big10, base)
+      val (s30, spill30, shuf30, peak30, note30) =
+        kneeIsolated(name, big30, base)
       val ratio = s30 / s10
-      val ok = note30.isEmpty && ratio <= MaxRatioKnee && spill30 == 0L
+      val ok = note10.isEmpty && note30.isEmpty && ratio <= MaxRatioKnee &&
+        spill30 == 0L
       val r = SweepResult(name, s10, s30, ratio, spill30, shuf30, peak30,
-        ok, note30.take(200))
+        ok, (note10 + note30).take(200))
       println(f"SCALE30 ${if (r.ok) "ok " else "FAIL"} $name " +
         f"${r.secBase}%.2f s -> ${r.secBig}%.2f s (x${r.ratio}%.2f) " +
         f"spill=${r.spillBytes} shufWrite=${r.shuffleWrite}")
@@ -293,12 +309,61 @@ object ScaleSweep {
       s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")},""" +
       s""""knee_ok":${resultsKnee.forall(_.ok)},"factor30":$FactorKnee,""" +
       s""""max_ratio_knee":$MaxRatioKnee,""" +
+      s""""knee_isolated":true,"knee_heap":"$kneeMem",""" +
       s""""queries_sf30":${block(resultsKnee, "sf10_sec", "sf30_sec")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     if ((results ++ results10 ++ resultsKnee).exists(!_.ok)) sys.exit(1)
-    spark.stop()
+  }
+
+  /** Heap for the forked knee JVMs — the ×300 memory-analog convention
+    * (pro-rata executor memory follows data; PLANS.md round 13). */
+  private def kneeMem: String =
+    sys.env.getOrElse("SPARK_GRAFT_KNEE_MEM",
+      sys.env.getOrElse("SPARK_DRIVER_MEM", "100g"))
+
+  /** One (query, scale) knee measurement in a FRESH sequential JVM
+    * (graft.KneeProbe): same classpath, the build.sbt JDK-17 module
+    * opens, heap per [[kneeMem]]. Returns the KneeProbe machine line
+    * parsed to the in-process `timed` shape.
+    */
+  private def kneeIsolated(name: String, dir: String,
+                           warmDir: String): (Double, Long, Long, Long, String) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx$kneeMem", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.KneeProbe", name, dir, warmDir)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val err = new String(proc.getErrorStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rc = proc.waitFor()
+    out.linesIterator.find(_.startsWith("KNEEPROBE")) match {
+      case Some(l) if l.startsWith("KNEEPROBE FAIL") =>
+        (0.0, 0L, 0L, 0L, s"FAILED: ${l.stripPrefix("KNEEPROBE FAIL ")}")
+      case Some(l) =>
+        val p = l.split(' ')
+        (p(1).toDouble, p(2).toLong, p(3).toLong, p(4).toLong, "")
+      case None =>
+        (0.0, 0L, 0L, 0L,
+          s"FAILED: KneeProbe rc=$rc no machine line; stderr tail: " +
+            err.takeRight(150))
+    }
   }
 
   /** JSON string escape for the note field: quotes, backslashes and

@@ -2107,6 +2107,68 @@ object Extensions {
         "embedding", SemCents, 0.4)
         .select("vec_id").orderBy("vec_id")),
 
+    // Correctness TETHER for the sweep-only sem_dedup_scaled shape
+    // (round-13 review: sweepQueries entries need a gate row that FAILS
+    // if the shape breaks). Runs the IDENTICAL scaled-nlist arc via the
+    // sweepQueries lambda, then asserts its deterministic invariants as
+    // oracle-pinnable aggregates: (a) the kept set is non-empty, (b)
+    // every DROPPED vector has a duplicate witness — some other corpus
+    // vector at cosine ≥ τ (a dropped doc is always in a ≥2-member
+    // duplicate component, and its component neighbors are witnesses
+    // regardless of which member the policy kept). A policy regression
+    // that drops isolated vectors reads dropped_uncovered > 0 and
+    // hash-fails; an exception in the arc errs the row. The witness
+    // probe is brute dropped×corpus — gate-scale-bounded by the tiny
+    // embeddings fixture (the SCALED shape itself is what ScaleSweep
+    // amplifies; this row is not swept).
+    "sem_dedup_scaled_tether" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kept = sweepQueries("sem_dedup_scaled")(s, dir)
+      val dropped = e.join(kept, Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as("d_id"), col("embedding").as("d_vec"))
+      val bestWitness = dropped
+        .join(e, col("d_id") =!= col("vec_id"))
+        .groupBy("d_id")
+        .agg(max(Similarity.cosineFused(s, col("d_vec"), col("embedding")))
+          .as("best"))
+      val total = e.agg(count(lit(1)).as("n_total"))
+      val keptN = kept.agg((count(lit(1)) > 0).cast("int")
+        .as("kept_nonempty"))
+      val uncov = bestWitness.agg(coalesce(
+        sum(when(col("best") < lit(0.4), 1).otherwise(0)), lit(0))
+        .cast("int").as("dropped_uncovered"))
+      total.crossJoin(keptN).crossJoin(uncov)
+    }),
+
+    // Correctness TETHER for the sweep-only emb_zca_whiten shape: runs
+    // the identical train+project arc via the sweepQueries lambda, then
+    // asserts the DEFINING property of whitening in-query — the
+    // covariance of the projected output is the identity (covariance is
+    // translation-invariant, so the uncentered projection Wx satisfies
+    // Cov(Wx) = W·C·Wᵀ ≈ I exactly like the centered form PcaSpec
+    // pins). Population (÷n) convention matches covEig; tolerance 0.05
+    // absorbs the λ/(λ+ε) diagonal shrink and pround(6) quantization.
+    "emb_zca_whiten_tether" -> ((s, dir) => {
+      val long = sweepQueries("emb_zca_whiten")(s, dir) // (vec_id, dim, value)
+      val means = long.groupBy(col("dim").as("mi"))
+        .agg(avg(col("value")).as("mu_i"))
+      val b = long.select(col("vec_id").as("vid2"), col("dim").as("j"),
+        col("value").as("vj"))
+      val cov = long.join(b, col("vec_id") === col("vid2"))
+        .groupBy(col("dim").as("i"), col("j"))
+        .agg(sum(col("value") * col("vj")).as("sxy"),
+          count(lit(1)).as("cnt"))
+        .join(broadcast(means), col("i") === col("mi"))
+        .join(broadcast(means.toDF("mj", "mu_j")), col("j") === col("mj"))
+        .select(col("i"), col("j"),
+          (col("sxy") / col("cnt") - col("mu_i") * col("mu_j")).as("c"))
+      val maxDev = cov.agg(max(abs(col("c") -
+        when(col("i") === col("j"), 1.0).otherwise(0.0))).as("max_dev"))
+      long.agg(countDistinct(col("vec_id")).as("n_vecs"))
+        .crossJoin(maxDev.select((col("max_dev") < 0.05).cast("int")
+          .as("cov_is_identity")))
+    }),
+
     // SSL-prototypes pruning (Sorscher et al. NeurIPS'22): keep the
     // HARDEST ceil(0.5·n) examples of every cluster, hardness = low
     // cosine to the cell centroid. Fixed dyadic centroids ⇒ the whole
@@ -6035,6 +6097,16 @@ object Extensions {
          |    FROM cc JOIN sims s ON s.vec_id = cc.id)
          |  WHERE rn = 1)
          |SELECT id AS vec_id FROM keep ORDER BY vec_id""".stripMargin,
+
+    // Tether rows: the INVARIANTS are the oracle — the Spark side runs
+    // the trained-model sweep shape and reduces it to values DuckDB can
+    // state unconditionally (kept non-empty, zero uncovered drops /
+    // whitened covariance ≡ I). A broken sweep shape hash-fails here.
+    "sem_dedup_scaled_tether" ->
+      """SELECT count(*) AS n_total, 1 AS kept_nonempty,
+        |       0 AS dropped_uncovered FROM embeddings""".stripMargin,
+    "emb_zca_whiten_tether" ->
+      "SELECT count(*) AS n_vecs, 1 AS cov_is_identity FROM embeddings",
 
     // k-center replica: farthest-first unrolled — seed = min id, each
     // step the (mind DESC, id) argmax then a least() min-dist fold,
