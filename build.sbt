@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Second-dialect JDBC lane (round-13 review ask #6): DuckDB's JDBC driver
+// (the public org.duckdb:duckdb_jdbc artifact, PostgreSQL-flavored SQL) is
+// picked up from the pre-warmed local artifact cache when present —
+// test-scope only, discovered by glob so no resolver is touched; JdbcSpec
+// cancels its DuckDB lane when the jar is absent, so the build never
+// depends on it.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.headOption.map(Attributed.blank).toSeq
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

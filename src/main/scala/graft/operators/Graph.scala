@@ -120,9 +120,11 @@ object Graph {
                  labels: DataFrame, maxEval: Long = 10000L): DataFrame = {
     // persisted once: the labeled join otherwise re-evaluates for the
     // guard count AND for each cross-join side (3 computations). The
-    // cache outlives the call (the result is lazy) but is bounded by
-    // maxEval rows and LRU-evicted — the price of not forcing eager
-    // materialization on a diagnostic.
+    // scores frame (≤ maxEval rows) is materialized detached below and
+    // the cache released before returning — the round-14 bench leak
+    // audit showed this was the ONE registry entry whose cache outlived
+    // its call (harmless at 0.2 MiB, but audit-clean beats documented
+    // leak; the sampled variant closed the same gap in round 13).
     val v = vectors.join(labels, vectors(idCol) === labels("id"))
       .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
       .persist()
@@ -138,7 +140,9 @@ object Graph {
             "raise maxEval deliberately")
       }
     }
-    silhouetteScores(v, v)
+    val out = Dedup.materializeDetached(silhouetteScores(v, v))
+    v.unpersist(blocking = false)
+    out
   }
 
   /** Sampled silhouette — the SCALE path: the right side of the

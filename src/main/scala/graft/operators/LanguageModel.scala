@@ -519,4 +519,92 @@ object LanguageModel {
         Rounding.pround(pow(lit(2.0), col("xent")), 4))
       .select(col(idCol), col("n_tokens"), col("xent"), col("perplexity"))
   }
+
+  /** PMI collocations (Church & Hanks, CL 1990): the top-`k` bigrams
+    * whose co-occurrence most exceeds independence —
+    * pmi(a,b) = log2( p(a,b) / (p(a)·p(b)) ) with p over the corpus
+    * bigram/unigram tables. THE standard multiword-expression miner
+    * ("new york", "machine learning") for corpus characterization and
+    * tokenizer-vocabulary seeding; `minCount` suppresses the classic
+    * PMI pathology (hapax pairs score highest — two tokens seen once,
+    * together, reach the maximum).
+    *
+    * Scale shape: the bigram and unigram tables are one combinable
+    * groupBy each over the shared [[tokenPositions]] view (no position
+    * self-join); the two one-row total frames ride a broadcast
+    * crossJoin; the unigram attachments are vocabulary-keyed equi-joins
+    * (never corpus-keyed). Everything after the min-count filter is
+    * candidate-sized. Float discipline: all counts stay integral; ONE
+    * double ratio feeds a 9-digit-rounded log2 (the ladder rule), the
+    * published pmi re-rounded at 6.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val big = bigramLm(docs, textCol)
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt1"))
+    val totals = big.agg(sum("cnt2").as("t2")).crossJoin(
+      uni.agg(sum("cnt1").as("t1")))
+    val cand = big.filter(col("cnt2") >= minCount)
+      .join(uni.select(col("token").as("prev"), col("cnt1").as("ca")),
+        Seq("prev"))
+      .join(uni.select(col("token"), col("cnt1").as("cb")), Seq("token"))
+      .crossJoin(broadcast(totals))
+    // ratio assembled in DOUBLES, division-first: the integer form
+    // cnt2·t1² overflows int64 once corpus tokens pass ~3·10⁹ (ANSI
+    // mode makes that a job abort, not a wrap). Same expression shape
+    // in the SQL oracle so IEEE evaluation order matches.
+    cand.withColumn("pmi", Rounding.pround(log2(
+        (col("cnt2").cast("double") / col("t2")) /
+          ((col("ca").cast("double") / col("t1")) *
+            (col("cb").cast("double") / col("t1")))), 9))
+      .select(col("prev").as("w1"), col("token").as("w2"),
+        col("cnt2").as("n_pair"), Rounding.pround(col("pmi"), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Good–Turing frequency re-estimation (Good 1953) over the BIGRAM
+    * type table: the count-of-counts N_r = |{ab : c(ab) = r}| and the
+    * discounted counts r* = (r+1)·N_{r+1}/N_r for r ≤ `maxR`, plus the
+    * unseen-mass estimate p0 = N_1/N on every row. This is exactly the
+    * table Katz backoff discounts (GT on n-GRAM counts — n-gram type
+    * space is where the sparse low-r region lives; a corpus's unigram
+    * vocabulary saturates long before its bigrams do, and on saturated
+    * counts the table is empty by construction): p0 says how much
+    * probability the next UNSEEN bigram deserves, and the discount
+    * curve r_star/r exposes count sparsity before a smoother is
+    * chosen. (Plain GT, not Simple GT: no count-of-count regression —
+    * the raw estimator is deterministic and exactly SQL-replicable;
+    * rows where N_{r+1} = 0 publish a NULL r*, the honest "estimator
+    * undefined here" signal that tells the reader to switch to a
+    * smoothing fit.)
+    *
+    * Scale: two combinable groupBys (bigram counts via the shared
+    * [[bigramLm]] table, then counts of counts — the second is at most
+    * |distinct counts| rows, tiny), a self-join of the tiny table on
+    * r+1, one broadcast one-row stats frame. All integers except the
+    * two published ratios (pround 6/9).
+    */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String,
+                 maxR: Int = 10): DataFrame = {
+    val counts = bigramLm(docs, textCol).withColumnRenamed("cnt2", "r")
+    val coc = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val stats = coc.agg(
+      sum(col("r") * col("n_r")).as("n_tokens"),
+      sum(when(col("r") === 1, col("n_r"))).as("n1"))
+    coc.filter(col("r") <= maxR)
+      .join(coc.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        when(col("n_next").isNotNull, Rounding.pround(
+          ((col("r") + 1) * col("n_next")).cast("double") / col("n_r"), 6))
+          .as("r_star"),
+        Rounding.pround(coalesce(col("n1"), lit(0L)).cast("double") /
+          col("n_tokens"), 9).as("p0"))
+      .orderBy("r")
+  }
 }

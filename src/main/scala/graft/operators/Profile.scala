@@ -1137,4 +1137,98 @@ object Profile {
         countDistinct(col(sensitiveCol)).as("diversity_l"))
       .withColumn("at_risk", col("diversity_l") < l)
   }
+
+  /** Gap islands in a key sequence: every maximal run of ABSENT ids
+    * between the observed min and max — (gap_start, gap_end, gap_len).
+    * The completeness half of ingestion QA ([[eventRateAnomaly]] finds
+    * slow days; this finds the dropped id RANGES a resumable extractor
+    * or a failed partition leaves behind).
+    *
+    * Scale shape — deliberately NOT one global window: Spark puts an
+    * un-partitioned window's whole input on ONE task, so the classic
+    * `lag(id) OVER (ORDER BY id)` islands query dies exactly at the
+    * corpus sizes where gap QA matters. Ids are bucketed by
+    * `id div bucketSize`; intra-bucket gaps come from a lag window
+    * PARTITIONED by bucket (parallel, each partition ≤ bucketSize
+    * rows), and cross-bucket gaps from a per-bucket (min, max)
+    * aggregate — a frame `observed-ids/bucketSize` long — lag-scanned
+    * in bucket order (empty buckets need no row: the gap between
+    * bucket b's max and bucket b+3's min spans them). The tiny-frame
+    * window is the one serial step; size `bucketSize` so
+    * range/bucketSize fits a task (at 10¹² ids, bucketSize 10⁶ leaves
+    * a 10⁶-row boundary frame).
+    *
+    * Duplicate ids are tolerated (deduped by the aggregation itself:
+    * `distinct` before the windows).
+    */
+  def idGaps(df: DataFrame, idCol: String,
+             bucketSize: Long = 1L << 20): DataFrame = {
+    require(bucketSize > 1, s"bucketSize must be > 1: $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("bucket", floor(col("id") / bucketSize))
+    val intraW = Window.partitionBy("bucket").orderBy("id")
+    val intra = ids.withColumn("prev", lag("id", 1).over(intraW))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+    val perBucket = ids.groupBy("bucket")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+    val boundW = Window.orderBy("bucket")
+    val bounds = perBucket.withColumn("prev_mx", lag("mx", 1).over(boundW))
+      .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+      .select((col("prev_mx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    intra.unionByName(bounds)
+      .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
+  }
+
+  /** Gries' deviation of proportions (DP; Gries 2008): per-term
+    * burstiness across corpus parts — DP(t) = ½·Σ_p |v_p − s_p| with
+    * v_p = the term's share of its own total in part p and s_p = part
+    * p's share of all tokens. 0 = the term is spread exactly like the
+    * corpus; → 1 = concentrated in one part. The dispersion companion
+    * to [[keyness]]: G2 says a term is over-represented SOMEWHERE, DP
+    * says it is not spread — boilerplate, site chrome, and template
+    * artifacts light up on DP long before frequency ranks them.
+    *
+    * `pairs` carries one row per token occurrence as (partCol, term).
+    * Absent (term, part) cells contribute |0 − s_p| = s_p; summing
+    * only observed cells and adding 1 − Σ_{p observed} s_p is exact
+    * and keeps the join candidate-sized (never |vocab|·|parts|).
+    *
+    * Scale: one combinable (term, part) groupBy over the occurrence
+    * stream; part totals re-aggregate that table and ride a BROADCAST
+    * join (parts are few); term totals are a vocabulary-keyed
+    * re-aggregation. Integer counts throughout; the one double
+    * division per cell feeds the pround(6) published DP.
+    */
+  def dispersion(pairs: DataFrame, partCol: String, term: Column,
+                 minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val cells = pairs.select(col(partCol).as("part"), term.as("term"))
+      .groupBy("part", "term").agg(count(lit(1)).as("f_tp"))
+    val partTotals = cells.groupBy("part").agg(sum("f_tp").as("f_p"))
+    val grand = partTotals.agg(sum("f_p").as("t"))
+    val sp = partTotals.crossJoin(broadcast(grand))
+      .select(col("part"), (col("f_p").cast("double") / col("t")).as("s_p"))
+    val termTotals = cells.groupBy("term").agg(sum("f_tp").as("f_t"))
+    // per-cell deviations rounded at 9 digits and summed as exact
+    // DECIMAL(38,12) (the logp discipline): double summation ORDER
+    // differs between engines, and a sum that lands on a pround(6)
+    // boundary would hash-split the oracle; decimal sums cannot.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    cells.join(broadcast(sp), Seq("part"))
+      .join(termTotals, Seq("term"))
+      .filter(col("f_t") >= minCount)
+      .groupBy(col("term"), col("f_t"))
+      .agg(sum(graft.functions.Rounding.pround(
+          abs(col("f_tp").cast("double") / col("f_t") - col("s_p")), 9)
+          .cast(dec)).as("present"),
+        sum(graft.functions.Rounding.pround(col("s_p"), 9).cast(dec))
+          .as("covered"))
+      .select(col("term"), col("f_t").as("n"),
+        graft.functions.Rounding.pround(
+          (col("present") + (lit(BigDecimal(1)).cast(dec) - col("covered")))
+            .cast("double") / 2.0, 6).as("dp"))
+      .orderBy(col("dp").desc, col("term"))
+      .limit(k)
+  }
 }

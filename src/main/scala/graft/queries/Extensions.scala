@@ -284,6 +284,47 @@ object Extensions {
           explode(TextFunctions.tokens(col("text"))).as("term")),
         "source", col("term"), 10)),
 
+    // PMI collocations (Church & Hanks 1990): top multiword expressions
+    // by pointwise mutual information over the corpus bigram table —
+    // min-count 5 suppresses the hapax-pair pathology. Vocabulary-keyed
+    // joins + broadcast totals; log2 at 9 digits per the ladder rule.
+    "text_pmi_collocations" -> ((s, dir) =>
+      graft.operators.LanguageModel.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", 5L, 20)),
+
+    // Good–Turing count-of-counts over bigram types (the table Katz
+    // backoff discounts): r* = (r+1)·N_{r+1}/N_r and the unseen-bigram
+    // mass p0 = N_1/N. N_{r+1} = 0 rows publish NULL r* (estimator
+    // undefined), never a fake 0.
+    "text_good_turing" -> ((s, dir) =>
+      graft.operators.LanguageModel.goodTuring(
+        t(s, dir, "documents"), "doc_id", "text", 10)),
+
+    // Gap islands in the event id stream — the completeness half of
+    // ingestion QA. The fixture's ids are gap-free, so the defect is
+    // PLANTED (the dq_json_quarantine convention): one 500-id range
+    // straddling a bucket boundary (a failed extractor partition) and
+    // one 3-id intra-bucket range are dropped, and idGaps must recover
+    // exactly those islands through its bucketed two-level scan (bucket
+    // 512 so the gate exercises BOTH the intra- and cross-bucket paths;
+    // never one global window — see the operator's scaladoc).
+    "dq_id_gaps" -> ((s, dir) =>
+      graft.operators.Profile.idGaps(
+        t(s, dir, "events").filter(
+          !col("event_id").between(3000, 3499) &&
+            !col("event_id").between(7777, 7779)),
+        "event_id", 512L)
+        .orderBy(col("gap_len").desc, col("gap_start")).limit(20)),
+
+    // Gries' deviation of proportions: per-term burstiness across
+    // sources — the dispersion companion to keyness (template artifacts
+    // and site chrome concentrate; real vocabulary spreads).
+    "corpus_burstiness" -> ((s, dir) =>
+      graft.operators.Profile.dispersion(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("term")),
+        "source", col("term"), 5L, 20)),
+
     // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
     // blocklist phrase matched in ONE automaton pass per document —
     // O(|text|+hits) regardless of list size, vs N contains() probes.
@@ -4403,6 +4444,89 @@ object Extensions {
          |                                   ORDER BY s9 DESC, term) AS rank
          |      FROM sc)
          |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
+    // PMI replica: same bigram/unigram tables as the KN oracle, the
+    // ratio assembled division-first in doubles (matching the Spark
+    // expression shape), log2 at 9 digits then published at 6.
+    "text_pmi_collocations" ->
+      """WITH pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT ws[i] AS w2,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS w1
+        |        FROM pos),
+        |big AS (SELECT w1, w2, count(*) AS n_pair FROM seq
+        |        WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT token, count(*) AS cnt1 FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |        GROUP BY 1),
+        |st AS (SELECT (SELECT sum(n_pair) FROM big) AS t2,
+        |              (SELECT sum(cnt1) FROM uni) AS t1)
+        |SELECT w1, w2, n_pair,
+        |       floor(floor(log2((CAST(b.n_pair AS DOUBLE) / t2) /
+        |         ((CAST(a.cnt1 AS DOUBLE) / t1) * (CAST(c.cnt1 AS DOUBLE) / t1)))
+        |         * 1000000000 + 0.5) / 1000000000 * 1000000 + 0.5) / 1000000 AS pmi
+        |FROM big b JOIN uni a ON a.token = b.w1
+        |           JOIN uni c ON c.token = b.w2 CROSS JOIN st
+        |WHERE b.n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Good–Turing replica: bigram counts → counts-of-counts → the r+1
+    // self-join; NULL r* where the estimator is undefined.
+    "text_good_turing" ->
+      """WITH pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT ws[i] AS w2,
+        |               CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS w1
+        |        FROM pos),
+        |counts AS (SELECT w1, w2, count(*) AS r FROM seq
+        |           WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |coc AS (SELECT r, count(*) AS n_r FROM counts GROUP BY 1),
+        |st AS (SELECT sum(r * n_r) AS n_tokens,
+        |              COALESCE(sum(CASE WHEN r = 1 THEN n_r END), 0) AS n1
+        |       FROM coc)
+        |SELECT c.r, c.n_r, COALESCE(nx.n_r, 0) AS n_next,
+        |       CASE WHEN nx.n_r IS NOT NULL THEN
+        |         floor(CAST((c.r + 1) * nx.n_r AS DOUBLE) / c.n_r
+        |               * 1000000 + 0.5) / 1000000 END AS r_star,
+        |       floor(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |             * 1000000000 + 0.5) / 1000000000 AS p0
+        |FROM coc c LEFT JOIN coc nx ON nx.r = c.r + 1 CROSS JOIN st
+        |WHERE c.r <= 10 ORDER BY c.r""".stripMargin,
+
+    // Gap-islands replica: the same planted drops, then one lag over
+    // the distinct keys (DuckDB can afford the global window the Spark
+    // side deliberately avoids).
+    "dq_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+        |             WHERE event_id NOT BETWEEN 3000 AND 3499
+        |               AND event_id NOT BETWEEN 7777 AND 7779),
+        |g AS (SELECT lag(id) OVER (ORDER BY id) AS prev, id FROM ids)
+        |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+        |       id - prev - 1 AS gap_len
+        |FROM g WHERE prev IS NOT NULL AND id - prev > 1
+        |ORDER BY gap_len DESC, gap_start LIMIT 20""".stripMargin,
+
+    // DP replica: per-cell deviations rounded at 9 then summed as
+    // DECIMAL(38,12) (sum-order-proof), published at 6.
+    "corpus_burstiness" ->
+      """WITH occ AS (SELECT source AS part, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |cells AS (SELECT part, term, count(*) AS f_tp FROM occ GROUP BY 1, 2),
+        |pt AS (SELECT part, sum(f_tp) AS f_p FROM cells GROUP BY 1),
+        |gr AS (SELECT CAST(sum(f_p) AS DOUBLE) AS t FROM pt),
+        |sp AS (SELECT part, CAST(f_p AS DOUBLE) / t AS s_p FROM pt CROSS JOIN gr),
+        |tt AS (SELECT term, sum(f_tp) AS f_t FROM cells GROUP BY 1)
+        |SELECT c.term, CAST(tt.f_t AS BIGINT) AS n,
+        |  floor(CAST(sum(CAST(floor(abs(CAST(c.f_tp AS DOUBLE) / tt.f_t - sp.s_p)
+        |          * 1000000000 + 0.5) / 1000000000 AS DECIMAL(38,12)))
+        |        + (CAST(1 AS DECIMAL(38,12))
+        |           - sum(CAST(floor(sp.s_p * 1000000000 + 0.5) / 1000000000
+        |                 AS DECIMAL(38,12)))) AS DOUBLE) / 2
+        |        * 1000000 + 0.5) / 1000000 AS dp
+        |FROM cells c JOIN sp USING (part) JOIN tt USING (term)
+        |WHERE tt.f_t >= 5
+        |GROUP BY c.term, tt.f_t
+        |ORDER BY dp DESC, term LIMIT 20""".stripMargin,
     "text_blocklist" ->
       s"""SELECT doc_id, unnest(list_filter(
          |  ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},

@@ -27,6 +27,7 @@ object IO {
                partitionColumn: String, lowerBound: Long, upperBound: Long,
                numPartitions: Int, props: java.util.Properties): DataFrame = {
     if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.ensureRegistered()
+    if (DuckDbDialect.canHandle(url)) DuckDbDialect.ensureRegistered()
     spark.read
       .option("fetchsize", 10000) // replaces the reference's LIMIT batch cap
       .jdbc(url, table, partitionColumn, lowerBound, upperBound,
@@ -56,6 +57,7 @@ object IO {
     // jdbc:clickhouse: targets get the ClickHouse dialect (types,
     // identifier quoting, truncate semantics) instead of generic SQL
     if (ClickHouseDialect.canHandle(url)) ClickHouseDialect.ensureRegistered()
+    if (DuckDbDialect.canHandle(url)) DuckDbDialect.ensureRegistered()
     val capped = numPartitions.fold(df)(n => df.repartition(n))
     capped.write
       .mode(mode)

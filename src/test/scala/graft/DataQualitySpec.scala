@@ -485,4 +485,35 @@ class DataQualitySpec extends SparkSpec {
     assert(out(("a", 2L)) == ((2L, 2L, false)))
     assert(out(("b", 1L)) == ((3L, 1L, true)))
   }
+
+  test("idGaps: recovers exactly the absent islands through both the " +
+      "intra-bucket and cross-bucket paths, spans empty buckets, and " +
+      "tolerates duplicate ids") {
+    // ids {0,1,3,5,6,10,20,21} with bucketSize 4 (buckets 0,1,2,5):
+    // intra: (2,2); boundaries: (4,4), (7,9), (11,19) — the last spans
+    // the fully-empty buckets 3 and 4. Id 5 is duplicated on purpose.
+    val ids = Seq(0L, 1L, 3L, 5L, 5L, 6L, 10L, 20L, 21L).toDF("id")
+    val out = Profile.idGaps(ids, "id", bucketSize = 4L)
+      .orderBy("gap_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 2L, 1L), (4L, 4L, 1L), (7L, 9L, 3L),
+      (11L, 19L, 9L)))
+    // a gap-free contiguous stream reports nothing
+    assert(Profile.idGaps(spark.range(0, 50).toDF("id"), "id", 8L)
+      .count() == 0)
+  }
+
+  test("dispersion: a part-concentrated term out-ranks an evenly-spread " +
+      "one, with closed-form DP values") {
+    // part A: x×4 + y×4, part B: y×4 → s_A=2/3, s_B=1/3
+    // DP(x) = ½(|1 − 2/3| + |0 − 1/3|) = 1/3; DP(y) = ½(2·|1/2−…|) = 1/6
+    val occ = (Seq.fill(4)(("A", "x")) ++ Seq.fill(4)(("A", "y")) ++
+      Seq.fill(4)(("B", "y"))).toDF("part", "term")
+    val out = Profile.dispersion(occ, "part", col("term"), minCount = 2L,
+      k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("x", "y"))
+    val dp = out.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dp("x") == 0.333333, s"dp(x)=${dp("x")}")
+    assert(dp("y") == 0.166667, s"dp(y)=${dp("y")}")
+  }
 }

@@ -68,4 +68,81 @@ class JdbcSpec extends SparkSpec {
     assert(spark.read.jdbc(wurl, "events_sink", new Properties()).count()
       == fact.count())
   }
+
+  // --- second dialect: DuckDB (PostgreSQL-flavored SQL) ----------------
+  // The reference's federated source is Postgres
+  // (v2/sql/create_external_tables.sql:14); Derby's quoting and type
+  // mapping differ from the PG family (unquoted identifiers uppercase,
+  // no TEXT type), so a Derby-only lane can't catch PG-family drift.
+  // DuckDB's JDBC driver — public, in-process, PostgreSQL-dialect — is
+  // the offline stand-in: same striped read, pushdown, and writeJdbc
+  // round-trip, against lowercase double-quoted identifiers and PG
+  // types. The lane cancels (not fails) when the optional test-scope
+  // jar is absent, so the suite stays green on a minimal classpath.
+
+  private def duckAvailable: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: Throwable => false }
+
+  private lazy val duckUrl: String = {
+    // file-backed: DuckDB's JDBC layer shares one database instance per
+    // path within a process, so Spark's N striped task connections see
+    // the same data (a bare jdbc:duckdb: gives each connection its OWN
+    // private in-memory db — every stripe would read empty)
+    val f = java.nio.file.Files.createTempDirectory("graft_duck")
+      .resolve("graft.db").toString
+    val url = s"jdbc:duckdb:$f"
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate(
+      "CREATE TABLE logs (id INTEGER NOT NULL, action TEXT, user_id INTEGER)")
+    st.executeUpdate(
+      "INSERT INTO logs SELECT i, 'act_' || (i % 5), i % 10 " +
+        "FROM generate_series(0, 99) t(i)")
+    st.close(); conn.close()
+    url
+  }
+
+  test("partitioned read covers all rows across stripes on the PG-dialect " +
+      "lane (S1, DuckDB)") {
+    assume(duckAvailable, "duckdb_jdbc not on the test classpath")
+    val df = graft.sources.IO.readJdbc(spark, duckUrl, "logs",
+      partitionColumn = "id", lowerBound = 0, upperBound = 100,
+      numPartitions = 3, props = new Properties())
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 100)
+    assert(df.agg(org.apache.spark.sql.functions.sum("id")).as[Long].head()
+      == (0 until 100).sum)
+  }
+
+  test("filters push into the remote query on the PG-dialect lane " +
+      "(pushdown, DuckDB)") {
+    assume(duckAvailable, "duckdb_jdbc not on the test classpath")
+    val df = graft.sources.IO.readJdbc(spark, duckUrl, "logs",
+      "id", 0, 100, 2, new Properties())
+      .filter($"user_id" === 3)
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      s"expected pushed filter in:\n$plan")
+  }
+
+  test("writeJdbc round-trips a fact-shaped frame on the PG-dialect lane " +
+      "(S5, DuckDB)") {
+    assume(duckAvailable, "duckdb_jdbc not on the test classpath")
+    val fact = Tables.load(spark, sf, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .filter($"event_id" <= 200)
+    graft.sources.IO.writeJdbc(fact, duckUrl, "events_sink",
+      new Properties(), mode = org.apache.spark.sql.SaveMode.Overwrite,
+      batchSize = 500, numPartitions = Some(1))
+    val back = spark.read.jdbc(duckUrl, "events_sink", new Properties())
+    assert(back.count() == fact.count())
+    assert(back.exceptAll(fact).count() == 0 &&
+      fact.exceptAll(back).count() == 0)
+    graft.sources.IO.writeJdbc(fact, duckUrl, "events_sink",
+      new Properties(), mode = org.apache.spark.sql.SaveMode.Overwrite)
+    assert(spark.read.jdbc(duckUrl, "events_sink", new Properties()).count()
+      == fact.count())
+  }
 }

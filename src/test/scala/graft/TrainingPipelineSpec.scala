@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Contamination, Packing, Profile, Quality, Sampling}
+import graft.operators.{Contamination, LanguageModel, Packing, Profile, Quality, Sampling}
 
 /** Training-data pipeline extras: contamination detection, PII scrub,
   * repetition features, sequence packing, mixture planning.
@@ -732,5 +732,43 @@ class TrainingPipelineSpec extends SparkSpec {
     val again = LanguageModel.kneserNeyTrigram(many.repartition(7),
       "doc_id", "text", big, tri).orderBy("doc_id").collect()
     assert(once.sameElements(again))
+  }
+
+  test("pmiCollocations: exact PMI on a closed-form corpus; hapax pairs " +
+      "filtered by minCount; document boundaries respected") {
+    // 10× "aa bb" + 10× "aa cc": T2=20, T1=40, c(aa)=20, c(bb)=c(cc)=10
+    // pmi(aa,bb) = log2((10/20)/((20/40)(10/40))) = log2(4) = 2 exactly
+    val docs = ((0 until 10).map(i => (i.toLong, "aa bb")) ++
+      (10 until 20).map(i => (i.toLong, "aa cc"))).toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, "doc_id", "text",
+      minCount = 5L, k = 10).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getDouble(3) == 2.0))
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("aa", "bb"), ("aa", "cc")))
+    // the bigram (bb, aa) never forms: bb ends doc i, aa starts doc i+1
+    // (boundary respected); a sub-minCount pair never surfaces
+    val withHapax = docs.unionByName(Seq((99L, "zz qq")).toDF("doc_id", "text"))
+    val names = LanguageModel.pmiCollocations(withHapax, "doc_id", "text",
+      5L, 10).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!names.contains(("zz", "qq")) && names.size == 2)
+  }
+
+  test("goodTuring: count-of-counts, r* discounts, NULL where N_{r+1}=0, " +
+      "and the unseen mass p0 — all closed-form") {
+    // bigram counts: (a,b)=3, (c,d)=2, (e,f)=1, (g,h)=1
+    // coc: 1→2, 2→1, 3→1; N=7; p0 = 2/7; r*(1)=2·1/2=1, r*(2)=3·1/1=3
+    val docs = ((0 until 3).map(i => (i.toLong, "a b")) ++
+      (3 until 5).map(i => (i.toLong, "c d")) ++
+      Seq((5L, "e f"), (6L, "g h"))).toDF("doc_id", "text")
+    val out = LanguageModel.goodTuring(docs, "doc_id", "text", 10)
+      .collect()
+    assert(out.length == 3)
+    val byR = out.map(r => r.getLong(0) -> r).toMap
+    assert(byR(1L).getLong(1) == 2 && byR(1L).getDouble(3) == 1.0)
+    assert(byR(2L).getLong(1) == 1 && byR(2L).getDouble(3) == 3.0)
+    assert(byR(3L).getLong(1) == 1 && byR(3L).isNullAt(3))
+    val p0 = byR(1L).getDouble(4)
+    assert(p0 == math.floor(2.0 / 7.0 * 1e9 + 0.5) / 1e9, s"p0=$p0")
   }
 }
