@@ -1181,6 +1181,50 @@ object Profile {
       .withColumn("gap_len", col("gap_end") - col("gap_start") + 1)
   }
 
+  /** Per-source prefix boilerplate: for each source, the most common
+    * first-`prefixLen`-token document prefix and the share of the
+    * source's documents carrying it. Site chrome ("welcome to …",
+    * cookie banners, nav headers) is injected at document START by
+    * crawlers, so a prefix shared by a large share of one source is the
+    * cheapest boilerplate detector there is — and the natural input to
+    * a strip-prefix cleaning pass. The dispersion ([[dispersion]]) and
+    * keyness views rank TERMS; this ranks the literal leading token
+    * run, which is what a cleaner actually removes.
+    *
+    * One combinable (source, prefix) groupBy over a codegen'd
+    * slice-and-join projection, per-source doc totals re-aggregated
+    * from that table (never a second corpus scan) and joined back
+    * BROADCAST (sources are few), one row per source via a struct-max
+    * (ties to the lexicographically smaller prefix via the struct's
+    * second field ordering on (-n, prefix) — deterministic).
+    */
+  def prefixBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, prefixLen: Int = 8): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    val pfx = array_join(
+      slice(graft.functions.TextFunctions.tokens(col(textCol)), 1, prefixLen),
+      " ")
+    val counts = docs.select(col(sourceCol).as("source"), pfx.as("prefix"))
+      .groupBy("source", "prefix").agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy("source").agg(sum("n_docs").as("total"))
+    // struct-max argmax: (n_docs, reversed-prefix-rank) — Spark's
+    // struct ordering is lexicographic by field, so max picks the
+    // highest count; prefix ties resolve to the SMALLEST prefix by
+    // negating the comparison via a max on (n, prefix) with prefix
+    // descending unavailable — use min over (-n, prefix) instead.
+    val top = counts
+      .groupBy("source")
+      .agg(min(struct((-col("n_docs")).as("neg"), col("prefix").as("p")))
+        .as("m"))
+      .select(col("source"), col("m.p").as("prefix"),
+        (-col("m.neg")).as("n_docs"))
+    top.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("prefix"), col("n_docs"),
+        graft.functions.Rounding.pround(
+          col("n_docs").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Gries' deviation of proportions (DP; Gries 2008): per-term
     * burstiness across corpus parts — DP(t) = ½·Σ_p |v_p − s_p| with
     * v_p = the term's share of its own total in part p and s_p = part

@@ -112,4 +112,84 @@ object Quality {
       .withColumn("status",
         when(col(field).isNotNull, "ok").otherwise("quarantine"))
   }
+
+  /** The Gopher quality-filter panel (Rae et al. 2021, Appendix A —
+    * the rule set MassiveWeb shipped with, reproduced as named flags so
+    * a pipeline can adopt, tune, or ablate each rule instead of
+    * inheriting one opaque verdict): word-count band [50, 100 000],
+    * mean word length band [3, 10], symbol-to-word ratio (# and … per
+    * word) ≤ 0.1, ≥ 80 % of words carrying at least one alphabetic
+    * character, and ≥ 2 distinct hits from the required-stop-word set
+    * {the, be, to, of, and, that, have, with}. The paper's line-shaped
+    * rules (bullet-start / ellipsis-end line fractions) need line
+    * structure this corpus model does not carry and are out of scope —
+    * named here so their absence is a documented decision, not a gap.
+    *
+    * Pure per-row expression arithmetic: one WholeStageCodegen map over
+    * the corpus scan, no shuffle, SQL-replicable bit-for-bit (counts
+    * and two prounded ratios).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val c = col(textCol)
+    val ws = TextFunctions.tokens(c)
+    val nWords = size(ws).cast("long")
+    // Σ word length = chars minus the separators (tokens are
+    // single-space splits, so separators = n_words − 1 for non-empty)
+    val sumLen = (length(c) - (nWords - 1)).cast("double")
+    val meanLen = when(nWords > 0, graft.functions.Rounding.pround(
+      sumLen / nWords.cast("double"), 4)).otherwise(lit(0.0))
+    val nHash = (length(c) - length(regexp_replace(c, "#", ""))).cast("long")
+    val nEllipsis = ((length(c) -
+      length(regexp_replace(c, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symRatio = when(nWords > 0, graft.functions.Rounding.pround(
+      (nHash + nEllipsis).cast("double") / nWords.cast("double"), 6))
+      .otherwise(lit(0.0))
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = when(nWords > 0, graft.functions.Rounding.pround(
+      alphaWords.cast("double") / nWords.cast("double"), 6))
+      .otherwise(lit(0.0))
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = required.map(w =>
+      when(array_contains(ws, w), 1).otherwise(0)).reduce(_ + _).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+      .withColumn("pass_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("pass_stops", col("stop_hits") >= 2)
+      .withColumn("gopher_pass",
+        col("pass_words") && col("pass_word_len") && col("pass_symbols") &&
+          col("pass_alpha") && col("pass_stops"))
+  }
+
+  /** The C4 cleaning panel (Raffel et al. 2020 §2.2), document-grained:
+    * terminal punctuation (. ! ? or closing quote), ≥ 3 sentences
+    * ('.'-delimited, the paper's heuristic), no '{' (the code filter),
+    * no "lorem ipsum", no "javascript" (C4 applies the latter two
+    * case-insensitively; its LINE-grained variants need line structure
+    * this corpus model does not carry — same documented scope call as
+    * [[gopherRules]]). Flags per rule + the conjunction, one codegen'd
+    * map stage.
+    */
+  def c4Filters(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val c = col(textCol)
+    val lc = lower(c)
+    val nSentences = (size(split(c, "\\.")) - 1).cast("long")
+    docs.select(col(idCol),
+      c.rlike("[.!?\"']$").as("pass_terminal_punct"),
+      (nSentences >= 3).as("pass_min_sentences"),
+      (!c.contains("{")).as("pass_no_brace"),
+      (!lc.contains("lorem ipsum")).as("pass_no_lorem"),
+      (!lc.contains("javascript")).as("pass_no_javascript"))
+      .withColumn("c4_pass",
+        col("pass_terminal_punct") && col("pass_min_sentences") &&
+          col("pass_no_brace") && col("pass_no_lorem") &&
+          col("pass_no_javascript"))
+  }
 }

@@ -325,6 +325,27 @@ object Extensions {
           explode(TextFunctions.tokens(col("text"))).as("term")),
         "source", col("term"), 5L, 20)),
 
+    // Gopher filter panel (Rae et al. 2021 App. A): each MassiveWeb
+    // rule as a named flag — adopt/tune/ablate per rule, not one
+    // opaque verdict. One codegen'd map stage.
+    "text_gopher_rules" -> ((s, dir) =>
+      graft.operators.Quality.gopherRules(
+        t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // C4 cleaning panel (Raffel et al. 2020 §2.2), document-grained
+    // flags + conjunction.
+    "text_c4_filters" -> ((s, dir) =>
+      graft.operators.Quality.c4Filters(
+        t(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+
+    // Per-source prefix boilerplate: the most common leading-8-token
+    // run and its share — the crawler-chrome detector feeding a
+    // strip-prefix cleaner.
+    "corpus_prefix_boilerplate" -> ((s, dir) =>
+      graft.operators.Profile.prefixBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", "source", 8)
+        .orderBy("source")),
+
     // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
     // blocklist phrase matched in ONE automaton pass per document —
     // O(|text|+hits) regardless of list size, vs N contains() probes.
@@ -4527,6 +4548,84 @@ object Extensions {
         |WHERE tt.f_t >= 5
         |GROUP BY c.term, tt.f_t
         |ORDER BY dp DESC, term LIMIT 20""".stripMargin,
+    // Gopher panel replica: identical count arithmetic (sum of word
+    // lengths = chars − separators), prounded ratios, same flag bands.
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |base AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(length(text) - (len(ws) - 1) AS DOUBLE) AS sum_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
+        |       + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END AS BIGINT) AS stop_hits
+        |  FROM w),
+        |m AS (SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0
+        |      THEN floor(sum_len / n_words * 10000 + 0.5) / 10000
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN n_words > 0
+        |      THEN floor(CAST(n_hash + n_ell AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN n_words > 0
+        |      THEN floor(CAST(alpha_words AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
+        |      ELSE 0.0 END AS alpha_word_frac,
+        |    stop_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |       alpha_word_frac, stop_hits,
+        |       n_words BETWEEN 50 AND 100000 AS pass_words,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
+        |       symbol_ratio <= 0.1 AS pass_symbols,
+        |       alpha_word_frac >= 0.8 AS pass_alpha,
+        |       stop_hits >= 2 AS pass_stops,
+        |       (n_words BETWEEN 50 AND 100000)
+        |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |         AND stop_hits >= 2 AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // C4 panel replica: same end-anchored terminal-punct regex,
+    // '.'-count sentence heuristic, case-folded substring gates.
+    "text_c4_filters" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, '[.!?"'']$') AS pass_terminal_punct,
+        |  (len(string_split(text, '.')) - 1) >= 3 AS pass_min_sentences,
+        |  NOT contains(text, '{') AS pass_no_brace,
+        |  NOT contains(lower(text), 'lorem ipsum') AS pass_no_lorem,
+        |  NOT contains(lower(text), 'javascript') AS pass_no_javascript,
+        |  regexp_matches(text, '[.!?"'']$')
+        |    AND (len(string_split(text, '.')) - 1) >= 3
+        |    AND NOT contains(text, '{')
+        |    AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(lower(text), 'javascript') AS c4_pass
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Prefix-boilerplate replica: the argmax as a row_number with the
+    // same (n DESC, prefix) tie order as the Spark struct-min.
+    "corpus_prefix_boilerplate" ->
+      """WITH p AS (SELECT source,
+        |             array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+        |           FROM documents),
+        |c AS (SELECT source, prefix, count(*) AS n_docs FROM p GROUP BY 1, 2),
+        |t AS (SELECT source, sum(n_docs) AS total FROM c GROUP BY 1),
+        |top AS (SELECT source, prefix, n_docs,
+        |          row_number() OVER (PARTITION BY source
+        |                             ORDER BY n_docs DESC, prefix) AS rn
+        |        FROM c)
+        |SELECT source, prefix, CAST(n_docs AS BIGINT) AS n_docs,
+        |       floor(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000 AS share
+        |FROM top JOIN t USING (source) WHERE rn = 1
+        |ORDER BY source""".stripMargin,
     "text_blocklist" ->
       s"""SELECT doc_id, unnest(list_filter(
          |  ${Blocklist.map(w => s"'$w'").mkString("[", ", ", "]")},

@@ -503,6 +503,71 @@ class DataQualitySpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("gopherRules: each rule flags its planted violation and only it; " +
+      "a clean document passes the panel") {
+    val good = (("the quick brown fox jumps over and over with that " +
+      "pace of calm be have ") * 5).trim // 70 words, all rules satisfied
+    val fewWords = "the and of with that have be to"
+    val symbols = ("the and of with that have " +
+      Seq.fill(50)("word").mkString(" ") + " " +
+      Seq.fill(20)("#").mkString(" ")).trim // 76 words, 20 hashes > 10%
+    val numeric = ("the and " + Seq.fill(60)("12345").mkString(" ")).trim
+    val noStops = Seq.fill(60)("zebra").mkString(" ")
+    val docs = Seq((1L, good), (2L, fewWords), (3L, symbols),
+      (4L, numeric), (5L, noStops)).toDF("doc_id", "text")
+    val out = Quality.gopherRules(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"))
+    assert(!out(2L).getAs[Boolean]("pass_words") &&
+      out(2L).getAs[Boolean]("pass_stops"))
+    assert(!out(3L).getAs[Boolean]("pass_symbols") &&
+      out(3L).getAs[Boolean]("pass_words"))
+    assert(!out(4L).getAs[Boolean]("pass_alpha"))
+    assert(!out(5L).getAs[Boolean]("pass_stops") &&
+      !out(5L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("c4Filters: terminal punctuation, sentence count, and the three " +
+      "substring gates each flip exactly their flag") {
+    val docs = Seq(
+      (1L, "one. two. three. clean text ends well."),
+      (2L, "no terminal punctuation. first. second. but open ending"),
+      (3L, "only one sentence."),
+      (4L, "braces { appear. one. two. three."),
+      (5L, "Lorem Ipsum dolor. one. two. three."),
+      (6L, "enable JavaScript to view. one. two. three."))
+      .toDF("doc_id", "text")
+    val out = Quality.c4Filters(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("c4_pass"))
+    assert(!out(2L).getAs[Boolean]("pass_terminal_punct") &&
+      out(2L).getAs[Boolean]("pass_min_sentences"))
+    assert(!out(3L).getAs[Boolean]("pass_min_sentences"))
+    assert(!out(4L).getAs[Boolean]("pass_no_brace"))
+    assert(!out(5L).getAs[Boolean]("pass_no_lorem"))
+    assert(!out(6L).getAs[Boolean]("pass_no_javascript"))
+    assert((2L to 6L).forall(i => !out(i).getAs[Boolean]("c4_pass")))
+  }
+
+  test("prefixBoilerplate: the dominant leading-token run wins with the " +
+      "right share; count ties resolve to the smaller prefix") {
+    val chrome = "welcome to example site home news sports weather"
+    val docs = Seq(
+      (1L, "A", s"$chrome article one body text"),
+      (2L, "A", s"$chrome article two body text"),
+      (3L, "A", s"$chrome article three body text"),
+      (4L, "A", "completely different start of a unique document here now"),
+      (5L, "B", "aa bb cc dd ee ff gg hh tail one"),
+      (6L, "B", "zz yy xx ww vv uu tt ss tail two"))
+      .toDF("doc_id", "source", "text")
+    val out = Profile.prefixBoilerplate(docs, "doc_id", "text", "source", 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getString(1) == chrome)
+    assert(out("A").getLong(2) == 3 && out("A").getDouble(3) == 0.75)
+    // B: both prefixes count 1 — the lexicographically smaller wins
+    assert(out("B").getString(1) == "aa bb cc dd ee ff gg hh")
+  }
+
   test("dispersion: a part-concentrated term out-ranks an evenly-spread " +
       "one, with closed-form DP values") {
     // part A: x×4 + y×4, part B: y×4 → s_A=2/3, s_B=1/3
