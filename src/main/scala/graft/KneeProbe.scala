@@ -12,12 +12,17 @@ package graft
   * 100 GB heaps alive at once) and SCALE.json records
   * `knee_isolated:true`.
   *
-  * Protocol (the GraphProbe idle-box convention): JIT/codegen warm-up
-  * on the SAME query at the small base dir (cheap, warms the identical
-  * generated code paths), then min-of-2 at the target dir with
+  * Protocol (the GraphProbe idle-box convention): JIT/codegen/page-cache
+  * warm-up on the SAME query at the TARGET dir, then min-of-2 with
   * clearCache + unpersist-all between passes. Spill/shuffle/peak come
   * from the min-time pass (ScaleSweep's rule: a spill that reproduces
-  * on the faster pass is real).
+  * on the faster pass is real). The warm-up MUST be at the target, not
+  * a small fixture: round 14's first knee run warmed at sf0.1 and the
+  * two ratio sides inherited ASYMMETRIC page-cache state — an sf10
+  * denominator measured right after a predecessor child had read the
+  * same fixture ran ~20 % faster than cold (text_repetition 24.2 s vs
+  * 29.5 s cold, numerator rock-stable at 83.4 s), pushing an honestly
+  * linear query to ×3.44 against the ×3.27 bound.
   *
   * Output: ONE machine line on stdout —
   * `KNEEPROBE <sec> <spillBytes> <shuffleWriteBytes> <peakExecMem>` or
@@ -28,7 +33,21 @@ object KneeProbe {
     val name = args(0)
     val dir = args(1)
     val warmDir = if (args.length > 2) args(2) else dir
-    val spark = Sessions.local(32, "knee-probe")
+    // Parallelism analog (args(3), default 32): on a cluster, 3× data
+    // arrives with 3× tasks per stage — per-task input is CONSTANT.
+    // Holding 32 shuffle partitions while data triples grows per-task
+    // sort inputs 3× and charges the single box an n·log n term no
+    // real deployment pays; the knee step therefore scales partitions
+    // with its factor (the r13 heap-follows-data convention, extended
+    // to parallelism). Cores stay 32 — extra partitions run as waves.
+    val partitions = if (args.length > 3) args(3).toInt else 32
+    val spark = Sessions.tuned(
+      org.apache.spark.sql.SparkSession.builder()
+        .master("local[32]").appName("knee-probe"), partitions)
+      .getOrCreate()
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     spark.sparkContext.setLogLevel("ERROR")
     val metrics = new ScaleSweep.MetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -50,7 +69,7 @@ object KneeProbe {
       (sec, metrics.spill, metrics.shuffleWrite, metrics.peak)
     }
     try {
-      once(warmDir) // JIT warm-up off the clock, small fixture
+      once(warmDir) // JIT + page-cache warm-up off the clock, AT target
       val best = Seq(once(dir), once(dir)).minBy(_._1)
       println(s"KNEEPROBE ${best._1} ${best._2} ${best._3} ${best._4}")
     } catch {

@@ -152,6 +152,33 @@ object ScaleSweep {
   val MaxRatio = 12.0
   /** The same bound pro-rated to the ×3 half-decade: 12^log10(3). */
   val MaxRatioKnee: Double = math.pow(MaxRatio, math.log10(3.0))
+  /** Knee-step shuffle partitions — the PARALLELISM analog beside r13's
+    * heap analog, applied PER WORKLOAD CLASS because a single box can
+    * only emulate half of a bigger cluster:
+    *
+    *  - SINGLE-PASS, sort/shuffle-bound entries (the dedup/text tier):
+    *    partitions follow data (96 at sf30 vs 32 at sf10). On a
+    *    cluster, 3× data arrives with 3× tasks per stage and per-task
+    *    input stays constant; holding 32 partitions grows per-task
+    *    sort inputs 3× and charges an n·log n term no real deployment
+    *    pays (measured r14: span_dedup_clean sf30 129.1 s at 32
+    *    partitions vs 108.4 s at 96). The extra partitions run as
+    *    task waves — fine, throughput-bound stages don't care.
+    *  - ITERATION-LATENCY-BOUND loops (the graph tier): partitions
+    *    stay 32. Over-partitioning on 32 cores serializes every
+    *    iteration into 3 task WAVES, tripling per-iteration latency ×
+    *    ~40 stages — it emulates a 3× cluster's data layout but not
+    *    its parallel latency (measured r14: graph_hits sf30 warm
+    *    275.4 s at 96 partitions vs ~142 s at 32, the r13 GraphProbe
+    *    number on the same binaries). Their per-task work is hash
+    *    probes (linear), so growing per-task input costs no log term.
+    *
+    * Both counterexamples are in PLANS.md round 14; the artifact
+    * records the per-entry choice (`knee_partitions`).
+    */
+  val KneeParts10 = 32
+  def kneeParts30(name: String): Int =
+    if (name.startsWith("graph_")) 32 else 96
 
   final case class SweepResult(name: String, secBase: Double,
                                secBig: Double, ratio: Double,
@@ -181,6 +208,30 @@ object ScaleSweep {
     val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val big10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR", "/tmp/graft_sf10")
     val big30 = sys.env.getOrElse("SPARK_GRAFT_SCALE30_DIR", "/tmp/graft_sf30")
+    // Knee-only mode (SPARK_GRAFT_KNEE_ONLY=1): re-measure ONLY the
+    // forked knee block and splice the decade blocks verbatim from the
+    // existing SCALE.json — for protocol iterations on the knee step
+    // (r14: warm-at-target + parallelism analog) without re-paying the
+    // ~55-minute decade sweeps whose numbers are not in question.
+    // Requires the amplified fixtures (markers) and a prior SCALE.json.
+    if (sys.env.get("SPARK_GRAFT_KNEE_ONLY").contains("1")) {
+      require(new java.io.File(s"$big10/_GENERATED").exists() &&
+        new java.io.File(s"$big30/_GENERATED").exists(),
+        "knee-only mode needs the sf10/sf30 fixtures already generated")
+      val prior = org.json4s.jackson.JsonMethods.parse(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("SCALE.json")),
+          java.nio.charset.StandardCharsets.UTF_8))
+      def frag(field: String): String =
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(prior \ field))
+      val knee = runKnee(big10, big30)
+      writeArtifact(knee,
+        frag("scale_ok"), frag("heap_gb"), frag("queries"),
+        frag("scale10_ok"), frag("queries_sf10"))
+      if (knee.exists(!_.ok)) sys.exit(1)
+      return
+    }
     val spark = Sessions.local(32, "scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -275,10 +326,25 @@ object ScaleSweep {
     // sweep JVM's heap (the box holds 125 GB).
     spark.stop()
     System.gc()
-    val resultsKnee = SweepKnee.map { name =>
-      val (s10, _, _, _, note10) = kneeIsolated(name, big10, base)
+    val resultsKnee = runKnee(big10, big30)
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    writeArtifact(resultsKnee,
+      results.forall(_.ok).toString, heapGb.toString,
+      block(results, "sf01_sec", "sf1_sec"),
+      results10.forall(_.ok).toString,
+      block(results10, "sf1_sec", "sf10_sec"))
+    if ((results ++ results10 ++ resultsKnee).exists(!_.ok)) sys.exit(1)
+  }
+
+  /** The ×300 knee block: every (entry, scale) point in its own fresh
+    * JVM ([[kneeIsolated]]), BOTH ratio sides isolated, partitions per
+    * the parallelism analog. */
+  private def runKnee(big10: String, big30: String): Seq[SweepResult] =
+    SweepKnee.map { name =>
+      val (s10, _, _, _, note10) =
+        kneeIsolated(name, big10, KneeParts10)
       val (s30, spill30, shuf30, peak30, note30) =
-        kneeIsolated(name, big30, base)
+        kneeIsolated(name, big30, kneeParts30(name))
       val ratio = s30 / s10
       val ok = note10.isEmpty && note30.isEmpty && ratio <= MaxRatioKnee &&
         spill30 == 0L
@@ -290,31 +356,40 @@ object ScaleSweep {
       r
     }
 
-    def block(rs: Seq[SweepResult], loField: String, hiField: String) =
-      rs.map(r =>
-        "\"" + r.name + "\":{\"" + loField + "\":" + f"${r.secBase}%.3f" +
-          ",\"" + hiField + "\":" + f"${r.secBig}%.3f" +
-          ",\"ratio\":" + f"${r.ratio}%.2f" +
-          ",\"ok\":" + r.ok +
-          ",\"spillBytes\":" + r.spillBytes +
-          ",\"shuffleWriteBytes\":" + r.shuffleWrite +
-          ",\"peakExecMem\":" + r.peakExecMem +
-          (if (r.note.nonEmpty) ",\"note\":\"" + jsonEscape(r.note) + "\"" else "") +
-          "}").mkString("{", ",", "}")
-    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val line = s"""{"scale_ok":${results.forall(_.ok)},"factor":$Factor,""" +
+  private def block(rs: Seq[SweepResult], loField: String,
+                    hiField: String): String =
+    rs.map(r =>
+      "\"" + r.name + "\":{\"" + loField + "\":" + f"${r.secBase}%.3f" +
+        ",\"" + hiField + "\":" + f"${r.secBig}%.3f" +
+        ",\"ratio\":" + f"${r.ratio}%.2f" +
+        ",\"ok\":" + r.ok +
+        ",\"spillBytes\":" + r.spillBytes +
+        ",\"shuffleWriteBytes\":" + r.shuffleWrite +
+        ",\"peakExecMem\":" + r.peakExecMem +
+        (if (r.note.nonEmpty) ",\"note\":\"" + jsonEscape(r.note) + "\"" else "") +
+        "}").mkString("{", ",", "}")
+
+  /** Assembles + lands SCALE.json from knee results plus decade-block
+    * JSON fragments (freshly measured or spliced from the prior
+    * artifact in knee-only mode). */
+  private def writeArtifact(resultsKnee: Seq[SweepResult],
+                            scaleOk: String, heapGb: String,
+                            queries: String, scale10Ok: String,
+                            queries10: String): Unit = {
+    val line = s"""{"scale_ok":$scaleOk,"factor":$Factor,""" +
       s""""max_ratio":$MaxRatio,"heap_gb":$heapGb,""" +
-      s""""queries":${block(results, "sf01_sec", "sf1_sec")},""" +
-      s""""scale10_ok":${results10.forall(_.ok)},"factor10":$Factor10,""" +
-      s""""queries_sf10":${block(results10, "sf1_sec", "sf10_sec")},""" +
+      s""""queries":$queries,""" +
+      s""""scale10_ok":$scale10Ok,"factor10":$Factor10,""" +
+      s""""queries_sf10":$queries10,""" +
       s""""knee_ok":${resultsKnee.forall(_.ok)},"factor30":$FactorKnee,""" +
       s""""max_ratio_knee":$MaxRatioKnee,""" +
       s""""knee_isolated":true,"knee_heap":"$kneeMem",""" +
+      s""""knee_partitions":"${KneeParts10}@sf10; sf30: 96 single-pass, 32 graph loops",""" +
+      s""""knee_warm":"target",""" +
       s""""queries_sf30":${block(resultsKnee, "sf10_sec", "sf30_sec")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    if ((results ++ results10 ++ resultsKnee).exists(!_.ok)) sys.exit(1)
   }
 
   /** Heap for the forked knee JVMs — the ×300 memory-analog convention
@@ -329,7 +404,7 @@ object ScaleSweep {
     * parsed to the in-process `timed` shape.
     */
   private def kneeIsolated(name: String, dir: String,
-                           warmDir: String): (Double, Long, Long, Long, String) = {
+                           partitions: Int): (Double, Long, Long, Long, String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -344,7 +419,7 @@ object ScaleSweep {
       s"-Xmx$kneeMem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.KneeProbe", name, dir, warmDir)).toArray
+      "graft.KneeProbe", name, dir, dir, partitions.toString)).toArray
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(false)
     val proc = pb.start()

@@ -346,6 +346,60 @@ object Extensions {
         t(s, dir, "documents"), "doc_id", "text", "source", 8)
         .orderBy("source")),
 
+    // Lang-id confusion matrix: the n-gram-marker classifier judged
+    // against the corpus's labeled lang column — (label, predicted, n,
+    // per-label share). The accuracy QA every heuristic filter needs
+    // before it gates a corpus; one combinable groupBy plus a
+    // label-keyed total re-aggregated from the cells themselves.
+    "corpus_langid_confusion" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").as("total"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("predicted"), col("n"),
+          graft.functions.Rounding.pround(
+            col("n").cast("double") / col("total").cast("double"), 6)
+            .as("share"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Per-source exact-duplicate rate: the mixing-weight input dedup
+    // planning starts from (a source that is 40 % duplicate contributes
+    // 40 % less unique signal than its row count claims). Same md5
+    // content hash as dedup_exact; one groupBy, two aggregates.
+    "mix_dedup_rate_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          graft.functions.Rounding.pround(lit(1.0) -
+            col("n_unique").cast("double") / col("n_docs").cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy("source")),
+
+    // Trigram head coverage: the share of all trigram TOKENS carried by
+    // the top-100 trigram TYPES — the Zipf companion that directly
+    // predicts how far n-gram dedup/contamination tables can be
+    // truncated (a head-heavy corpus is mostly boilerplate). Tie-safe:
+    // the top-k SUM is invariant to which equal-count type sits at the
+    // cut. One combinable groupBy; the type table re-aggregates to two
+    // one-row frames.
+    "text_ngram_coverage" -> ((s, dir) => {
+      val tri = graft.operators.LanguageModel.trigramLm(
+        t(s, dir, "documents"), "text")
+      val top = tri.orderBy(col("cnt3").desc, col("prev2"), col("prev"),
+          col("token")).limit(100)
+        .agg(sum("cnt3").as("top_sum"))
+      tri.agg(count(lit(1)).as("n_types"), sum("cnt3").as("n_trigrams"))
+        .crossJoin(broadcast(top))
+        .select(col("n_types"), col("n_trigrams"),
+          graft.functions.Rounding.pround(
+            col("top_sum").cast("double") / col("n_trigrams").cast("double"),
+            6).as("top100_share"))
+    }),
+
     // Aho–Corasick blocklist scan (the C4 bad-words gate shape): every
     // blocklist phrase matched in ONE automaton pass per document —
     // O(|text|+hits) regardless of list size, vs N contains() probes.
@@ -4608,6 +4662,52 @@ object Extensions {
         |    AND NOT contains(lower(text), 'lorem ipsum')
         |    AND NOT contains(lower(text), 'javascript') AS c4_pass
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Confusion replica: the text_lang_id CASE over marker scores,
+    // cross-tabbed against the label.
+    "corpus_langid_confusion" ->
+      s"""WITH sc AS (SELECT doc_id, lang, $markerScores FROM documents),
+         |pred AS (SELECT lang,
+         |  CASE WHEN s_en + s_de + s_es + s_fr > 0 THEN
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS predicted
+         |  FROM sc),
+         |cells AS (SELECT lang, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT lang, sum(n) AS total FROM cells GROUP BY 1)
+         |SELECT c.lang, c.predicted, c.n,
+         |       floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+         |             * 1000000 + 0.5) / 1000000 AS share
+         |FROM cells c JOIN tot t USING (lang)
+         |ORDER BY lang, predicted""".stripMargin,
+
+    "mix_dedup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique,
+        |       floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |              / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |         AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_ngram_coverage" ->
+      """WITH pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |seq AS (SELECT ws[i] AS w3,
+        |               CASE WHEN i <= 2 THEN NULL ELSE ws[i-1] END AS w2,
+        |               CASE WHEN i <= 2 THEN NULL ELSE ws[i-2] END AS w1
+        |        FROM pos),
+        |tri AS (SELECT w1, w2, w3, count(*) AS cnt3 FROM seq
+        |        WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+        |top AS (SELECT sum(cnt3) AS top_sum FROM (
+        |          SELECT cnt3 FROM tri
+        |          ORDER BY cnt3 DESC, w1, w2, w3 LIMIT 100))
+        |SELECT count(*) AS n_types, CAST(sum(cnt3) AS BIGINT) AS n_trigrams,
+        |       floor(CAST((SELECT top_sum FROM top) AS DOUBLE)
+        |             / CAST(sum(cnt3) AS DOUBLE) * 1000000 + 0.5) / 1000000
+        |         AS top100_share
+        |FROM tri""".stripMargin,
 
     // Prefix-boilerplate replica: the argmax as a row_number with the
     // same (n DESC, prefix) tie order as the Spark struct-min.

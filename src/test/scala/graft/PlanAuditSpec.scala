@@ -835,4 +835,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
   }
+
+  test("quality filter panels are pure map stages: zero hash exchanges, " +
+      "one WholeStageCodegen span over the scan") {
+    Seq("text_gopher_rules", "text_c4_filters").foreach { name =>
+      val p = plan(name)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges == 0,
+        s"$name grew a shuffle (expected map-only):\n${p.take(2000)}")
+      assert(p.contains("WholeStageCodegen"), p.take(2000))
+    }
+  }
+
+  test("PMI / burstiness / confusion / prefix-boilerplate: totals and " +
+      "part-frames broadcast, never a cartesian product") {
+    Seq("text_pmi_collocations", "corpus_burstiness",
+      "corpus_langid_confusion", "corpus_prefix_boilerplate",
+      "mix_dedup_rate_by_source").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name grew a cartesian:\n${p.take(3000)}")
+    }
+    // the one-row/part-frame joins must stay broadcast
+    Seq("corpus_burstiness", "corpus_langid_confusion",
+      "corpus_prefix_boilerplate").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n${p.take(2000)}")
+    }
+  }
+
+  test("idGaps: the corpus-scale window is bucket-partitioned (parallel), " +
+      "never a single global-sort window over the ids") {
+    val p = plan("dq_id_gaps")
+    assert(p.contains("hashpartitioning(bucket"),
+      "intra-bucket window lost its bucket partitioning:\n" + p.take(2500))
+    // exactly one tiny single-partition stage is allowed: the
+    // per-bucket boundary frame's ordered window
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1,
+      s"expected at most 1 SinglePartition exchange, got $singles:\n" +
+        p.take(2500))
+  }
 }
