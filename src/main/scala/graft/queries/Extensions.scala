@@ -302,17 +302,17 @@ object Extensions {
 
     // Gap islands in the event id stream — the completeness half of
     // ingestion QA. The fixture's ids are gap-free, so the defect is
-    // PLANTED (the dq_json_quarantine convention): one 500-id range
-    // straddling a bucket boundary (a failed extractor partition) and
-    // one 3-id intra-bucket range are dropped, and idGaps must recover
-    // exactly those islands through its bucketed two-level scan (bucket
-    // 512 so the gate exercises BOTH the intra- and cross-bucket paths;
-    // never one global window — see the operator's scaladoc).
+    // PLANTED (the dq_json_quarantine convention): one 100-id range
+    // straddling the 512-bucket boundary (a failed extractor partition)
+    // and one 3-id intra-bucket range are dropped, and idGaps must
+    // recover exactly those islands through its bucketed two-level scan
+    // (never one global window — see the operator's scaladoc). Ranges
+    // sit inside even the sf0.001 id space so every sf yields rows.
     "dq_id_gaps" -> ((s, dir) =>
       graft.operators.Profile.idGaps(
         t(s, dir, "events").filter(
-          !col("event_id").between(3000, 3499) &&
-            !col("event_id").between(7777, 7779)),
+          !col("event_id").between(450, 549) &&
+            !col("event_id").between(777, 779)),
         "event_id", 512L)
         .orderBy(col("gap_len").desc, col("gap_start")).limit(20)),
 
@@ -4573,8 +4573,8 @@ object Extensions {
     // side deliberately avoids).
     "dq_id_gaps" ->
       """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
-        |             WHERE event_id NOT BETWEEN 3000 AND 3499
-        |               AND event_id NOT BETWEEN 7777 AND 7779),
+        |             WHERE event_id NOT BETWEEN 450 AND 549
+        |               AND event_id NOT BETWEEN 777 AND 779),
         |g AS (SELECT lag(id) OVER (ORDER BY id) AS prev, id FROM ids)
         |SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
         |       id - prev - 1 AS gap_len

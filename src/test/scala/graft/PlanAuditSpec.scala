@@ -836,14 +836,16 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
-  test("quality filter panels are pure map stages: zero hash exchanges, " +
-      "one WholeStageCodegen span over the scan") {
+  test("quality filter panels are pure map stages: zero hash exchanges " +
+      "(the one range exchange is the presentation orderBy)") {
+    // no WholeStageCodegen substring assert: with AQE the un-finalized
+    // plan string omits codegen annotations — the shuffle count is the
+    // load-bearing property
     Seq("text_gopher_rules", "text_c4_filters").foreach { name =>
       val p = plan(name)
       val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(hashExchanges == 0,
         s"$name grew a shuffle (expected map-only):\n${p.take(2000)}")
-      assert(p.contains("WholeStageCodegen"), p.take(2000))
     }
   }
 
