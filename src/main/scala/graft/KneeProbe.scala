@@ -59,8 +59,15 @@ object KneeProbe {
     def once(d: String): (Double, Long, Long, Long) = {
       metrics.reset()
       val t0 = System.nanoTime()
-      (SparkEntry.queries ++ SparkEntry.sweepQueries)(name)(spark, d)
-        .write.format("noop").mode("overwrite").save()
+      // build entries (Unit-returning stored-index writers) time the
+      // build itself — their write IS the materialization; query
+      // entries materialize through the noop sink (the Bench rule)
+      SparkEntry.benchBuilds.get(name) match {
+        case Some(build) => build(spark, d)
+        case None =>
+          (SparkEntry.queries ++ SparkEntry.sweepQueries)(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       drain()
       spark.catalog.clearCache()

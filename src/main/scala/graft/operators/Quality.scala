@@ -119,18 +119,21 @@ object Quality {
     * inheriting one opaque verdict): word-count band [50, 100 000],
     * mean word length band [3, 10], symbol-to-word ratio (# and … per
     * word) ≤ 0.1, ≥ 80 % of words carrying at least one alphabetic
-    * character, and ≥ 2 distinct hits from the required-stop-word set
-    * {the, be, to, of, and, that, have, with}. The paper's line-shaped
-    * rules (bullet-start / ellipsis-end line fractions) need line
-    * structure this corpus model does not carry and are out of scope —
-    * named here so their absence is a documented decision, not a gap.
+    * character, ≥ 2 distinct hits from the required-stop-word set
+    * {the, be, to, of, and, that, have, with}, and the paper's two
+    * LINE-shaped rules — ≤ 90 % of lines starting with a bullet
+    * ([•*-]) and ≤ 30 % ending with an ellipsis ("..."/"…"). A "line"
+    * here is [[LineDedup]]'s unit for this line-less corpus model:
+    * `lineWords`-word chunks ([[TextFunctions.wordChunks]], default 10
+    * — the line_dedup fixture convention); feed real newline splits by
+    * pre-splitting upstream when the corpus carries them.
     *
     * Pure per-row expression arithmetic: one WholeStageCodegen map over
     * the corpus scan, no shuffle, SQL-replicable bit-for-bit (counts
-    * and two prounded ratios).
+    * and prounded ratios).
     */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  lineWords: Int = 10): DataFrame = {
     val c = col(textCol)
     val ws = TextFunctions.tokens(c)
     val nWords = size(ws).cast("long")
@@ -152,9 +155,25 @@ object Quality {
     val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopHits = required.map(w =>
       when(array_contains(ws, w), 1).otherwise(0)).reduce(_ + _).cast("long")
+    // line-shaped rules over the wordChunks "lines": counts, then two
+    // prounded fractions — still the same single codegen'd projection
+    val lines = TextFunctions.wordChunks(c, lineWords)
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^[•*-]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("long")
+    val bulletFrac = when(nLines > 0, graft.functions.Rounding.pround(
+      bulletLines.cast("double") / nLines.cast("double"), 6))
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0, graft.functions.Rounding.pround(
+      ellipsisLines.cast("double") / nLines.cast("double"), 6))
+      .otherwise(lit(0.0))
     docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
-      stopHits.as("stop_hits"))
+      stopHits.as("stop_hits"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"))
       .withColumn("pass_words",
         col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("pass_word_len",
@@ -162,19 +181,24 @@ object Quality {
       .withColumn("pass_symbols", col("symbol_ratio") <= 0.1)
       .withColumn("pass_alpha", col("alpha_word_frac") >= 0.8)
       .withColumn("pass_stops", col("stop_hits") >= 2)
+      .withColumn("pass_bullet_lines", col("bullet_line_frac") <= 0.9)
+      .withColumn("pass_ellipsis_lines", col("ellipsis_line_frac") <= 0.3)
       .withColumn("gopher_pass",
         col("pass_words") && col("pass_word_len") && col("pass_symbols") &&
-          col("pass_alpha") && col("pass_stops"))
+          col("pass_alpha") && col("pass_stops") &&
+          col("pass_bullet_lines") && col("pass_ellipsis_lines"))
   }
 
   /** The C4 cleaning panel (Raffel et al. 2020 §2.2), document-grained:
     * terminal punctuation (. ! ? or closing quote), ≥ 3 sentences
     * ('.'-delimited, the paper's heuristic), no '{' (the code filter),
     * no "lorem ipsum", no "javascript" (C4 applies the latter two
-    * case-insensitively; its LINE-grained variants need line structure
-    * this corpus model does not carry — same documented scope call as
-    * [[gopherRules]]). Flags per rule + the conjunction, one codegen'd
-    * map stage.
+    * case-insensitively; its LINE-grained variants — drop individual
+    * lines without a terminal period — are a line-REWRITE pass, not a
+    * document filter, and live with [[LineDedup]]'s reassembly shape
+    * rather than this panel; [[gopherRules]] covers the line-shaped
+    * FILTER rules via the wordChunks convention). Flags per rule + the
+    * conjunction, one codegen'd map stage.
     */
   def c4Filters(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {

@@ -4603,7 +4603,9 @@ object Extensions {
         |GROUP BY c.term, tt.f_t
         |ORDER BY dp DESC, term LIMIT 20""".stripMargin,
     // Gopher panel replica: identical count arithmetic (sum of word
-    // lengths = chars − separators), prounded ratios, same flag bands.
+    // lengths = chars − separators), prounded ratios, same flag bands;
+    // the line-shaped rules replicate wordChunks exactly as the
+    // line_dedup oracle does (10-word slices, ceil chunk count).
     "text_gopher_rules" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
         |           FROM documents),
@@ -4622,7 +4624,15 @@ object Extensions {
         |       + CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END
         |       + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END AS BIGINT) AS stop_hits
         |  FROM w),
-        |m AS (SELECT doc_id, n_words,
+        |ln AS (SELECT doc_id,
+        |    array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS line
+        |  FROM w, unnest(generate_series(1,
+        |    CAST(ceil(len(ws) / 10.0) AS INT))) t(i)),
+        |lf AS (SELECT doc_id, count(*) AS n_lines,
+        |    sum(CASE WHEN regexp_matches(line, '^[•*-]') THEN 1 ELSE 0 END) AS n_bullet,
+        |    sum(CASE WHEN line LIKE '%...' OR line LIKE '%…' THEN 1 ELSE 0 END) AS n_ell_end
+        |  FROM ln GROUP BY doc_id),
+        |m AS (SELECT b.doc_id, n_words,
         |    CASE WHEN n_words > 0
         |      THEN floor(sum_len / n_words * 10000 + 0.5) / 10000
         |      ELSE 0.0 END AS mean_word_len,
@@ -4632,19 +4642,29 @@ object Extensions {
         |    CASE WHEN n_words > 0
         |      THEN floor(CAST(alpha_words AS DOUBLE) / n_words * 1000000 + 0.5) / 1000000
         |      ELSE 0.0 END AS alpha_word_frac,
-        |    stop_hits
-        |  FROM base)
+        |    stop_hits,
+        |    CASE WHEN coalesce(n_lines, 0) > 0
+        |      THEN floor(CAST(n_bullet AS DOUBLE) / n_lines * 1000000 + 0.5) / 1000000
+        |      ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN coalesce(n_lines, 0) > 0
+        |      THEN floor(CAST(n_ell_end AS DOUBLE) / n_lines * 1000000 + 0.5) / 1000000
+        |      ELSE 0.0 END AS ellipsis_line_frac
+        |  FROM base b LEFT JOIN lf ON b.doc_id = lf.doc_id)
         |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-        |       alpha_word_frac, stop_hits,
+        |       alpha_word_frac, stop_hits, bullet_line_frac,
+        |       ellipsis_line_frac,
         |       n_words BETWEEN 50 AND 100000 AS pass_words,
         |       mean_word_len BETWEEN 3.0 AND 10.0 AS pass_word_len,
         |       symbol_ratio <= 0.1 AS pass_symbols,
         |       alpha_word_frac >= 0.8 AS pass_alpha,
         |       stop_hits >= 2 AS pass_stops,
+        |       bullet_line_frac <= 0.9 AS pass_bullet_lines,
+        |       ellipsis_line_frac <= 0.3 AS pass_ellipsis_lines,
         |       (n_words BETWEEN 50 AND 100000)
         |         AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |         AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
-        |         AND stop_hits >= 2 AS gopher_pass
+        |         AND stop_hits >= 2 AND bullet_line_frac <= 0.9
+        |         AND ellipsis_line_frac <= 0.3 AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // C4 panel replica: same end-anchored terminal-punct regex,

@@ -513,11 +513,22 @@ class DataQualitySpec extends SparkSpec {
       Seq.fill(20)("#").mkString(" ")).trim // 76 words, 20 hashes > 10%
     val numeric = ("the and " + Seq.fill(60)("12345").mkString(" ")).trim
     val noStops = Seq.fill(60)("zebra").mkString(" ")
+    // line-shaped rules (Rae '21 App. A, the wordChunks "line" unit):
+    // every 10-word chunk of doc 6 starts with a bullet (frac 1.0 >
+    // 0.9), every chunk of doc 7 ends with an ellipsis (1.0 > 0.3);
+    // both docs satisfy every other rule, so exactly one flag flips
+    val bullets = Seq.fill(6)(
+      "- the and for fox pace calm jumps brown quick").mkString(" ")
+    val ellipses = Seq.fill(6)(
+      "the and fox jumps over pace calm brown quick done...").mkString(" ")
     val docs = Seq((1L, good), (2L, fewWords), (3L, symbols),
-      (4L, numeric), (5L, noStops)).toDF("doc_id", "text")
+      (4L, numeric), (5L, noStops), (6L, bullets), (7L, ellipses))
+      .toDF("doc_id", "text")
     val out = Quality.gopherRules(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Boolean]("gopher_pass"))
+    assert(out(1L).getAs[Boolean]("pass_bullet_lines") &&
+      out(1L).getAs[Boolean]("pass_ellipsis_lines"))
     assert(!out(2L).getAs[Boolean]("pass_words") &&
       out(2L).getAs[Boolean]("pass_stops"))
     assert(!out(3L).getAs[Boolean]("pass_symbols") &&
@@ -525,6 +536,17 @@ class DataQualitySpec extends SparkSpec {
     assert(!out(4L).getAs[Boolean]("pass_alpha"))
     assert(!out(5L).getAs[Boolean]("pass_stops") &&
       !out(5L).getAs[Boolean]("gopher_pass"))
+    assert(!out(6L).getAs[Boolean]("pass_bullet_lines") &&
+      out(6L).getAs[Boolean]("pass_ellipsis_lines") &&
+      out(6L).getAs[Boolean]("pass_words") &&
+      out(6L).getAs[Boolean]("pass_stops") &&
+      !out(6L).getAs[Boolean]("gopher_pass"))
+    assert(out(6L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!out(7L).getAs[Boolean]("pass_ellipsis_lines") &&
+      out(7L).getAs[Boolean]("pass_bullet_lines") &&
+      out(7L).getAs[Boolean]("pass_symbols") && // 6 '…' / 60 words = 0.1, the band edge
+      !out(7L).getAs[Boolean]("gopher_pass"))
+    assert(out(7L).getAs[Double]("ellipsis_line_frac") == 1.0)
   }
 
   test("c4Filters: terminal punctuation, sentence count, and the three " +
