@@ -41,9 +41,19 @@ object KneeProbe {
     // with its factor (the r13 heap-follows-data convention, extended
     // to parallelism). Cores stay 32 — extra partitions run as waves.
     val partitions = if (args.length > 3) args(3).toInt else 32
+    // Periodic cleaner GC (60 s vs Spark's 30 min default): on this
+    // probe's 100 GB heap the JVM may not GC at all inside one
+    // measurement, so ContextCleaner never learns that lineage-cut
+    // shuffle state is unreachable — shuffle files from EVERY past
+    // iteration accumulate and the round-15 stage breakdown measured
+    // late-iteration edge-scan stages inflating ×5-8 (same class ×2-3
+    // early in the run). A cluster sees executor-local GC far more
+    // often; 60 s restores that cleaning cadence for the analog.
     val spark = Sessions.tuned(
       org.apache.spark.sql.SparkSession.builder()
         .master("local[32]").appName("knee-probe"), partitions)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "60s"))
       .getOrCreate()
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(

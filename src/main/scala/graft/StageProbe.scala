@@ -25,7 +25,8 @@ import scala.collection.mutable.ArrayBuffer
 object StageProbe {
 
   private final case class StageRow(id: Int, submitMs: Long, durMs: Long,
-                                    taskMs: Long, tasks: Int,
+                                    taskMs: Long, cpuMs: Long, gcMs: Long,
+                                    tasks: Int,
                                     shufReadB: Long, shufWriteB: Long,
                                     inputB: Long, spillB: Long,
                                     name: String)
@@ -43,6 +44,8 @@ object StageProbe {
         rows.synchronized {
           rows += StageRow(i.stageId, sub, done - sub,
             if (m == null) 0L else m.executorRunTime,
+            if (m == null) 0L else m.executorCpuTime / 1000000L,
+            if (m == null) 0L else m.jvmGCTime,
             i.numTasks,
             if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
             if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten,
@@ -61,6 +64,10 @@ object StageProbe {
     val spark = Sessions.tuned(
       org.apache.spark.sql.SparkSession.builder()
         .master("local[32]").appName("stage-probe"), partitions)
+      // match KneeProbe's cleaning cadence (see the note there) so
+      // breakdowns measure what the knee gates
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "60s"))
       .getOrCreate()
     if (spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(
@@ -96,12 +103,15 @@ object StageProbe {
     rows.foreach { r =>
       println(f"STAGE ${r.id}%5d +${(r.submitMs - t0) / 1000.0}%8.2fs " +
         f"dur=${r.durMs / 1000.0}%8.2fs task=${r.taskMs / 1000.0}%9.2fs " +
+        f"cpu=${r.cpuMs / 1000.0}%9.2fs gc=${r.gcMs / 1000.0}%7.2fs " +
         f"n=${r.tasks}%3d sr=${r.shufReadB / 1e6}%9.1fMB " +
         f"sw=${r.shufWriteB / 1e6}%9.1fMB in=${r.inputB / 1e6}%9.1fMB " +
         f"spill=${r.spillB / 1e6}%7.1fMB  ${r.name}")
     }
     println(f"STAGETOTAL $name $dir parts=$partitions wall=$sec%.2f " +
-      f"stages=${rows.size} taskSec=${rows.map(_.taskMs).sum / 1000.0}%.1f")
+      f"stages=${rows.size} taskSec=${rows.map(_.taskMs).sum / 1000.0}%.1f " +
+      f"cpuSec=${rows.map(_.cpuMs).sum / 1000.0}%.1f " +
+      f"gcSec=${rows.map(_.gcMs).sum / 1000.0}%.1f")
     spark.stop()
   }
 }

@@ -472,21 +472,28 @@ object Graph {
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct().persist()
-    require(nodes.count() > 0, "empty edge frame")
+    // ONE exchange serves both the node set and the degree guard: total
+    // degree (in+out) per id from a single explode scan of the cached
+    // edges — a groupBy's keys are already distinct, so `nodes` is its
+    // projection. The union+distinct / union+groupBy pair this replaces
+    // scanned the O(E) cache four times and shuffled edge-scale rows
+    // twice; the round-15 sf30 stage breakdown measured that preamble at
+    // ~10 % of total task time, inflating ×4+ at the ×3 step (fixed
+    // 32-partition hash aggregation over 3× rows — a per-task-growth
+    // term the fused single pass halves).
+    val degs = e.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .persist()
+    val nodes = degs.select(col("id"))
+    require(degs.count() > 0, "empty edge frame")
     // loud int64-overflow guard on the hot per-node sums: each raw
     // value is ≤ degree·10¹², so a hub past ~9.2 M edges would
-    // silently wrap the long sum. One map-side-combinable degree pass
-    // up front; <= 0 disables for callers that pre-capped.
+    // silently wrap the long sum. Reuses the cached degree frame;
+    // <= 0 disables for callers that pre-capped.
     if (maxDegree > 0) {
-      val hub = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
-        .agg(max(col("d")).as("m")).head().getLong(0)
+      val hub = degs.agg(max(col("d")).as("m")).head().getLong(0)
       if (hub > maxDegree) {
-        e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+        e.unpersist(blocking = false); degs.unpersist(blocking = false)
         throw new IllegalStateException(
           s"hits: max node degree $hub > maxDegree=$maxDegree — per-node " +
             "int64 raw sums are degree-bounded by degree*1e12 and a hub " +
@@ -560,7 +567,7 @@ object Graph {
         (coalesce(col("hq"), lit(0L)) / lit(Unit12)).as("hub"),
         (coalesce(col("aq"), lit(0L)) / lit(Unit12)).as("auth"))
     e.unpersist()
-    nodes.unpersist()
+    degs.unpersist()
     out
   }
 }
