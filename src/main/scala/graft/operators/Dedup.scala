@@ -518,15 +518,25 @@ object Dedup {
   }
 
   /** Banded (band, sig) rows from a signature table — shared by the
-    * batch and incremental LSH paths.
+    * batch and incremental LSH paths. ONE projection + explode pass
+    * instead of a `bands`-way union of per-band projections: the union
+    * form scanned the signature source once PER BAND (and per consumer —
+    * the hot-bucket guard reads this frame up to four times), while the
+    * explode emits the identical (id, band, sig) rows from a single
+    * scan whatever the band count. Row set unchanged — same bands, same
+    * concatenated signatures — so every LSH consumer and its oracle are
+    * untouched.
     */
   private def bandRowsOf(sig: DataFrame, idCol: String, bands: Int,
-                         rowsPerBand: Int): DataFrame =
-    (0 until bands).map { b =>
+                         rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
       val sigCols = (0 until rowsPerBand)
         .map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"), concat(sigCols: _*).as("sig"))
-    }.reduce(_.unionByName(_))
+      struct(lit(b).as("band"), concat(sigCols: _*).as("sig"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Incremental LSH: candidate pairs that involve at least one NEW
     * document — new×new and new×existing, never existing×existing

@@ -42,13 +42,27 @@ object Graph {
 
   /** Symmetrize a directed edge list: distinct pairs plus their
     * reversals — every node then has out-degree ≥ 1, so no mass leaks.
+    *
+    * Shape: ONE distinct over canonically-oriented (least, greatest)
+    * pairs, then both directions re-emitted by a per-row explode
+    * (self-loops emit once). The symmetric closure of a set equals the
+    * symmetric closure of its canonical form, so the output rows are
+    * exactly the old distinct(p ∪ reverse(p)) — but the old spelling
+    * paid TWO full aggregation exchanges (E rows, then 2·E' rows);
+    * this pays one over E rows and the reversals never cross a shuffle.
     */
   def undirect(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    val p = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
-    p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    canon.select(explode(when(col("a") === col("b"),
+        array(struct(col("a").as("src"), col("b").as("dst"))))
+      .otherwise(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst"))))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Mutual-k-nearest-neighbor edges over a vector corpus: (id_a,
@@ -262,8 +276,14 @@ object Graph {
     // partial-sum exchange of the dst aggregation, not the join) and
     // DOUBLED wall-clock (129.9 s -> 257.6 s); see PLANS.md round 13.
     val ed = e.join(deg, "src").persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+    // node set from the CACHED (src, dst, deg) frame, not from `e`: the
+    // inner degree join keeps every edge row (deg covers every src), so
+    // the id set is identical — but deriving it from `e` re-evaluated
+    // the whole upstream edge pipeline (join + undirect distinct) twice
+    // more per action; reading `ed` also populates its cache in the
+    // same first action, so the edge pipeline runs exactly once.
+    val nodes = ed.select(col("src").as("id"))
+      .unionByName(ed.select(col("dst").as("id")))
       .distinct().persist()
     val n = nodes.count()
     require(n > 0, "empty edge frame")
@@ -319,8 +339,10 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src").persist()
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+    // same node-set-from-cache derivation as pageRank (inner degree
+    // join keeps every edge row, so the id set is unchanged)
+    val nodes = ed.select(col("src").as("id"))
+      .unionByName(ed.select(col("dst").as("id")))
       .distinct()
     val seedIds = seeds.select(col(seeds.columns.head).as("id")).distinct()
     val ns = seedIds.count()

@@ -628,8 +628,12 @@ object Similarity {
                 maxTrain: Int = 1 << 16): DataFrame = {
     val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
       vecCol, nlist, seed)
+    val spark = corpus.sparkSession
     val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
-    val (books, codes) =
+    // codes projected in place on the assignment/residual frame (same
+    // rows as the old separate pqEncode + cand_id join — see
+    // writeVectorIndex): one assignment pass, no corpus-scale join
+    val (books, indexed) =
       if (residual) {
         val res = withResiduals(cells, centDf)
         // train on the bounded id-ordered view (trainView): KMeans
@@ -638,12 +642,18 @@ object Similarity {
         // — the bounded ordered sample makes the learned codebooks
         // (hence the whole index) reproducible for same data, at
         // bounded cost no matter the corpus size
-        (pqTrain(trainView(res, "cand_id", maxTrain), "rv", nsub, ksub, seed),
-          (b: Seq[Seq[Seq[Float]]]) => pqEncode(res, "cand_id", "rv", b))
-      } else
-        (pqTrain(trainView(corpus, idCol, maxTrain), vecCol, nsub, ksub, seed),
-          (b: Seq[Seq[Seq[Float]]]) => pqEncode(corpus, idCol, vecCol, b))
-    val indexed = cells.join(codes(books), Seq("cand_id"))
+        val b = pqTrain(trainView(res, "cand_id", maxTrain), "rv",
+          nsub, ksub, seed)
+        (b, res.select(col("cell"), col("cand_id"),
+          graft.functions.PqCodec.encode(spark, col("rv"), b).as("codes"),
+          col("cv")))
+      } else {
+        val b = pqTrain(trainView(corpus, idCol, maxTrain), vecCol,
+          nsub, ksub, seed)
+        (b, cells.select(col("cell"), col("cand_id"),
+          graft.functions.PqCodec.encode(spark, col("cv"), b).as("codes"),
+          col("cv")))
+      }
     val probes = queryCellProbe(queries, idCol, vecCol, centDf, nprobe)
     adcShortlistRerank(indexed, probes, books, k, overquery,
       if (residual) Some(centDf) else None,
@@ -747,22 +757,33 @@ object Similarity {
     val centDf = coarseCentroids(trainView(corpus, idCol, maxTrain),
       vecCol, nlist, seed)
     val cells = corpusCellAssignment(corpus, idCol, vecCol, centDf)
-    // the residual frame feeds the bounded sub-quantizer training + the
-    // encode pass — pin it so cell assignment runs once, not twice
-    val (books, encoded, pinned) =
+    // The codes column is computed IN PLACE on the assignment (or
+    // residual) frame: PqCodec.encode is a deterministic per-row map, so
+    // projecting it next to (cell, cand_id, cv) yields byte-identical
+    // index rows to the old separate pqEncode + equi-join — while the
+    // join (a corpus-scale shuffle) and its second evaluation of the
+    // cell-assignment aggregation disappear from the plan entirely: the
+    // build is now ONE assignment pass + the bucketed write.
+    val (books, indexed, pinned) =
       if (residual) {
+        // the residual frame feeds the bounded sub-quantizer training +
+        // the encode projection — pin it so assignment runs once
         val res = withResiduals(cells, centDf).persist()
         // bounded id-ordered training view — see ivfPqTopK
         val b = pqTrain(trainView(res, "cand_id", maxTrain), "rv",
           nsub, ksub, seed)
-        (b, pqEncode(res, "cand_id", "rv", b), Some(res))
+        (b, res.select(col("cell"), col("cand_id"),
+          graft.functions.PqCodec.encode(spark, col("rv"), b).as("codes"),
+          col("cv")), Some(res))
       } else {
         val b = pqTrain(trainView(corpus, idCol, maxTrain), vecCol,
           nsub, ksub, seed)
-        (b, pqEncode(corpus, idCol, vecCol, b), None)
+        // cells.cv IS the corpus vector, so encode(cv) ≡ the old
+        // pqEncode over the raw corpus for the same cand_id
+        (b, cells.select(col("cell"), col("cand_id"),
+          graft.functions.PqCodec.encode(spark, col("cv"), b).as("codes"),
+          col("cv")), None)
       }
-    val indexed = cells.join(encoded, Seq("cand_id"))
-      .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
     graft.sources.IO.writeBucketedTable(indexed, table, "cell", buckets)
     pinned.foreach(_.unpersist(blocking = false))
     writeModelTables(spark, table, centDf, books, residual)
@@ -905,13 +926,18 @@ object Similarity {
                                     vecCol: String, centDf: DataFrame,
                                     books: Seq[Seq[Seq[Float]]],
                                     residual: Boolean): DataFrame = {
+    val spark = rows.sparkSession
     val cells = corpusCellAssignment(rows, idCol, vecCol, centDf)
-    val encoded =
-      if (residual)
-        pqEncode(withResiduals(cells, centDf), "cand_id", "rv", books)
-      else pqEncode(rows, idCol, vecCol, books)
-    cells.join(encoded, Seq("cand_id"))
-      .select(col("cell"), col("cand_id"), col("codes"), col("cv"))
+    // codes projected in place on the assignment/residual frame (see
+    // writeVectorIndex): identical rows, no re-assignment, no join
+    if (residual)
+      withResiduals(cells, centDf).select(col("cell"), col("cand_id"),
+        graft.functions.PqCodec.encode(spark, col("rv"), books).as("codes"),
+        col("cv"))
+    else
+      cells.select(col("cell"), col("cand_id"),
+        graft.functions.PqCodec.encode(spark, col("cv"), books).as("codes"),
+        col("cv"))
   }
 
   /** Incremental index maintenance: encode `newRows` with the STORED

@@ -92,35 +92,44 @@ object SpanDedup {
   }
 
   /** The corpus with duplicated spans excised: (idCol, clean_text,
-    * n_removed). Words inside any span drop via a per-doc anti range
-    * join (spans per doc are few — the join key is the doc id, the
-    * range predicate evaluates inside the join); survivors reassemble
-    * in position order. Documents with no spans pass through verbatim;
-    * a document that was ALL duplicate comes back as the empty string,
+    * n_removed). Documents with no spans pass through verbatim; a
+    * document that was ALL duplicate comes back as the empty string,
     * not a lost row.
+    *
+    * Excision is per-ROW codegen, not a word-level relational pass: the
+    * few spans of each doc aggregate into one array row, join the
+    * corpus once on the doc id, and a positional higher-order `filter`
+    * drops covered words inside the row. The previous spelling exploded
+    * EVERY corpus word, anti-range-joined, and reassembled documents
+    * through a corpus-words-scale collect_list shuffle — at 100 TB that
+    * moves every surviving word across the network twice to delete a
+    * few spans; this form shuffles only the span lists (≤ spans rows)
+    * and streams the corpus through one join + one map. Output is
+    * unchanged: `split(text,' ')` round-trips through
+    * `concat_ws(' ', ...)` exactly (empty-string words included), so a
+    * span-free doc's rebuilt text IS its text, and surviving words keep
+    * their order by construction instead of by array_sort.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, k)
-      .select(col(idCol).as("span_doc"), col("span_start"), col("span_end"))
-    val wordsPos = docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("col").as("word"))
-    val kept = wordsPos.join(spans,
-      wordsPos(idCol) === col("span_doc") &&
-        col("pos").between(col("span_start"), col("span_end")),
-      "left_anti")
-      .groupBy(idCol)
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-          s => s.getField("word"))).as("kept_text"),
-        count(lit(1)).as("n_kept"))
-    val nWords = size(split(col(textCol), " ")).cast("long")
-    docs.select(col(idCol), col(textCol), nWords.as("n_words"))
-      .join(kept, Seq(idCol), "left_outer")
+    val spanLists = dupSpans(docs, idCol, textCol, k)
+      .groupBy(col(idCol).as("span_doc"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val words = split(col(textCol), " ")
+    // positional filter: word at 0-based position i survives iff no
+    // span covers i (filter's (element, index) form; exists() scans the
+    // per-doc span list — a handful of entries)
+    val keptArr = filter(words, (_, i) =>
+      !exists(col("spans"), s =>
+        i.cast("long").between(s.getField("span_start"),
+          s.getField("span_end"))))
+    docs.join(spanLists, docs(idCol) === col("span_doc"), "left_outer")
       .select(col(idCol),
-        coalesce(col("kept_text"), lit("")).as("clean_text"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        when(col("spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", keptArr)).as("clean_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise((size(words) - size(keptArr)).cast("long"))
+          .as("n_removed"))
   }
 }

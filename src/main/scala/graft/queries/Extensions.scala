@@ -2265,7 +2265,12 @@ object Extensions {
     // pins). Population (÷n) convention matches covEig; tolerance 0.05
     // absorbs the λ/(λ+ε) diagonal shrink and pround(6) quantization.
     "emb_zca_whiten_tether" -> ((s, dir) => {
-      val long = sweepQueries("emb_zca_whiten")(s, dir) // (vec_id, dim, value)
+      // (vec_id, dim, value) — materialized ONCE (detached, cache
+      // released): the covariance probe below references this frame four
+      // times (means, both self-join sides, the n_vecs count), and the
+      // lazy form re-ran the whole train+project arc per reference
+      val long = graft.operators.Dedup.materializeDetached(
+        sweepQueries("emb_zca_whiten")(s, dir))
       val means = long.groupBy(col("dim").as("mi"))
         .agg(avg(col("value")).as("mu_i"))
       val b = long.select(col("vec_id").as("vid2"), col("dim").as("j"),

@@ -113,11 +113,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(optimized.treeString.contains("graft_sig_index"),
       "stored signature index is not in the plan:\n" +
         optimized.treeString.take(3000))
-    // every shingle explode (Generate) sits over the NEW batch only —
-    // the stored-corpus side is never re-shingled
+    // every SHINGLE explode sits over the NEW batch only — the
+    // stored-corpus side is never re-shingled. Band explodes (the
+    // single-pass (band, sig) Generate over a signature table's 12
+    // hash columns — output `bs`) are the index's own access path and
+    // legitimately run over graft_sig_index; only generators emitting
+    // `shingle` re-tokenize text.
     val generates = optimized.collect { case g: Generate => g }
-    assert(generates.nonEmpty, "new batch must be shingled")
-    generates.foreach { g =>
+    val shingleGens =
+      generates.filter(_.generatorOutput.exists(_.name == "shingle"))
+    assert(shingleGens.nonEmpty, "new batch must be shingled")
+    shingleGens.foreach { g =>
       assert(!g.treeString.contains("graft_sig_index"),
         "existing corpus re-shingled:\n" + g.treeString.take(2000))
       assert(g.treeString.contains("% 4) = 0"),
