@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra -D flags for forked runs (e.g. the graft.cc.debug loop probe):
+  // SPARK_GRAFT_JAVA_OPTS="-Dgraft.cc.debug=1" sbt "runMain graft.Bench"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+    .map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

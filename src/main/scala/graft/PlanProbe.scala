@@ -28,7 +28,9 @@ object PlanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val which = if (args.length > 1) args.drop(1).toSet
       else Set("lsh_pairs", "undirect", "ivfpq_topk_residual",
-        "encode_for_index")
+        "encode_for_index", "hashed_embeddings", "cell_assign",
+        "brute_topk", "bm25", "gopher", "span_excise", "line_dedup",
+        "xent")
 
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -66,6 +68,53 @@ object PlanProbe {
         Seq.tabulate(4)(c => Seq.fill(dim / nsub)(0.1f * (j + c))))
       operators.Similarity.encodeForIndex(emb, "vec_id", "embedding",
         centDf, books, residual = true).explain("formatted")
+    }
+    if (which("hashed_embeddings")) {
+      println("\n===== kernel: TextEmbedding.hashedEmbeddings =====")
+      operators.TextEmbedding.hashedEmbeddings(docs, "doc_id", "text", 16)
+        .explain("formatted")
+    }
+    if (which("cell_assign")) {
+      println("\n===== kernel: Similarity.corpusCellAssignment =====")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val centDf = spark.createDataFrame(Seq(
+        (0, Array.fill(dim)(0.25f)), (1, Array.fill(dim)(-0.25f))))
+        .toDF("cell", "centroid")
+      operators.Similarity.corpusCellAssignment(emb, "vec_id", "embedding",
+        centDf).explain("formatted")
+    }
+    if (which("brute_topk")) {
+      println("\n===== kernel: Similarity.bruteForceTopK (fused cosine) =====")
+      operators.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", 3,
+        operators.Similarity.cosineFused(spark, _, _)).explain("formatted")
+    }
+    if (which("bm25")) {
+      println("\n===== kernel: Retrieval.bm25TopK (lazy) =====")
+      operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        col("doc_id") < 4, 5, materialize = false).explain("formatted")
+    }
+    if (which("gopher")) {
+      println("\n===== kernel: Quality.gopherRules =====")
+      operators.Quality.gopherRules(docs, "doc_id", "text")
+        .explain("formatted")
+    }
+    if (which("span_excise")) {
+      println("\n===== kernel: SpanDedup.removeDupSpans =====")
+      operators.SpanDedup.removeDupSpans(docs, "doc_id", "text", 5)
+        .explain("formatted")
+    }
+    if (which("line_dedup")) {
+      println("\n===== kernel: LineDedup.dedupLines =====")
+      operators.LineDedup.dedupLines(docs, "doc_id",
+        graft.functions.TextFunctions.wordChunks(col("text"), 10), 2)
+        .explain("formatted")
+    }
+    if (which("xent")) {
+      println("\n===== kernel: LanguageModel.crossEntropy =====")
+      operators.LanguageModel.crossEntropy(docs, "doc_id", "text",
+        operators.LanguageModel.unigramLm(docs, "text"))
+        .explain("formatted")
     }
     spark.stop()
   }

@@ -36,7 +36,9 @@ object Contamination {
               evalPredicate: Column, minContainment: Double,
               materialize: Boolean = true,
               maxTrainDf: Int = Dedup.DefaultMaxDf): DataFrame = {
-    val sh = docs.select(col(idCol), evalPredicate.as("is_eval"),
+    // fanOut: the shingle explode runs at scan parallelism — one task
+    // on a single-row-group corpus file (guide §2.5)
+    val sh = Par.fanOut(docs).select(col(idCol), evalPredicate.as("is_eval"),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("shingle"))
     if (!materialize) pairsFrom(sh, idCol, minContainment,
@@ -82,7 +84,10 @@ object Contamination {
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightHit = udf((shingles: Seq[String]) =>
       shingles != null && shingles.exists(bc.value.mightContainString))
-    docs.filter(evalPredicate ||
+    // fanOut: the per-doc shingle + bloom-probe filter runs at scan
+    // parallelism; the inserted exchange also lets the downstream
+    // overlap() pass inherit full parallelism
+    Par.fanOut(docs).filter(evalPredicate ||
       mightHit(array_distinct(TextFunctions.wordShingles(col(textCol), n))))
   }
 

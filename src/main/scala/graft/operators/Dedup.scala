@@ -129,7 +129,10 @@ object Dedup {
     */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
-    docs.select(col(idCol),
+    // fanOut: the shingle explode + md5 signature work downstream is
+    // the family's hot kernel and runs at SCAN parallelism — one task
+    // on a single-row-group corpus file (guide §2.5)
+    Par.fanOut(docs).select(col(idCol),
       explode(array_distinct(TextFunctions.wordShingles(col(textCol), n)))
         .as("shingle"))
 

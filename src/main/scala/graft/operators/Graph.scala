@@ -139,8 +139,13 @@ object Graph {
     // audit showed this was the ONE registry entry whose cache outlived
     // its call (harmless at 0.2 MiB, but audit-clean beats documented
     // leak; the sampled variant closed the same gap in round 13).
-    val v = vectors.join(labels, vectors(idCol) === labels("id"))
-      .select(col("id"), col("cluster_id"), col(vecCol).as("v"))
+    // spread: the slice is ≤ maxEval rows by the guard below, but AQE's
+    // byte-based coalescing packs it into one post-join partition — the
+    // |slice|² fused-cosine kernel then runs on one task. One exchange
+    // of a contract-bounded frame, at any corpus size.
+    val v = Par.spread(
+      vectors.join(labels, vectors(idCol) === labels("id"))
+        .select(col("id"), col("cluster_id"), col(vecCol).as("v")))
       .persist()
     if (maxEval > 0) {
       val n = v.limit(math.min(maxEval + 1, Int.MaxValue.toLong).toInt).count()

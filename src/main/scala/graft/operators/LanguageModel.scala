@@ -32,7 +32,10 @@ object LanguageModel {
 
   /** Train: unigram counts over the reference corpus — (token, cnt). */
   def unigramLm(reference: DataFrame, textCol: String): DataFrame =
-    reference
+    // fanOut on every scan-side tokenize in this file: tokenization +
+    // the partial agg run at scan parallelism — one task on a
+    // single-row-group corpus file (guide §2.5)
+    Par.fanOut(reference)
       .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
@@ -55,7 +58,7 @@ object LanguageModel {
     require(alpha > 0, s"alpha must be positive (smoothing floor): $alpha")
     val stats = lm.agg(sum(col("cnt")).cast("double").as("lm_total"),
       count(lit(1)).cast("double").as("lm_vocab"))
-    val tok = docs.select(col(idCol),
+    val tok = Par.fanOut(docs).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val p = (coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) /
       (col("lm_total") + lit(alpha) * (col("lm_vocab") + lit(1.0)))
@@ -93,7 +96,8 @@ object LanguageModel {
     */
   private def tokenPositions(docs: DataFrame, idCol: String,
                              textCol: String): DataFrame =
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+    Par.fanOut(docs)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
       .select(col(idCol), col("ws"), posexplode(col("ws")))
       .select(col(idCol),
         when(col("pos") === 0, lit(null))
@@ -118,7 +122,8 @@ object LanguageModel {
     */
   private def tokenPositions3(docs: DataFrame, idCol: String,
                               textCol: String): DataFrame =
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+    Par.fanOut(docs)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
       .select(col(idCol), col("ws"), posexplode(col("ws")))
       .select(col(idCol),
         when(col("pos") < 2, lit(null))

@@ -27,7 +27,9 @@ object LineDedup {
     */
   def dedupLines(docs: DataFrame, idCol: String, lines: Column,
                  maxDocs: Int): DataFrame = {
-    val exploded = docs.select(col(idCol),
+    // fanOut: the line split + posexplode runs at scan parallelism —
+    // one task on a single-row-group corpus file (guide §2.5)
+    val exploded = Par.fanOut(docs).select(col(idCol),
       posexplode(lines).as(Seq("pos", "line")))
     val common = exploded.groupBy("line")
       .agg(countDistinct(col(idCol)).as("n_docs"))

@@ -170,7 +170,10 @@ object Quality {
     val ellipsisFrac = when(nLines > 0, graft.functions.Rounding.pround(
       ellipsisLines.cast("double") / nLines.cast("double"), 6))
       .otherwise(lit(0.0))
-    docs.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+    // fanOut: the panel is one heavy regex/HOF projection per row and
+    // runs at scan parallelism — one task on a single-row-group file
+    Par.fanOut(docs)
+      .select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
       symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
       stopHits.as("stop_hits"), bulletFrac.as("bullet_line_frac"),
       ellipsisFrac.as("ellipsis_line_frac"))
@@ -205,6 +208,10 @@ object Quality {
     val c = col(textCol)
     val lc = lower(c)
     val nSentences = (size(split(c, "\\.")) - 1).cast("long")
+    // no fanOut here (measured): the C4 flags are cheap contains/rlike
+    // per row — the round-robin exchange cost exceeded the win
+    // (0.29 s → 0.44 s at bench scale); gopherRules' HOF-per-line panel
+    // is the one that pays off
     docs.select(col(idCol),
       c.rlike("[.!?\"']$").as("pass_terminal_punct"),
       (nSentences >= 3).as("pass_min_sentences"),

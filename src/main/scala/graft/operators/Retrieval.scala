@@ -58,7 +58,9 @@ object Retrieval {
     // one row per (doc, distinct term) with its in-doc frequency — the
     // inverted index; feeds postings, query terms, doc lengths, and
     // document frequencies, so persist it across those consumers
-    val tf0 = docs
+    // fanOut: tokenization + the partial agg run at scan parallelism —
+    // one task on a single-row-group corpus file
+    val tf0 = Par.fanOut(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val tf = if (materialize) tf0.persist() else tf0
@@ -130,7 +132,7 @@ object Retrieval {
     */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  postingsTable: String, buckets: Int = 32): Unit = {
-    val tf = docs
+    val tf = Par.fanOut(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()

@@ -96,7 +96,10 @@ object Similarity {
                      vecCol: String, k: Int,
                      scoreFn: (Column, Column) => Column = cosine(_, _)): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // fanOut: the |corpus|×|queries| fused-cosine scan runs at scan
+    // parallelism — one task on a single-row-group vector file
+    val c = Par.fanOut(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
     // the window shuffle carries only (query_id, cand_id, score) —
     // dropping qv/cv before the exchange cuts its row width from
     // ~2·dim·8 bytes to 24, the difference between shuffling the
@@ -134,8 +137,8 @@ object Similarity {
     require(k >= 1, s"k >= 1 required: $k")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
-      col(labelCol).as("neg_label"))
+    val c = Par.fanOut(corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), col(labelCol).as("neg_label")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("query_id") &&
         !(col("neg_label") <=> col("__ql")))
@@ -458,7 +461,10 @@ object Similarity {
                                           vecCol: String,
                                           centDf: DataFrame): DataFrame =
     withCellDist(centDf)(
-      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cv")
+      // fanOut: the corpus×nlist distance explode runs at scan
+      // parallelism — one task on a single-row-group vector file
+      Par.fanOut(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))),
+      "cv")
       .groupBy(col("cand_id"))
       .agg(min_by(struct(col("cell"), col("cv")),
         struct(col("cdist"), col("cell"))).as("best"))
@@ -1153,7 +1159,9 @@ object Similarity {
     require(dPrefix >= 1, s"dPrefix >= 1 required: $dPrefix")
     val spark = corpus.sparkSession
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // fanOut: stage-1 prefix-distance scan runs at scan parallelism
+    val c = Par.fanOut(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")))
     val approx = graft.functions.VectorExprs.l2DistSq(spark,
       slice(col("qv"), 1, dPrefix), slice(col("cv"), 1, dPrefix))
     import org.apache.spark.sql.expressions.Window
@@ -1399,8 +1407,17 @@ object Similarity {
     val keptCells = corpusCellAssignment(kept, idCol, vecCol, centDf)
       .persist()
     try {
-      val biggest = newCells.groupBy("cell").agg(count(lit(1)).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
+      // Both skew guards in ONE action: the batch and kept assignments
+      // are already persisted for the joins below, so a side-tagged
+      // union turns two sequential driver jobs into one (same map-side-
+      // combinable agg, same numbers — the former two-job spelling paid
+      // a full scheduler round-trip per guard).
+      val guardRow = newCells.select(lit(0).as("side"), col("cell"))
+        .unionByName(keptCells.select(lit(1).as("side"), col("cell")))
+        .groupBy("side", "cell").agg(count(lit(1)).as("n"))
+        .groupBy("side").agg(max(col("n")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val biggest = guardRow.getOrElse(0, 0L)
       if (biggest > maxCellSize)
         throw new IllegalStateException(
           s"semDedupIncrement: largest batch cell holds $biggest rows " +
@@ -1411,8 +1428,7 @@ object Similarity {
       // batch×kept candidate join just as quadratically. The count is
       // one map-side-combinable agg over the assignment we compute for
       // the join anyway — same cost class, loud instead of silent.
-      val keptBig = keptCells.groupBy("cell").agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+      val keptBig = guardRow.getOrElse(1, 0L)
       if (keptBig > maxCellSize)
         throw new IllegalStateException(
           s"semDedupIncrement: largest KEPT-corpus cell holds $keptBig " +

@@ -40,7 +40,9 @@ object SpanDedup {
   private[graft] def gramOccurrences(docs: DataFrame, idCol: String,
                                      textCol: String, k: Int): DataFrame = {
     val words = split(col(textCol), " ")
-    docs.filter(size(words) >= k)
+    // fanOut: the per-doc k-gram build + posexplode runs at scan
+    // parallelism — one task on a single-row-group corpus file
+    Par.fanOut(docs).filter(size(words) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(words) - k),
           i => concat_ws(" ", slice(words, i + 1, lit(k))))))
@@ -124,7 +126,8 @@ object SpanDedup {
       !exists(col("spans"), s =>
         i.cast("long").between(s.getField("span_start"),
           s.getField("span_end"))))
-    docs.join(spanLists, docs(idCol) === col("span_doc"), "left_outer")
+    Par.fanOut(docs)
+      .join(spanLists, docs(idCol) === col("span_doc"), "left_outer")
       .select(col(idCol),
         when(col("spans").isNull, col(textCol))
           .otherwise(concat_ws(" ", keptArr)).as("clean_text"),

@@ -36,7 +36,9 @@ object TextEmbedding {
   def hashedEmbeddings(docs: DataFrame, idCol: String, textCol: String,
                        dim: Int): DataFrame = {
     require(dim >= 2, s"dim >= 2 required, got $dim")
-    val tok = docs
+    // fanOut: tokenize + per-token md5 hashing runs at scan
+    // parallelism — one task on a single-row-group corpus file
+    val tok = Par.fanOut(docs)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
     val h32 = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
