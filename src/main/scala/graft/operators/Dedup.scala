@@ -659,7 +659,9 @@ object Dedup {
     * per-row path. bit j = (2·ones_j > n_tokens) ≡ the ±1-vote sign.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    // fanOut: tokenize + md5 + packed vote lanes run at scan
+    // parallelism — one task on a single-row-group corpus file
+    val toks = Par.fanOut(docs).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("hex", md5(col("tok")))
       // bits 32-63 = first 8 hex chars, bits 0-31 = next 8 — the same

@@ -52,7 +52,10 @@ object Dsir {
       transform(sequence(lit(1), size(ws) - 1),
         i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+    // fanOut: tokenize + gram explode + the downstream md5 bucket hash
+    // run at scan parallelism — one task on a single-row-group file
+    Par.fanOut(docs)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
       .select(col(idCol), explode(concat(ws, bigrams)).as("gram"))
   }
 

@@ -53,13 +53,23 @@ object Kmeans {
     val spark = vectors.sparkSession
     var cents: Seq[(Int, Seq[Double])] =
       init.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble)) }
-    var assigned: DataFrame = null
-    for (t <- 1 to iters) {
-      val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
-      assigned = Similarity.corpusCellAssignment(
-        vectors, idCol, vecCol, centDf)
-      if (t < iters) {
-        val m = assigned
+    // The update rounds (iters−1 driver collects) run off ONE pinned,
+    // fanned-out projection: previously every round re-scanned the
+    // corpus from parquet — iters× scans (and, after the Par.fanOut
+    // wiring inside corpusCellAssignment, iters× fan-out exchanges) for
+    // data that never changes between rounds. Cache the projection once
+    // (the standard cached-Lloyd shape — ML's KMeans does the same
+    // internally), run the bounded k·d collects against it, release it
+    // before returning. The RETURNED final assignment stays a lazy plan
+    // over the raw input, exactly as before, so no cache entry or block
+    // outlives the call and the caller's action pays one scan.
+    val pinned = Par.fanOut(vectors.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"))).persist()
+    try {
+      for (t <- 1 until iters) {
+        val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+        val m = Similarity.corpusCellAssignment(
+            pinned, "cand_id", "cv", centDf)
           .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
           .select(col("cell"), col("dim"),
             floor(col("x").cast("double") * lit(CoordUnit) + lit(0.5))
@@ -73,7 +83,9 @@ object Kmeans {
         }
         cents = cents.map { case (c, old) => (c, byCell.getOrElse(c, old)) }
       }
-    }
-    assigned.select(col("cand_id").as("id"), col("cell"))
+    } finally pinned.unpersist(blocking = false)
+    val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+    Similarity.corpusCellAssignment(vectors, idCol, vecCol, centDf)
+      .select(col("cand_id").as("id"), col("cell"))
   }
 }

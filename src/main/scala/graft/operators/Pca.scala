@@ -57,7 +57,12 @@ object Pca {
     */
   def gram(df: DataFrame, idCol: String, vecCol: String,
            maxTrain: Int = 1 << 16): DataFrame = {
-    val el = elements(df, idCol, vecCol, maxTrain)
+    // spread: `elements` is the ≤ maxTrain trainView slice (contract-
+    // bounded), but it sits under the trainView orderBy exchange whose
+    // byte-based AQE coalescing packs the few-MB element stream into
+    // one partition — the d²-per-row self-join products then run on
+    // one task. One extra exchange of a bounded frame at any scale.
+    val el = Par.spread(elements(df, idCol, vecCol, maxTrain))
     val a = el
     val b = el.select(col("_id"), col("i").as("j"), col("x").as("y"))
     a.join(b, Seq("_id"))

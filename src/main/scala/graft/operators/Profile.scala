@@ -128,7 +128,9 @@ object Profile {
       : DataFrame = {
     import graft.functions.Rounding.pround
     import org.apache.spark.sql.types.DecimalType
-    val tok = docs.select(col(groupCol).as("g"),
+    // fanOut: the token explode runs at scan parallelism — one task on
+    // a single-row-group corpus file (guide §2.5)
+    val tok = Par.fanOut(docs).select(col(groupCol).as("g"),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
     val cgw = tok.groupBy("g", "w").agg(count(lit(1)).as("cgw"))
     val cw = cgw.groupBy("w").agg(sum("cgw").as("cw"))

@@ -1689,10 +1689,13 @@ object Extensions {
     // Gopher-style repetition features: repeated-word and repeated-bigram
     // ratios per document.
     "text_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_words"),
-        TextFunctions.dupWordRatio(col("text")).as("dup_word_ratio"),
-        TextFunctions.dupNgramRatio(col("text"), 2).as("dup_bigram_ratio"))
+      // fanOut: three heavy per-row HOF features over the scan — the
+      // gopherRules shape (guide §2.5, single-row-group input)
+      graft.operators.Par.fanOut(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_words"),
+          TextFunctions.dupWordRatio(col("text")).as("dup_word_ratio"),
+          TextFunctions.dupNgramRatio(col("text"), 2).as("dup_bigram_ratio"))
         .orderBy("doc_id")),
 
     // Token-budget packing: concatenate-then-chunk sequence assignment
